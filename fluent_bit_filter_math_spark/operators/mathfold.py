@@ -1,0 +1,179 @@
+"""Reference-parity math-fold queries over the ``events`` table.
+
+Each query is a MathSpec compiled to a native Column expression (no UDF,
+no shuffle — a single narrow projection over the scan, whole-stage
+codegen). The DuckDB oracles spell out the identical coerce-to-zero fold
+in ANSI SQL, so the driver's hash compare pins the semantics of
+find_operand_val (/root/reference/filter_math/math.c:146-165) and the
+four fold kernels (math.c:197-215).
+
+The events fixture models the reference's record stream: ``ts`` + typed
+fields + a dynamic JSON ``props`` column (FIXTURES.md §1). ``props`` only
+carries key ``k`` in the synthetic data, but the compile path is generic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fluent_bit_filter_math_spark.pipeline import apply_specs
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+from fluent_bit_filter_math_spark.spec import MathSpec
+
+# DuckDB spelling of the engine's operand coercion (coerce.py):
+# column operand — try_cast to double, missing/non-numeric → 0.
+_VAL = "COALESCE(TRY_CAST(value AS DOUBLE), 0.0)"
+# dynamic JSON operand 'k' — same coercion through the props map.
+_K = "COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)"
+_ET = "COALESCE(TRY_CAST(event_type AS DOUBLE), 0.0)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+def _fold_query(spec_list, keep=("event_id", "value")):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = apply_specs(_events(spark, sf_dir), spec_list)
+        out_cols = list(keep) + [s.output_field for s in spec_list]
+        return df.select(*out_cols)
+
+    return fn
+
+
+# --- SUM fold: value + props.k + 7 (apply_sum, math.c:197-200) -------------
+register(
+    "math_sum",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + {_K} + 7.0) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("sum", ["value", "k", 7], "math_out")]))
+
+# --- SUB fold: left-associative value - k - 3 (apply_sub, math.c:202-205) --
+register(
+    "math_sub",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} - {_K} - 3.0) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("subtract", ["value", "k", 3], "math_out")]))
+
+# --- MUL fold: value * k * 2 (apply_mul, math.c:207-210) -------------------
+register(
+    "math_mul",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} * {_K} * 2.0) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("multiply", ["value", "k", 2], "math_out")]))
+
+# --- DIV fold, null mode: value / k, k=0 → NULL (matches DuckDB) -----------
+register(
+    "math_div",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} / {_K}) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("division", ["value", "k"], "math_out")]))
+
+# --- DIV fold, IEEE mode: k=0 → +inf (value>0 everywhere in the fixture;
+#     the NaN leg 0/0 is pinned by unit tests, math.c:212-215) --------------
+register(
+    "math_div_ieee",
+    oracle=f"""
+    SELECT event_id, value,
+           (CASE WHEN {_K} = 0.0 THEN
+                CASE WHEN {_VAL} > 0.0 THEN 'infinity'::DOUBLE
+                     WHEN {_VAL} < 0.0 THEN '-infinity'::DOUBLE
+                     ELSE 'nan'::DOUBLE END
+            ELSE {_VAL} / {_K} END) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("div", ["value", "k"], "math_out", div_mode="ieee")]))
+
+# --- cast_to_int: truncation toward zero (math.c:258-259) ------------------
+register(
+    "math_cast_int",
+    oracle=f"""
+    SELECT event_id, value,
+           CAST(TRUNC({_VAL} + {_K}) AS BIGINT) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("sum", ["value", "k"], "math_out", cast_to_int=True)]))
+
+# --- missing field → 0.0 (math.c:164) --------------------------------------
+register(
+    "math_missing_field",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + 0.0) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("sum", ["value", "mem.free"], "math_out")]))
+
+# --- non-numeric value → 0.0 (math.c:161-164): event_type is a string ------
+register(
+    "math_nonnumeric",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + {_ET}) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("sum", ["value", "event_type"], "math_out")]))
+
+# --- case-insensitive key match (math.c:150): VALUE/K resolve --------------
+register(
+    "math_case_insensitive",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + {_K}) AS math_out
+    FROM events
+    """,
+)(_fold_query([MathSpec.build("sum", ["VALUE", "K"], "math_out")]))
+
+# --- chained specs: CollapseProject fuses both folds into one projection ---
+register(
+    "math_chain",
+    oracle=f"""
+    SELECT event_id, value,
+           ({_VAL} * 2.0) AS doubled,
+           (({_VAL} * 2.0) + {_K}) AS math_out
+    FROM events
+    """,
+)(
+    _fold_query(
+        [
+            MathSpec.build("mul", ["value", 2], "doubled"),
+            MathSpec.build("sum", ["doubled", "k"], "math_out"),
+        ]
+    )
+)
+
+# --- tag routing (math.c:292; test.sh:17-43): filter then fold -------------
+@register(
+    "math_tag_route",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + {_K}) AS math_out
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def math_tag_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import route_by_tag
+
+    routed = route_by_tag(
+        _events(spark, sf_dir),
+        {"error": [MathSpec.build("sum", ["value", "k"], "math_out")]},
+    )
+    return routed["error"].select("event_id", "value", "math_out")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The test.sh scenario (4 ops, one with cast_to_int) fused into a
+    single narrow projection — the reference needed four plugin instances
+    (/root/reference/test.sh:17-43); Catalyst collapses ours into one."""
+    specs = [
+        MathSpec.build("sum", ["value", "k"], "used_plus_total", cast_to_int=True),
+        MathSpec.build("sub", ["value", "k"], "used_minus_total"),
+        MathSpec.build("mul", ["value", "k"], "used_times_total"),
+        MathSpec.build("div", ["value", "k"], "used_div_total"),
+    ]
+    return apply_specs(_events(spark, sf_dir), specs)

@@ -1,0 +1,429 @@
+"""Relational operator corpus — joins, aggregations, windows, sort/top-k,
+set ops, grouping sets — over the TPC-H-ish fixture tables.
+
+Absent entirely from the reference (single-record scope — SURVEY.md §2.3),
+these are the engine's extension surface, built purely from DataFrame
+ops so Catalyst owns the physical strategy. Scale notes per query:
+
+* small dims (region, nation) are broadcast explicitly; AQE will also
+  auto-broadcast under threshold — either way no shuffle for the dim;
+* fact-fact joins (orders⋈lineitem) shuffle on the join key once; the
+  aggregations that follow reuse that clustering where possible;
+* every ORDER BY carries a unique tiebreaker so results are
+  deterministic across engines (the driver hash-compares values);
+* double aggregates go through exact DECIMAL sums then cast back to
+  double — decimal addition is associative, so Spark's partial/final
+  aggregation tree and DuckDB's sequential sum agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+# Exact-decimal sum of a per-row double expression, surfaced as double.
+# The per-row expression is computed in double (bit-identical across
+# engines); the SUM is exact decimal (order-independent). Scale 6 is
+# chosen to sit ON the data's decimal grid: fixture monetary columns have
+# ≤2 decimal digits, so products like extendedprice*(1-discount)*(1+tax)
+# have ≤6 — the double is within ~1 ulp of the exact 6-dp decimal, and
+# both Spark (shortest-repr string → setScale HALF_UP) and DuckDB
+# (round(v·10⁶)) recover that exact decimal. A finer scale (e.g. 10)
+# would round the *representation noise* differently per engine and
+# break last-ulp equality.
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (TPC-H Q1 shape): scan + filter + hash aggregate.
+# One shuffle on (l_returnflag, l_linestatus); partial aggregation map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1999-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_dsum("l_quantity")).alias("sum_qty"),
+            F.expr(_dsum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias(
+                "sum_disc_price"
+            ),
+            F.expr(
+                _dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+            ).alias("sum_charge"),
+            (F.expr(_dsum("l_quantity")) / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority (TPC-H Q3 shape): 3-way join + agg + top-10.
+# customer is the selective side; orders⋈lineitem shuffles on o_orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1999-03-15'
+      AND l_shipdate > TIMESTAMP '1999-03-15'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1999-03-15'")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1999-03-15'")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume (TPC-H Q5 shape): 6-way join, broadcast dims.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n_name,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group — window function row_number, one shuffle on p_brand.
+# ---------------------------------------------------------------------------
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey
+               ) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic windows — rank / lag over customer order history.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS price_rank,
+           LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_price
+    FROM orders
+    """,
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w_rank).cast("long").alias("price_rank"),
+        F.lag("o_totalprice").over(w_lag).alias("prev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup — hierarchical aggregate with grouping flags.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           {_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.expr(_dsum("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube — all grouping combinations over two low-cardinality dims.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           {_dsum('o_totalprice')} AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr(_dsum("o_totalprice")).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort + limit — global top-N with deterministic tiebreak.
+# Spark executes as TakeOrderedAndProject: no full sort materialization.
+# ---------------------------------------------------------------------------
+@register(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations.
+# ---------------------------------------------------------------------------
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+        .intersect(orders.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.select(F.col("c_custkey").alias("custkey")).exceptAll(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    ).distinct()
+
+
+@register(
+    "setop_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins — broadcast the distinct key set when small.
+# ---------------------------------------------------------------------------
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregation + approx variant (approx is rows-only checked via
+# its exact twin being present; here we pin exact count distinct).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )

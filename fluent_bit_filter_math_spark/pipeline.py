@@ -1,0 +1,83 @@
+"""Batch + streaming application of math specs; tag routing.
+
+The reference's execution loop (cb_math_filter,
+/root/reference/filter_math/math.c:290-366) is chunk-at-a-time push; in
+Spark that loop *is* the engine — a batch job or a Structured Streaming
+micro-batch. The functions here only assemble plans:
+
+* :func:`apply_specs` — chain several specs over one DataFrame. Catalyst's
+  CollapseProject fuses the stacked withColumns into a single projection,
+  so N chained "filter instances" (test.sh:18-41 runs four) cost one pass.
+* :func:`route_by_tag` — the Fluent Bit tag-routing analogue
+  (math.c:292; /root/reference/test.sh:17-43): per-tag spec chains applied
+  to the matching slice of the stream. Implemented as a single unioned
+  plan per tag (filter + transform), which Spark executes as one narrow
+  stage per branch — no shuffle.
+* :func:`read_events_stream` / :func:`run_stream_to_memory` — streaming
+  parity harness: replay a parquet table as a stream and run it with
+  ``trigger(availableNow=True)``, proving batch ≡ stream for every spec.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.compile import apply_spec
+from fluent_bit_filter_math_spark.spec import MathSpec
+
+
+def apply_specs(
+    df: DataFrame, specs: Sequence[MathSpec], json_cols=("props",)
+) -> DataFrame:
+    for spec in specs:
+        df = apply_spec(df, spec, json_cols)
+    return df
+
+
+def route_by_tag(
+    df: DataFrame,
+    routes: Mapping[str, Sequence[MathSpec]],
+    tag_col: str = "event_type",
+    json_cols=("props",),
+) -> dict[str, DataFrame]:
+    """One transformed DataFrame per tag, filtered like Fluent Bit routing."""
+    return {
+        tag: apply_specs(df.filter(F.col(tag_col) == F.lit(tag)), specs, json_cols)
+        for tag, specs in routes.items()
+    }
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Replay a parquet directory as a bounded stream (the test harness's
+    'mem input' analogue, /root/reference/test.sh:15)."""
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).format("parquet").load(path)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a bounded stream into a memory sink; returns the result table.
+
+    availableNow ≈ the reference smoke test's `exit` output plugin
+    (test.sh:43): process everything available, then stop.
+    """
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
