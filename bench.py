@@ -1,0 +1,75 @@
+"""Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed as a full plan execution — scan → transform → a
+count-style collapse that forces every operator without materializing
+results on the driver (df.count() is sufficient: Spark cannot skip
+projections inside aggregates/joins/windows that feed it, and the
+per-query plans all end in aggregation, window, or top-k anyway).
+
+Timing = median of $SPARK_GRAFT_BENCH_REPS (default 3) runs after one
+untimed warm-up of the first query (JVM + codegen warmup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def main() -> int:
+    from fluent_bit_filter_math_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # Warm up the JVM / parquet footer caches with the first query, untimed.
+    first = next(iter(qs))
+    qs[first](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    for name, fn in qs.items():
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_median_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
