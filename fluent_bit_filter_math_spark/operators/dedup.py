@@ -1,1 +1,326 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators over ``documents`` and ``embeddings``.
+
+Absent from the reference (single-record scope, no cross-record state —
+/root/reference/filter_math/math.c:322-353); these are the
+training-data-pipeline extensions (SURVEY.md §2.3): exact dedup,
+n-gram-Jaccard near-dup pairs, MinHash + banded LSH, SimHash
+signatures, and embedding-cosine near-dup pairs.
+
+Scale design (the 100 TB story per operator):
+
+* **exact** — one hash aggregate on a 128-bit content hash; Spark's
+  map-side partial agg means each executor emits at most one row per
+  distinct hash. No driver involvement.
+* **n-gram Jaccard** — inverted-index join on the shingle (explode →
+  self-join → count), the standard all-pairs shape. The shuffle key is
+  the shingle; ultra-common shingles are the skew risk, mitigated here
+  by AQE skew-join splitting (session default) — at production scale
+  you would additionally cap shingle document-frequency (drop shingles
+  in > N docs: they only matter for pairs far below any dedup
+  threshold).
+* **MinHash+LSH** — replaces the all-pairs join with k=8 per-doc
+  min-hashes (narrow, no shuffle) + a candidate join on (band,
+  signature) buckets, then exact-Jaccard verification of candidates
+  only. With r=1 rows/band, P(missing a pair with true Jaccard j) =
+  (1-j)^8 — ~2.6e-14 at the fixture's j≈0.98 near-dups, so the output
+  equals the brute-force oracle deterministically.
+* **SimHash** — per-token hashing + one groupBy(doc) with 16 bit-plane
+  sums; word-count shape, fully partial-aggregatable.
+* **embedding cosine** — brute-force all-pairs at test scale (the
+  oracle needs it); ``similarity.py`` carries the bucketed ANN variant
+  that cuts the quadratic join at production scale.
+
+Hashes go through :func:`hash60` (md5-derived) for bit-exact DuckDB
+parity; swap to ``F.xxhash64`` for production (same shapes, ~3× faster
+hashing, no oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.functions import duck_hash60, hash60, tokens
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+# --- shared shingle expressions (word 3-grams, distinct per doc) -----------
+# Spark sequence() would count *down* when stop < start, so short docs are
+# guarded to an empty array; DuckDB range() is already empty-safe.
+_D_TOKENS = "string_split(text, ' ')"
+_D_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_D_TOKENS}) - 1),"
+    f" i -> {_D_TOKENS}[i] || ' ' || {_D_TOKENS}[i+1] || ' ' || {_D_TOKENS}[i+2]))"
+)
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45
+MINHASH_K = 8
+
+
+def _shingles(text: Column) -> Column:
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+        ),
+    )
+    return F.when(F.size(t) >= 3, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    )
+
+
+# The shingle index feeds several consumers per query (inverted-index join
+# sides, per-doc sizes, candidate verification). Left as a view, Spark
+# re-inlines the whole shingle expression tree at every reference — and,
+# with no stats on the derived plan, refuses to broadcast the join side
+# (measured 172 s vs 1.5 s at sf0.01). Materializing it once is the same
+# decision a production pipeline makes by persisting its shingle index
+# before the all-pairs stage.
+_SHINGLE_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _shingle_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(per-doc shingle arrays, exploded doc_id→shingle index), cached."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        arrays = _docs_shingled(spark, sf_dir).filter(F.size("sh") > 0).cache()
+        exploded = arrays.select(
+            "doc_id", F.explode("sh").alias("s")
+        ).cache()
+        _SHINGLE_CACHE[key] = (arrays, exploded)
+    return _SHINGLE_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — keep the lowest doc_id per content hash.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --- brute-force Jaccard oracle (shared by the exact and LSH queries) ------
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM documents
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON pairs.doc_a = sa.doc_id
+    JOIN sizes sb ON pairs.doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs — exact, via shingle inverted index.
+# ---------------------------------------------------------------------------
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, sh = _shingle_index(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures — k per-doc min-hashes, all narrow (no shuffle).
+# ---------------------------------------------------------------------------
+def _minhash_sig(sh: Column, k: int = MINHASH_K) -> list[Column]:
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: hash60(F.concat(F.lit(f"{j}:"), s)))
+        ).alias(f"mh{j}")
+        for j in range(k)
+    ]
+
+
+def _duck_minhash(j: int) -> str:
+    h = duck_hash60(f"'{j}:' || s")
+    return f"list_aggregate(list_transform({_D_SHINGLES}, s -> {h}), 'min')"
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle="SELECT doc_id, "
+    + ", ".join(f"{_duck_minhash(j)} AS mh{j}" for j in range(MINHASH_K))
+    + " FROM documents",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_shingled(spark, sf_dir)
+    return docs.select("doc_id", *_minhash_sig(F.col("sh")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup pairs: bucket-join candidates on
+# (band, min-hash value), verify exact Jaccard on candidates only.
+# Oracle = the brute-force Jaccard query: recall-complete at the fixture's
+# near-dup margin (see module docstring).
+# ---------------------------------------------------------------------------
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrays, _ = _shingle_index(spark, sf_dir)
+    sig = arrays.select(
+        "doc_id", "sh", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
+    ).cache()
+    bands = sig.select(
+        "doc_id", F.posexplode("sig").alias("band", "mh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 16-bit signature from per-token hash bit-planes.
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {duck_hash60('t')} AS h
+      FROM (SELECT doc_id, unnest(list_distinct({_D_TOKENS})) AS t
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST({' + '.join(
+               f"(CASE WHEN SUM(((h >> {i}) & 1) * 2 - 1) > 0"
+               f" THEN {1 << i} ELSE 0 END)"
+               for i in range(_SIMHASH_BITS)
+           )} AS BIGINT) AS simhash
+    FROM tok
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"),
+    ).select("doc_id", hash60(F.col("t")).alias("h"))
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs — integer-only output so the driver's
+# bitwise hash never touches a float.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= COSINE_THRESHOLD)
+        .select("id_a", "id_b")
+    )

@@ -20,6 +20,7 @@ micro-batch. The functions here only assemble plans:
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Mapping, Sequence
 
@@ -52,13 +53,32 @@ def route_by_tag(
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, schema=None
+    spark: SparkSession, path: str, schema=None, drop_nanos: bool = False
 ) -> DataFrame:
     """Replay a parquet directory as a bounded stream (the test harness's
-    'mem input' analogue, /root/reference/test.sh:15)."""
+    'mem input' analogue, /root/reference/test.sh:15).
+
+    ``drop_nanos=True`` applies the same TIMESTAMP(NANOS) workaround as
+    ``sources.catalog.table``: read nanos as long, truncate to µs.
+    """
+    if drop_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).format("parquet").load(path)
+    if os.path.isfile(path):
+        # The file stream source wants a directory; expose the single
+        # fixture file through a symlink dir (fixtures are read-only).
+        d = tempfile.mkdtemp(prefix="stream-src-")
+        os.symlink(os.path.abspath(path), os.path.join(d, "part-0.parquet"))
+        path = d
+    stream = spark.readStream.schema(schema).format("parquet").load(path)
+    if drop_nanos:
+        for name, dtype in stream.dtypes:
+            if name == "ts" and dtype == "bigint":
+                stream = stream.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+    return stream
 
 
 def run_stream_to_memory(

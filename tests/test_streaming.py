@@ -1,0 +1,111 @@
+"""Streaming parity: the reference's actual operating mode is a record
+stream (cb_math_filter, /root/reference/filter_math/math.c:290-366), so
+every transform must behave identically under Structured Streaming.
+
+batch ≡ stream is asserted by replaying the events parquet with
+``readStream`` + ``trigger(availableNow=True)`` (the reference smoke
+test's `exit` plugin analogue, /root/reference/test.sh:43) into a
+memory sink and comparing against the batch result row-for-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.pipeline import (
+    apply_specs,
+    read_events_stream,
+    run_stream_to_memory,
+)
+from fluent_bit_filter_math_spark.sources import table
+from fluent_bit_filter_math_spark.spec import MathSpec
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _assert_frames_equal(a, b):
+    pd.testing.assert_frame_equal(_normalize(a), _normalize(b))
+
+
+def _events_stream(spark):
+    # The nanos ts column is irrelevant to math specs; stream the typed
+    # columns (streaming parquet reads reject TIMESTAMP(NANOS) like batch).
+    batch = table(spark, SF_DIR, "events")
+    return batch, read_events_stream(
+        spark, f"{SF_DIR}/events.parquet", schema=None, drop_nanos=True
+    )
+
+
+def test_mathfold_batch_equals_stream(spark):
+    specs = [
+        MathSpec.build("sum", ["value", "k", 7], "s1"),
+        MathSpec.build("div", ["value", "k"], "s2", div_mode="ieee"),
+        MathSpec.build("mul", ["value", 2], "s3", cast_to_int=True),
+    ]
+    batch, stream = _events_stream(spark)
+    cols = ["event_id", "s1", "s2", "s3"]
+    expected = apply_specs(batch, specs).select(*cols).toPandas()
+    result = run_stream_to_memory(
+        apply_specs(stream, specs).select(*cols), "mathfold_parity"
+    ).toPandas()
+    _assert_frames_equal(expected, result)
+
+
+def test_tumbling_window_batch_equals_stream(spark):
+    batch, stream = _events_stream(spark)
+
+    def agg(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n",
+            )
+        )
+
+    expected = agg(batch.withColumn("ts", F.col("ts"))).toPandas()
+    result = run_stream_to_memory(
+        agg(stream), "tumbling_parity", output_mode="complete"
+    ).toPandas()
+    _assert_frames_equal(expected, result)
+
+
+def test_streaming_dedup_with_watermark(spark):
+    _, stream = _events_stream(spark)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id"]
+    )
+    result = run_stream_to_memory(
+        deduped.select("user_id"), "dedup_stream"
+    ).toPandas()
+    batch_users = (
+        table(spark, SF_DIR, "events").select("user_id").distinct().toPandas()
+    )
+    # dropDuplicates keeps exactly one row per key.
+    assert sorted(result["user_id"]) == sorted(batch_users["user_id"])
+
+
+def test_tag_routing_stream(spark):
+    batch, stream = _events_stream(spark)
+    spec = [MathSpec.build("sum", ["value", "k"], "out")]
+    from fluent_bit_filter_math_spark.pipeline import route_by_tag
+
+    routed = route_by_tag(stream, {"error": spec})["error"]
+    result = run_stream_to_memory(
+        routed.select("event_id", "out"), "tag_stream"
+    ).toPandas()
+    expected = (
+        apply_specs(batch.filter(F.col("event_type") == "error"), spec)
+        .select("event_id", "out")
+        .toPandas()
+    )
+    _assert_frames_equal(expected, result)
