@@ -58,8 +58,8 @@ COSINE_THRESHOLD = 0.45
 MINHASH_K = 8
 
 
-def _shingles(text: Column) -> Column:
-    t = tokens(text)
+def _shingles(t: Column) -> Column:
+    """Distinct word-3-gram shingles from a *materialized* token array."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 2),
         lambda i: F.concat_ws(
@@ -75,9 +75,16 @@ def _shingles(text: Column) -> Column:
 
 
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
+    # Two Project steps on purpose: the token array must be a real column
+    # before the shingle lambda touches it. Inlined, every element_at
+    # re-evaluates split(text) (no common-subexpression elimination inside
+    # lambda bodies) — ~450 re-splits per document, measured 67 s → 3 s at
+    # sf0.1. CollapseProject keeps the boundary because the inner split()
+    # is non-cheap and multiply-referenced.
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
     )
+    return toks.select("doc_id", _shingles(F.col("toks")).alias("sh"))
 
 
 # The shingle index feeds several consumers per query (inverted-index join
@@ -149,33 +156,74 @@ _JACCARD_ORACLE = f"""
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs — exact, via shingle inverted index.
+# n-gram Jaccard near-dup pairs — exact, via *prefix-filtered* all-pairs
+# (SSJoin/All-Pairs family). A naive shingle inverted-index join costs
+# Σ_s df(s)² candidate rows, which explodes when shingles repeat across
+# docs (88 s at sf0.1 on this corpus). Prefix filtering is an exact
+# pruning: order each doc's shingles by global rarity (df asc, shingle
+# asc — a total order); any pair with J ≥ τ shares ≥ ⌈τ·|d|⌉ shingles,
+# so its *smallest* shared shingle must fall inside both docs' first
+# |d| − ⌈τ·|d|⌉ + 1 shingles. Joining only those prefixes generates a
+# candidate superset (no recall loss) whose volume is governed by rare
+# shingles' tiny dfs; exact Jaccard verification on shingle arrays then
+# removes false positives. Same output, ~20× less join work, and the
+# shape that survives 100 TB: df-ranking and prefix extraction are one
+# aggregate + one window, both partial-aggregatable.
 # ---------------------------------------------------------------------------
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _, sh = _shingle_index(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
+    from pyspark.sql import Window
+
+    arrays, sh = _shingle_index(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "s")
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix_len = (
+        F.count("*").over(Window.partitionBy("doc_id"))
+        - F.ceil(
+            F.count("*").over(Window.partitionBy("doc_id"))
+            * F.lit(JACCARD_THRESHOLD)
+        )
+        + 1
+    )
+    prefix = (
+        ranked.select(
+            "doc_id", "s", F.row_number().over(w).alias("rn"), prefix_len.alias("plen")
+        )
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    return _verify_jaccard(cand, arrays)
+
+
+def _verify_jaccard(cand: DataFrame, arrays: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the per-doc
+    shingle arrays; shared by the prefix-filter and LSH paths."""
+    sa = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
+    sb = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
     return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -210,27 +258,51 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + banded LSH near-dup pairs: bucket-join candidates on
-# (band, min-hash value), verify exact Jaccard on candidates only.
-# Oracle = the brute-force Jaccard query: recall-complete at the fixture's
-# near-dup margin (see module docstring).
+# MinHash + banded LSH near-dup pairs: bucket-join candidates on banded
+# signatures, verify exact Jaccard on candidates only.
+#
+# Banding: r=2 rows/band, b=4 bands. Candidates = pairs agreeing on a
+# whole band (both min-hashes). On a corpus with a shared vocabulary,
+# r=1 floods the candidate set (any single shared min-hash — measured
+# 86 s at sf0.1); r=2 squares the collision probability for dissimilar
+# pairs while P(miss) for a true near-dup at the fixture's j≈0.98 stays
+# ≈ (1−j²)⁴ ~ 2e-6. Oracle = the brute-force Jaccard query: the output
+# equals it exactly on this data (verified at the driver's sf0.01).
 # ---------------------------------------------------------------------------
+LSH_ROWS_PER_BAND = 2
+
+
 @register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays, _ = _shingle_index(spark, sf_dir)
     sig = arrays.select(
-        "doc_id", "sh", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
-    ).cache()
-    bands = sig.select(
-        "doc_id", F.posexplode("sig").alias("band", "mh")
+        "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
     )
+    r = LSH_ROWS_PER_BAND
+    n_bands = MINHASH_K // r
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[i * r + j] for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -238,17 +310,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verify_jaccard(cand, arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -296,8 +358,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup pairs — integer-only output so the driver's
-# bitwise hash never touches a float.
+# embedding-cosine near-dup pairs — blocked matrix product, not a row
+# cross-join. A Column-expression cross-join evaluates the 64-term fold
+# per *pair* (O(n²·d) interpreted ops — 78 s at sf0.1); here each Arrow
+# batch of A does one float64 GEMM against the broadcast unit-normalized
+# corpus matrix (BLAS), then emits only the (id_a < id_b, cos ≥ τ) index
+# pairs. The corpus matrix must fit in a broadcast (50k×64 ≈ 13 MB at
+# sf0.1; ~25 GB at 100 TB-scale corpora — there you first shrink the
+# candidate space with sign-bucket LSH (sim_ann_bucketed's bucketing) or
+# per-cluster blocking, then run this same GEMM kernel per block).
+# Integer-only output: BLAS reassociation noise (~1e-13) never crosses
+# the τ-gap in the data (≥ 2e-3), and the driver's hash sees only ids.
 # ---------------------------------------------------------------------------
 @register(
     "dedup_embedding_cosine",
@@ -310,17 +381,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluent_bit_filter_math_spark.functions import cosine
+    import numpy as np
+    import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= COSINE_THRESHOLD)
-        .select("id_a", "id_b")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.collect()  # broadcastable small side (see header note)
+    ids = np.array([r.vec_id for r in corpus], dtype=np.int64)
+    mat = np.array([r.embedding for r in corpus], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def find_pairs(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            # Chunk the GEMM so the cos block stays ~chunk×N, bounding
+            # task memory regardless of corpus size.
+            for lo in range(0, len(a_ids), 1024):
+                cos = a_mat[lo : lo + 1024] @ b_mat.T
+                ai, bi = np.nonzero(cos >= COSINE_THRESHOLD)
+                ida, idb = a_ids[lo + ai], b_ids[bi]
+                keep = ida < idb
+                yield pd.DataFrame({"id_a": ida[keep], "id_b": idb[keep]})
+
+    # Fixture parquet arrives as one partition; spread the GEMM across
+    # the cluster (a ~13 MB shuffle buys full-width parallelism).
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    return emb.repartition(n_parts).mapInPandas(
+        find_pairs, schema="id_a long, id_b long"
     )

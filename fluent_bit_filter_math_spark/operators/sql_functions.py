@@ -1,0 +1,332 @@
+"""Scalar-function coverage: string, date/time, JSON, array/map, math,
+conditional — plus pivot, grouping sets, subqueries and approximate
+distinct aggregation.
+
+The reference's scalar surface is the four fold kernels and nothing
+else (non-numeric values are ignored, /root/reference/filter_math/
+math.c:161-164); this module is the §2.3 checklist coverage. Every
+query is pure built-in expressions (whole-stage codegen); transcendental
+outputs are rounded to 9 dp because libm and the JVM may differ in the
+final ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+
+# ---------------------------------------------------------------------------
+# string functions over part names.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_string_suite",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           substr(p_name, 1, 5) AS prefix,
+           length(p_name) AS name_len,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           concat(p_brand, '#', p_type) AS brand_type,
+           CAST(contains(p_name, 'an') AS BOOLEAN) AS has_an
+    FROM part
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.col("p_name").contains("an").alias("has_an"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# date/time functions over orders.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_date_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '1999-01-01') AS BIGINT) AS days_to_99,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+    FROM orders
+    """,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1.
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate")
+        )
+        .cast("long")
+        .alias("days_to_99"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions over the events.props dynamic column.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_json_suite",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') IS NULL
+                AS BOOLEAN) AS missing_is_null
+    FROM events
+    """,
+)
+def fn_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_int"),
+        F.get_json_object("props", "$.missing")
+        .isNull()
+        .alias("missing_is_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# array functions — per-order sorted linenumber arrays + aggregates.
+# collect_list order is nondeterministic, so everything observable is
+# sorted/aggregated before output.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_array_suite",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS lines,
+           CAST(len(list(l_linenumber)) AS BIGINT) AS n_lines,
+           list_aggregate(list(l_linenumber), 'sum') AS line_sum,
+           list_sort(list(l_linenumber))[1] AS first_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    lines = F.array_sort(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        lines.alias("lines"),
+        F.count("*").alias("n_lines"),
+        F.sum("l_linenumber").alias("line_sum"),
+        lines.getItem(0).alias("first_line"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# map functions — build a map from aggregated key/value pairs, read it back.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_map_suite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(map(['n'], [CAST(COUNT(*) AS BIGINT)])['n'][1] AS BIGINT)
+               AS n_via_map
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = F.create_map(F.lit("n"), F.count("*"))
+    return o.groupBy("o_orderstatus").agg(
+        F.element_at(m, "n").cast("long").alias("n_via_map")
+    )
+
+
+# ---------------------------------------------------------------------------
+# math functions — abs/pow/mod/round/sqrt/exp/ln over lineitem, 9-dp
+# rounding on the transcendental outputs.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_diff,
+           round(pow(l_quantity, 2), 9) AS qty_sq,
+           CAST(l_partkey % 7 AS BIGINT) AS pk_mod,
+           round(l_extendedprice, 1) AS price_r1,
+           round(sqrt(l_quantity), 9) AS qty_sqrt,
+           round(ln(l_extendedprice + 1.0), 9) AS log_price,
+           ceil(l_discount * 100.0) AS disc_pct_ceil,
+           floor(l_tax * 100.0) AS tax_pct_floor
+    FROM lineitem
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_diff"),
+        F.round(F.pow("l_quantity", F.lit(2)), 9).alias("qty_sq"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.sqrt("l_quantity"), 9).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 9).alias("log_price"),
+        F.ceil(F.col("l_discount") * 100.0).alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100.0).alias("tax_pct_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional / null handling.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_conditional_suite",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CAST(c_acctbal > 0 AS BOOLEAN) AS in_credit,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(c_acctbal, 1000.0) AS bal_cap1k
+    FROM customer
+    """,
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_masked"),
+        (F.col("c_acctbal") > 0).alias("in_credit"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot — order counts by status × priority (conditional-agg oracle).
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "agg_pivot_status_priority",
+    oracle="SELECT o_orderstatus, "
+    + ", ".join(
+        f"""COUNT(*) FILTER (o_orderpriority = '{p}') AS "p{i + 1}" """
+        for i, p in enumerate(_PRIORITIES)
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+)
+def agg_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed
+
+
+# ---------------------------------------------------------------------------
+# grouping sets — explicit set list (finer than rollup/cube).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar subquery — customers above the average balance.
+# ---------------------------------------------------------------------------
+@register(
+    "subq_above_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                   AS DOUBLE) / COUNT(*) FROM customer)
+    """,
+)
+def subq_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("subq_customer")
+    return c.sparkSession.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM subq_customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                                       AS DOUBLE) / COUNT(*)
+                           FROM subq_customer)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate distinct — HLL sketch. Engine-specific estimates can't match
+# an oracle bit-for-bit; the driver records a rows-only check, and the
+# exact twin (agg_count_distinct) pins correctness.
+# ---------------------------------------------------------------------------
+@register("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )

@@ -1,0 +1,163 @@
+"""Temporal join operators: as-of join and interval/range join.
+
+Neither exists in the reference (single-record scope, math.c:322-353) —
+SURVEY.md §2.3 extensions. Spark has no native ASOF JOIN; the scalable
+construction used here is the **union + window** form:
+
+    union the two sides tagged left/right, shuffle ONCE on the join key,
+    sort by time within each key, and carry the most recent right-side
+    row forward with ``last_value(..., ignoreNulls=True)``.
+
+That is one shuffle and one sort — the same cost as a sort-merge join —
+versus the naive correlated-subquery form that explodes into a
+range-join. It also degrades gracefully under skew (AQE splits hot
+keys). DuckDB has native ASOF JOIN, which the oracle uses, pinning our
+construction against a reference implementation.
+
+The interval join is an equi-join with a range residual: Catalyst keeps
+the equi part as the shuffle key and evaluates the range as a cheap
+post-join filter — no O(n·m) blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_time <= left_time within the same ``on`` key (union+window form).
+    """
+    lt = left.withColumnRenamed(left_time, "_t").withColumn(
+        "_is_left", F.lit(1)
+    )
+    rt = right.withColumnRenamed(right_time, "_t").withColumn(
+        "_is_left", F.lit(0)
+    )
+    # Align schemas for the union: left rows carry null right_vals and
+    # vice versa.
+    for v in right_vals:
+        if v not in lt.columns:
+            lt = lt.withColumn(v, F.lit(None).cast(rt.schema[v].dataType))
+    left_cols = [c for c in lt.columns if c not in rt.columns]
+    for c in left_cols:
+        rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    u = lt.select(*sorted(lt.columns)).unionByName(
+        rt.select(*sorted(lt.columns))
+    )
+    # Right rows sort before left rows at the same timestamp so an exact
+    # tie matches (ASOF's <= semantics).
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_is_left") == 0, F.col(v)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{v}")
+            for v in right_vals
+        ],
+    )
+    keep = [c for c in left.columns if c != left_time]
+    out = carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(c) for c in keep],
+        F.col("_t").alias(left_time),
+        *[F.col(f"_asof_{v}").alias(v) for v in right_vals],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# as-of join — each click event picks up the user's most recent error
+# event at-or-before it. Oracle: DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "join_asof_events",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           e.value AS last_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("last_error_value")
+    )
+    joined = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_vals=["last_error_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT).alias("click_ts"),
+        "last_error_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval/range join — lineitems shipped within 30 days of their order's
+# date: equi key (orderkey) + range residual. One shuffle, no blowup.
+# ---------------------------------------------------------------------------
+@register(
+    "join_range_ship_window",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_quick_ships,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate >= orders.o_orderdate)
+            & (
+                li.l_shipdate
+                < orders.o_orderdate + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_quick_ships"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)"
+            ).alias("qty"),
+        )
+    )

@@ -61,6 +61,8 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         multimodal,
+        temporal,
+        sql_functions,
     )
     from fluent_bit_filter_math_spark.streaming import windows  # noqa: F401
 
