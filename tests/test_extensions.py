@@ -1,0 +1,84 @@
+"""Edge-case invariants for the extension operators (the oracle gate
+covers the happy path at sf0.01; these pin the boundaries it can't)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _shingles,
+)
+from fluent_bit_filter_math_spark.operators.multimodal import _decode_kernel
+from fluent_bit_filter_math_spark.operators.temporal import asof_join
+
+
+def test_shingles_short_docs_are_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", _shingles(F.split("text", " ")).alias("sh")
+        ).collect()
+    }
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == ["a b c", "b c d"]
+
+
+def test_asof_join_no_match_carries_null(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 5, 200)], "user_id long, ts long, event_id long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 7.5)], "user_id long, ts long, v double"
+    )
+    out = {
+        r.user_id: r.v
+        for r in asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
+    }
+    assert out == {1: 7.5, 2: None}
+
+
+def test_asof_join_tie_matches(spark):
+    # Equal timestamps match: <= semantics, like DuckDB's ASOF JOIN.
+    left = spark.createDataFrame([(1, 10, 1)], "user_id long, ts long, e long")
+    right = spark.createDataFrame(
+        [(1, 10, 9.9)], "user_id long, ts long, v double"
+    )
+    out = asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
+    assert out[0].v == 9.9
+
+
+def test_asof_join_picks_latest_not_any(spark):
+    left = spark.createDataFrame([(1, 10, 1)], "user_id long, ts long, e long")
+    right = spark.createDataFrame(
+        [(1, 3, 1.0), (1, 7, 2.0), (1, 11, 3.0)],
+        "user_id long, ts long, v double",
+    )
+    out = asof_join(left, right, "user_id", "ts", "ts", ["v"]).collect()
+    assert out[0].v == 2.0  # latest at-or-before ts=10, not 3.0 (future)
+
+
+def test_decode_kernel_stub_gates_real_decode(monkeypatch):
+    import fluent_bit_filter_math_spark.operators.multimodal as mm
+
+    monkeypatch.setattr(mm, "REAL_DECODE", True)
+    with pytest.raises(NotImplementedError):
+        _decode_kernel(b"payload")
+
+
+def test_decode_kernel_fake_is_deterministic():
+    assert _decode_kernel(b"x" * 1000) == (1000 % 640, 1000 % 480, 1000 % 30 + 1)
+    assert _decode_kernel(b"") == (0, 0, 1)
+
+
+def test_jaccard_threshold_in_safe_gap():
+    # The fixture's pair Jaccards cluster near 0.98 (planted near-dups)
+    # and below 0.07 (noise); the threshold must sit inside that gap so
+    # float noise can never flip a pair across it.
+    assert 0.1 < JACCARD_THRESHOLD < 0.9
