@@ -186,20 +186,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 1
     )
+    n_sh = F.count("*").over(Window.partitionBy("doc_id"))
     prefix = (
         ranked.select(
-            "doc_id", "s", F.row_number().over(w).alias("rn"), prefix_len.alias("plen")
+            "doc_id",
+            "s",
+            F.row_number().over(w).alias("rn"),
+            prefix_len.alias("plen"),
+            n_sh.alias("n"),
         )
         .filter(F.col("rn") <= F.col("plen"))
-        .select("doc_id", "s")
+        .select("doc_id", "s", "n")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # Size-ratio pruning inside the join: J ≥ τ forces τ·|b| ≤ |a| ≤ |b|/τ.
     cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.col("a.n").cast("double")
+                >= F.col("b.n") * F.lit(JACCARD_THRESHOLD)
+            )
+            & (
+                F.col("b.n").cast("double")
+                >= F.col("a.n") * F.lit(JACCARD_THRESHOLD)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -211,19 +225,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verify_jaccard(cand: DataFrame, arrays: DataFrame) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the per-doc
-    shingle arrays; shared by the prefix-filter and LSH paths."""
+    shingle arrays; shared by the prefix-filter and LSH paths.
+
+    A size-ratio prefilter runs first: J(a,b) ≥ τ forces
+    τ·|b| ≤ |a| ≤ |b|/τ, so integer size comparison kills most false
+    candidates before the O(|a|+|b|) array intersection touches them.
+    """
     sa = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
     sb = arrays.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
+    na, nb = F.size("sh_a"), F.size("sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
+    jac = inter.cast("double") / (na + nb - inter)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .filter(
+            (na.cast("double") >= nb * F.lit(JACCARD_THRESHOLD))
+            & (nb.cast("double") >= na * F.lit(JACCARD_THRESHOLD))
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

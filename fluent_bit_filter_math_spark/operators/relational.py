@@ -427,3 +427,99 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_custs"),
         F.count("*").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q6 shape — pure filter + global aggregate: the pushdown showcase (all
+# three predicates reach the parquet scan; no shuffle, single partial+
+# final agg).
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1998-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1999-01-01'"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(_dsum("l_extendedprice * l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer joins — full outer with null-side handling.
+# ---------------------------------------------------------------------------
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           c.n_custs, s.n_supps
+    FROM (SELECT c_nationkey, COUNT(*) AS n_custs FROM customer
+          WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey, COUNT(*) AS n_supps FROM supplier
+          WHERE s_acctbal > 9000 GROUP BY s_nationkey) s
+      ON c.c_nationkey = s.s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_custs"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supps"))
+    )
+    return cust.join(
+        supp, cust.c_nationkey == supp.s_nationkey, "full_outer"
+    ).select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_custs",
+        "n_supps",
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles — Spark percentile() and DuckDB quantile_cont share
+# the linear-interpolation definition; inputs are 1-dp doubles so the
+# interpolated values are exact.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )

@@ -269,7 +269,10 @@ def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
+    # Materialize the token array before the lambda touches it — inlined,
+    # every element_at re-evaluates split(text) (no CSE in lambda bodies).
+    toks = df.select(tokens(F.col("text")).alias("t"))
+    t = F.col("t")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
         lambda i: F.concat_ws(
@@ -277,7 +280,7 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        df.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

@@ -64,6 +64,9 @@ def _ensure_loaded() -> None:
         temporal,
         sql_functions,
     )
-    from fluent_bit_filter_math_spark.streaming import windows  # noqa: F401
+    from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
+        stateful,
+        windows,
+    )
 
     _LOADED = True

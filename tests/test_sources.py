@@ -1,0 +1,142 @@
+"""Connector coverage: format round-trips, the rate source, foreachBatch
+sinks, and a stream-stream join — the operational envelope the reference
+delegates to its host engine (SURVEY.md §2.2)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.pipeline import read_events_stream
+from fluent_bit_filter_math_spark.sources import table
+from fluent_bit_filter_math_spark.sources.io import (
+    foreach_batch_collect,
+    rate_stream,
+    read_table,
+    write_table,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_parquet_json_csv_roundtrip(spark):
+    src = table(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as d:
+        for fmt in ("parquet", "json", "csv"):
+            write_table(src, f"{d}/{fmt}", fmt)
+            back = read_table(
+                spark, f"{d}/{fmt}", fmt, schema=src.schema
+            )
+            pd.testing.assert_frame_equal(_sorted_pdf(src), _sorted_pdf(back))
+
+
+def test_rate_source_produces_rows(spark):
+    import time
+
+    stream = rate_stream(spark, rows_per_second=50)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rate_smoke")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.time() + 20
+            n = 0
+            while time.time() < deadline:
+                n = spark.table("rate_smoke").count()
+                if n > 0:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+    assert n > 0
+    assert set(spark.table("rate_smoke").columns) == {"timestamp", "value"}
+
+
+def test_foreach_batch_sink(spark):
+    stream = read_events_stream(
+        spark, f"{SF_DIR}/events.parquet", drop_nanos=True
+    )
+    seen: list[int] = []
+
+    def handle(batch_df, batch_id: int) -> None:
+        seen.append(batch_df.count())
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        foreach_batch_collect(
+            stream.filter(F.col("event_type") == "error"), handle, ckpt
+        )
+    batch_n = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert sum(seen) == batch_n
+
+
+def test_stream_stream_join(spark):
+    """Self-join of the event stream on user_id within a time bound —
+    the stream-stream inner join with watermarks on both sides."""
+    clicks = (
+        read_events_stream(spark, f"{SF_DIR}/events.parquet", drop_nanos=True)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    errors = (
+        read_events_stream(spark, f"{SF_DIR}/events.parquet", drop_nanos=True)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("e_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+    )
+    from fluent_bit_filter_math_spark.pipeline import run_stream_to_memory
+
+    result = run_stream_to_memory(joined, "ss_join").toPandas()
+
+    ev = table(spark, SF_DIR, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_id"),
+    )
+    expected = c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+    ).toPandas()
+    assert len(result) == len(expected)
+    assert sorted(zip(result["c_id"], result["e_id"])) == sorted(
+        zip(expected["c_id"], expected["e_id"])
+    )
