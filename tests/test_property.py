@@ -1,0 +1,162 @@
+"""Property-based invariants (SURVEY.md §5.2 item 5).
+
+* Pure-Python spec properties run under hypothesis (cheap, thousands of
+  cases): operation prefix resolution, strtod truncation, validation.
+* The fold-semantics equivalence runs 200 seeded-random cases through
+  ONE Spark job against a pure-Python reference implementation of the
+  reference's fold (math.c:167-195 semantics) — one collect() instead
+  of one per example, keeping the property suite fast.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+
+import pytest
+from hypothesis import given
+from hypothesis import strategies as st
+
+from fluent_bit_filter_math_spark.compile import apply_spec
+from fluent_bit_filter_math_spark.spec import (
+    ConstOperand,
+    FieldOperand,
+    MathSpec,
+    Operation,
+    SpecError,
+    parse_constant,
+)
+
+# ---------------------------------------------------------------------------
+# hypothesis: spec-layer properties (no Spark).
+# ---------------------------------------------------------------------------
+
+_OP_NAMES = {
+    "sum": Operation.SUM,
+    "sub": Operation.SUB,
+    "mul": Operation.MUL,
+    "div": Operation.DIV,
+}
+
+
+@given(
+    st.sampled_from(sorted(_OP_NAMES)),
+    st.text(alphabet=st.characters(codec="ascii"), max_size=10),
+)
+def test_operation_resolution_is_prefix_only(prefix, suffix):
+    # Anything starting with a known 3-char prefix resolves to that op,
+    # regardless of suffix (math.c:54-66's strncasecmp(..., 3)).
+    assert Operation.resolve(prefix + suffix) is _OP_NAMES[prefix]
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_constant_truncates_toward_zero_or_rejects(x):
+    text = repr(x)
+    truncated = int(x) if abs(x) < 2**63 else None
+    if truncated == 0:
+        with pytest.raises(SpecError):
+            parse_constant(text)
+    elif truncated is not None:
+        assert parse_constant(text).value == truncated
+
+
+@given(st.integers(min_value=-(2**31), max_value=2**31))
+def test_const_operand_rejects_only_zero(v):
+    if v == 0:
+        with pytest.raises(SpecError):
+            ConstOperand(v)
+    else:
+        assert ConstOperand(v).value == v
+
+
+@given(st.lists(st.sampled_from(["f1", "f2", 3, -2]), max_size=1))
+def test_specs_require_two_operands(ops):
+    with pytest.raises(SpecError):
+        MathSpec.build("sum", ops, "out")
+
+
+# ---------------------------------------------------------------------------
+# Spark: fold semantics vs a pure-Python reference, 200 cases, one job.
+# ---------------------------------------------------------------------------
+
+_FIELDS = ["value", "other", "missing_one", "text_field"]
+
+
+def _py_fold(op: Operation, operands, record: dict) -> float | None:
+    """Reference semantics: seed with first operand, left-fold the rest
+    (math.c:186-190); field eval coerces missing/non-numeric to 0.0
+    (math.c:146-165); division by zero in 'null' mode yields None."""
+
+    def val(o):
+        if isinstance(o, ConstOperand):
+            return float(o.value)
+        v = record.get(o.name)
+        return float(v) if isinstance(v, (int, float)) else 0.0
+
+    acc = val(operands[0])
+    for o in operands[1:]:
+        v = val(o)
+        if op is Operation.SUM:
+            acc = acc + v
+        elif op is Operation.SUB:
+            acc = acc - v
+        elif op is Operation.MUL:
+            acc = acc * v
+        else:
+            if v == 0.0:
+                return None
+            if acc is None:
+                return None
+            acc = acc / v
+        if acc is None:
+            return None
+    return acc
+
+
+def test_fold_matches_python_reference(spark):
+    rng = random.Random(42)
+    cases = []
+    for i in range(200):
+        op_name = rng.choice(["sum", "subtract", "multiply", "division"])
+        n_ops = rng.randint(2, 5)
+        operands = []
+        for _ in range(n_ops):
+            if rng.random() < 0.3:
+                operands.append(ConstOperand(rng.choice([-7, -1, 1, 3, 11])))
+            else:
+                operands.append(FieldOperand(rng.choice(_FIELDS)))
+        record = {
+            "value": round(rng.uniform(-100, 100), 2),
+            "other": rng.choice([0.0, 1.5, -3.25, 42.0]),
+            "text_field": "not-a-number",
+        }
+        cases.append((i, op_name, operands, record))
+
+    rows = [
+        (i, rec["value"], rec["other"], rec["text_field"], json.dumps({}))
+        for i, _, _, rec in cases
+    ]
+    df = spark.createDataFrame(
+        rows, "case_id long, value double, other double, text_field string, props string"
+    )
+
+    out = df
+    for i, op_name, operands, _ in cases:
+        spec = MathSpec(
+            operation=Operation.resolve(op_name),
+            operands=tuple(operands),
+            output_field=f"out_{i}",
+        )
+        out = apply_spec(out, spec)
+    result = {r["case_id"]: r for r in out.collect()}
+
+    for i, op_name, operands, record in cases:
+        expected = _py_fold(Operation.resolve(op_name), operands, record)
+        actual = result[i][f"out_{i}"]
+        if expected is None:
+            assert actual is None, f"case {i}: {actual} != None"
+        else:
+            assert actual == pytest.approx(expected, abs=0, rel=0) or (
+                math.isnan(expected) and math.isnan(actual)
+            ), f"case {i} ({op_name}): {actual} != {expected}"
