@@ -1,0 +1,129 @@
+"""Python UDF / UDAF / UDTF surface — the extension points the reference
+lacks entirely (its operator set is a closed enum,
+/root/reference/filter_math/math.h:27-40 — SURVEY.md §2.3's "UDF / UDAF /
+UDTF surface" row).
+
+Design stance (SURVEY.md §7.1): Python functions are the SLOW PATH. Every
+hot-path operator in this engine compiles to native Column expressions;
+these queries exist to prove the full extension surface works end-to-end
+with the oracle gate, using the shapes a production pipeline would pick
+when Python is genuinely unavoidable:
+
+* scalar — `pandas_udf` (Arrow-batched, vectorized; ~10-100× the
+  throughput of a row-at-a-time `@udf`);
+* aggregation — `applyInPandas` over a grouped DataFrame: one Arrow
+  batch per group, partial-agg-less but state-free (the 100 TB story is
+  the group count, not the group size: groups here are event types);
+* table function — `@udtf` with a lateral join (Spark 4 Python UDTF),
+  one emitted row per token.
+
+Float discipline: every Python-side aggregate is integer-exact (cents /
+counts), so Arrow round-trips and pandas accumulation order can never
+diverge from the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+
+# NOTE: the pandas_udf / udtf decorators are applied lazily inside the
+# query builders, never at module level — executors re-import this module
+# to unpickle the kernels, and the decorators' schema parsing requires a
+# live session (driver-only).
+
+
+# ---------------------------------------------------------------------------
+# scalar pandas UDF — vectorized character/word stats per document.
+# ---------------------------------------------------------------------------
+def _char_count(text: pd.Series) -> pd.Series:
+    return text.str.len().astype("int64")
+
+
+@register(
+    "udf_scalar_doc_stats",
+    oracle="""
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE doc_id % 10 = 0
+    """,
+)
+def udf_scalar_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    char_count = pandas_udf(_char_count, "long")
+    return docs.select("doc_id", char_count("text").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# grouped-map UDAF — per-event-type totals via applyInPandas. Integer
+# cents (the fixture's value has 2 dp) keep the Python-side sum exact.
+# ---------------------------------------------------------------------------
+def _type_totals(pdf: pd.DataFrame) -> pd.DataFrame:
+    cents = pdf["value"].mul(100).round().astype("int64")
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_events": [len(pdf)],
+            "total_cents": [int(cents.sum())],
+        }
+    )
+
+
+@register(
+    "udaf_event_type_cents",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_event_type_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _type_totals, schema="event_type string, n_events long, total_cents long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — tokenizer emitting (pos, token) rows via lateral join.
+# ---------------------------------------------------------------------------
+class _TokenizeUDTF:
+    def eval(self, text: str):
+        if text:
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+
+@register(
+    "udtf_tokenize_docs",
+    # DuckDB zips parallel unnests in one SELECT: positions ∥ tokens.
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+)
+def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register(
+        "fbm_tokenize", udtf(_TokenizeUDTF, returnType="pos: bigint, token: string")
+    )
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL fbm_tokenize(d.text) t
+        """
+    )

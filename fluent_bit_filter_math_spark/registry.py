@@ -63,8 +63,11 @@ def _ensure_loaded() -> None:
         multimodal,
         temporal,
         sql_functions,
+        subqueries,
+        python_udfs,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
+        dedup as stream_dedup,
         stateful,
         windows,
     )
