@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — the scale properties SURVEY.md §4.2
+claims are pinned here so a refactor can't silently lose them:
+
+* math folds stay narrow (zero shuffles — the reference pipeline's key
+  scale property, SURVEY.md §3.4);
+* chained specs collapse into one projection (CollapseProject);
+* filters and column pruning reach the parquet scan (PushedFilters /
+  ReadSchema);
+* small dimensions broadcast instead of shuffling the fact table;
+* aggregates run map-side partials before the exchange.
+
+These assert on plan *structure*, not timings, so they are stable on any
+machine. Each helper uses the formatted explain string — the same thing
+a human reads from .explain("formatted").
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from fluent_bit_filter_math_spark.operators.dedup import dedup_exact
+from fluent_bit_filter_math_spark.operators.mathfold import flagship
+from fluent_bit_filter_math_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q6_forecast_revenue,
+)
+from fluent_bit_filter_math_spark.operators.similarity import (
+    sim_topk_bruteforce,
+)
+
+
+def plan_of(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_math_fold_is_narrow_single_projection(spark, sf_dir):
+    # Four chained specs (the flagship) must compile to ONE projection
+    # over the scan with no shuffle anywhere — the whole reference
+    # surface is a single narrow stage (SURVEY.md §3.4).
+    plan = plan_of(flagship(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"\(\d+\) Project", plan)) == 1
+    # Dynamic-map access stays JVM-side: no Python evaluation operators.
+    assert "Python" not in plan
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(q6_forecast_revenue(spark, sf_dir))
+    # Predicates reach the parquet reader…
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # …and the scan reads only the 4 referenced columns of 11.
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_q1_single_shuffle_with_partial_agg(spark, sf_dir):
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    # One exchange for the groupBy, map-side combine before it.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan
+
+
+def test_q3_broadcasts_selective_dimension(spark, sf_dir):
+    plan = plan_of(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # The customer side ships as a broadcast, not a shuffle of the fact.
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_dedup_exact_partial_aggregates(spark, sf_dir):
+    plan = plan_of(dedup_exact(spark, sf_dir))
+    assert "partial_min" in plan or "partial_first" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_similarity_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of(sim_topk_bruteforce(spark, sf_dir))
+    # The tiny query set broadcasts; the corpus is never shuffled for
+    # the join (only the per-query top-k window may exchange).
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
