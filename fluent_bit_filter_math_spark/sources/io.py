@@ -5,7 +5,7 @@ the filter ABI, /root/reference/filter_math/math.c:290-296, 356-357);
 Spark's built-in connectors are the extension. These helpers only pin
 option defaults so round-trips are lossless where the format allows:
 
-* parquet — lossless, the canonical interchange format;
+* parquet / orc — lossless, columnar, the interchange formats;
 * json (lines) — lossless for the fixture schemas modulo timestamp
   precision (written as ISO-8601 micros);
 * csv — needs an explicit schema on read (csv is untyped) and header
@@ -27,11 +27,13 @@ _READ_OPTIONS: dict[str, dict[str, str]] = {
     "csv": {"header": "true"},
     "json": {},
     "parquet": {},
+    "orc": {},
 }
 _WRITE_OPTIONS: dict[str, dict[str, str]] = {
     "csv": {"header": "true"},
     "json": {},
     "parquet": {},
+    "orc": {},
 }
 
 

@@ -29,10 +29,10 @@ def _sorted_pdf(df) -> pd.DataFrame:
     )
 
 
-def test_parquet_json_csv_roundtrip(spark):
+def test_parquet_json_csv_orc_roundtrip(spark):
     src = table(spark, SF_DIR, "nation")
     with tempfile.TemporaryDirectory() as d:
-        for fmt in ("parquet", "json", "csv"):
+        for fmt in ("parquet", "json", "csv", "orc"):
             write_table(src, f"{d}/{fmt}", fmt)
             back = read_table(
                 spark, f"{d}/{fmt}", fmt, schema=src.schema
