@@ -177,3 +177,30 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         MathSpec.build("div", ["value", "k"], "used_div_total"),
     ]
     return apply_specs(_events(spark, sf_dir), specs)
+
+
+# --- streaming operating mode (math.c:290-296: the reference IS a stream
+#     filter). Same spec, same expression, run through readStream →
+#     availableNow → memory sink; the oracle is the batch SQL, pinning
+#     batch ≡ stream for the fold surface as a driver-visible query,
+#     not just a unit test. -------------------------------------------------
+@register(
+    "stream_math_fold",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + {_K} + 7.0) AS math_out
+    FROM events
+    """,
+)
+def stream_math_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", drop_nanos=True
+    )
+    out = apply_specs(
+        stream, [MathSpec.build("sum", ["value", "k", 7], "math_out")]
+    ).select("event_id", "value", "math_out")
+    return run_stream_to_memory(out, "stream_math_fold")
