@@ -81,9 +81,17 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambda bodies) — ~450 re-splits per document, measured 67 s → 3 s at
     # sf0.1. CollapseProject keeps the boundary because the inner split()
     # is non-cheap and multiply-referenced.
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+    # The fixture parquet is one small file → Spark reads it as ONE
+    # partition, and everything narrow downstream (tokenize + shingle +
+    # distinct — the expensive part) would run on one core (measured:
+    # 13 s single-threaded vs 1.5 s spread at sf0.1). Repartition by
+    # doc_id BEFORE the heavy projection; at production scale the scan
+    # arrives already multi-partition and this becomes a cheap no-op
+    # guard against tiny-file skew.
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
     return toks.select("doc_id", _shingles(F.col("toks")).alias("sh"))
 
 
