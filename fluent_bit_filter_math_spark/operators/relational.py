@@ -230,6 +230,44 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# frame-based windows — running total + 3-row moving average per customer.
+# The running SUM is exact DECIMAL then cast back (each engine sums the
+# same prefix set per row; decimal keeps the partial order irrelevant).
+# ---------------------------------------------------------------------------
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_3row
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(38,6)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.sum(dec)
+        .over(w.rowsBetween(-2, 0))
+        .cast("double")
+        .alias("spend_3row"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # rollup — hierarchical aggregate with grouping flags.
 # ---------------------------------------------------------------------------
 @register(
