@@ -160,3 +160,43 @@ def test_fold_matches_python_reference(spark):
             assert actual == pytest.approx(expected, abs=0, rel=0) or (
                 math.isnan(expected) and math.isnan(actual)
             ), f"case {i} ({op_name}): {actual} != {expected}"
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the KV-properties front end (configure, math.c:37-132).
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=12))
+def test_unknown_property_keys_always_rejected(key):
+    if key.strip().lower() in MathSpec._KNOWN_KEYS:
+        return
+    props = [("operation", "sum"), ("field", "a"), ("field", "b"),
+             ("output_field", "out"), (key, "x")]
+    with pytest.raises(SpecError):
+        MathSpec.from_properties(props)
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "1", "-2"]), min_size=2, max_size=8))
+def test_operand_order_preserved_from_properties(names):
+    # Repeated field/constant keys accumulate in exactly config order
+    # (mk_list tail-append, math.c:87,105).
+    props = [("operation", "mul")]
+    for n in names:
+        props.append(("constant", n) if n.lstrip("-").isdigit() else ("field", n))
+    props.append(("output_field", "out"))
+    spec = MathSpec.from_properties(props)
+    got = [
+        o.name if isinstance(o, FieldOperand) else str(o.value)
+        for o in spec.operands
+    ]
+    assert got == names
+
+
+@given(st.sampled_from(["true", "on", "yes", "1", "false", "off", "no", "0",
+                        "TRUE", "Off"]))
+def test_cast_to_int_bool_parsing(raw):
+    props = [("operation", "sum"), ("field", "a"), ("field", "b"),
+             ("output_field", "out"), ("cast_to_int", raw)]
+    spec = MathSpec.from_properties(props)
+    assert spec.cast_to_int is (raw.strip().lower() in MathSpec._TRUE)
