@@ -43,6 +43,11 @@ _NANOS_TS_TABLES = {"events": ("ts",)}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Event-time expressions (window/date_trunc/date_format) interpret
+    # TimestampType in the session timezone; the DuckDB oracle is
+    # TZ-naive. Pin UTC here so results are driver-session-independent
+    # (the verification driver owns its own SparkSession).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name in _NANOS_TS_TABLES:
         # Runtime-settable SQL conf; only affects NANOS columns, so leaving
