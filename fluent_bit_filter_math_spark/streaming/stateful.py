@@ -20,6 +20,13 @@ Scale: state is partitioned by the grouping key across executors
 (RocksDB-backed in production); each micro-batch shuffles only that
 batch's rows to their key's state partition. The Pandas kernel sees
 one group per call with its state handle — no driver involvement.
+
+Spark 4's successor API, ``transformWithStateInPandas`` (typed state
+variables, timers, TTL), is the upgrade path; it is unavailable in this
+container (its Python driver worker needs ``google.protobuf``, which is
+broken here and cannot be installed), so the engine ships the
+``applyInPandasWithState`` form, which expresses the same per-key
+arbitrary state.
 """
 
 from __future__ import annotations
