@@ -230,6 +230,38 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# argmax via aggregate + join-back — the alternative to the window-rank
+# top-k (topk_per_group): compute max per key, then semi-join rows back.
+# At scale this is two passes over orders but ZERO sort — cheaper than a
+# per-key sort when k=1 and keys are many; Catalyst broadcasts the
+# aggregated (small) side.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_argmax_order",
+    oracle="""
+    SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+    FROM orders o
+    JOIN (SELECT o_custkey, MAX(o_totalprice) AS mx
+          FROM orders GROUP BY o_custkey) m
+      ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.mx
+    """,
+)
+def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    mx = orders.groupBy("o_custkey").agg(
+        F.max("o_totalprice").alias("mx")
+    ).withColumnRenamed("o_custkey", "mx_custkey")
+    return (
+        orders.join(
+            F.broadcast(mx),
+            (orders.o_custkey == mx.mx_custkey)
+            & (orders.o_totalprice == mx.mx),
+        )
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
 # frame-based windows — running total + 3-row moving average per customer.
 # The running SUM is exact DECIMAL then cast back (each engine sums the
 # same prefix set per row; decimal keeps the partial order irrelevant).
