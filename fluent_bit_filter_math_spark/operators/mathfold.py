@@ -15,6 +15,7 @@ carries key ``k`` in the synthetic data, but the compile path is generic.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fluent_bit_filter_math_spark.pipeline import apply_specs
 from fluent_bit_filter_math_spark.registry import register
@@ -164,6 +165,50 @@ def math_tag_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"error": [MathSpec.build("sum", ["value", "k"], "math_out")]},
     )
     return routed["error"].select("event_id", "value", "math_out")
+
+
+# --- malformed-record pass-through (math.c:227,343-352): records whose
+#     payload isn't a map are identity-mapped — no output key appended.
+#     The fixture has only well-formed props, so the query corrupts a
+#     deterministic slice in-plan: every 7th record's props becomes
+#     unparseable JSON, every 11th a JSON array (valid JSON, NOT a map —
+#     the reference's elem-1-not-a-map branch). Those rows pass through
+#     with math_out NULL; everything else folds normally. -------------------
+_MANGLED_PROPS = """
+    CASE WHEN event_id % 7 = 0 THEN '{"k": 12'
+         WHEN event_id % 11 = 0 THEN '[1, 2]'
+         ELSE props END
+"""
+_K_M = (
+    "COALESCE(TRY_CAST(json_extract_string(mangled_props, '$.k') AS DOUBLE),"
+    " 0.0)"
+)
+
+
+@register(
+    "math_malformed_passthrough",
+    oracle=f"""
+    SELECT event_id, value, mangled_props,
+           CASE WHEN mangled_props IS NOT NULL
+                 AND json_type(TRY_CAST(mangled_props AS JSON)) IS DISTINCT FROM 'OBJECT'
+                THEN NULL
+                ELSE {_VAL} + {_K_M} + 5.0 END AS math_out
+    FROM (SELECT event_id, value, {_MANGLED_PROPS} AS mangled_props
+          FROM events)
+    """,
+)
+def math_malformed_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import apply_specs_passthrough
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "value", F.expr(_MANGLED_PROPS).alias("mangled_props")
+    )
+    out = apply_specs_passthrough(
+        ev,
+        [MathSpec.build("sum", ["value", "k", 5], "math_out")],
+        json_col="mangled_props",
+    )
+    return out.select("event_id", "value", "mangled_props", "math_out")
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,20 +65,26 @@ def asof_join(
         .orderBy(F.col("_t"), F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry the latest right ROW as a struct, not each value column
+    # independently: per-value last(..., ignorenulls) would skip a matched
+    # right row whose value is NULL and silently substitute an older
+    # non-NULL one, where ASOF semantics return the matched row's NULL
+    # (ADVICE r1). The struct is NULL for left rows and non-NULL for every
+    # right row (even one with all-NULL fields), so last() lands on the
+    # true most recent right row and the field projection preserves its
+    # NULLs.
+    right_row = F.when(
+        F.col("_is_left") == 0, F.struct(*[F.col(v) for v in right_vals])
+    )
     carried = u.select(
         "*",
-        *[
-            F.last(F.when(F.col("_is_left") == 0, F.col(v)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{v}")
-            for v in right_vals
-        ],
+        F.last(right_row, ignorenulls=True).over(w).alias("_asof"),
     )
     keep = [c for c in left.columns if c != left_time]
     out = carried.filter(F.col("_is_left") == 1).select(
         *[F.col(c) for c in keep],
         F.col("_t").alias(left_time),
-        *[F.col(f"_asof_{v}").alias(v) for v in right_vals],
+        *[F.col(f"_asof.{v}").alias(v) for v in right_vals],
     )
     return out
 

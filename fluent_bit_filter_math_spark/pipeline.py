@@ -27,7 +27,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluent_bit_filter_math_spark.compile import apply_spec
+from fluent_bit_filter_math_spark.compile import apply_spec, compile_spec
 from fluent_bit_filter_math_spark.spec import MathSpec
 
 
@@ -36,6 +36,38 @@ def apply_specs(
 ) -> DataFrame:
     for spec in specs:
         df = apply_spec(df, spec, json_cols)
+    return df
+
+
+def apply_specs_passthrough(
+    df: DataFrame, specs: Sequence[MathSpec], json_col: str = "props"
+) -> DataFrame:
+    """Apply specs only to well-formed records; identity-map the rest.
+
+    The reference copies a record through VERBATIM when its payload is not
+    a map (/root/reference/filter_math/math.c:227,343-352) — no output key
+    is appended. The DataFrame analogue of "not a map": ``json_col`` holds
+    a non-NULL string that does not parse as a JSON *object* (corrupt
+    JSON, or a JSON array/scalar). For those rows every original column
+    passes through untouched and the output field stays NULL ("absent");
+    a NULL ``json_col`` is a record *without* a dynamic payload — still
+    well-formed, keys simply coerce to 0 (math.c:164).
+    """
+    from fluent_bit_filter_math_spark.coerce import lowered_json_map
+
+    well_formed = F.col(json_col).isNull() | lowered_json_map(
+        F.col(json_col)
+    ).isNotNull()
+    for spec in specs:
+        out = compile_spec(spec, df, (json_col,))
+        if spec.cast_to_int:
+            out_type = "long"
+        else:
+            out_type = "double"
+        df = df.withColumn(
+            spec.output_field,
+            F.when(well_formed, out).otherwise(F.lit(None)).cast(out_type),
+        )
     return df
 
 

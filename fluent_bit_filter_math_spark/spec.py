@@ -90,15 +90,29 @@ def _strtod(text: str) -> float:
     if not m:
         return 0.0
     token = m.group(0).strip()
-    try:
-        return float(int(token, 16)) if token[:2].lower().lstrip("+-") == "0x" else float(token)
-    except ValueError:
-        return 0.0
+    # Detect hex AFTER stripping the sign — C strtod parses '-0x10' to -16
+    # (the old prefix check compared against the sign character; ADVICE r1).
+    if token.lstrip("+-")[:2].lower() == "0x":
+        try:
+            return float(int(token, 16))
+        except ValueError:
+            return 0.0
+    return float(token)
 
 
 def parse_constant(raw: str) -> ConstOperand:
-    """strtod then truncate toward zero; 0 is rejected (math.c:99-103)."""
-    value = int(_strtod(raw))  # int() truncates toward zero, like the C cast
+    """strtod then truncate toward zero; 0 is rejected (math.c:99-103).
+
+    inf/nan parse fine under strtod but cannot truncate to a C int — they
+    surface as SpecError like every other configure()-analogue rejection,
+    not as a raw OverflowError/ValueError (ADVICE r1).
+    """
+    try:
+        value = int(_strtod(raw))  # truncates toward zero, like the C cast
+    except (OverflowError, ValueError) as exc:
+        raise SpecError(
+            f"Constant {raw!r} does not truncate to an integer: {exc}"
+        ) from None
     return ConstOperand(value)  # ConstOperand rejects 0
 
 
