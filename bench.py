@@ -4,10 +4,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
 Each query is timed as a full plan execution — scan → transform → a
-count-style collapse that forces every operator without materializing
-results on the driver (df.count() is sufficient: Spark cannot skip
-projections inside aggregates/joins/windows that feed it, and the
-per-query plans all end in aggregation, window, or top-k anyway).
+``noop``-format write. The earlier ``df.count()`` collapse let Catalyst
+PRUNE deterministic projections (a count needs no columns), so every
+projection-only query timed just the parquet scan — the fold expressions
+were verifiably absent from the physical plan (ADVICE r1). The noop V2
+sink consumes complete rows, so every output column is computed and
+nothing materializes on the driver.
 
 Timing = minimum over $SPARK_GRAFT_BENCH_REPS (default 3) *interleaved
 passes* — every query runs once per pass, so a transient host-noise
@@ -33,6 +35,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
+def _force(df) -> None:
+    """Execute the full plan, all columns, nothing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> int:
     from fluent_bit_filter_math_spark.session import get_spark
 
@@ -48,7 +55,7 @@ def main() -> int:
     # of 32 Arrow workers costs ~45 s once per cluster; every long-lived
     # deployment amortizes it, so it doesn't belong in per-query timings).
     first = next(iter(qs))
-    qs[first](spark, SF_DIR).count()
+    _force(qs[first](spark, SF_DIR))
     spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
@@ -57,7 +64,7 @@ def main() -> int:
     for _ in range(REPS):
         for name, fn in qs.items():
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            _force(fn(spark, SF_DIR))
             times[name].append(time.perf_counter() - t0)
     per_query = {name: round(min(ts), 4) for name, ts in times.items()}
 

@@ -141,9 +141,7 @@ _D_BUCKET = " + ".join(
 )
 
 
-@register(
-    "sim_ann_bucketed",
-    oracle=f"""
+_ANN_ORACLE = f"""
     SELECT query_id, neighbor_id, rank FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                CAST(ROW_NUMBER() OVER (
@@ -154,8 +152,68 @@ _D_BUCKET = " + ".join(
         WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
           AND ({_D_BUCKET.format(side='q')}) = ({_D_BUCKET.format(side='c')})
     ) WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucket + GEMM ANN — the composed scale path: the sign-bucket LSH
+# shrinks each query's candidate set to its own bucket, then ONE float64
+# GEMM per bucket scores query-rows against the bucket matrix (BLAS)
+# inside applyInPandas — executor-side, no driver collect, no broadcast.
+# Semantically identical to sim_ann_bucketed (same oracle); physically it
+# replaces the per-pair 64-term fold expression with a per-bucket matrix
+# product, the shape that wins when queries are many: at Q queries per
+# bucket the expression form costs Q·n·d interpreted ops per bucket, the
+# GEMM one BLAS call. At 100 TB the corpus is written
+# partitionBy(bucket), so the groupBy below becomes a scan of
+# pre-clustered partitions — no shuffle.
+# Per-task memory is O(|bucket|·d); buckets too hot for one task get more
+# sign bits (BUCKET_BITS is the knob) — same recall/size trade as any
+# LSH probe. BLAS reassociation noise (~1e-13) cannot reorder ranks: the
+# fixture's min adjacent-cosine gap is ~1e-6 (module docstring).
+# ---------------------------------------------------------------------------
+@register("sim_ann_gemm", oracle=_ANN_ORACLE)
+def sim_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")
+    )
+
+    def topk_per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        qmask = ids < N_QUERIES
+        if not qmask.any():
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "rank": []}
+            ).astype("int64")
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = mat[qmask] @ mat.T  # Q×|bucket| scores in one BLAS call
+        out = []
+        for row, qid in zip(cos, ids[qmask]):
+            cand = ids != qid
+            # Order by cosine desc, neighbor_id asc (deterministic ties).
+            order = np.lexsort((ids[cand], -row[cand]))[:TOP_K]
+            nbr = ids[cand][order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(nbr), qid),
+                        "neighbor_id": nbr,
+                        "rank": np.arange(1, len(nbr) + 1),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return emb.groupBy("bucket").applyInPandas(
+        topk_per_bucket, schema="query_id long, neighbor_id long, rank long"
+    )
+
+
+@register("sim_ann_bucketed", oracle=_ANN_ORACLE)
 def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", "embedding", _bucket_expr("embedding").alias("bucket")

@@ -9,6 +9,17 @@ SQL-expressible (LSH bucketing, stateful streaming) register with
 
 Registration order is preserved (dict insertion order) so the benchmark
 runs queries in a stable, documented order.
+
+The exposed order is NOT raw import order: the driver's correctness run
+verifies a prefix of the registered queries (round 1 cut at 50, leaving
+every query registered past the cut — temporal joins, scalar-fn suites,
+subqueries, UDF/UDAF/UDTF, streaming windows/state/dedup — with no
+driver row; VERDICT r1 §"What's missing" #1). ``_PRIORITY`` pins an
+explicit verification-first order: previously-unverified modules, then
+queries new or changed this round, then one representative per
+already-verified operator family — so a 50-query window still touches
+every SURVEY.md §2 component. Queries not in the list follow in import
+order; the bench always runs all of them.
 """
 
 from __future__ import annotations
@@ -47,10 +58,71 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Verification-first ordering (see module docstring). Three tiers:
+#   1-26  — modules with no driver CORRECTNESS row in round 1;
+#   27-33 — queries new or semantically changed in round 2;
+#   34-50 — reference-surface core + one representative per verified family.
+_PRIORITY: tuple[str, ...] = (
+    # tier 1: previously driver-unverified modules
+    "join_asof_events",
+    "join_range_ship_window",
+    "fn_string_suite",
+    "fn_date_suite",
+    "fn_json_suite",
+    "fn_array_suite",
+    "fn_map_suite",
+    "fn_math_suite",
+    "fn_conditional_suite",
+    "agg_pivot_status_priority",
+    "agg_grouping_sets",
+    "subq_above_avg_balance",
+    "agg_approx_distinct",
+    "subq_exists_late_ship",
+    "subq_not_exists_customers",
+    "subq_scalar_below_avg_qty",
+    "subq_in_big_orders",
+    "udf_scalar_doc_stats",
+    "udaf_event_type_cents",
+    "udtf_tokenize_docs",
+    "stream_dedup_events",
+    "stream_stateful_user_totals",
+    "win_tumbling_hour",
+    "win_sliding_hour_30m",
+    "win_session_user",
+    # tier 2: new / changed this round
+    "math_malformed_passthrough",
+    "stream_dedup_within_watermark",
+    "sim_ann_gemm",
+    "agg_argmax_order",
+    "setop_except",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "text_doc_freq",
+    # tier 3: reference surface + family representatives
+    "math_sum",
+    "math_sub",
+    "math_mul",
+    "math_div",
+    "math_div_ieee",
+    "math_cast_int",
+    "math_missing_field",
+    "math_case_insensitive",
+    "math_chain",
+    "math_tag_route",
+    "stream_math_fold",
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "topk_per_group",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "mm_decode",
+)
+
 
 def _ensure_loaded() -> None:
-    """Import every operator module for its registration side effects."""
-    global _LOADED
+    """Import every operator module for its registration side effects,
+    then fix the exposed order to _PRIORITY + (rest, import order)."""
+    global _LOADED, _QUERIES, _ORACLES
     if _LOADED:
         return
     # Imports deferred so `import registry` alone has no Spark dependency cost.
@@ -72,4 +144,10 @@ def _ensure_loaded() -> None:
         windows,
     )
 
+    missing = [n for n in _PRIORITY if n not in _QUERIES]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names unknown queries: {missing}")
+    ordered = list(_PRIORITY) + [n for n in _QUERIES if n not in _PRIORITY]
+    _QUERIES = {n: _QUERIES[n] for n in ordered}
+    _ORACLES = {n: _ORACLES[n] for n in ordered if n in _ORACLES}
     _LOADED = True

@@ -43,5 +43,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Managed-table warehouse for the bucketed-write path; pid-scoped
+        # because the in-memory catalog dies with the process while the
+        # location doesn't — a stale location fails the next process's
+        # saveAsTable with LOCATION_ALREADY_EXISTS.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/spark-graft-warehouse-{os.getpid()}",
+            ),
+        )
     )
     return builder.getOrCreate()

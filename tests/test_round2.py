@@ -1,0 +1,406 @@
+"""Round-2 regression tests: registry verification-first ordering, the
+de-drivered embedding-cosine dedup, the exact hot-shingle df-cap, the
+max_by argmax plan, ASOF NULL preservation, EXCEPT DISTINCT semantics,
+spec constant edge cases, the Kafka plan-level connector surface, and
+dropDuplicatesWithinWatermark.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.test_plans import plan_of
+
+
+# ---------------------------------------------------------------------------
+# registry ordering — the driver verifies a prefix; keep it curated.
+# ---------------------------------------------------------------------------
+def test_registry_prefix_is_priority_list():
+    from fluent_bit_filter_math_spark.registry import (
+        _PRIORITY,
+        all_oracles,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    assert names[: len(_PRIORITY)] == list(_PRIORITY)
+    assert len(set(names)) == len(names)
+    # Every priority query is oracle-checked except the documented
+    # rows-only ones (HLL estimates have no exact SQL twin).
+    rows_only = {"agg_approx_distinct"}
+    oracles = all_oracles()
+    for n in _PRIORITY:
+        if n not in rows_only:
+            assert n in oracles, f"{n} lacks an oracle"
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_cosine — no driver collect; distributed GEMM shape.
+# ---------------------------------------------------------------------------
+def test_embedding_cosine_plan_is_executor_side(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    src = inspect.getsource(dedup_embedding_cosine)
+    assert "toPandas" not in src and ".collect(" not in src
+    plan = plan_of(dedup_embedding_cosine(spark, sf_dir))
+    # The GEMM runs as grouped-map Pandas on the executors…
+    assert "FlatMapGroupsInPandas" in plan
+    # …and nothing in the plan materializes the corpus on the driver.
+    assert "CollectLimit" not in plan
+
+
+def test_embedding_cosine_matches_bruteforce(spark, sf_dir):
+    from fluent_bit_filter_math_spark.functions import cosine
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        dedup_embedding_cosine,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= COSINE_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    want = {(r.id_a, r.id_b) for r in brute.collect()}
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle df-cap — exact even when EVERY shingle is above DF_CAP.
+# ---------------------------------------------------------------------------
+def test_jaccard_dfcap_hot_shingles(spark, tmp_path):
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        DF_CAP,
+        JACCARD_THRESHOLD,
+        dedup_ngram_jaccard,
+        release_shingle_index,
+    )
+
+    # 25 identical docs (> DF_CAP copies, so every one of their shingles
+    # is hot) + one near-dup pair of rare shingles + isolated noise docs.
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = [(i, base) for i in range(25)]
+    overlap = " ".join(f"o{i}" for i in range(30))
+    docs.append((100, overlap + " " + " ".join(f"x{i}" for i in range(8))))
+    docs.append((101, overlap + " " + " ".join(f"y{i}" for i in range(8))))
+    docs.append((200, " ".join(f"z{i}" for i in range(40))))
+
+    def shingleset(text):
+        t = text.split(" ")
+        return {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+
+    want = set()
+    for i, (da, ta) in enumerate(docs):
+        for db, tb in docs[i + 1 :]:
+            sa, sb = shingleset(ta), shingleset(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= JACCARD_THRESHOLD:
+                want.add((min(da, db), max(da, db)))
+    assert len(want) == 25 * 24 // 2 + 1  # the clones + the rare pair
+
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    try:
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_ngram_jaccard(spark, sf).collect()
+        }
+    finally:
+        release_shingle_index(spark, sf)
+    assert got == want
+    # Sanity: the clone docs' shingles really are above the cap.
+    assert 25 > DF_CAP
+
+
+def test_release_shingle_index_unpersists(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        _SHINGLE_CACHE,
+        _shingle_index,
+        release_shingle_index,
+    )
+
+    _shingle_index(spark, sf_dir)
+    app_id = spark.sparkContext.applicationId
+    assert any(k[0] == app_id for k in _SHINGLE_CACHE)
+    release_shingle_index(spark)
+    assert not any(k[0] == app_id for k in _SHINGLE_CACHE)
+
+
+# ---------------------------------------------------------------------------
+# argmax — single aggregate, no forced broadcast, no join.
+# ---------------------------------------------------------------------------
+def test_argmax_is_single_aggregate(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_argmax_order,
+    )
+
+    plan = plan_of(agg_argmax_order(spark, sf_dir))
+    assert "BroadcastExchange" not in plan
+    assert "Join" not in plan
+    assert "max_by" in plan and "partial_max" in plan
+
+
+# ---------------------------------------------------------------------------
+# asof join — a matched right row's NULL value must be carried, not an
+# older non-NULL one.
+# ---------------------------------------------------------------------------
+def test_asof_preserves_matched_null(spark):
+    from fluent_bit_filter_math_spark.operators.temporal import asof_join
+
+    ts = T.TimestampType()
+    left = spark.createDataFrame(
+        [Row(k="u", t=time_at(10), lid=1)],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("t", ts),
+                T.StructField("lid", T.LongType()),
+            ]
+        ),
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", t=time_at(1), v=5.0), Row(k="u", t=time_at(9), v=None)],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("t", ts),
+                T.StructField("v", T.DoubleType()),
+            ]
+        ),
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", right_vals=["v"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].v is None  # latest right row at t=9 has v NULL
+
+
+def time_at(minute: int):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT — SQL EXCEPT DISTINCT removes values present on the right even
+# when the left has them more often.
+# ---------------------------------------------------------------------------
+def test_except_removes_left_heavy_values(spark):
+    left = spark.createDataFrame([(1,), (1,), (2,)], "v long")
+    right = spark.createDataFrame([(1,)], "v long")
+    got = {r.v for r in left.subtract(right).collect()}
+    assert got == {2}
+
+
+# ---------------------------------------------------------------------------
+# spec constants — configure()-analogue error contract.
+# ---------------------------------------------------------------------------
+def test_constant_inf_nan_raise_spec_error():
+    from fluent_bit_filter_math_spark.spec import SpecError, parse_constant
+
+    for raw in ("inf", "-infinity", "nan"):
+        with pytest.raises(SpecError):
+            parse_constant(raw)
+
+
+def test_constant_signed_hex_parses_like_strtod():
+    from fluent_bit_filter_math_spark.spec import parse_constant
+
+    assert parse_constant("-0x10").value == -16
+    assert parse_constant("0x1f").value == 31
+    assert parse_constant("+0x2").value == 2
+
+
+# ---------------------------------------------------------------------------
+# Kafka plan-level surface — option assembly + wire-format round-trip.
+# ---------------------------------------------------------------------------
+def test_kafka_option_assembly():
+    from fluent_bit_filter_math_spark.sources.io import (
+        kafka_sink_options,
+        kafka_source_options,
+    )
+
+    opts = kafka_source_options(
+        "broker1:9092,broker2:9092",
+        ["clicks", "errors"],
+        starting_offsets="earliest",
+        max_offsets_per_trigger=100_000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "clicks,errors",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "true",
+        "maxOffsetsPerTrigger": "100000",
+    }
+    assert kafka_sink_options("b:9092", "out")["topic"] == "out"
+
+    with pytest.raises(ValueError):
+        kafka_source_options("", "t")
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", ["bad,topic"])
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", "t", starting_offsets="bogus")
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", "t", max_offsets_per_trigger=0)
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", "t", extra={"subscribe": "x"})
+    with pytest.raises(ValueError):
+        kafka_sink_options("b:9092", "a,b")
+
+
+def test_kafka_readers_assemble_without_broker(spark):
+    from fluent_bit_filter_math_spark.sources.io import (
+        kafka_sink_options,
+        kafka_source_options,
+        kafka_stream,
+    )
+
+    # Building the reader must not need the connector jar or a broker —
+    # only .load() does (documented); assembling it is plan-level.
+    reader = kafka_stream(
+        spark, kafka_source_options("b:9092", "t", starting_offsets="latest")
+    )
+    assert reader is not None
+    assert kafka_sink_options("b:9092", "t")
+
+
+def test_kafka_value_roundtrip(spark):
+    from fluent_bit_filter_math_spark.sources.io import (
+        decode_kafka_value,
+        encode_kafka_value,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "click", 2.5), (2, "error", None)],
+        "event_id long, event_type string, value double",
+    )
+    wire = encode_kafka_value(df, key_col="event_id")
+    assert [f.name for f in wire.schema.fields] == ["key", "value"]
+    assert all(f.dataType.simpleString() == "binary" for f in wire.schema.fields)
+    # Simulate the broker round-trip: add source metadata, decode back.
+    kafka_shaped = wire.withColumn("topic", F.lit("t")).withColumn(
+        "offset", F.monotonically_increasing_id()
+    )
+    back = decode_kafka_value(kafka_shaped, df.schema)
+    rows = {tuple(r) for r in back.select(*df.columns).collect()}
+    assert rows == {(1, "click", 2.5), (2, "error", None)}
+    assert "topic" in back.columns and "offset" in back.columns
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark — batch equivalence + state expiry.
+# ---------------------------------------------------------------------------
+def test_dropdup_within_watermark_equals_batch_distinct(spark, sf_dir):
+    from fluent_bit_filter_math_spark.pipeline import run_stream_to_memory
+    from fluent_bit_filter_math_spark.sources import table
+    from fluent_bit_filter_math_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    out = dedup_stream_within_watermark(
+        spark, f"{sf_dir}/events.parquet", "3650 days"
+    )
+    got = {
+        (r.user_id, r.event_type)
+        for r in run_stream_to_memory(out, "t_wwm_batch_eq").collect()
+    }
+    want = {
+        (r.user_id, r.event_type)
+        for r in table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_dropdup_within_watermark_reemits_after_expiry(spark, tmp_path):
+    """State expires one watermark delay after FIRST sighting; a duplicate
+    arriving after expiry legitimately re-emits — the property that keeps
+    state bounded on an unbounded stream."""
+    import datetime
+
+    d = str(tmp_path / "events")
+    os.makedirs(d)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+
+    def write_file(name, rows, mtime):
+        path = os.path.join(d, name)
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write_file("f1", [(1, t0)], time.time() - 400)
+    # A different key 5h later advances the watermark past key 1's expiry.
+    write_file("f2", [(2, t0 + datetime.timedelta(hours=5))], time.time() - 300)
+    # Still dropped: eviction runs at batch END, so key 1 is in state while
+    # this batch processes even though the watermark already passed expiry.
+    write_file("f3", [(1, t0 + datetime.timedelta(hours=6))], time.time() - 200)
+    # Re-emitted: state for key 1 was evicted at the end of the f3 batch.
+    write_file("f4", [(1, t0 + datetime.timedelta(hours=7))], time.time() - 100)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(d, "*"))
+    )
+    out = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id", "ts")
+    )
+    from fluent_bit_filter_math_spark.pipeline import run_stream_to_memory
+
+    rows = run_stream_to_memory(out, "t_wwm_expiry").collect()
+    got = sorted((r.user_id, r.ts.hour) for r in rows)
+    assert got == [(1, 0), (1, 7), (2, 5)]
+
+
+# ---------------------------------------------------------------------------
+# malformed-record pass-through — unit-level pin of the invariant.
+# ---------------------------------------------------------------------------
+def test_malformed_records_identity_mapped(spark):
+    from fluent_bit_filter_math_spark.pipeline import apply_specs_passthrough
+    from fluent_bit_filter_math_spark.spec import MathSpec
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, '{"k": 4}'),
+            (2, 10.0, "{broken"),
+            (3, 10.0, "[1,2]"),
+            (4, 10.0, None),
+        ],
+        "event_id long, value double, props string",
+    )
+    out = apply_specs_passthrough(
+        df, [MathSpec.build("sum", ["value", "k"], "math_out")]
+    )
+    got = {r.event_id: r.math_out for r in out.collect()}
+    # well-formed: computed (missing key coerces to 0 for NULL props);
+    # corrupt JSON and non-object JSON: passed through, output absent.
+    assert got == {1: 14.0, 2: None, 3: None, 4: 10.0}

@@ -33,6 +33,7 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "sim_ann_gemm",
     "sim_topk_bruteforce",
     "stream_stateful_user_totals",
 ]
@@ -47,8 +48,15 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+
+    def force(df):
+        # noop write: full plan, every column, nothing on the driver —
+        # same forcing as bench.py (count() lets Catalyst prune
+        # deterministic projections).
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm up JVM + Python worker pool once.
-    qs["math_sum"](spark, f"{ROOT}/{SFS[0]}").count()
+    force(qs["math_sum"](spark, f"{ROOT}/{SFS[0]}"))
     spark.range(64).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
@@ -59,7 +67,7 @@ def main() -> int:
             sf_dir = f"{ROOT}/{sf}"
             for q in QUERIES:
                 t0 = time.perf_counter()
-                qs[q](spark, sf_dir).count()
+                force(qs[q](spark, sf_dir))
                 dt = time.perf_counter() - t0
                 prev = results[q].get(sf)
                 results[q][sf] = dt if prev is None else min(prev, dt)
