@@ -211,6 +211,46 @@ def math_malformed_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "value", "mangled_props", "math_out")
 
 
+# --- custom-connector fold (test.sh:15,17-43): the reference's actual
+#     smoke scenario — the `mem` input feeding a sum over Mem.used +
+#     Mem.free with cast_to_int — run over our Python DataSource
+#     connector (sources/mem_input.py). The source is deterministic, so
+#     DuckDB reproduces it from range() and the driver verifies a query
+#     whose SCAN is a custom connector, not a fixture file. -----------------
+_MEM_N = 2014
+
+
+@register(
+    "mem_source_fold",
+    oracle=f"""
+    SELECT range AS row_id,
+           400000 + (range * 37) % 100000 AS mem_used,
+           4050908 - (400000 + (range * 37) % 100000) AS mem_free,
+           CAST(4050908 AS BIGINT) AS mem_sum
+    FROM range({_MEM_N})
+    """,
+)
+def mem_source_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.sources.mem_input import (
+        register_mem_source,
+    )
+
+    register_mem_source(spark)
+    df = (
+        spark.read.format("memmetrics")
+        .option("numRows", _MEM_N)
+        .option("partitions", 8)
+        .load()
+    )
+    # Field names upper-cased on purpose: the connector emits lower-case
+    # columns and the match is case-insensitive (math.c:150).
+    out = apply_specs(
+        df,
+        [MathSpec.build("sum", ["MEM_USED", "MEM_FREE"], "mem_sum", cast_to_int=True)],
+    )
+    return out.select("row_id", "mem_used", "mem_free", "mem_sum")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The test.sh scenario (4 ops, one with cast_to_int) fused into a
     single narrow projection — the reference needed four plugin instances

@@ -256,6 +256,83 @@ def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tf-idf top terms — the full weighting composed from the doc_freq
+# building block: term frequency per (doc, term), idf from distinct doc
+# counts, top-3 terms per document by tf·idf. Three word-count-shaped
+# shuffles (doc+term, term, doc) with map-side partials throughout; the
+# idf side is |vocabulary| rows and broadcasts. Ranking happens on the
+# 9-dp-rounded score (the same cross-engine rounding as text_doc_freq)
+# with a term tiebreak, so ranks are deterministic; scores stay internal
+# (integer/string-only output for the driver's bitwise hash).
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_D_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    n AS (SELECT COUNT(*) AS total FROM documents),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * ln((CAST(total AS DOUBLE) + 1.0)
+                           / (CAST(df AS DOUBLE) + 1.0)), 9) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term, n
+    )
+    SELECT doc_id, term, rank FROM (
+      SELECT doc_id, term,
+             CAST(ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    df = _docs(spark, sf_dir)
+    tok = df.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    total = df.agg(F.count("*").cast("double").alias("_total"))
+    dfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("_total") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                ),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id",
+            "term",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # word bigrams — top-20 by frequency. element_at is 1-based in both engines.
 # ---------------------------------------------------------------------------
 @register(

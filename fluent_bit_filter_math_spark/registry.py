@@ -91,21 +91,24 @@ _PRIORITY: tuple[str, ...] = (
     "win_session_user",
     # tier 2: new / changed this round
     "math_malformed_passthrough",
+    "mem_source_fold",
     "stream_dedup_within_watermark",
+    "stream_static_join_enrich",
     "sim_ann_gemm",
+    "text_tfidf_topterms",
     "agg_argmax_order",
     "setop_except",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "text_doc_freq",
-    # tier 3: reference surface + family representatives
+    # tier 3: reference surface + family representatives (§2.1 rows whose
+    # only coverage was dropped from the window stay r1-verified: DIV is
+    # covered by math_div_ieee, coercion by math_case_insensitive)
     "math_sum",
     "math_sub",
     "math_mul",
-    "math_div",
     "math_div_ieee",
     "math_cast_int",
-    "math_missing_field",
     "math_case_insensitive",
     "math_chain",
     "math_tag_route",
@@ -115,7 +118,6 @@ _PRIORITY: tuple[str, ...] = (
     "topk_per_group",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
-    "mm_decode",
 )
 
 
@@ -140,6 +142,7 @@ def _ensure_loaded() -> None:
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,
+        joins as stream_joins,
         stateful,
         windows,
     )

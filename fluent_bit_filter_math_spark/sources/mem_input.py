@@ -1,0 +1,81 @@
+"""Custom Python DataSource: the reference smoke test's `mem` input.
+
+The reference pipeline is driven by Fluent Bit's `mem` input plugin — a
+periodic sampler of host memory emitting records like
+``{"Mem.total": 4050908, "Mem.used": 476, "Mem.free": 3574332}``
+(/root/reference/test.sh:15,17-43; record example
+/root/reference/filter_math/math.c:317-318). Round 1 mapped it to the
+built-in rate source; this module closes the row properly with a real
+connector built on Spark 4's Python DataSource API: a deterministic
+synthetic host-memory sampler that scales out (the generator is
+partitioned — each task materializes only its slice, nothing on the
+driver).
+
+Determinism is the point: ``mem_used(i) = 400000 + (i·37) mod 100000``
+is reproducible in ANSI SQL, so the driver's DuckDB oracle can verify a
+query over a *custom connector* end-to-end (``mem_source_fold`` in
+``operators/mathfold.py``) — the same trick the reference smoke test
+cannot do (it eyeballs stdout, test.sh:42).
+
+For *live* periodic sampling (the `-f 1` flush loop) the built-in rate
+source remains the streaming analogue (``io.rate_stream``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+MEM_TOTAL = 4050908  # the documented example record's Mem.total
+
+
+def mem_used(i: int) -> int:
+    return 400000 + (i * 37) % 100000
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class MemMetricsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("numrows", 1000))
+        self.parts = max(1, int(options.get("partitions", 8)))
+        if self.n < 0:
+            raise ValueError("numRows must be >= 0")
+
+    def partitions(self):
+        if self.n == 0:
+            # The API requires >= 1 partition (an empty list makes Spark
+            # hand read() a None partition).
+            return [_Slice(0, 0)]
+        step = max(1, -(-self.n // self.parts))
+        return [
+            _Slice(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            used = mem_used(i)
+            yield (i, MEM_TOTAL, used, MEM_TOTAL - used)
+
+
+class MemMetricsDataSource(DataSource):
+    """``spark.read.format("memmetrics").option("numRows", n)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "memmetrics"
+
+    def schema(self) -> str:
+        return "row_id bigint, mem_total bigint, mem_used bigint, mem_free bigint"
+
+    def reader(self, schema) -> MemMetricsReader:
+        return MemMetricsReader(self.options)
+
+
+def register_mem_source(spark: SparkSession) -> None:
+    """Idempotent registration of the connector on a session."""
+    spark.dataSource.register(MemMetricsDataSource)

@@ -382,6 +382,69 @@ def test_dropdup_within_watermark_reemits_after_expiry(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# custom Python DataSource (the reference's `mem` input analogue).
+# ---------------------------------------------------------------------------
+def test_mem_source_rows_and_partitions(spark):
+    from fluent_bit_filter_math_spark.sources.mem_input import (
+        MEM_TOTAL,
+        mem_used,
+        register_mem_source,
+    )
+
+    register_mem_source(spark)
+    df = (
+        spark.read.format("memmetrics")
+        .option("numRows", 17)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r.row_id: r for r in df.collect()}
+    assert len(rows) == 17
+    for i in (0, 5, 16):
+        assert rows[i].mem_used == mem_used(i)
+        assert rows[i].mem_used + rows[i].mem_free == MEM_TOTAL
+
+    empty = spark.read.format("memmetrics").option("numRows", 0).load()
+    assert empty.count() == 0
+
+
+def test_mem_source_fold_matches_total(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.mathfold import (
+        mem_source_fold,
+    )
+    from fluent_bit_filter_math_spark.sources.mem_input import MEM_TOTAL
+
+    out = mem_source_fold(spark, sf_dir).collect()
+    assert len(out) == 2014
+    assert all(r.mem_sum == MEM_TOTAL for r in out)
+
+
+# ---------------------------------------------------------------------------
+# stream-static join — batch ≡ stream, broadcast dim, no state.
+# ---------------------------------------------------------------------------
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from fluent_bit_filter_math_spark.sources import table
+    from fluent_bit_filter_math_spark.streaming.joins import (
+        stream_static_join_enrich,
+    )
+
+    got = {
+        tuple(r)
+        for r in stream_static_join_enrich(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    want = {
+        tuple(r)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .select("event_id", "user_id", "c_mktsegment", "value")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
 # malformed-record pass-through — unit-level pin of the invariant.
 # ---------------------------------------------------------------------------
 def test_malformed_records_identity_mapped(spark):
