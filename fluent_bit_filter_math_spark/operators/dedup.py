@@ -536,3 +536,141 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("pi", "pj").applyInPandas(
         gemm_pair, schema="id_a long, id_b long"
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster assignment — connected components over the verified
+# near-dup pair graph, the step that turns pairwise dedup output into an
+# actionable keep/drop decision: every document gets a cluster_id (the
+# component's minimum doc_id — its canonical representative) and the
+# cluster's size. Pairs come from the SAME banded-LSH + exact-verify
+# pipeline as `dedup_minhash_lsh`, so this is the composed end-to-end
+# dedup flow: shingle → minhash → LSH buckets → verify → cluster.
+#
+# Components run as the ALTERNATING algorithm (large-star / small-star;
+# Kiveris et al., "Connected Components in MapReduce and Beyond",
+# SoCC'14): each round is two shuffle stages over the edge list only
+# (never the documents), and the edge list monotonically contracts
+# toward depth-1 stars rooted at each component's minimum. Convergence
+# is O(log² n) rounds on adversarial graphs — near-dup graphs in
+# practice are unions of small dense cliques, which collapse in 2-3
+# rounds. Each round ends in localCheckpoint(): iterative DataFrame
+# algorithms otherwise re-derive the full lineage every action and the
+# plan grows exponentially. The driver-side loop moves only two scalars
+# (edge count + delta) per round — no row data.
+#
+# The DuckDB oracle computes the same fixpoint declaratively with a
+# recursive CTE over the brute-force Jaccard pairs (LSH output ≡ brute
+# force on this corpus, see dedup_minhash_lsh).
+# ---------------------------------------------------------------------------
+_CC_PAIRS = f"""
+    sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM documents
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rawp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jacp AS (
+      SELECT doc_a, doc_b FROM rawp
+      JOIN sizes sa ON rawp.doc_a = sa.doc_id
+      JOIN sizes sb ON rawp.doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every strictly-larger neighbor of u is
+    re-attached to min(Γ(u) ∪ {{u}}). Input/output: undirected edge set
+    as (u, v) rows, both orientations present after _sym()."""
+    s = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = s.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        s.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge large→small; every
+    smaller neighbor of u (and u itself) attaches to the minimum."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = d.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    out = out.union(m.select("u", F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Component labels for an undirected graph given as (u, v) pairs.
+
+    Returns (u, v=root) star edges: every non-root node mapped to its
+    component's minimum node id. Nodes absent from `edges` are their own
+    roots (callers left-join and coalesce).
+    """
+    e = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # Fixpoint iff a full round changes nothing (both are distinct
+        # sets, so equal count + empty one-sided difference ⇒ equal).
+        if nxt.count() == e.count() and nxt.subtract(e).count() == 0:
+            return nxt
+        e = nxt
+    raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE {_CC_PAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jacp
+      UNION
+      SELECT doc_b, doc_a FROM jacp
+    ),
+    reach(src, dst) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    stars = connected_components(pairs).select(
+        F.col("u").alias("doc_id"), F.col("v").alias("root")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.join(stars, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+    )

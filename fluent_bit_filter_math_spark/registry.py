@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "setop_except",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
     "text_doc_freq",
     # tier 3: reference surface + family representatives (§2.1 rows whose
     # only coverage was dropped from the window stay r1-verified: DIV is
@@ -116,7 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q5_local_supplier",
     "topk_per_group",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh is transitively driver-verified: dedup_cluster_cc
+    # (tier 2) runs the identical LSH+verify pipeline as its pair source.
     "sim_topk_bruteforce",
 )
 

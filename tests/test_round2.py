@@ -467,3 +467,29 @@ def test_malformed_records_identity_mapped(spark):
     # well-formed: computed (missing key coerces to 0 for NULL props);
     # corrupt JSON and non-object JSON: passed through, output absent.
     assert got == {1: 14.0, 2: None, 3: None, 4: 10.0}
+
+
+# ---------------------------------------------------------------------------
+# connected components — algorithm-level pin on shapes the fixture's
+# near-dup cliques never exercise (long paths force multiple
+# large/small-star rounds; singletons must stay absent from the output).
+# ---------------------------------------------------------------------------
+def test_connected_components_path_and_cliques(spark):
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # one 6-node path (10-...-15), one triangle (20,21,22), one pair
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31)],
+        "u long, v long",
+    )
+    stars = {(r.u, r.v) for r in connected_components(edges).collect()}
+    want = (
+        {(n, 10) for n in (11, 12, 13, 14, 15)}
+        | {(n, 20) for n in (21, 22)}
+        | {(31, 30)}
+    )
+    assert stars == want
