@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "mem_source_fold",
     "stream_dedup_within_watermark",
     "stream_static_join_enrich",
+    "stream_stream_join_attrib",
     "sim_ann_gemm",
     "text_tfidf_topterms",
     "agg_argmax_order",
@@ -107,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     # covered by math_div_ieee, coercion by math_case_insensitive)
     "math_sum",
     "math_sub",
-    "math_mul",
     "math_div_ieee",
     "math_cast_int",
     "math_case_insensitive",

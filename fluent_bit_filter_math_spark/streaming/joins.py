@@ -49,3 +49,70 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, cust, on=events.user_id == cust.c_custkey
     ).select("event_id", "user_id", "c_mktsegment", "value")
     return run_stream_to_memory(out, "stream_static_join_enrich")
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join — click→purchase attribution within 1 h.
+#
+# Unlike the stream-static case, BOTH sides buffer state: a click must
+# wait for purchases that haven't arrived yet and vice versa. What keeps
+# this runnable forever on an unbounded stream is the pair of watermarks
+# plus the time-interval join condition: Spark derives, per side, how
+# long a row can still find a match (here: a click is droppable once the
+# purchase-side watermark passes click.ts + 1 h; a purchase once the
+# click-side watermark passes purchase.ts), so state is bounded by
+# (delay + interval) × arrival rate rather than the stream's history.
+# The equi-key (user_id) partitions both state stores the same way — the
+# join itself is a co-partitioned hash join per micro-batch, no
+# cross-partition traffic beyond the initial key shuffle.
+#
+# Batch ≡ stream: availableNow replay over the fixture must produce the
+# plain SQL interval join — that is exactly what the oracle asserts.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_join_attrib",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    clicks = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .alias("c")
+    )
+    purchases = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id"
+            " AND p.ts >= c.ts"
+            " AND p.ts <= c.ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.date_format("c.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("p.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+    return run_stream_to_memory(joined, "stream_stream_join_attrib")

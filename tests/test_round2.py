@@ -493,3 +493,39 @@ def test_connected_components_path_and_cliques(spark):
         | {(31, 30)}
     )
     assert stars == want
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from fluent_bit_filter_math_spark.sources import table
+    from fluent_bit_filter_math_spark.streaming.joins import (
+        stream_stream_join_attrib,
+    )
+
+    got = {
+        tuple(r) for r in stream_stream_join_attrib(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(ev.event_type == "click").alias("c")
+    p = ev.filter(ev.event_type == "purchase").alias("p")
+    from pyspark.sql import functions as F
+
+    want = {
+        tuple(r)
+        for r in c.join(
+            p,
+            F.expr(
+                "c.user_id = p.user_id AND p.ts >= c.ts"
+                " AND p.ts <= c.ts + interval 1 hour"
+            ),
+        )
+        .select(
+            F.col("c.event_id"),
+            F.col("p.event_id"),
+            F.col("c.user_id"),
+            F.date_format("c.ts", "yyyy-MM-dd HH:mm:ss"),
+            F.date_format("p.ts", "yyyy-MM-dd HH:mm:ss"),
+            F.col("p.value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
