@@ -368,3 +368,205 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition filter — Gopher-style repetitiousness signals (Rae et al.
+# 2021, "Scaling Language Models", Table A1) adapted to this corpus's
+# single-line documents: instead of duplicate lines/paragraphs, the
+# word-n-gram family — characters covered by the most frequent unigram,
+# by the most frequent bigram, and by all bigrams occurring ≥ 2 times
+# (occurrence overlaps ignored, as in the paper). A document is kept
+# when all three fractions sit below thresholds chosen on this corpus's
+# distribution so both outcomes occur (Gopher's own 0.2/0.18 family).
+#
+# Shape: ONE explode of tagged (n, gram) structs → one (doc_id, n, gram)
+# hash aggregate → one per-doc aggregate — the word-count shape twice,
+# both partial-aggregatable, then a broadcast-sized join back to the
+# per-doc char count. No Python, no window, one shuffle key that is
+# (doc, gram) — cardinality bounded by corpus token count, skew-free.
+# ---------------------------------------------------------------------------
+_REP_T_UNI = 0.12
+_REP_T_BIG = 0.10
+_REP_T_DUP = 0.18
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, length(text) AS nchar, {_D_TOKENS} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM tok
+    ),
+    c AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram
+    ),
+    a AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 1 THEN cnt * length(gram) END) AS uni_cover,
+             MAX(CASE WHEN n = 2 THEN cnt * length(gram) END) AS big_cover,
+             SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * length(gram)
+                      ELSE 0 END) AS dup_cover
+      FROM c GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(COALESCE(uni_cover, 0) AS DOUBLE) / nchar AS top_unigram_frac,
+           CAST(COALESCE(big_cover, 0) AS DOUBLE) / nchar AS top_bigram_frac,
+           CAST(COALESCE(dup_cover, 0) AS DOUBLE) / nchar AS dup_bigram_frac,
+           CAST(CAST(COALESCE(uni_cover, 0) AS DOUBLE) / nchar <= {_REP_T_UNI}
+            AND CAST(COALESCE(big_cover, 0) AS DOUBLE) / nchar <= {_REP_T_BIG}
+            AND CAST(COALESCE(dup_cover, 0) AS DOUBLE) / nchar <= {_REP_T_DUP}
+            AS INT) AS keep
+    FROM tok LEFT JOIN a ON tok.doc_id = a.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # Token array materialized before the gram lambdas touch it (no CSE
+    # inside lambda bodies — same trap as the shingle pipeline).
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("nchar"),
+        tokens(F.col("text")).alias("t"),
+    )
+    t = F.col("t")
+    unigrams = F.transform(
+        t, lambda x: F.struct(F.lit(1).alias("n"), x.alias("gram"))
+    )
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.lit(2).alias("n"),
+            F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ).alias("gram"),
+        ),
+    )
+    bigrams = F.when(F.size(t) >= 2, bigram_arr).otherwise(
+        F.array().cast("array<struct<n:int,gram:string>>")
+    )
+    g = toks.select(
+        "doc_id", F.explode(F.concat(unigrams, bigrams)).alias("g")
+    ).select("doc_id", "g.n", "g.gram")
+    cnt = F.col("count")
+    cover = cnt * F.length("gram")
+    a = (
+        g.groupBy("doc_id", "n", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("n") == 1, cover)).alias("uni_cover"),
+            F.max(F.when(F.col("n") == 2, cover)).alias("big_cover"),
+            F.sum(
+                F.when((F.col("n") == 2) & (cnt >= 2), cover).otherwise(0)
+            ).alias("dup_cover"),
+        )
+    )
+    nchar = F.col("nchar")
+    uni = F.coalesce("uni_cover", F.lit(0)).cast("double") / nchar
+    big = F.coalesce("big_cover", F.lit(0)).cast("double") / nchar
+    dup = F.coalesce("dup_cover", F.lit(0)).cast("double") / nchar
+    return (
+        toks.select("doc_id", "nchar")
+        .join(a, "doc_id", "left")
+        .select(
+            "doc_id",
+            uni.alias("top_unigram_frac"),
+            big.alias("top_bigram_frac"),
+            dup.alias("dup_bigram_frac"),
+            (
+                (uni <= _REP_T_UNI)
+                & (big <= _REP_T_BIG)
+                & (dup <= _REP_T_DUP)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex scrub of emails/phones with per-doc hit counts,
+# the standard pre-training privacy pass. The fixture corpus contains no
+# PII-shaped strings, so the query first formats one deterministic
+# log-style line per document from fixture values (doc_id, source, a
+# derived phone suffix, a text prefix) and then redacts it — the same
+# honest-fake pattern as the multimodal decode: synthesis is
+# reproducible SQL in both engines, and the redaction plumbing
+# (replace-all + count) is the real production expression.
+#
+# Pattern dialect intersection: Java regex (Spark) and RE2 (DuckDB)
+# agree on character classes, bounded repetition and \b; no
+# backreferences or lookaround. DuckDB's regexp_replace needs the
+# explicit 'g' flag to match Spark's replace-all default.
+# Scale: pure narrow projection, whole-stage codegen, zero shuffles.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id,
+             'doc ' || doc_id || ' from user' || doc_id || '@' || source ||
+             '.example.com' ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' cc admin' || doc_id || '@corp.example.org' ELSE '' END
+             || ' tel 555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+             || ': ' || substr(text, 1, 80) AS line
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(line, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(line, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(line, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM lines
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    line = F.concat(
+        F.lit("doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" from user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" cc admin"),
+                F.col("doc_id").cast("string"),
+                F.lit("@corp.example.org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" tel 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(": "),
+        F.substring("text", 1, 80),
+    )
+    lines = docs.select("doc_id", line.alias("line"))
+    return lines.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("line", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_count("line", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("line", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+    )

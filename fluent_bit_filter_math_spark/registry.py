@@ -97,6 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_join_attrib",
     "sim_ann_gemm",
     "text_tfidf_topterms",
+    "text_repetition_filter",
+    "text_pii_redact",
     "agg_argmax_order",
     "setop_except",
     "dedup_embedding_cosine",
@@ -107,9 +109,10 @@ _PRIORITY: tuple[str, ...] = (
     # only coverage was dropped from the window stay r1-verified: DIV is
     # covered by math_div_ieee, coercion by math_case_insensitive)
     "math_sum",
-    "math_sub",
+    # math_sub/math_mul/math_cast_int: fold-op parity r1+r2-verified;
+    # math_chain covers operator composition, mem_source_fold covers
+    # cast_to_int + case-insensitive matching on a live connector scan.
     "math_div_ieee",
-    "math_cast_int",
     "math_case_insensitive",
     "math_chain",
     "math_tag_route",
