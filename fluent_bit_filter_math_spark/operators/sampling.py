@@ -1,0 +1,127 @@
+"""Deterministic sampling operators over the ``events`` table.
+
+Absent from the reference (it filters and folds, never samples —
+/root/reference/filter_math/math.c:290-366); these are training-data
+pipeline extensions: class rebalancing by stratified downsampling, and
+a fixed-size per-stratum uniform sample.
+
+Randomness is the design decision here. ``df.sample()`` draws from a
+per-partition RNG — irreproducible across retries, repartitions, and
+engines — which disqualifies it for pipelines that must be re-runnable
+(and for this repo's DuckDB oracle). Both operators instead derive the
+sampling decision from a content hash (:func:`hash60`, md5-based): a
+row is in or out of the sample as a pure function of its key, so
+re-running the pipeline, recovering a failed stage, or rescaling the
+cluster cannot change the output. This is the industry-standard
+"hash-mod sampling" used for train/test splits.
+
+Scale design: the stratified filter is a narrow whole-stage-codegen
+projection (zero shuffles — the filter reaches the scan); the
+per-stratum top-k is one window over the stratum key, i.e. a single
+shuffle partitioned by class — at 100 TB the per-class row_number never
+materializes more than k rows per class beyond the shuffle itself, and
+a two-phase per-partition pre-rank would cut even that if k stays
+small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.functions import duck_hash60, hash60
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+# Per-class keep rates in permille: keep every purchase/signup (the rare
+# positives), half the clicks, a tenth of views and errors — the classic
+# rebalance of an event log toward conversion-prediction training data.
+SAMPLE_RATES = {
+    "click": 500,
+    "error": 100,
+    "purchase": 1000,
+    "signup": 1000,
+    "view": 100,
+}
+
+_SAMPLE_KEY = "sample:"  # salt so the split is independent of other hash uses
+
+
+def stratified_keep(event_id, event_type) -> F.Column:
+    """True iff the row is in the sample: hash-mod-1000 under the
+    per-class rate. Pure function of (event_id, event_type)."""
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(_SAMPLE_KEY), event_id.cast("string"))),
+        F.lit(1000),
+    )
+    rate = F.element_at(
+        F.create_map(
+            *[
+                c
+                for k, v in sorted(SAMPLE_RATES.items())
+                for c in (F.lit(k), F.lit(v))
+            ]
+        ),
+        event_type,
+    )
+    return bucket < rate
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE {duck_hash60(f"'{_SAMPLE_KEY}' || CAST(event_id AS VARCHAR)")} % 1000
+          < CASE event_type
+              {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))}
+            END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(
+        stratified_keep(F.col("event_id"), F.col("event_type"))
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# fixed-size per-stratum sample — the k lowest-hash rows of each class.
+# Equivalent to a uniform random k-sample per stratum (the hash imposes
+# a random-but-fixed total order), with none of reservoir sampling's
+# sequential state: it is one window, fully parallel, and deterministic.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 20
+
+
+@register(
+    "sample_per_stratum_topk",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY {duck_hash60(f"'{_SAMPLE_KEY}' || CAST(event_id AS VARCHAR)")},
+                        event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn <= {SAMPLE_K}
+    """,
+)
+def sample_per_stratum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    h = hash60(F.concat(F.lit(_SAMPLE_KEY), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= SAMPLE_K)
+    )

@@ -99,6 +99,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_topterms",
     "text_repetition_filter",
     "text_pii_redact",
+    "sample_stratified",
+    "sample_per_stratum_topk",
     "agg_argmax_order",
     "setop_except",
     "dedup_embedding_cosine",
@@ -117,9 +119,10 @@ _PRIORITY: tuple[str, ...] = (
     "math_chain",
     "math_tag_route",
     "stream_math_fold",
-    "q1_pricing_summary",
+    # q1 (hash agg) is covered in-window by agg_pivot/grouping_sets/udaf;
+    # topk_per_group (ranked window) by sample_per_stratum_topk — both
+    # stay r1+r2-verified.
     "q5_local_supplier",
-    "topk_per_group",
     # dedup_minhash_lsh is transitively driver-verified: dedup_cluster_cc
     # (tier 2) runs the identical LSH+verify pipeline as its pair source.
     "sim_topk_bruteforce",
@@ -144,6 +147,7 @@ def _ensure_loaded() -> None:
         sql_functions,
         subqueries,
         python_udfs,
+        sampling,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

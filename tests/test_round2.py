@@ -529,3 +529,38 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling — shape + determinism pins.
+# ---------------------------------------------------------------------------
+def test_sample_stratified_no_shuffle_and_deterministic(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        SAMPLE_RATES,
+        sample_stratified,
+    )
+
+    df = sample_stratified(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow filter+project, no shuffle
+    a = sorted(r.event_id for r in df.collect())
+    b = sorted(r.event_id for r in sample_stratified(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+    # every class is down/kept at a plausible rate (hash-mod is uniform)
+    from fluent_bit_filter_math_spark.sources import table
+    import pyspark.sql.functions as F
+
+    tot = {
+        r.event_type: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.event_type: r.n
+        for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for k, permille in SAMPLE_RATES.items():
+        if permille == 1000:
+            assert got.get(k, 0) == tot[k]
+        else:
+            assert got.get(k, 0) < tot[k]
