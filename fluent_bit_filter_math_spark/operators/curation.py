@@ -1,0 +1,147 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+Absent from the reference (single-record scope); this is the query a
+data-curation team actually ships: one pass that tags every document
+with each gate's verdict and the final keep decision —
+
+* ``is_canonical`` — the document is its near-dup cluster's
+  representative (minimum doc_id of the connected component over
+  LSH-verified Jaccard pairs; :func:`operators.dedup.dedup_cluster_cc`);
+* ``rep_keep``     — passes the Gopher-style repetition filter
+  (:func:`operators.text.text_repetition_filter`);
+* ``quality_ok``   — composite quality score clears ``QUALITY_MIN``
+  (:func:`operators.text.text_quality_score`'s expression; floats are
+  identical expression trees in both engines, so the threshold compare
+  is deterministic);
+* ``curated``      — all of the above.
+
+Per-gate flags (not a filtered subset) are the deliberate output shape:
+downstream consumers diff gate effects and audit rejections without
+re-running the pipeline.
+
+Scale: the three branches are each the already-audited shapes (CC edge
+contraction over pairs only; two word-count aggregates; a narrow
+projection), joined back on doc_id — at 100 TB the joins are
+co-partitioned one-row-per-doc sides, dwarfed by the branch inputs
+themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.operators.dedup import (
+    _CC_PAIRS,
+    dedup_cluster_cc,
+)
+from fluent_bit_filter_math_spark.operators.text import (
+    _D_QUALITY,
+    _D_TOKENS,
+    _REP_T_BIG,
+    _REP_T_DUP,
+    _REP_T_UNI,
+    text_quality_score,
+    text_repetition_filter,
+)
+from fluent_bit_filter_math_spark.registry import register
+
+QUALITY_MIN = 0.62
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_CC_PAIRS},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM jacp
+      UNION
+      SELECT doc_b, doc_a FROM jacp
+    ),
+    reach(src, dst) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    rtok AS (
+      SELECT doc_id, length(text) AS nchar, {_D_TOKENS} AS t FROM documents
+    ),
+    rg AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS gram FROM rtok
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM rtok
+    ),
+    rc AS (
+      SELECT doc_id, n, gram, COUNT(*) AS cnt FROM rg GROUP BY doc_id, n, gram
+    ),
+    ra AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 1 THEN cnt * length(gram) END) AS uni_cover,
+             MAX(CASE WHEN n = 2 THEN cnt * length(gram) END) AS big_cover,
+             SUM(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * length(gram)
+                      ELSE 0 END) AS dup_cover
+      FROM rc GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT rtok.doc_id,
+             CAST(CAST(COALESCE(uni_cover, 0) AS DOUBLE) / nchar
+                      <= {_REP_T_UNI}
+              AND CAST(COALESCE(big_cover, 0) AS DOUBLE) / nchar
+                      <= {_REP_T_BIG}
+              AND CAST(COALESCE(dup_cover, 0) AS DOUBLE) / nchar
+                      <= {_REP_T_DUP} AS INT) AS rep_keep
+      FROM rtok LEFT JOIN ra ON rtok.doc_id = ra.doc_id
+    ),
+    qual AS (
+      SELECT doc_id,
+             CAST(({_D_QUALITY}) >= {QUALITY_MIN} AS INT) AS quality_ok
+      FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(comp.cluster_id = d.doc_id AS INT) AS is_canonical,
+           rep.rep_keep,
+           qual.quality_ok,
+           CAST(comp.cluster_id = d.doc_id AS INT) * rep.rep_keep
+               * qual.quality_ok AS curated
+    FROM documents d
+    JOIN comp ON comp.doc_id = d.doc_id
+    JOIN rep  ON rep.doc_id = d.doc_id
+    JOIN qual ON qual.doc_id = d.doc_id
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = dedup_cluster_cc(spark, sf_dir).select(
+        "doc_id",
+        (F.col("cluster_id") == F.col("doc_id")).cast("int").alias(
+            "is_canonical"
+        ),
+    )
+    rep = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_keep")
+    )
+    qual = text_quality_score(spark, sf_dir).select(
+        "doc_id",
+        (F.col("quality") >= QUALITY_MIN).cast("int").alias("quality_ok"),
+    )
+    return (
+        cc.join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "is_canonical",
+            "rep_keep",
+            "quality_ok",
+            (
+                F.col("is_canonical") * F.col("rep_keep") * F.col("quality_ok")
+            ).alias("curated"),
+        )
+    )

@@ -252,3 +252,140 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — inverted-file index, the other standard ANN scale path and
+# the complement of the sign-bucket LSH above: cells adapt to the DATA
+# (nearest of K sampled centroids) instead of to fixed hyperplanes, so
+# cell populations stay balanced even when the corpus is far from
+# isotropic, and recall is tuned per-query via NPROBE (probe the n
+# nearest cells) rather than globally via bucket bits.
+#
+# Centroid choice is deterministic (K lowest salted-hash vec_ids — a
+# reproducible uniform sample, same idiom as operators/sampling.py), so
+# the DuckDB oracle rebuilds the identical index. Assignment is a
+# broadcast of K centroids against the streaming corpus with a
+# map-side-combinable max_by — the corpus is never shuffled to be
+# indexed. The probe joins queries to ONLY their NPROBE cells; at 100 TB
+# the corpus is written partitionBy(cell) and the probe is partition
+# pruning, scanning NPROBE/K of the data. Cosine ranking reuses the
+# codegen fold expression; ties are broken by neighbor_id (adjacent
+# cosine gaps ~1e-6 >> 1-ulp engine divergence, module docstring).
+# ---------------------------------------------------------------------------
+IVF_K = 8
+IVF_NPROBE = 2
+_IVF_SALT = "ivf:"
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      ORDER BY {{h}}, vec_id LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                     v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings v, cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                   q.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                   a.vec_id
+             ) AS BIGINT) AS rank
+      FROM probes p
+      JOIN assign a ON p.cell = a.cell
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+    """.format(
+        h="CAST('0x' || substr(md5('" + _IVF_SALT + "' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    ),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import hash60
+
+    emb = _emb(spark, sf_dir)
+    h = hash60(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string")))
+    cent = (
+        emb.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    # Assignment: broadcast the K centroids; max_by is partially
+    # aggregatable, so the corpus-side shuffle carries one row per vector.
+    crossed = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+    )
+    assign = crossed.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+        ).alias("cell"),
+        F.first("embedding").alias("ce"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+        )
+        .select(
+            "query_id", "qe", F.col("cid").alias("cell"),
+            F.row_number().over(wp).alias("prn"),
+        )
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .drop("prn")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )

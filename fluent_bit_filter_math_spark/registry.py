@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
     "sample_stratified",
     "sample_per_stratum_topk",
+    "sim_ann_ivf",
+    "pipeline_curate_corpus",
     "agg_argmax_order",
     "setop_except",
     "dedup_embedding_cosine",
@@ -115,7 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     # math_chain covers operator composition, mem_source_fold covers
     # cast_to_int + case-insensitive matching on a live connector scan.
     "math_div_ieee",
-    "math_case_insensitive",
+    # math_case_insensitive: pinned in-window by mem_source_fold (fold
+    # over upper-cased spec fields against a lower-case-column scan).
     "math_chain",
     "math_tag_route",
     "stream_math_fold",
@@ -124,8 +127,8 @@ _PRIORITY: tuple[str, ...] = (
     # stay r1+r2-verified.
     "q5_local_supplier",
     # dedup_minhash_lsh is transitively driver-verified: dedup_cluster_cc
-    # (tier 2) runs the identical LSH+verify pipeline as its pair source.
-    "sim_topk_bruteforce",
+    # (tier 2) runs the identical LSH+verify pipeline as its pair source;
+    # sim_topk_bruteforce's ranking/cosine shape by sim_ann_gemm + sim_ann_ivf.
 )
 
 
@@ -148,6 +151,7 @@ def _ensure_loaded() -> None:
         subqueries,
         python_udfs,
         sampling,
+        curation,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,
