@@ -93,3 +93,39 @@ def test_similarity_broadcasts_query_side(spark, sf_dir):
     # the join (only the per-query top-k window may exchange).
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_broadcasts_probes_and_limits_window(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.similarity import sim_ann_ivf
+
+    plan = plan_of(sim_ann_ivf(spark, sf_dir))
+    # Centroids and probe set broadcast; the corpus is never on the
+    # build side of a shuffle join.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Assignment's max_by runs a map-side partial before its exchange.
+    assert "partial_max_by" in plan or "partial_max" in plan
+    # Top-k prunes inside the window, not post-hoc.
+    assert "WindowGroupLimit" in plan
+
+
+def test_tfidf_broadcasts_idf_side(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_tfidf_topterms,
+    )
+
+    plan = plan_of(text_tfidf_topterms(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_repetition_filter_partial_aggregates(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_repetition_filter,
+    )
+
+    plan = plan_of(text_repetition_filter(spark, sf_dir))
+    # Both the (doc, gram) count and the per-doc rollup combine map-side.
+    assert "partial_count" in plan
+    assert "partial_max" in plan
+    assert "Python" not in plan  # all-native expressions
