@@ -597,3 +597,71 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),
         F.expr("percentile(l_quantity, 0.75)").alias("q75"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions — ntile / percent_rank / cume_dist over
+# order totals per priority. Pure rank arithmetic on bigint positions:
+# percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are exact-integer
+# divisions done in double, identical across engines. One shuffle on the
+# partition key, WindowGroupLimit-free (whole partition needed by
+# definition) — the canonical "analytics dashboard" window shape.
+# ---------------------------------------------------------------------------
+@register(
+    "window_distribution_fns",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates — covariance / correlation / stddev of price vs
+# quantity per return flag. Both engines accumulate co-moments in
+# partition-order-dependent float sums, so raw doubles can differ in the
+# last ulp; outputs are rounded to 9 dp (the repo's transcendental
+# idiom) which absorbs ~1e-12 relative noise on these magnitudes while
+# remaining far finer than any analytical use. Partial-aggregatable
+# (Spark's CentralMomentAgg merges per-partition moments) — one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 9) AS corr_price_qty,
+           round(covar_pop(l_extendedprice, l_quantity), 9) AS covar_price_qty,
+           round(stddev_samp(l_quantity), 9) AS std_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 9).alias(
+            "corr_price_qty"
+        ),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 9).alias(
+            "covar_price_qty"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 9).alias("std_qty"),
+    )

@@ -61,3 +61,45 @@ def salted_join(
     )
     out = b.join(s, on=on + ["_salt"], how=how)
     return out.drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# driver-verified salted-join query — proves the rewrite is output-
+# identical to the plain join (the oracle IS the plain join): event
+# value totals per market segment, with the events→customer equi-join
+# spread over SALT shuffle keys per custkey. The post-join aggregate
+# keeps the checked output small and engine-stable (DECIMAL(38,6)
+# partial sums, the repo's cross-engine float idiom).
+# ---------------------------------------------------------------------------
+from pyspark.sql import SparkSession
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+JOIN_SALT = 8
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "value"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, on=["custkey"], salt=JOIN_SALT)
+    return j.groupBy("c_mktsegment").agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count("*").alias("n_events"),
+    )

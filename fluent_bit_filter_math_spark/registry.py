@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_per_stratum_topk",
     "sim_ann_ivf",
     "pipeline_curate_corpus",
+    "join_salted_skew",
     "agg_argmax_order",
     "setop_except",
     "dedup_embedding_cosine",
@@ -123,9 +124,8 @@ _PRIORITY: tuple[str, ...] = (
     "math_tag_route",
     "stream_math_fold",
     # q1 (hash agg) is covered in-window by agg_pivot/grouping_sets/udaf;
-    # topk_per_group (ranked window) by sample_per_stratum_topk — both
-    # stay r1+r2-verified.
-    "q5_local_supplier",
+    # topk_per_group (ranked window) by sample_per_stratum_topk; q5's
+    # join+agg shape by join_salted_skew — all stay r1+r2-verified.
     # dedup_minhash_lsh is transitively driver-verified: dedup_cluster_cc
     # (tier 2) runs the identical LSH+verify pipeline as its pair source;
     # sim_topk_bruteforce's ranking/cosine shape by sim_ann_gemm + sim_ann_ivf.
@@ -152,6 +152,7 @@ def _ensure_loaded() -> None:
         python_udfs,
         sampling,
         curation,
+        skew,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,
