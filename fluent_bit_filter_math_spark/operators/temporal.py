@@ -167,3 +167,71 @@ def join_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + gap-fill (LOCF) — project each event_type's
+# irregular event stream onto a regular hourly grid, carrying the last
+# observation forward. The grid is generated with sequence()+explode
+# (no driver loop, no fixture dependency: the fixture's fixed Jan-2024
+# span is a literal), then the as-of machinery above attaches the
+# latest value at-or-before each grid point — so the whole operator is
+# the one-shuffle union+window shape, not a range-join blowup. Grid
+# points before a series' first event stay NULL (LOCF has nothing to
+# carry). DuckDB's native ASOF LEFT JOIN is the oracle.
+#
+# 100 TB story: grid size is |keys| × |buckets| — independent of event
+# volume — and the single shuffle is on the series key, the same key the
+# raw data would shuffle on for any per-series analysis.
+# ---------------------------------------------------------------------------
+_GRID_START = "2024-01-01 00:00:00"
+_GRID_END = "2024-01-30 23:00:00"
+
+
+@register(
+    "ts_resample_locf",
+    oracle=f"""
+    WITH grid AS (
+      SELECT t.event_type, g.ts AS grid_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+            TIMESTAMP '{_GRID_START}', TIMESTAMP '{_GRID_END}',
+            INTERVAL 1 HOUR)) AS ts
+      ) g
+    )
+    SELECT grid.event_type,
+           strftime(grid.grid_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           e.value AS locf_value
+    FROM grid
+    ASOF LEFT JOIN events e
+      ON grid.event_type = e.event_type AND grid.grid_ts >= e.ts
+    """,
+)
+def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    keys = ev.select("event_type").distinct()
+    grid = keys.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit(_GRID_START)),
+                F.to_timestamp(F.lit(_GRID_END)),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("grid_ts"),
+    )
+    events = ev.select("event_type", "ts", F.col("value").alias("locf_value"))
+    joined = asof_join(
+        grid,
+        events,
+        on="event_type",
+        left_time="grid_ts",
+        right_time="ts",
+        right_vals=["locf_value"],
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("grid_ts", _FMT).alias("hour_ts"),
+        "locf_value",
+    )
