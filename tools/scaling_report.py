@@ -35,7 +35,14 @@ QUERIES = [
     "dedup_embedding_cosine",
     "sim_ann_gemm",
     "sim_topk_bruteforce",
+    "sim_ann_ivf",
     "stream_stateful_user_totals",
+    "stream_stream_join_attrib",
+    "dedup_cluster_cc",
+    "text_repetition_filter",
+    "pipeline_curate_corpus",
+    "sample_stratified",
+    "ts_resample_locf",
 ]
 
 
