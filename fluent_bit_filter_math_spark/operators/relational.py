@@ -665,3 +665,134 @@ def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.stddev_samp("l_quantity"), 9).alias("std_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bag-semantics set ops — EXCEPT ALL / INTERSECT ALL keep multiplicity:
+# a value occurring m times on the left and n on the right survives
+# max(0, m-n) times (EXCEPT ALL) / min(m, n) times (INTERSECT ALL).
+# lineitem's l_suppkey is a true multiset (one row per shipped line), so
+# both directions are exercised with real multiplicities. Spark plans
+# these as aggregate-count + generate — one shuffle, no join blowup.
+# ---------------------------------------------------------------------------
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber > 2
+    EXCEPT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber <= 2
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") > 2).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    b = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber <= 2
+    INTERSECT ALL
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_linenumber > 2
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    b = li.filter(F.col("l_linenumber") > 2).select(
+        F.col("l_suppkey").alias("suppkey")
+    )
+    return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation — the LISTAGG/STRING_AGG shape. Spark has
+# no ordered string_agg; the deterministic spelling is collect_list →
+# array_sort → array_join, which is also the partial-aggregatable one
+# (collect_list merges per partition, the sort runs once per group).
+# Long group strings are the scale caveat: a group's concatenation must
+# fit one row — fine for dimension-sized groups like nations.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram — width_bucket shape over order totals: bucket
+# index is pure integer arithmetic on the value (identical across
+# engines), one hash aggregate, partial map-side. The driver-facing
+# output carries the bucket's closed-open bounds so the result is
+# self-describing.
+# ---------------------------------------------------------------------------
+_HIST_LO, _HIST_HI, _HIST_N = 0.0, 600000.0, 12
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT bucket,
+           {_HIST_LO} + bucket * ({_HIST_HI} - {_HIST_LO}) / {_HIST_N}
+               AS bucket_lo,
+           {_HIST_LO} + (bucket + 1) * ({_HIST_HI} - {_HIST_LO}) / {_HIST_N}
+               AS bucket_hi,
+           COUNT(*) AS n_orders
+    FROM (
+      SELECT CAST(least(floor((o_totalprice - {_HIST_LO})
+                 / (({_HIST_HI} - {_HIST_LO}) / {_HIST_N})),
+                 {_HIST_N - 1}) AS BIGINT) AS bucket
+      FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    width = (_HIST_HI - _HIST_LO) / _HIST_N
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - _HIST_LO) / width),
+        F.lit(_HIST_N - 1),
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.lit(_HIST_LO) + F.col("bucket") * F.lit(width)).alias(
+                "bucket_lo"
+            ),
+            (F.lit(_HIST_LO) + (F.col("bucket") + 1) * F.lit(width)).alias(
+                "bucket_hi"
+            ),
+            "n_orders",
+        )
+    )

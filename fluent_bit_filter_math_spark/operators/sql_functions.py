@@ -330,3 +330,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.countDistinct("o_custkey").alias("exact_custs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics suite — the ANSI null kernel: NULLIF / COALESCE /
+# null-safe equality (Spark `<=>` ≡ DuckDB IS NOT DISTINCT FROM) /
+# null-aware CASE. Nullable operands are derived deterministically with
+# NULLIF so the fixture needs no null columns; every expression is a
+# narrow codegen projection.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_null_semantics",
+    oracle="""
+    SELECT event_id,
+           NULLIF(user_id % 5, 0) AS a,
+           NULLIF(user_id % 3, 0) AS b,
+           COALESCE(NULLIF(user_id % 5, 0), NULLIF(user_id % 3, 0), -1)
+               AS first_non_null,
+           CAST(NULLIF(user_id % 5, 0) IS NOT DISTINCT FROM
+                NULLIF(user_id % 3, 0) AS INT) AS eq_null_safe,
+           CASE WHEN NULLIF(user_id % 5, 0) IS NULL THEN 'null'
+                ELSE 'set' END AS a_state
+    FROM events
+    """,
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = F.nullif(F.col("user_id") % 5, F.lit(0))
+    b = F.nullif(F.col("user_id") % 3, F.lit(0))
+    return ev.select(
+        "event_id",
+        a.alias("a"),
+        b.alias("b"),
+        F.coalesce(a, b, F.lit(-1)).alias("first_non_null"),
+        a.eqNullSafe(b).cast("int").alias("eq_null_safe"),
+        F.when(a.isNull(), F.lit("null")).otherwise(F.lit("set")).alias(
+            "a_state"
+        ),
+    )
