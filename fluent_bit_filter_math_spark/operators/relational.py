@@ -796,3 +796,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt — wide→long reshape, the inverse of agg_pivot's shape.
+# Spark's native unpivot plans as a single Expand (each input row fans
+# to one output row per value column inside the same narrow stage — no
+# shuffle, no join); the oracle spells the same reshape as the portable
+# UNION ALL form, pinning Spark's operator against plain ANSI SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+           l_discount AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_discount", "l_extendedprice", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))

@@ -368,3 +368,46 @@ def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_state"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe functions — the ANSI-overflow/bad-cast/div-zero
+# kernel that returns NULL instead of failing the job: at 100 TB one
+# malformed row must not kill a 6-hour pipeline run. DuckDB lacks the
+# try_divide/try_add spellings, so the oracle states the equivalent
+# guards explicitly (CASE / TRY_CAST / native NULL-on-OOB list index),
+# which also documents exactly which semantics each try_* provides.
+# ---------------------------------------------------------------------------
+_BIGINT_MAX = 9223372036854775807
+
+
+@register(
+    "fn_try_suite",
+    oracle=f"""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST(event_type AS BIGINT) AS type_int,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE value / (user_id % 3) END AS safe_div,
+           CASE WHEN user_id % 2 = 1 THEN NULL
+                ELSE {_BIGINT_MAX} END AS safe_add_overflow,
+           string_split(event_type, '')[10] AS char10
+    FROM events
+    """,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999")
+        )
+        .cast("long")
+        .alias("k_int"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("type_int"),
+        F.expr("try_divide(value, user_id % 3)").alias("safe_div"),
+        F.expr(f"try_add({_BIGINT_MAX}, user_id % 2)").alias(
+            "safe_add_overflow"
+        ),
+        F.expr("try_element_at(split(event_type, ''), 10)").alias("char10"),
+    )
