@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from fluent_bit_filter_math_spark.operators.dedup import (
     _CC_PAIRS,
-    dedup_cluster_cc,
+    cluster_map,
 )
 from fluent_bit_filter_math_spark.operators.text import (
     _D_QUALITY,
@@ -119,7 +119,7 @@ QUALITY_MIN = 0.62
     """,
 )
 def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cc = dedup_cluster_cc(spark, sf_dir).select(
+    cc = cluster_map(spark, sf_dir).select(
         "doc_id",
         (F.col("cluster_id") == F.col("doc_id")).cast("int").alias(
             "is_canonical"

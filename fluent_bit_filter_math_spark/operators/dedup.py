@@ -658,19 +658,51 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
 def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    stars = connected_components(pairs).select(
-        F.col("u").alias("doc_id"), F.col("v").alias("root")
-    )
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    comp = docs.join(stars, "doc_id", "left").select(
-        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
-    )
+    comp = cluster_map(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return comp.select(
         "doc_id",
         "cluster_id",
         F.count("*").over(w).cast("long").alias("cluster_size"),
     )
+
+
+# The (doc_id → cluster_id) map is the pipeline's reusable artifact: the
+# CC fixpoint loop runs real driver-coordinated rounds, and every
+# downstream consumer (the cluster query itself, the composed curation
+# pipeline, any keep/drop materialization) needs the same assignment —
+# a production pipeline materializes it once per corpus snapshot. Same
+# lifecycle discipline as the shingle index: applicationId-keyed,
+# explicit release.
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every document; cached per session+dir."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTER_CACHE:
+        pairs = dedup_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        stars = connected_components(pairs).select(
+            F.col("u").alias("doc_id"), F.col("v").alias("root")
+        )
+        docs = table(spark, sf_dir, "documents").select("doc_id")
+        comp = docs.join(stars, "doc_id", "left").select(
+            "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+        )
+        _CLUSTER_CACHE[key] = comp.cache()
+    return _CLUSTER_CACHE[key]
+
+
+def release_cluster_map(
+    spark: SparkSession, sf_dir: str | None = None
+) -> None:
+    """Unpersist and evict the cached cluster map for *spark*."""
+    app_id = spark.sparkContext.applicationId
+    for key in [
+        k
+        for k in _CLUSTER_CACHE
+        if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        _CLUSTER_CACHE.pop(key).unpersist()

@@ -399,11 +399,9 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.try_to_number(
-            F.get_json_object("props", "$.k"), F.lit("999999")
-        )
-        .cast("long")
-        .alias("k_int"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias(
+            "k_int"
+        ),
         F.expr("try_cast(event_type AS BIGINT)").alias("type_int"),
         F.expr("try_divide(value, user_id % 3)").alias("safe_div"),
         F.expr(f"try_add({_BIGINT_MAX}, user_id % 2)").alias(

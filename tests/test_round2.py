@@ -606,3 +606,51 @@ def test_stream_dedup_checkpoint_recovery(spark, tmp_path):
     # (not re-emitted), id 1's file already in the offset log (not
     # re-read) — the sink gains exactly the one genuinely new row.
     assert run() == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# connected components — property pin against a reference union-find on
+# random graphs (shapes the fixture can't produce: bridges, stars,
+# multiple mid-size components, duplicate/reversed edges).
+# ---------------------------------------------------------------------------
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find_roots(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # Min-label per component.
+        comp = {}
+        for n in nodes:
+            comp.setdefault(find(n), []).append(n)
+        return {
+            n: min(members)
+            for members in comp.values()
+            for n in members
+        }
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 40))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(30)
+        ] + [(nodes[0], nodes[1]), (nodes[1], nodes[0])]  # dup + reversed
+        want = union_find_roots(edges, nodes)
+        df = spark.createDataFrame(edges, "u long, v long")
+        stars = {r.u: r.v for r in connected_components(df).collect()}
+        got = {n: stars.get(n, n) for n in nodes}
+        assert got == want, f"trial {trial}"
