@@ -145,3 +145,98 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("curated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — concat-and-chunk, the standard pretraining batch
+# layout: documents are laid end-to-end in doc_id order into one global
+# token stream, which is cut into fixed-length training sequences of
+# SEQ_LEN tokens; a document may straddle a cut. The deliverable per
+# document is its absolute stream offset and the sequence range it
+# lands in — exactly what a writer needs to emit packed shards.
+#
+# The global exclusive prefix sum is the scale hazard: a bare
+# ``Window.orderBy(doc_id)`` with no partitionBy collapses the corpus
+# into ONE task. This is the two-level distributed prefix sum instead:
+#   1. range-bucket documents on doc_id (bucket order == stream order);
+#   2. per-bucket token totals → exclusive cumsum over the tiny
+#      (n_buckets-row) frame — the only global window, never larger
+#      than corpus_size / PACK_BUCKET_W rows;
+#   3. broadcast-join the bucket offsets back; within-bucket running
+#      sums stay partitioned on the bucket.
+# Plan pinned in tests/test_round2.py: no single-partition window ever
+# touches a per-document row. Absent from the reference (single-record
+# scope, math.c:322-353).
+# ---------------------------------------------------------------------------
+SEQ_LEN = 2048
+PACK_BUCKET_W = 256  # documents per prefix-sum bucket
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_D_TOKENS}) AS n_tok FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_pos
+      FROM t
+    )
+    SELECT doc_id, n_tok, start_pos,
+           start_pos // {SEQ_LEN} AS seq_first,
+           (start_pos + n_tok - 1) // {SEQ_LEN}
+               - start_pos // {SEQ_LEN} + 1 AS n_seqs
+    FROM pos
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import tokens
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    b = docs.withColumn("bkt", F.floor(F.col("doc_id") / PACK_BUCKET_W))
+
+    # Within-bucket inclusive running sum (partitioned — stays parallel).
+    w_in = Window.partitionBy("bkt").orderBy("doc_id")
+    local = b.withColumn(
+        "local_end", F.sum("n_tok").over(w_in)
+    )
+
+    # Bucket totals → exclusive cumsum on the n_buckets-row frame. The
+    # unpartitioned window is deliberate and safe: its input is one row
+    # per bucket, not per document.
+    w_b = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        b.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("tot"))
+        .select(
+            "bkt", F.coalesce(F.sum("tot").over(w_b), F.lit(0)).alias("off")
+        )
+    )
+
+    pos = local.join(F.broadcast(offs), "bkt").select(
+        "doc_id",
+        "n_tok",
+        (F.col("off") + F.col("local_end") - F.col("n_tok")).alias(
+            "start_pos"
+        ),
+    )
+    seq_first = F.floor(F.col("start_pos") / SEQ_LEN)
+    seq_last = F.floor((F.col("start_pos") + F.col("n_tok") - 1) / SEQ_LEN)
+    return pos.select(
+        "doc_id",
+        "n_tok",
+        "start_pos",
+        seq_first.alias("seq_first"),
+        (seq_last - seq_first + F.lit(1)).alias("n_seqs"),
+    )

@@ -91,8 +91,14 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
-    return toks.select("doc_id", _shingles(F.col("toks")).alias("sh"))
+    # `source` rides along so batch-vs-corpus splits (incremental dedup)
+    # reuse the same cached index instead of re-shingling per side.
+    toks = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks")
+    )
+    return toks.select(
+        "doc_id", "source", _shingles(F.col("toks")).alias("sh")
+    )
 
 
 # The shingle index feeds several consumers per query (inverted-index join
@@ -355,16 +361,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_ROWS_PER_BAND = 2
 
 
-@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    arrays, _ = _shingle_index(spark, sf_dir)
-    sig = arrays.select(
-        "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
-    )
+def _band_frame(sig: DataFrame, *keep: str) -> DataFrame:
+    """Explode a frame carrying a ``sig`` minhash-array column into one
+    row per (``*keep``, band, key) — the LSH bucket join key."""
     r = LSH_ROWS_PER_BAND
     n_bands = MINHASH_K // r
-    bands = sig.select(
-        "doc_id",
+    return sig.select(
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -378,7 +381,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select(*keep, "bk.band", "bk.key")
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrays, _ = _shingle_index(spark, sf_dir)
+    sig = arrays.select(
+        "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
+    )
+    bands = _band_frame(sig, "doc_id")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -394,6 +406,123 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_jaccard(cand, arrays)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — a NEW batch against the EXISTING corpus, the shape
+# a production ingest actually runs (daily crawl vs historical index):
+# nothing re-deduplicates the corpus against itself; each new document
+# is checked at two levels and tagged, never silently dropped —
+#
+#   * exact   — content hash anti-probe into the corpus's hash set
+#               (hash-partitioned left join; map-side distinct on the
+#               corpus side, no driver involvement);
+#   * near    — cross-side banded MinHash LSH: new-batch band keys join
+#               corpus band keys (candidates only where a whole band
+#               agrees), then exact-Jaccard verification — the corpus is
+#               never self-joined, so join volume scales with the BATCH,
+#               not the corpus.
+#
+# The fixture's batch/corpus split is `source = 'src0'` vs the rest. At
+# 100 TB the corpus band index and hash set are materialized tables
+# partitioned by (band, key) / hash — the per-batch cost is one bucket
+# join + one hash probe against them; the cached shingle index here
+# carries `source` for exactly that reason (one index, both sides).
+# Absent from the reference (single-record scope, math.c:322-353).
+# ---------------------------------------------------------------------------
+NEW_BATCH_SOURCE = "src0"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH newdocs AS (
+      SELECT doc_id, text FROM documents WHERE source = '{NEW_BATCH_SOURCE}'
+    ),
+    corpus_hashes AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE source <> '{NEW_BATCH_SOURCE}'
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest({_D_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s
+       AND a.source = '{NEW_BATCH_SOURCE}'
+       AND b.source <> '{NEW_BATCH_SOURCE}'
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_a AS doc_id, COUNT(*) AS n
+      FROM pairs
+      JOIN sizes sa ON pairs.doc_a = sa.doc_id
+      JOIN sizes sb ON pairs.doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                >= {JACCARD_THRESHOLD}
+      GROUP BY doc_a
+    )
+    SELECT d.doc_id,
+           CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup,
+           CAST(COALESCE(near.n, 0) AS BIGINT) AS n_near_dups,
+           CASE WHEN ch.h IS NULL AND COALESCE(near.n, 0) = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM newdocs d
+    LEFT JOIN corpus_hashes ch ON md5(d.text) = ch.h
+    LEFT JOIN near ON near.doc_id = d.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    new_h = docs.filter(F.col("source") == NEW_BATCH_SOURCE).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corp_h = (
+        docs.filter(F.col("source") != NEW_BATCH_SOURCE)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    exact = new_h.join(corp_h, "h", "left").select(
+        "doc_id", F.coalesce("exact_hit", F.lit(0)).alias("is_exact_dup")
+    )
+
+    arrays, _ = _shingle_index(spark, sf_dir)
+    sig = arrays.select(
+        "doc_id", "source", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
+    )
+    bands = _band_frame(sig, "doc_id", "source")
+    nb = bands.filter(F.col("source") == NEW_BATCH_SOURCE).alias("a")
+    cb = bands.filter(F.col("source") != NEW_BATCH_SOURCE).alias("b")
+    cand = (
+        nb.join(
+            cb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    near = (
+        _verify_jaccard(cand, arrays)
+        .groupBy("doc_a")
+        .agg(F.count("*").alias("n_near_dups"))
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+    out = exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        "is_exact_dup",
+        F.coalesce(F.col("n_near_dups"), F.lit(0)).alias("n_near_dups"),
+    )
+    return out.withColumn(
+        "keep",
+        ((F.col("is_exact_dup") == 0) & (F.col("n_near_dups") == 0)).cast(
+            "int"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -110,6 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "text_doc_freq",
+    "dedup_incremental",
+    "pipeline_pack_sequences",
     # tier 3: reference surface + family representatives (§2.1 rows whose
     # only coverage was dropped from the window stay r1-verified: DIV is
     # covered by math_div_ieee, coercion by math_case_insensitive)
@@ -117,11 +119,12 @@ _PRIORITY: tuple[str, ...] = (
     # math_sub/math_mul/math_cast_int: fold-op parity r1+r2-verified;
     # math_chain covers operator composition, mem_source_fold covers
     # cast_to_int + case-insensitive matching on a live connector scan.
-    "math_div_ieee",
+    # math_div_ieee and math_tag_route moved past the window this round
+    # (both r1-verified, semantics untouched since) to make room for the
+    # two new incremental-dedup / sequence-packing queries above.
     # math_case_insensitive: pinned in-window by mem_source_fold (fold
     # over upper-cased spec fields against a lower-case-column scan).
     "math_chain",
-    "math_tag_route",
     "stream_math_fold",
     # q1 (hash agg) is covered in-window by agg_pivot/grouping_sets/udaf;
     # topk_per_group (ranked window) by sample_per_stratum_topk; q5's

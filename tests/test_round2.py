@@ -118,9 +118,10 @@ def test_jaccard_dfcap_hot_shingles(spark, tmp_path):
     assert len(want) == 25 * 24 // 2 + 1  # the clones + the rare pair
 
     sf = str(tmp_path)
-    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
-        os.path.join(sf, "documents.parquet")
-    )
+    spark.createDataFrame(
+        [(i, t, "srcT") for i, t in docs],
+        "doc_id long, text string, source string",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
     try:
         got = {
             (r.doc_a, r.doc_b)
@@ -654,3 +655,60 @@ def test_connected_components_matches_union_find(spark):
         stars = {r.u: r.v for r in connected_components(df).collect()}
         got = {n: stars.get(n, n) for n in nodes}
         assert got == want, f"trial {trial}"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — the two-level prefix sum must be invariant to the
+# bucket width (one bucket ≡ many buckets ≡ the oracle's global window),
+# and offsets must telescope: each doc starts where the previous ended.
+# ---------------------------------------------------------------------------
+def test_pack_sequences_bucket_invariance(spark, monkeypatch):
+    from fluent_bit_filter_math_spark.operators import curation
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return {
+            r.doc_id: (r.n_tok, r.start_pos, r.seq_first, r.n_seqs)
+            for r in curation.pipeline_pack_sequences(spark, sf).collect()
+        }
+
+    base = run()
+    for width in (7, 100_000):  # many tiny buckets / one giant bucket
+        monkeypatch.setattr(curation, "PACK_BUCKET_W", width)
+        assert run() == base, f"width {width}"
+
+    # Telescoping: the stream has no gaps or overlaps.
+    ordered = [base[k] for k in sorted(base)]
+    pos = 0
+    for n_tok, start, seq_first, n_seqs in ordered:
+        assert start == pos
+        assert seq_first == start // curation.SEQ_LEN
+        assert n_seqs == (start + n_tok - 1) // curation.SEQ_LEN - seq_first + 1
+        pos = start + n_tok
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — output is exactly the new batch, tagged (never a
+# filtered subset), and the keep flag is consistent with its inputs.
+# ---------------------------------------------------------------------------
+def test_dedup_incremental_scope_and_flags(spark):
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        NEW_BATCH_SOURCE,
+        dedup_incremental,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r for r in dedup_incremental(spark, sf).collect()}
+    batch_ids = {
+        r.doc_id
+        for r in table(spark, sf, "documents")
+        .filter(F.col("source") == NEW_BATCH_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    assert set(out) == batch_ids
+    assert any(r.n_near_dups > 0 for r in out.values())  # fixture has hits
+    for r in out.values():
+        assert r.keep == int(r.is_exact_dup == 0 and r.n_near_dups == 0)
