@@ -712,3 +712,22 @@ def test_dedup_incremental_scope_and_flags(spark):
     assert any(r.n_near_dups > 0 for r in out.values())  # fixture has hits
     for r in out.values():
         assert r.keep == int(r.is_exact_dup == 0 and r.n_near_dups == 0)
+
+
+def test_pack_sequences_plan_two_level_prefix_sum(spark):
+    import re
+
+    from fluent_bit_filter_math_spark.operators.curation import (
+        pipeline_pack_sequences,
+    )
+
+    plan = plan_of(pipeline_pack_sequences(spark, "/root/testdata/sf0.001"))
+    # Per-document running sum is PARTITIONED by bucket (parallel)…
+    assert re.search(
+        r"windowspecdefinition\(bkt#\d+L, doc_id#\d+L ASC", plan
+    ), plan
+    # …and the only single-partition stage is the n_buckets-row offsets
+    # frame (downstream of the per-bucket aggregate), broadcast back.
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # bucket totals combine map-side
