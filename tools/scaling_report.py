@@ -43,6 +43,8 @@ QUERIES = [
     "pipeline_curate_corpus",
     "sample_stratified",
     "ts_resample_locf",
+    "dedup_incremental",
+    "pipeline_pack_sequences",
 ]
 
 
