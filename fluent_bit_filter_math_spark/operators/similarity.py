@@ -389,3 +389,91 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression — symmetric int8 quantization, the storage/IO
+# lever for a 100 TB embedding store: per-vector max-abs scale, 4×
+# smaller payloads, and the reconstruction-error audit a pipeline runs
+# before switching retrieval to the quantized copy. Everything is a
+# native array expression (zero UDF, one narrow stage, no shuffle);
+# per-vector scalars (checksums + max error) are the output, so the
+# driver's bitwise compare never sees engine-specific list formatting.
+# The intermediate arrays are materialized behind Project boundaries —
+# lambdas get no common-subexpression elimination, so inlining `scale`
+# or `q` would re-reduce the whole array per element.
+# Absent from the reference (single-record arithmetic only,
+# math.c:100-132).
+# ---------------------------------------------------------------------------
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             CAST(list_aggregate(list_transform(embedding, x -> abs(x)),
+                                 'max') AS DOUBLE) AS scale
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+                         AS BIGINT)) AS q
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(q, x -> abs(x)), 'sum')
+                AS BIGINT) AS q_l1,
+           CAST(list_aggregate(list_transform(q, (x, i) -> x * i), 'sum')
+                AS BIGINT) AS q_posweight,
+           list_aggregate(
+             list_transform(range(1, len(q) + 1),
+               i -> abs(CAST(embedding[i] AS DOUBLE)
+                        - q[i] * scale / 127.0)),
+             'max') AS max_abs_err
+    FROM qz
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform(F.col("embedding"), F.abs))
+        .cast("double")
+        .alias("scale"),
+    )
+    qz = s.select(
+        "vec_id",
+        "embedding",
+        "scale",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                x.cast("double") / F.col("scale") * 127.0 + 0.5
+            ),
+        ).alias("q"),
+    )
+    zero = F.lit(0).cast("long")
+    # DuckDB's lambda index is 1-based; Spark's is 0-based → i + 1.
+    posweight = F.transform(F.col("q"), lambda x, i: x * (i + 1))
+    err = F.zip_with(
+        F.col("embedding"),
+        F.col("q"),
+        lambda x, qv: F.abs(
+            x.cast("double") - qv * F.col("scale") / 127.0
+        ),
+    )
+    return qz.select(
+        "vec_id",
+        "scale",
+        F.aggregate(F.col("q"), zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(F.col("q"), zero, lambda a, x: a + F.abs(x)).alias(
+            "q_l1"
+        ),
+        F.aggregate(posweight, zero, lambda a, x: a + x).alias(
+            "q_posweight"
+        ),
+        F.array_max(err).alias("max_abs_err"),
+    )
