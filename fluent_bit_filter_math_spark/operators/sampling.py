@@ -125,3 +125,50 @@ def sample_per_stratum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split assignment — the canonical corpus partition,
+# same hash-mod discipline: the split is a pure function of doc_id, so
+# retries, repartitions, and engine swaps can never move a document
+# across splits (the property that prevents test-set leakage when a
+# pipeline is re-run incrementally). Narrow projection, zero shuffle;
+# at 100 TB this is the expression you `partitionBy("split")` on when
+# writing the shards.
+# ---------------------------------------------------------------------------
+SPLIT_KEY = "split:"
+TRAIN_PERMILLE = 800  # <800 train, <900 val, else test
+VAL_PERMILLE = 900
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({duck_hash60(f"'{SPLIT_KEY}' || CAST(doc_id AS VARCHAR)")}
+                % 1000 AS BIGINT) AS bucket,
+           CASE
+             WHEN {duck_hash60(f"'{SPLIT_KEY}' || CAST(doc_id AS VARCHAR)")}
+                  % 1000 < {TRAIN_PERMILLE} THEN 'train'
+             WHEN {duck_hash60(f"'{SPLIT_KEY}' || CAST(doc_id AS VARCHAR)")}
+                  % 1000 < {VAL_PERMILLE} THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(SPLIT_KEY), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    b = docs.select("doc_id", bucket.alias("bucket"))
+    return b.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < TRAIN_PERMILLE, "train")
+        .when(F.col("bucket") < VAL_PERMILLE, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -731,3 +731,41 @@ def test_pack_sequences_plan_two_level_prefix_sum(spark):
     assert plan.count("SinglePartition") == 1
     assert "BroadcastHashJoin" in plan
     assert "partial_sum" in plan  # bucket totals combine map-side
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization / split assignment — invariants + narrow plans.
+# ---------------------------------------------------------------------------
+def test_emb_quantize_error_bound_and_narrow_plan(spark):
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        emb_quantize_int8,
+    )
+
+    df = emb_quantize_int8(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "Exchange" not in plan  # one narrow stage, no shuffle
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        # Symmetric quantization's worst case is half a step: scale/254,
+        # plus float32→double representation slack.
+        assert r.max_abs_err <= r.scale / 254 + 1e-7, r
+        assert abs(r.q_posweight) <= 127 * 64 * 65, r
+
+
+def test_split_assign_is_stable_and_narrow(spark):
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        sample_split_assign,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = sample_split_assign(spark, sf)
+    assert "Exchange" not in plan_of(df)
+    a = {r.doc_id: r.split for r in df.collect()}
+    # Repartitioning the input cannot move a document across splits.
+    b = {
+        r.doc_id: r.split
+        for r in sample_split_assign(spark, sf).repartition(7).collect()
+    }
+    assert a == b
+    assert {"train", "val", "test"} == set(a.values())
