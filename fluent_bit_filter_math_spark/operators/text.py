@@ -570,3 +570,109 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("line", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
         F.regexp_count("line", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — the CCNet/Gopher-style perplexity
+# quality signal: train an add-one-smoothed bigram LM on the corpus
+# itself, then score every document's token stream under it. Documents
+# whose average log-probability is far below the corpus norm are
+# boilerplate/gibberish candidates; the threshold decision is left to
+# the consumer (sum + count are the deliverables, like text_doc_freq).
+#
+# Scale: two word-count-shaped aggregates (bigram and prefix counts,
+# both map-side partial), one vocabulary scalar via a broadcast 1-row
+# aggregate (no separate driver job — the text_doc_freq discipline),
+# and a re-join of the bigram stream to the LM — all shuffles key on
+# the bigram/prefix, the canonical distributed-LM-training shape. At
+# 100 TB the LM tables are themselves large; the joins hash-partition
+# on the n-gram, so no side ever needs to fit anywhere.
+#
+# Determinism: ln() differs in the last ulp between libm and the JVM,
+# so each bigram's log-probability is rounded at 9 dp and summed
+# EXACTLY as DECIMAL(20,9) (the _dsum discipline); the double division
+# for avg uses identical operands in both engines.
+# Absent from the reference (no cross-record state, math.c:322-353).
+# ---------------------------------------------------------------------------
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> {{'w1': t[i], 'w2': t[i+1]}}),
+                    recursive := true)
+      FROM tok
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT u) AS v
+          FROM (SELECT unnest(t) AS u FROM tok)),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 9)
+                  AS DECIMAL(20,9)) AS lp
+      FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp) AS DOUBLE) AS sum_logprob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+           COALESCE(agg.sum_logprob, 0.0) AS sum_logprob,
+           CASE WHEN agg.n_bigrams IS NULL THEN NULL
+                ELSE agg.sum_logprob / agg.n_bigrams END AS avg_logprob
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("u"))
+        .agg(F.count_distinct("u").alias("v"))
+    )
+    lp = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("lp"),
+        )
+    )
+    agg = lp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp").cast("double").alias("sum_logprob"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce("sum_logprob", F.lit(0.0)).alias("sum_logprob"),
+        (F.col("sum_logprob") / F.col("n_bigrams")).alias("avg_logprob"),
+    )
