@@ -45,6 +45,8 @@ QUERIES = [
     "ts_resample_locf",
     "dedup_incremental",
     "pipeline_pack_sequences",
+    "text_lm_score",
+    "emb_quantize_int8",
 ]
 
 
