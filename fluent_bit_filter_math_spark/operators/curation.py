@@ -171,7 +171,6 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQ_LEN = 2048
 PACK_BUCKET_W = 256  # documents per prefix-sum bucket
 
-
 @register(
     "pipeline_pack_sequences",
     oracle=f"""
@@ -239,4 +238,102 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_pos",
         seq_first.alias("seq_first"),
         (seq_last - seq_first + F.lit(1)).alias("n_seqs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the GPT-3/PaLM-style n-gram overlap check:
+# a training document is contaminated if it shares any word 8-gram with
+# the held-out evaluation set. The evaluation slice is deterministic
+# (doc_id % DECONTAM_BENCH_MOD == 0 — the fixture stand-in for "the
+# benchmark suite"); output is one row per contaminated training doc
+# with its hit count and contamination ratio, the audit table a
+# decontamination pass ships.
+#
+# Scale: benchmark suites are tiny next to a 100 TB corpus, so the
+# distinct benchmark-gram set is THE broadcast side — the corpus'
+# exploded grams stream past it map-side and only surviving hits reach
+# the one shuffle (hash agg on doc_id, partial-aggregated). The corpus
+# side is never collected, deduplicated globally, or self-joined.
+# Short docs guard sequence() the same way _shingles does (Spark
+# sequence() counts DOWN when stop < start).
+# Absent from the reference (single-record scope, math.c:322-353).
+# ---------------------------------------------------------------------------
+DECONTAM_N = 8  # word n-gram length (the published decontam default)
+DECONTAM_BENCH_MOD = 5  # doc_id % 5 == 0 → the held-out "benchmark" slice
+
+_D_DGRAMS = (
+    f"list_distinct(list_transform(range(1, len(w) - {DECONTAM_N - 2}),"
+    f" i -> array_to_string(w[i:i+{DECONTAM_N - 1}], ' ')))"
+)
+
+
+def _doc_ngrams(t: F.Column) -> F.Column:
+    """Distinct word-``DECONTAM_N``-grams of a materialized token array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (DECONTAM_N - 1)),
+        lambda i: F.array_join(F.slice(t, i, DECONTAM_N), " "),
+    )
+    return F.when(
+        F.size(t) >= DECONTAM_N, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_D_TOKENS} AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, {_D_DGRAMS} AS gs FROM words
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams
+      WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+      FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_hit_grams,
+           t.n_grams,
+           CAST(COUNT(*) AS DOUBLE) / t.n_grams AS contam_ratio
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id, t.n_grams
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import tokens
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id", _doc_ngrams(F.col("toks")).alias("gs")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % DECONTAM_BENCH_MOD != 0).select(
+        "doc_id", F.size("gs").cast("long").alias("n_grams"),
+        F.explode("gs").alias("g"),
+    )
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_hit_grams",
+        "n_grams",
+        (F.col("n_hit_grams").cast("double") / F.col("n_grams")).alias(
+            "contam_ratio"
+        ),
     )

@@ -172,3 +172,84 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling — downsample each domain so the surviving
+# corpus matches a declared target mixture (the "domain weights" step of
+# every pretraining data recipe). The largest feasible corpus under the
+# target shares is n_target = min_s(n_s / share_s); each domain then
+# keeps rate_s = share_s * n_target / n_s of its documents (rate 1.0
+# for the binding domain), selected by the same hash-mod discipline as
+# the other samplers, so the draw is reproducible and engine-agnostic.
+#
+# Scale: per-domain counts are one tiny hash aggregate (#domains rows);
+# the rate table derives from it with two scalar reductions and is
+# broadcast back — the corpus itself sees only a broadcast join and a
+# stateless hash filter, zero corpus-sized shuffles. The fixture's
+# target weights favour src0-src9 2:1 over src10-src19.
+# ---------------------------------------------------------------------------
+MIX_KEY = "mix:"
+MIX_SCALE = 1_000_000
+_D_MIX_W = (
+    "CASE WHEN CAST(substr(source, 4) AS INT) < 10"
+    " THEN CAST(2.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END"
+)
+
+
+@register(
+    "sample_domain_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s, {_D_MIX_W} AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(w) AS sum_w FROM counts),
+    shares AS (SELECT source, n_s, w / sum_w AS share FROM counts, tot),
+    cap AS (SELECT MIN(n_s / share) AS n_target FROM shares),
+    rates AS (
+      SELECT source, share * n_target / n_s AS mix_rate FROM shares, cap
+    )
+    SELECT d.doc_id, d.source, r.mix_rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {duck_hash60(f"'{MIX_KEY}' || CAST(doc_id AS VARCHAR)")}
+          % {MIX_SCALE} < r.mix_rate * {MIX_SCALE}
+    """,
+)
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    weight = F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") < 10, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    # The scalar reductions (Σw, min n_s/share) run as unpartitioned
+    # windows over the per-domain AGGREGATE (#domains rows, not corpus
+    # rows) — one corpus scan builds the whole rate table; crossJoined
+    # scalar frames would re-scan the corpus once per reference.
+    everything = Window.partitionBy()
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s")).select(
+        "source", "n_s", weight.alias("w")
+    )
+    shares = counts.select(
+        "source",
+        "n_s",
+        (F.col("w") / F.sum("w").over(everything)).alias("share"),
+    )
+    rates = shares.select(
+        "source",
+        (
+            F.col("share")
+            * F.min(F.col("n_s") / F.col("share")).over(everything)
+            / F.col("n_s")
+        ).alias("mix_rate"),
+    )
+    keep = F.pmod(
+        hash60(F.concat(F.lit(MIX_KEY), F.col("doc_id").cast("string"))),
+        F.lit(MIX_SCALE),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(keep < F.col("mix_rate") * MIX_SCALE)
+        .select("doc_id", "source", "mix_rate")
+    )

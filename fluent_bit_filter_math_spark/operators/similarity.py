@@ -477,3 +477,164 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max(err).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (Lloyd's algorithm, KM_ITERS unrolled rounds) — the
+# coarse-clustering step SemDeDup-style curation and IVF index builds
+# run over an embedding corpus. Seeds are the first KM_K vectors
+# (deterministic); each round assigns every vector to its nearest
+# centroid (squared L2, ties to the lower cluster id) and recomputes
+# centroids as member means.
+#
+# Two determinism decisions make the iteration engine-exact:
+# * assignment distances are the sequential-fold double expression
+#   (same order as DuckDB's list fold), and the argmin is a sort of
+#   (distance, cluster) structs — ties can never diverge;
+# * centroid means accumulate in FIXED POINT — floor(x·10^6) summed as
+#   BIGINT (associative, order-free) then divided back out — so the
+#   shuffle's reduction order cannot perturb the next round's floats.
+#   At production scale you would keep plain double sums and accept
+#   run-to-run last-ulp drift; the fixed-point trick is what makes the
+#   *cross-engine bitwise* gate meaningful for an iterative algorithm.
+#
+# Scale: assignment is ZERO-shuffle — the K×dim centroid table rides
+# along as one broadcast row and the argmin is a narrow expression, so
+# the corpus streams through map-side. Only the update step shuffles,
+# on (cluster, dim) with map-side partial sums — K·dim cells total,
+# independent of corpus size. Per-round cost is one scan + one tiny
+# shuffle; MLlib's KMeans runs the same loop with a driver-side
+# centroid collect, which this stays free of.
+# Absent from the reference (single-record scope, math.c:322-353).
+# ---------------------------------------------------------------------------
+KM_K = 8
+KM_ITERS = 2  # assignment rounds (one centroid update in between)
+KM_DIM = 64
+_KM_FP = 1_000_000
+
+_D_KM_DIST = (
+    f"list_aggregate(list_transform(range(1, {KM_DIM + 1}),"
+    " i -> (e.v[i] - {c}.c[i]) * (e.v[i] - {c}.c[i])), 'sum')"
+)
+
+
+def _km_sqdist(v: F.Column, c: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(
+            v, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment, map-side: centroids arrive as ONE
+    broadcast row holding a (cluster, centroid)-struct array; the argmin
+    is a sort of (dist, cluster) structs — no shuffle, no groupBy."""
+    cent_row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+    )
+    scored = F.transform(
+        F.col("cents"),
+        lambda cc: F.struct(
+            _km_sqdist(F.col("v"), cc["c"]).alias("d"),
+            cc["cluster"].alias("cluster"),
+        ),
+    )
+    return emb.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id",
+        "v",
+        F.element_at(F.array_sort(scored), 1)["cluster"].alias("cluster"),
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Fixed-point member means → next round's (cluster, c) table."""
+    comp = assigned.select(
+        "cluster", F.posexplode("v").alias("pos", "x")
+    ).select(
+        "cluster",
+        "pos",
+        F.floor(F.col("x").cast("double") * _KM_FP).cast("long").alias("fx"),
+    )
+    agg = comp.groupBy("cluster", "pos").agg(
+        F.sum("fx").alias("s"), F.count("*").alias("n")
+    )
+    percomp = agg.select(
+        "cluster",
+        "pos",
+        (F.col("s").cast("double") / F.col("n") / _KM_FP).alias("comp"),
+    )
+    return percomp.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("pc")
+    ).select(
+        "cluster", F.transform("pc", lambda p: p["comp"]).alias("c")
+    )
+
+
+@register(
+    "emb_kmeans",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < {KM_K}
+    ),
+    s1 AS (
+      SELECT e.vec_id, c0.cluster,
+             {_D_KM_DIST.format(c='c0')} AS d
+      FROM emb e, c0
+    ),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+                   AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    f1 AS (
+      SELECT a1.cluster, i,
+             CAST(floor(e.v[i] * {_KM_FP}) AS BIGINT) AS fx
+      FROM a1 JOIN emb e USING (vec_id), UNNEST(range(1, {KM_DIM + 1})) t(i)
+    ),
+    c1 AS (
+      SELECT cluster, list(comp ORDER BY i) AS c FROM (
+        SELECT cluster, i,
+               CAST(SUM(fx) AS DOUBLE) / COUNT(*) / {_KM_FP} AS comp
+        FROM f1 GROUP BY cluster, i
+      ) GROUP BY cluster
+    ),
+    s2 AS (
+      SELECT e.vec_id, c1.cluster,
+             {_D_KM_DIST.format(c='c1')} AS d
+      FROM emb e, c1
+    ),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+                   AS rn
+        FROM s2
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cluster FROM a2
+    """,
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+    )
+    cents = _emb(spark, sf_dir).filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    assigned = _km_assign(emb, cents)
+    for _ in range(KM_ITERS - 1):
+        cents = _km_update(assigned)
+        assigned = _km_assign(emb, cents)
+    return assigned.select("vec_id", "cluster")

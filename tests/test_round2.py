@@ -769,3 +769,107 @@ def test_split_assign_is_stable_and_narrow(spark):
     }
     assert a == b
     assert {"train", "val", "test"} == set(a.values())
+
+
+def test_decontam_hits_share_real_ngram(spark):
+    from fluent_bit_filter_math_spark.operators.curation import (
+        DECONTAM_BENCH_MOD,
+        DECONTAM_N,
+        decontam_ngram_overlap,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    sf = "/root/testdata/sf0.01"
+    flagged = decontam_ngram_overlap(spark, sf).collect()
+    assert flagged  # the fixture's injected near-dups leak into the slice
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in table(spark, sf, "documents").collect()
+    }
+
+    def grams(toks):
+        return {
+            " ".join(toks[i : i + DECONTAM_N])
+            for i in range(len(toks) - DECONTAM_N + 1)
+        }
+
+    bench = set()
+    for did, toks in docs.items():
+        if did % DECONTAM_BENCH_MOD == 0:
+            bench |= grams(toks)
+    for r in flagged:
+        # Only training docs are flagged, and each genuinely overlaps.
+        assert r.doc_id % DECONTAM_BENCH_MOD != 0
+        hit = grams(docs[r.doc_id]) & bench
+        assert len(hit) == r.n_hit_grams
+        assert 0 < r.contam_ratio <= 1.0
+
+
+def test_domain_mixture_hits_target_and_is_stable(spark):
+    from collections import Counter
+
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        sample_domain_mixture,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sample_domain_mixture(spark, sf).collect()
+    rates = {r.source: r.mix_rate for r in rows}
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    # High-weight domains (src0-9) keep everything; low-weight keep ~half.
+    assert all(
+        rates[s] == 1.0 for s in rates if int(s[3:]) < 10
+    )
+    assert all(
+        abs(rates[s] - 0.5) < 1e-9 for s in rates if int(s[3:]) >= 10
+    )
+    kept = Counter(r.source for r in rows)
+    hi = sum(v for s, v in kept.items() if int(s[3:]) < 10)
+    lo = sum(v for s, v in kept.items() if int(s[3:]) >= 10)
+    # Achieved mixture ≈ 2:1 (hash draw is binomial around the rate).
+    assert 1.5 < hi / lo < 2.7, (hi, lo)
+    # Deterministic: a rerun yields the identical kept set.
+    again = {r.doc_id for r in sample_domain_mixture(spark, sf).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_kmeans_assignment_is_nearest_final_centroid(spark):
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        KM_K,
+        emb_kmeans,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    assigned = {r.vec_id: r.cluster for r in emb_kmeans(spark, sf).collect()}
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, sf, "embeddings").collect()
+    }
+    assert set(assigned) == set(vecs)
+    assert set(assigned.values()) <= set(range(KM_K))
+    # Recompute round-1 centroids in pure Python (same fixed-point rule)
+    # and confirm every vector sits with its nearest one.
+    seeds = {j: vecs[j] for j in range(KM_K) if j in vecs}
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    a1 = {
+        v: min(seeds, key=lambda j: (sqd(vec, seeds[j]), j))
+        for v, vec in vecs.items()
+    }
+    import math
+
+    cents = {}
+    for j in set(a1.values()):
+        members = [vecs[v] for v in a1 if a1[v] == j]
+        cents[j] = [
+            sum(math.floor(x[d] * 1_000_000) for x in members)
+            / len(members)
+            / 1_000_000
+            for d in range(len(members[0]))
+        ]
+    for v, vec in vecs.items():
+        best = min(cents, key=lambda j: (sqd(vec, cents[j]), j))
+        assert best == assigned[v], (v, best, assigned[v])
