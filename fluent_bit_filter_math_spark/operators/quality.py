@@ -1,0 +1,120 @@
+"""Data-quality audit — the Deequ/expectations-style table profile a
+production pipeline runs before promoting a batch.
+
+Absent from the reference (it transforms records, never validates a
+table — /root/reference/filter_math/math.c:290-366). One query emits a
+long-format (metric, value) audit of the ``orders`` table: row/distinct
+counts, per-column null counts, duplicate-key count, value bounds,
+exact totals, and the referential-integrity violation count against
+``customer``.
+
+Scale design: every table-level metric comes out of ONE hash-aggregate
+pass over the fact table (count-distincts expand to the standard
+two-phase partial-distinct plan; no extra scans), then a constant-width
+``stack`` unpivots the single wide row — driver never sees data. The
+FK check is a left-anti join against the dimension keys: broadcastable
+dim at any realistic scale, AQE picks the strategy otherwise. Metric
+values are exact: counts are integers widened to double, the total goes
+through the DECIMAL(38,6) exact-sum idiom, and min/max return stored
+doubles — nothing depends on float summation order, so the
+driver's bitwise gate holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+_DSUM_PRICE = "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+@register(
+    "dq_table_audit",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) AS distinct_orderkey,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                 AS dup_orderkeys,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS distinct_custkey,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS null_custkey,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS null_totalprice,
+             MIN(o_totalprice) AS min_totalprice,
+             MAX(o_totalprice) AS max_totalprice,
+             {_DSUM_PRICE} AS sum_totalprice,
+             {_DSUM_PRICE} / COUNT(*) AS avg_totalprice
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    SELECT 'row_count' AS metric, row_count AS value FROM w
+    UNION ALL SELECT 'distinct_orderkey', distinct_orderkey FROM w
+    UNION ALL SELECT 'dup_orderkeys', dup_orderkeys FROM w
+    UNION ALL SELECT 'distinct_custkey', distinct_custkey FROM w
+    UNION ALL SELECT 'null_custkey', null_custkey FROM w
+    UNION ALL SELECT 'null_totalprice', null_totalprice FROM w
+    UNION ALL SELECT 'min_totalprice', min_totalprice FROM w
+    UNION ALL SELECT 'max_totalprice', max_totalprice FROM w
+    UNION ALL SELECT 'sum_totalprice', sum_totalprice FROM w
+    UNION ALL SELECT 'avg_totalprice', avg_totalprice FROM w
+    UNION ALL SELECT 'fk_violations', v FROM fk
+    """,
+)
+def dq_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    wide = orders.agg(
+        F.count("*").cast("double").alias("row_count"),
+        F.count_distinct(F.col("o_orderkey"))
+        .cast("double")
+        .alias("distinct_orderkey"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("double")
+        .alias("dup_orderkeys"),
+        F.count_distinct(F.col("o_custkey"))
+        .cast("double")
+        .alias("distinct_custkey"),
+        F.sum(F.col("o_custkey").isNull().cast("int"))
+        .cast("double")
+        .alias("null_custkey"),
+        F.sum(F.col("o_totalprice").isNull().cast("int"))
+        .cast("double")
+        .alias("null_totalprice"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        F.expr(_DSUM_PRICE).alias("sum_totalprice"),
+        (F.expr(_DSUM_PRICE) / F.count("*")).alias("avg_totalprice"),
+    )
+    metrics = wide.selectExpr(
+        "stack(10, "
+        "'row_count', row_count, "
+        "'distinct_orderkey', distinct_orderkey, "
+        "'dup_orderkeys', dup_orderkeys, "
+        "'distinct_custkey', distinct_custkey, "
+        "'null_custkey', null_custkey, "
+        "'null_totalprice', null_totalprice, "
+        "'min_totalprice', min_totalprice, "
+        "'max_totalprice', max_totalprice, "
+        "'sum_totalprice', sum_totalprice, "
+        "'avg_totalprice', avg_totalprice"
+        ") as (metric, value)"
+    )
+    fk = (
+        orders.join(
+            customer.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("fk_violations").alias("metric"), "value")
+    )
+    return metrics.unionAll(fk)

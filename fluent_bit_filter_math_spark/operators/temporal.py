@@ -235,3 +235,61 @@ def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("grid_ts", _FMT).alias("hour_ts"),
         "locf_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build — collapse an event stream into type-2
+# slowly-changing-dimension intervals: one row per (user, state) run
+# with [valid_from, valid_to) validity, valid_to NULL on the open
+# (current) row. The classic warehouse op for turning a change log into
+# an as-of-joinable dimension.
+#
+# Two windows, both partitioned by the dimension key (user_id) — state
+# scales with users, never globally: lag() marks run starts, lead()
+# over the surviving run-start rows closes each interval. At 100 TB
+# both windows shuffle once on user_id and reuse the same partitioning
+# (one Exchange — pinned in tests). Ties at equal ts break on event_id,
+# so the run segmentation is total-ordered and engine-exact.
+# Absent from the reference (single-record scope, math.c:290-366).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_state",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts, event_id FROM marked
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM runs
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "prev", F.lag("event_type").over(w)
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    nxt = F.lead("ts").over(w)
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _FMT).alias("valid_from"),
+        F.date_format(nxt, _FMT).alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

@@ -62,12 +62,13 @@ _LOADED = False
 #   tier 1 — modules with no driver CORRECTNESS row in round 1;
 #   tier 2 — queries new or semantically changed in round 2;
 #   tier 3 — reference-surface core + one representative per verified family.
-# Demoted past the window this round to admit the three new curation
-# queries (decontam / domain mixture / k-means): subq_in_big_orders
-# (the subquery family keeps 4 in-window rows), fn_conditional_suite
-# (6 of 7 fn suites stay in-window), win_sliding_hour_30m (tumbling +
-# session pin the streaming-window mechanism) — all unchanged since
-# their local verification; families stay driver-covered.
+# Demoted past the window this round to admit the five new queries
+# (decontam / domain mixture / k-means / dq audit / scd2):
+# subq_in_big_orders + subq_scalar_below_avg_qty (the subquery family
+# keeps 3 in-window rows), fn_conditional_suite + fn_map_suite (5 of 7
+# fn suites stay in-window), win_sliding_hour_30m (tumbling + session
+# pin the streaming-window mechanism) — all unchanged since their local
+# verification; families stay driver-covered.
 _PRIORITY: tuple[str, ...] = (
     # tier 1: previously driver-unverified modules
     "join_asof_events",
@@ -76,7 +77,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_date_suite",
     "fn_json_suite",
     "fn_array_suite",
-    "fn_map_suite",
     "fn_math_suite",
     "agg_pivot_status_priority",
     "agg_grouping_sets",
@@ -84,7 +84,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "subq_exists_late_ship",
     "subq_not_exists_customers",
-    "subq_scalar_below_avg_qty",
     "udf_scalar_doc_stats",
     "udaf_event_type_cents",
     "udtf_tokenize_docs",
@@ -118,6 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "sample_domain_mixture",
     "emb_kmeans",
+    "dq_table_audit",
+    "scd2_user_state",
     # tier 3: reference surface + family representatives (§2.1 rows whose
     # only coverage was dropped from the window stay r1-verified: DIV is
     # covered by math_div_ieee, coercion by math_case_insensitive)
@@ -162,6 +163,7 @@ def _ensure_loaded() -> None:
         sampling,
         curation,
         skew,
+        quality,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

@@ -873,3 +873,42 @@ def test_kmeans_assignment_is_nearest_final_centroid(spark):
     for v, vec in vecs.items():
         best = min(cents, key=lambda j: (sqd(vec, cents[j]), j))
         assert best == assigned[v], (v, best, assigned[v])
+
+
+def test_dq_audit_metrics_consistent(spark):
+    from fluent_bit_filter_math_spark.operators.quality import dq_table_audit
+
+    m = {
+        r.metric: r.value
+        for r in dq_table_audit(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(m) == 11
+    assert m["dup_orderkeys"] == m["row_count"] - m["distinct_orderkey"]
+    assert m["min_totalprice"] <= m["avg_totalprice"] <= m["max_totalprice"]
+    assert m["null_custkey"] == 0.0 and m["fk_violations"] == 0.0
+    assert m["avg_totalprice"] == m["sum_totalprice"] / m["row_count"]
+
+
+def test_scd2_intervals_chain_per_user(spark):
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        scd2_user_state,
+    )
+
+    rows = scd2_user_state(spark, "/root/testdata/sf0.001").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        opens = [r for r in ivs if r.is_current == 1]
+        assert len(opens) == 1 and ivs[-1].is_current == 1, user
+        for a, b in zip(ivs, ivs[1:]):
+            # Intervals chain gaplessly and runs are maximal (no two
+            # consecutive intervals share a state).
+            assert a.valid_to == b.valid_from, user
+            assert a.event_type != b.event_type, user
+        assert all(
+            r.valid_to is None or r.valid_from <= r.valid_to for r in ivs
+        ), user

@@ -47,6 +47,8 @@ QUERIES = [
     "pipeline_pack_sequences",
     "text_lm_score",
     "emb_quantize_int8",
+    "decontam_ngram_overlap",
+    "emb_kmeans",
 ]
 
 
