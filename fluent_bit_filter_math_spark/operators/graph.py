@@ -1,0 +1,168 @@
+"""Graph centrality — PageRank by power iteration over the bipartite
+part↔supplier supply graph (distinct ``lineitem`` pairs).
+
+Absent from the reference (single-record scope,
+/root/reference/filter_math/math.c:290-366); complements the
+connected-components operator (operators/dedup.py) with the OTHER
+canonical iterative graph shape: a rank-propagation loop where every
+round is one join (ranks × edges) plus one hash aggregate (sum of
+contributions per destination).
+
+Determinism is the interesting design point for an iterative
+algorithm under the driver's bitwise gate: ranks live entirely in
+64-bit integer fixed point (micro-units). Each round computes
+
+    contrib(u→v) = rank(u) div degree(u)
+    rank'(v)     = (15 · SCALE) div 100  +  (85 · Σ contrib) div 100
+
+— integer division and integer sums only, so the result is exactly
+reproducible regardless of partitioning, reduction order, or engine
+(no float summation anywhere). Production PageRank would use doubles
+and tolerate last-ulp drift; the integer formulation is what makes an
+iterative fixpoint *provably* engine-identical.
+
+Scale: nodes/degrees are one distinct + one aggregate over the edge
+list; each iteration shuffles once on the destination key with
+map-side partial sums, and the rank table (one row per node) is the
+small side of every join — broadcastable for realistic node counts,
+AQE decides otherwise. Iterations are unrolled (PR_ITERS is a
+constant), exactly how a production job pins its iteration budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000  # fixed-point micro-units per unit rank
+
+# Node ids: parts are 2·partkey, suppliers 2·suppkey+1 (disjoint ints).
+_D_EDGES = """
+    pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    edges AS (
+      SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * p AS dst FROM pairs
+    ),
+    deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    )
+"""
+
+
+# Every power-iteration round references the edge list and the degree
+# table; left as views, Spark re-derives both from a fresh lineitem
+# scan per reference (~3 scans × PR_ITERS rounds). Materializing them
+# once per (session, sf_dir) is the same decision every iterative
+# graph engine makes before its loop — and the same lifecycle pattern
+# as operators/dedup.py's shingle index (explicit release, appId key).
+_EDGE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _edge_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(bidirectional edge list, per-node degree), cached per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_CACHE:
+        li = table(spark, sf_dir, "lineitem")
+        pairs = li.select(
+            F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+        ).distinct()
+        fwd = pairs.select(
+            (2 * F.col("p")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+        )
+        bwd = pairs.select(
+            (2 * F.col("s") + 1).alias("src"), (2 * F.col("p")).alias("dst")
+        )
+        edges = fwd.unionAll(bwd).cache()
+        deg = edges.groupBy("src").agg(F.count("*").alias("d")).cache()
+        _EDGE_CACHE[key] = (edges, deg)
+    return _EDGE_CACHE[key]
+
+
+def release_edge_index(
+    spark: SparkSession, sf_dir: str | None = None
+) -> None:
+    """Unpersist and evict the session's cached edge index."""
+    app_id = spark.sparkContext.applicationId
+    for key in [
+        k
+        for k in _EDGE_CACHE
+        if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        edges, deg = _EDGE_CACHE.pop(key)
+        deg.unpersist()
+        edges.unpersist()
+
+
+def _d_iter(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM({prev}.rank_fp // deg.d) AS contrib
+      FROM edges e
+      JOIN {prev} ON {prev}.node = e.src
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT deg.src AS node,
+             (15 * {PR_SCALE}) // 100
+                 + (85 * COALESCE(c{i}.contrib, 0)) // 100 AS rank_fp
+      FROM deg LEFT JOIN c{i} ON c{i}.node = deg.src
+    )
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH {_D_EDGES},
+    r0 AS (
+      SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM deg
+    ),
+    {",".join(_d_iter(i) for i in range(1, PR_ITERS + 1))}
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+               AS node_type,
+           CAST(rank_fp AS BIGINT) AS rank_fp
+    FROM r{PR_ITERS}
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg = _edge_index(spark, sf_dir)
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank_fp")
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fp div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = deg.join(
+            contribs, deg["src"] == contribs["dst"], "left"
+        ).select(
+            F.col("src").alias("node"),
+            (
+                F.lit((15 * PR_SCALE) // 100)
+                + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).cast("long").alias("rank_fp"),
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "part")
+        .otherwise("supplier")
+        .alias("node_type"),
+        "rank_fp",
+    )

@@ -62,8 +62,10 @@ _LOADED = False
 #   tier 1 — modules with no driver CORRECTNESS row in round 1;
 #   tier 2 — queries new or semantically changed in round 2;
 #   tier 3 — reference-surface core + one representative per verified family.
-# Demoted past the window this round to admit the five new queries
-# (decontam / domain mixture / k-means / dq audit / scd2):
+# Demoted past the window this round to admit the six new queries
+# (decontam / domain mixture / k-means / dq audit / scd2 / pagerank):
+# sample_per_stratum_topk (sampling keeps stratified + domain-mixture
+# in-window),
 # subq_in_big_orders + subq_scalar_below_avg_qty (the subquery family
 # keeps 3 in-window rows), fn_conditional_suite + fn_map_suite (5 of 7
 # fn suites stay in-window), win_sliding_hour_30m (tumbling + session
@@ -102,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_filter",
     "text_pii_redact",
     "sample_stratified",
-    "sample_per_stratum_topk",
     "sim_ann_ivf",
     "pipeline_curate_corpus",
     "join_salted_skew",
@@ -119,6 +120,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_kmeans",
     "dq_table_audit",
     "scd2_user_state",
+    "graph_pagerank",
     # tier 3: reference surface + family representatives (§2.1 rows whose
     # only coverage was dropped from the window stay r1-verified: DIV is
     # covered by math_div_ieee, coercion by math_case_insensitive)
@@ -164,6 +166,7 @@ def _ensure_loaded() -> None:
         curation,
         skew,
         quality,
+        graph,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

@@ -912,3 +912,62 @@ def test_scd2_intervals_chain_per_user(spark):
         assert all(
             r.valid_to is None or r.valid_from <= r.valid_to for r in ivs
         ), user
+
+
+def test_pagerank_matches_pure_python_fixpoint(spark):
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        graph_pagerank,
+        release_edge_index,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        got = {r.node: r.rank_fp for r in graph_pagerank(spark, sf).collect()}
+    finally:
+        release_edge_index(spark, sf)
+    pairs = {
+        (r.l_partkey, r.l_suppkey)
+        for r in table(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    }
+    edges = defaultdict(set)
+    for p, s in pairs:
+        edges[2 * p].add(2 * s + 1)
+        edges[2 * s + 1].add(2 * p)
+    deg = {u: len(vs) for u, vs in edges.items()}
+    rank = {u: PR_SCALE for u in deg}
+    for _ in range(PR_ITERS):
+        contrib = defaultdict(int)
+        for u, vs in edges.items():
+            c = rank[u] // deg[u]
+            for v in vs:
+                contrib[v] += c
+        rank = {
+            u: (15 * PR_SCALE) // 100 + (85 * contrib[u]) // 100
+            for u in deg
+        }
+    assert got == rank
+    # Suppliers aggregate many parts' mass: centrality must exceed the
+    # uniform start for at least one supplier node.
+    assert any(v > PR_SCALE for n, v in got.items() if n % 2 == 1)
+
+
+def test_release_edge_index_unpersists(spark):
+    from fluent_bit_filter_math_spark.operators.graph import (
+        _EDGE_CACHE,
+        _edge_index,
+        release_edge_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _edge_index(spark, sf)
+    app_id = spark.sparkContext.applicationId
+    assert any(k[0] == app_id for k in _EDGE_CACHE)
+    release_edge_index(spark)
+    assert not any(k[0] == app_id for k in _EDGE_CACHE)
