@@ -55,36 +55,63 @@ def main() -> int:
     # of 32 Arrow workers costs ~45 s once per cluster; every long-lived
     # deployment amortizes it, so it doesn't belong in per-query timings).
     first = next(iter(qs))
-    _force(qs[first](spark, SF_DIR))
+    try:
+        _force(qs[first](spark, SF_DIR))
+    except Exception:  # noqa: BLE001 — the timed loop records the failure
+        pass
     spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, "id long").count()
 
+    # Failure isolation: one raising query must not zero the whole run
+    # (BENCH r3/r4 lost every number to a single AnalysisException). A
+    # failed query records null and its error; totals cover the rest.
     times: dict[str, list[float]] = {name: [] for name in qs}
+    errors: dict[str, str] = {}
     for _ in range(REPS):
         for name, fn in qs.items():
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
+            try:
+                _force(fn(spark, SF_DIR))
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                times[name] = []
+                continue
             times[name].append(time.perf_counter() - t0)
-    per_query = {name: round(min(ts), 4) for name, ts in times.items()}
+    per_query: dict[str, float | None] = {
+        name: (round(min(ts), 4) if ts else None) for name, ts in times.items()
+    }
 
-    total = round(sum(per_query.values()), 4)
+    ok = {n: t for n, t in per_query.items() if t is not None}
+    total = round(sum(ok.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_min_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_val,
-            }
-        )
+    summary = {
+        "metric": "total_min_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+        "n_queries": len(qs),
+        "n_failed": len(errors),
+    }
+    # Full detail (per-rep timings + error strings) to a file; stdout gets
+    # exactly one JSON line, flushed, printed AFTER spark.stop() so no JVM
+    # shutdown chatter lands behind it and truncates a tail-buffer parse.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump({**summary, "reps": times, "errors": errors}, fh, indent=1)
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(summary), flush=True)
     return 0
 
 

@@ -66,12 +66,16 @@ def udf_scalar_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cents (the fixture's value has 2 dp) keep the Python-side sum exact.
 # ---------------------------------------------------------------------------
 def _type_totals(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = pdf["value"].mul(100).round().astype("int64")
+    # `cents` arrives pre-rounded JVM-side: pandas `.round()` is IEEE
+    # half-to-even while the DuckDB oracle's round() is half-away-from-
+    # zero, so the double→cents step must happen before the Python
+    # boundary (F.round is half-up, matching DuckDB) — the kernel only
+    # sums exact integers.
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n_events": [len(pdf)],
-            "total_cents": [int(cents.sum())],
+            "total_cents": [int(pdf["cents"].sum())],
         }
     )
 
@@ -87,7 +91,9 @@ def _type_totals(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def udaf_event_type_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
     return ev.groupBy("event_type").applyInPandas(
         _type_totals, schema="event_type string, n_events long, total_cents long"
     )

@@ -110,6 +110,14 @@ def read_events_stream(
                 stream = stream.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+    # Parquet µs timestamps may infer as TIMESTAMP_NTZ (reader-dependent),
+    # and every event-time operator downstream (withWatermark) requires
+    # TIMESTAMP [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]. Normalize here, at
+    # the source, so callers never see the NTZ/LTZ split; the session tz
+    # is pinned UTC, so the cast preserves wall-clock values.
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
     return stream
 
 

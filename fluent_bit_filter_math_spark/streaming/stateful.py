@@ -36,6 +36,7 @@ from typing import Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from fluent_bit_filter_math_spark.pipeline import (
@@ -56,7 +57,10 @@ def _update_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # `cents` is pre-rounded JVM-side (F.round = half-up, matching the
+        # DuckDB oracle; pandas .round() is half-to-even) — exact integers
+        # only cross the Arrow boundary and enter the state store.
+        cents += int(pdf["cents"].sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
@@ -64,7 +68,9 @@ def _update_totals(
 
 
 def user_running_totals_stream(spark: SparkSession, path: str) -> DataFrame:
-    stream = read_events_stream(spark, path, drop_nanos=True)
+    stream = read_events_stream(spark, path, drop_nanos=True).select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
     return stream.groupBy("user_id").applyInPandasWithState(
         _update_totals,
         outputStructType=_OUT_SCHEMA,
