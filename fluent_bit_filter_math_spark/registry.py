@@ -72,75 +72,79 @@ _LOADED = False
 # pin the streaming-window mechanism) — all unchanged since their local
 # verification; families stay driver-covered.
 _PRIORITY: tuple[str, ...] = (
-    # tier 1: previously driver-unverified modules
-    "join_asof_events",
-    "join_range_ship_window",
-    "fn_string_suite",
-    "fn_date_suite",
-    "fn_json_suite",
+    # --- round 5 rotation ---
+    # tier 1: the 19 queries that have never appeared in ANY driver
+    # window (r1-r4) — VERDICT r4 "What's missing" #1. All emit scalar
+    # columns only (checked), so none can trip the driver canonicalizer
+    # the way the raw-array fn_array_suite did.
+    "window_distribution_fns",
+    "agg_corr_stats",
+    "setop_except_all",
+    "setop_intersect_all",
+    "agg_string_agg",
+    "agg_histogram",
+    "reshape_unpivot",
+    "emb_quantize_int8",
+    "text_lm_score",
+    "ts_resample_locf",
+    "fn_map_suite",
+    "fn_conditional_suite",
+    "fn_null_semantics",
+    "fn_try_suite",
+    "subq_scalar_below_avg_qty",
+    "subq_in_big_orders",
+    "sample_per_stratum_topk",
+    "sample_split_assign",
+    "win_sliding_hour_30m",
+    # tier 2: fixed this round — need a fresh green row to close the
+    # r2-r4 failures (NTZ watermark, cents rounding, decimal-routed
+    # round, array-as-string canonicalization).
     "fn_array_suite",
     "fn_math_suite",
-    "agg_pivot_status_priority",
-    "agg_grouping_sets",
-    "subq_above_avg_balance",
-    "agg_approx_distinct",
-    "subq_exists_late_ship",
-    "subq_not_exists_customers",
-    "udf_scalar_doc_stats",
     "udaf_event_type_cents",
-    "udtf_tokenize_docs",
-    "stream_dedup_events",
     "stream_stateful_user_totals",
-    "win_tumbling_hour",
-    "win_session_user",
-    # tier 2: new / changed this round
+    "stream_dedup_events",
+    "stream_dedup_within_watermark",
+    "stream_stream_join_attrib",
+    # tier 3: reference-surface core (§2.1) — keep the engine's raison
+    # d'être continuously driver-verified.
+    "math_sum",
+    "math_chain",
+    "math_div_ieee",
+    "math_tag_route",
     "math_malformed_passthrough",
     "mem_source_fold",
-    "stream_dedup_within_watermark",
-    "stream_static_join_enrich",
-    "stream_stream_join_attrib",
-    "sim_ann_gemm",
-    "text_tfidf_topterms",
-    "text_repetition_filter",
-    "text_pii_redact",
-    "sample_stratified",
-    "sim_ann_ivf",
-    "pipeline_curate_corpus",
-    "join_salted_skew",
-    "agg_argmax_order",
-    "setop_except",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "text_doc_freq",
-    "dedup_incremental",
-    "pipeline_pack_sequences",
-    "decontam_ngram_overlap",
-    "sample_domain_mixture",
-    "emb_kmeans",
-    "dq_table_audit",
-    "scd2_user_state",
-    "graph_pagerank",
-    # tier 3: reference surface + family representatives (§2.1 rows whose
-    # only coverage was dropped from the window stay r1-verified: DIV is
-    # covered by math_div_ieee, coercion by math_case_insensitive)
-    "math_sum",
-    # math_sub/math_mul/math_cast_int: fold-op parity r1+r2-verified;
-    # math_chain covers operator composition, mem_source_fold covers
-    # cast_to_int + case-insensitive matching on a live connector scan.
-    # math_div_ieee and math_tag_route moved past the window this round
-    # (both r1-verified, semantics untouched since) to make room for the
-    # two new incremental-dedup / sequence-packing queries above.
-    # math_case_insensitive: pinned in-window by mem_source_fold (fold
-    # over upper-cased spec fields against a lower-case-column scan).
-    "math_chain",
     "stream_math_fold",
-    # q1 (hash agg) is covered in-window by agg_pivot/grouping_sets/udaf;
-    # topk_per_group (ranked window) by sample_per_stratum_topk; q5's
-    # join+agg shape by join_salted_skew — all stay r1+r2-verified.
-    # dedup_minhash_lsh is transitively driver-verified: dedup_cluster_cc
-    # (tier 2) runs the identical LSH+verify pipeline as its pair source;
-    # sim_topk_bruteforce's ranking/cosine shape by sim_ann_gemm + sim_ann_ivf.
+    # tier 4: one representative per already-verified family (r4-green
+    # rows whose semantics are untouched this round, or r1-green rows
+    # due a refresh): windows, relational joins/aggs/setops, TPC-H
+    # shapes, dedup/similarity/text/curation pipeline ops, streaming
+    # windows + stream-static join.
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "topk_per_group",
+    "window_rank_lag",
+    "agg_percentiles",
+    "join_semi",
+    "join_full_outer",
+    "join_asof_events",
+    "setop_union",
+    "agg_rollup",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "win_tumbling_hour",
+    "win_session_user",
+    # families left past the window this round are all r4-green with
+    # unchanged semantics (sim_ann_gemm/ivf, tfidf/pii/repetition,
+    # stratified/domain-mixture sampling, curate/pack pipelines,
+    # skew join, argmax, except, cosine/jaccard/cc/incremental dedup,
+    # kmeans, dq audit, scd2, pagerank, decontam, doc_freq,
+    # udf/udtf, grouping sets, pivot, exists/not-exists/above-avg
+    # subqueries, string/date/json fn suites, asof/range joins) —
+    # rotation brings them back in r6.
+    "stream_static_join_enrich",
 )
 
 
