@@ -339,15 +339,34 @@ def subq_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # approximate distinct — HLL sketch. Engine-specific estimates can't match
-# an oracle bit-for-bit; the driver records a rows-only check, and the
-# exact twin (agg_count_distinct) pins correctness.
+# an oracle value bit-for-bit, so the observable is the sketch's CONTRACT:
+# the estimate lands within 3× its configured relative standard deviation
+# (rsd=0.05) of the exact count. Spark's HLL++ is deterministic for fixed
+# input, so `approx_ok` is a stable boolean the DuckDB oracle pins to TRUE
+# — this upgrades the query from the driver's rows-only check to the full
+# value-hash gate while still exercising the approximate operator.
 # ---------------------------------------------------------------------------
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("_approx"),
         F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_custs")) / F.col(
+        "exact_custs"
+    )
+    return agg.select(
+        "o_orderstatus", "exact_custs", (rel_err <= 0.15).alias("approx_ok")
     )
 
 

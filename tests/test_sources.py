@@ -140,3 +140,17 @@ def test_stream_stream_join(spark):
     assert sorted(zip(result["c_id"], result["e_id"])) == sorted(
         zip(expected["c_id"], expected["e_id"])
     )
+
+
+def test_stream_ts_never_ntz(spark):
+    """Regression (round 4): when the parquet reader infers the events
+    `ts` column as TIMESTAMP_NTZ, withWatermark rejects it
+    [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]. read_events_stream must
+    normalize every NTZ column to TIMESTAMP regardless of reader
+    inference so event-time operators always work downstream."""
+    stream = read_events_stream(
+        spark, f"{SF_DIR}/events.parquet", drop_nanos=True
+    )
+    assert "timestamp_ntz" not in {t for _, t in stream.dtypes}
+    # The actual failure mode: attaching a watermark must analyze.
+    stream.withWatermark("ts", "1 hour")
