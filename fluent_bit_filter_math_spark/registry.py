@@ -106,6 +106,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_events",
     "stream_dedup_within_watermark",
     "stream_stream_join_attrib",
+    "agg_approx_distinct",
     # tier 3: reference-surface core (§2.1) — keep the engine's raison
     # d'être continuously driver-verified.
     "math_sum",
@@ -142,9 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     # skew join, argmax, except, cosine/jaccard/cc/incremental dedup,
     # kmeans, dq audit, scd2, pagerank, decontam, doc_freq,
     # udf/udtf, grouping sets, pivot, exists/not-exists/above-avg
-    # subqueries, string/date/json fn suites, asof/range joins) —
-    # rotation brings them back in r6.
-    "stream_static_join_enrich",
+    # subqueries, string/date/json fn suites, range join,
+    # stream-static join) — rotation brings them back in r6.
 )
 
 
