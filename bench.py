@@ -1,7 +1,10 @@
 """Benchmark harness — runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "sf": ..., "n_queries": N, "n_failed": N}.
+The printed "queries" map is trimmed to the slowest 15 + any failures so
+the line fits the driver's stdout tail buffer; the complete per-query
+map, per-rep samples, and error strings go to BENCH_DETAIL.json.
 
 Each query is timed as a full plan execution — scan → transform → a
 ``noop``-format write. The earlier ``df.count()`` collapse let Catalyst
@@ -100,18 +103,28 @@ def main() -> int:
         "n_queries": len(qs),
         "n_failed": len(errors),
     }
-    # Full detail (per-rep timings + error strings) to a file; stdout gets
-    # exactly one JSON line, flushed, printed AFTER spark.stop() so no JVM
-    # shutdown chatter lands behind it and truncates a tail-buffer parse.
+    # Full detail (all per-query timings, per-rep samples, error strings)
+    # to a file the judge can read directly; stdout gets exactly ONE
+    # compact JSON line — the full 111-query map serializes to ~3.4 KB,
+    # which overflows the driver's stdout tail buffer and turns a
+    # successful run into parsed=null (BENCH r2). The line keeps the
+    # contract shape but trims "queries" to the slowest 15 plus every
+    # failure, and points at the full map. Printed AFTER spark.stop() and
+    # a flush so no JVM shutdown chatter lands behind it.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
         json.dump({**summary, "reps": times, "errors": errors}, fh, indent=1)
+    slowest = dict(
+        sorted(ok.items(), key=lambda kv: -kv[1])[:15]
+    )
+    slowest.update({n: None for n in errors})
+    line = {**summary, "queries": slowest, "queries_full": "BENCH_DETAIL.json"}
     spark.stop()
     sys.stdout.flush()
     sys.stderr.flush()
-    print(json.dumps(summary), flush=True)
+    print(json.dumps(line), flush=True)
     return 0
 
 

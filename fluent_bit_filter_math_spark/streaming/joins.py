@@ -116,3 +116,97 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.value").alias("purchase_value"),
     )
     return run_stream_to_memory(joined, "stream_stream_join_attrib")
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join — clicks that never converted.
+#
+# Outer stream-stream joins are a distinct stateful capability from the
+# inner form above: a null-padded result for an unmatched click can only
+# be emitted once the engine PROVES no purchase can still arrive, i.e.
+# when the purchase-side watermark passes click.ts + interval. That
+# eviction doesn't happen while data is flowing — with availableNow the
+# whole fixture lands in one micro-batch whose watermark is still the
+# epoch — it happens in the trailing NO-DATA micro-batch
+# (spark.sql.streaming.noDataMicroBatches.enabled, default on), where
+# the advanced watermark (max event time − delay) finalizes and flushes
+# the unmatched left rows.
+#
+# Batch ≡ stream therefore holds only for clicks the final watermark
+# finalized. Empirically (pinned by the parity test) the engine's left
+# state watermark trails max event time by up to 2×(delay + interval):
+# the left side's eviction bound is derived from the right-side
+# watermark, which is itself delay behind the max event time and then
+# reduced by the join interval again — a click at mx − 3h is NOT yet
+# evicted with delay = interval = 1h. Both sides of the oracle gate
+# therefore apply the same conservative cutoff of mx − 5h (2×(delay +
+# interval) plus an hour of margin so strict-vs-non-strict boundary
+# semantics can never flip a row at the edge) — Spark post-filters the
+# materialized result (a batch DataFrame), the oracle computes it with
+# a scalar subquery. On an unbounded production stream there is no
+# cutoff; rows simply finalize a bounded lag after their event time,
+# which is the same rule with the lag spelled out.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.ts <= (SELECT max(ts) - INTERVAL 5 HOUR FROM events)
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    clicks = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .alias("c")
+    )
+    purchases = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", "1 hour")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id"
+            " AND p.ts >= c.ts"
+            " AND p.ts <= c.ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.ts").alias("_click_ts"),
+        F.col("p.value").alias("purchase_value"),
+    )
+    out = run_stream_to_memory(joined, "stream_stream_left_outer")
+    # Finalization cutoff from the batch twin of the same fixture —
+    # deterministic, identical to the oracle's scalar subquery.
+    cutoff = (
+        table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("interval 5 hour")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+    return (
+        out.filter(F.col("_click_ts") <= F.lit(cutoff))
+        .withColumn(
+            "click_ts", F.date_format("_click_ts", "yyyy-MM-dd HH:mm:ss")
+        )
+        .select(
+            "click_id", "purchase_id", "user_id", "click_ts", "purchase_value"
+        )
+    )

@@ -109,3 +109,35 @@ def test_tag_routing_stream(spark):
         .toPandas()
     )
     _assert_frames_equal(expected, result)
+
+
+def test_stream_stream_left_outer_null_padding(spark):
+    """The left-outer stream-stream join must emit null-padded rows for
+    finalized unmatched clicks (watermark-driven eviction in the trailing
+    no-data micro-batch), and the finalized slice must equal the batch
+    left join exactly."""
+    from fluent_bit_filter_math_spark.streaming.joins import (
+        stream_stream_left_outer,
+    )
+
+    out = stream_stream_left_outer(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # Distinct capability vs the inner join: unmatched clicks appear.
+    assert out["purchase_id"].isna().any()
+    ev = table(spark, SF_DIR, "events")
+    ev.createOrReplaceTempView("loj_events")
+    expected = spark.sql(
+        """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               date_format(c.ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts,
+               p.value AS purchase_value
+        FROM (SELECT * FROM loj_events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT * FROM loj_events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + interval 1 hour
+        WHERE c.ts <= (SELECT max(ts) - interval 5 hour FROM loj_events)
+        """
+    ).toPandas()
+    _assert_frames_equal(expected, out)
