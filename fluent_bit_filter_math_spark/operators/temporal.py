@@ -293,3 +293,137 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(nxt, _FMT).alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill — LOCF's smooth sibling: at each hourly
+# grid point, value = prev + (next − prev) · (t − t_prev)/(t_next −
+# t_prev) between the bracketing observations; LOCF past the last
+# observation; NULL before the first.
+#
+# One pass, no joins: observations (pre-aggregated to one per
+# (series, ts) so the bracket is well-defined) and grid points union
+# into a single per-series ordered sequence; two mirrored window frames
+# (unbounded-preceding / unbounded-following, IGNORE NULLS) recover the
+# bracketing observation value+time for every grid row. Observations
+# sort BEFORE grid points at equal ts, so an exact-hit grid point takes
+# the observation as its "prev" with ratio 0 — exact, not interpolated.
+#
+# Scale: one shuffle, keyed by series (event_type); state per partition
+# is a running last/first, never a buffered join side. At 100 TB the
+# same plan runs partitioned by (series, coarse time bucket) with a
+# one-row-per-bucket boundary exchange — the structure the two frames
+# already have. Interpolation arithmetic stays in whole-stage codegen;
+# epoch-microsecond deltas are exact BIGINTs so both engines compute
+# the identical double ratio (9-dp rounded like every transcendental
+# output in fn_math_suite). Absent from the reference (single-record
+# scope, math.c:290-366).
+# ---------------------------------------------------------------------------
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, ts, max(value) AS value
+      FROM events GROUP BY event_type, ts
+    ),
+    grid AS (
+      SELECT t.event_type, g.ts AS ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(
+            TIMESTAMP '{_GRID_START}', TIMESTAMP '{_GRID_END}',
+            INTERVAL 1 HOUR)) AS ts
+      ) g
+    ),
+    u AS (
+      SELECT event_type, ts, value, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT event_type, ts, NULL AS value, 0 AS is_obs FROM grid
+    ),
+    br AS (
+      SELECT event_type, ts, is_obs,
+             last_value(value IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN is_obs = 1 THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w_prev AS pt,
+             first_value(value IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN is_obs = 1 THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER w_next AS nt
+      FROM u
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY ts, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY ts, is_obs DESC
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           round(CASE
+             WHEN pv IS NULL THEN NULL
+             WHEN nv IS NULL OR nt = pt THEN pv
+             ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
+                                    / CAST(nt - pt AS DOUBLE))
+           END, 9) AS interp_value
+    FROM br
+    WHERE is_obs = 0
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = (
+        ev.groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+        .withColumn("is_obs", F.lit(1))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.to_timestamp(F.lit(_GRID_START)),
+                    F.to_timestamp(F.lit(_GRID_END)),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("ts"),
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+        .withColumn("is_obs", F.lit(0))
+    )
+    u = obs.select("event_type", "ts", "value", "is_obs").unionByName(
+        grid.select("event_type", "ts", "value", "is_obs")
+    )
+    order = [F.col("ts").asc(), F.col("is_obs").desc()]
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_us = F.when(F.col("is_obs") == 1, F.unix_micros("ts"))
+    br = u.select(
+        "event_type",
+        "ts",
+        "is_obs",
+        F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_us, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("value", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_us, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    ratio = (F.unix_micros("ts") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("nv").isNull() | (F.col("nt") == F.col("pt")), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+    )
+    return br.filter(F.col("is_obs") == 0).select(
+        "event_type",
+        F.date_format("ts", _FMT).alias("hour_ts"),
+        F.round(interp, 9).alias("interp_value"),
+    )

@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "stream_stream_join_attrib",
     "stream_stream_left_outer",
+    "ts_interpolate_linear",
     "agg_approx_distinct",
     # tier 3: reference-surface core (§2.1) — keep the engine's raison
     # d'être continuously driver-verified.
@@ -130,7 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_semi",
     "join_full_outer",
     "join_asof_events",
-    "agg_rollup",
     "dedup_minhash_lsh",
     "dedup_exact",
     "sim_topk_bruteforce",
