@@ -301,6 +301,48 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time-RANGE window frame — trailing 1-hour per-row aggregate. Distinct
+# frame semantics from the ROWS frames above: the frame is defined by an
+# ORDER-BY *value* interval, so at-equal-timestamp ties are all in or
+# all out together and row position is irrelevant. Ordering key is
+# epoch-µs (BIGINT) on both engines, so the inclusive [t−1h, t] bound
+# is integer-exact; the aggregate accumulates integer cents, so intra-
+# frame summation order can never diverge. Scale: one keyed shuffle
+# (user_id); trailing-window state per partition is bounded by the
+# interval's row count, never the partition's.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS trailing_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # NTZ-safe epoch ordering: the reader may infer ts as TIMESTAMP_NTZ,
+    # which unix_micros rejects; the RANGE frame is shift-invariant, so
+    # the cast's epoch reference (session tz) cannot change the result.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # rollup — hierarchical aggregate with grouping flags.
 # ---------------------------------------------------------------------------
 @register(
@@ -596,6 +638,53 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.25)").alias("q25"),
         F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate quantiles — KLL/GK-style mergeable rank sketch
+# (percentile_approx). Like the HLL query above, engine sketches can't
+# match an oracle value bit-for-bit, so the observable is the sketch's
+# CONTRACT: with accuracy=10000 the estimate's RANK error is ≤ 1/10000,
+# which for these distributions keeps the returned value within 2% of
+# the exact quantile_cont value. Spark's sketch is deterministic for
+# fixed input, so the bound booleans are stable and the full value-hash
+# gate applies (exact p50/p95 are DECIMAL-interpolated, engine-exact).
+# Scale: the sketch is the point — fixed-size partial state, one
+# map-side combine + one merge per group; the exact twin
+# (agg_percentiles) buffers whole groups.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_approx_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 9) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.95), 9) AS exact_p95,
+           TRUE AS p50_ok,
+           TRUE AS p95_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("_e95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("_e50", 9).alias("exact_p50"),
+        F.round("_e95", 9).alias("exact_p95"),
+        (
+            F.abs(F.col("_approx")[0] - F.col("_e50")) / F.col("_e50") <= 0.02
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("_approx")[1] - F.col("_e95")) / F.col("_e95") <= 0.02
+        ).alias("p95_ok"),
     )
 
 

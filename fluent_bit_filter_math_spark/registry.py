@@ -108,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_join_attrib",
     "stream_stream_left_outer",
     "ts_interpolate_linear",
+    "window_range_trailing_1h",
+    "agg_approx_quantiles",
     "agg_approx_distinct",
     # tier 3: reference-surface core (§2.1) — keep the engine's raison
     # d'être continuously driver-verified.
@@ -126,8 +128,6 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q5_local_supplier",
     "topk_per_group",
-    "window_rank_lag",
-    "agg_percentiles",
     "join_semi",
     "join_full_outer",
     "join_asof_events",
