@@ -107,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "stream_stream_join_attrib",
     "stream_stream_left_outer",
+    "stream_rollup_hour_to_day",
     "ts_interpolate_linear",
     "window_range_trailing_1h",
     "agg_approx_quantiles",
@@ -135,7 +136,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "sim_topk_bruteforce",
     "text_quality_score",
-    "win_tumbling_hour",
     "win_session_user",
     # families left past the window this round are all r4-green with
     # unchanged semantics (sim_ann_gemm/ivf, tfidf/pii/repetition,
