@@ -125,7 +125,7 @@ def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "append",
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a bounded stream into a memory sink; returns the result table.
 
@@ -139,9 +139,10 @@ def run_stream_to_memory(
     open/commit, so the right size tracks state cardinality/throughput
     — a 100 TB/day deployment turns this UP; the bounded fixture replay
     sizes it to the data (measured: 32 → 8 partitions cuts the
-    stream-stream join's wall clock ~3×, output bit-identical). The
-    session value is restored after start so batch queries keep their
-    own width.
+    stream-stream join's wall clock ~3×, and 8 → 4 another ~4× cold /
+    ~35% warm, output bit-identical — per-partition state-store
+    open/commit dominates at fixture state volumes). The session value
+    is restored after start so batch queries keep their own width.
     """
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
