@@ -393,16 +393,27 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = obs.select("event_type", "ts", "value", "is_obs").unionByName(
         grid.select("event_type", "ts", "value", "is_obs")
     )
-    order = [F.col("ts").asc(), F.col("is_obs").desc()]
+    # Both brackets ride RUNNING frames (UnboundedPreceding lower bound),
+    # which Spark's window exec evaluates incrementally in one pass. The
+    # naive "next" frame — (1 FOLLOWING, UNBOUNDED FOLLOWING) — is a
+    # shrinking frame Spark recomputes per row: O(rows²) per partition,
+    # 6.8 → 45 s at sf0.1. Reversing the sort order turns "first
+    # following, excluding current" into "last preceding, excluding
+    # current" — same rows, incremental evaluation, one extra in-
+    # partition sort (no extra shuffle: same partition key).
     w_prev = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
+        .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Reversed order: at equal ts the grid row (is_obs 0) sorts first,
+    # so same-ts observations stay excluded from its "next" bracket —
+    # identical tie semantics to the forward (1, UNBOUNDED FOLLOWING)
+    # frame, where observations sort before the grid row.
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy(*order)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("is_obs").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     obs_us = F.when(F.col("is_obs") == 1, F.unix_micros("ts"))
     br = u.select(
@@ -411,8 +422,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_obs",
         F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
         F.last(obs_us, ignorenulls=True).over(w_prev).alias("pt"),
-        F.first("value", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(obs_us, ignorenulls=True).over(w_next).alias("nt"),
+        F.last("value", ignorenulls=True).over(w_next).alias("nv"),
+        F.last(obs_us, ignorenulls=True).over(w_next).alias("nt"),
     )
     ratio = (F.unix_micros("ts") - F.col("pt")).cast("double") / (
         F.col("nt") - F.col("pt")
