@@ -447,3 +447,52 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("try_element_at(split(event_type, ''), 10)").alias("char10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# higher-order functions — lambda expressions over arrays (transform /
+# filter / exists / aggregate). These run inside codegen'd projections
+# (no UDF, no shuffle); the token array materializes once behind the
+# Project boundary and feeds all four lambdas, because HOF lambdas get
+# no common-subexpression elimination across expressions (SURVEY §7 /
+# README scale notes). Observables are scalars or joined strings so the
+# driver canonicalizer hashes them. DuckDB twins: list_transform /
+# list_filter / list_aggregate / list_contains with -> lambdas.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_higher_order_suite",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(t, x -> upper(x)), ',') AS upper_toks,
+           CAST(len(list_filter(t, x -> length(x) > 4)) AS BIGINT)
+               AS n_long_toks,
+           list_contains(t, 'spark') AS has_spark,
+           CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum')
+                AS BIGINT) AS total_chars
+    FROM toks
+    """,
+)
+def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    return toks.select(
+        "doc_id",
+        F.array_join(F.transform("t", lambda x: F.upper(x)), ",").alias(
+            "upper_toks"
+        ),
+        F.size(F.filter("t", lambda x: F.length(x) > 4))
+        .cast("long")
+        .alias("n_long_toks"),
+        F.exists("t", lambda x: x == "spark").alias("has_spark"),
+        F.aggregate(
+            F.transform("t", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )

@@ -110,6 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_rollup_hour_to_day",
     "ts_interpolate_linear",
     "window_range_trailing_1h",
+    "fn_higher_order_suite",
     "agg_approx_quantiles",
     "agg_approx_distinct",
     # tier 3: reference-surface core (§2.1) — keep the engine's raison
@@ -130,7 +131,6 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier",
     "topk_per_group",
     "join_semi",
-    "join_full_outer",
     "join_asof_events",
     "dedup_minhash_lsh",
     "dedup_exact",
