@@ -228,3 +228,59 @@ def stream_rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-grain time rollup (batch) — hour/day/week aggregates in ONE scan
+# via GROUPING SETS over pre-computed time buckets, grain-tagged with
+# grouping_id. The batch complement of stream_rollup_hour_to_day: a
+# hypertable's continuous-aggregate backfill computes every grain in a
+# single shuffle (partial aggregation map-side, one exchange), instead
+# of one scan per grain. Week buckets use date_trunc('week') = Monday
+# 00:00 on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_time_grains",
+    oracle=f"""
+    SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                WHEN d IS NOT NULL THEN 'day'
+                ELSE 'week' END AS grain,
+           strftime(coalesce(h, d, w), '{_D_FMT}') AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+    FROM (
+      SELECT event_type, value,
+             date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS w
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (w, event_type))
+    """,
+)
+def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucketed = ev.select(
+        "event_type",
+        cents.alias("c"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+    )
+    bucketed.createOrReplaceTempView("rollup_grains_src")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               date_format(coalesce(h, d, w), '{_FMT}') AS bucket_start,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(c) AS cents
+        FROM rollup_grains_src
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type),
+                                (w, event_type))
+        """
+    )
