@@ -369,11 +369,7 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    obs = (
-        ev.groupBy("event_type", "ts")
-        .agg(F.max("value").alias("value"))
-        .withColumn("is_obs", F.lit(1))
-    )
+    obs = ev.groupBy("event_type", "ts").agg(F.max("value").alias("value"))
     grid = (
         ev.select("event_type")
         .distinct()
@@ -387,22 +383,56 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("ts"),
         )
-        .withColumn("value", F.lit(None).cast("double"))
-        .withColumn("is_obs", F.lit(0))
     )
-    u = obs.select("event_type", "ts", "value", "is_obs").unionByName(
-        grid.select("event_type", "ts", "value", "is_obs")
+    out = interpolate_on_grid(obs, grid, key="event_type")
+    return out.select(
+        "event_type",
+        F.date_format("ts", _FMT).alias("hour_ts"),
+        F.round("interp_value", 9).alias("interp_value"),
     )
-    # Both brackets ride RUNNING frames (UnboundedPreceding lower bound),
-    # which Spark's window exec evaluates incrementally in one pass. The
-    # naive "next" frame — (1 FOLLOWING, UNBOUNDED FOLLOWING) — is a
-    # shrinking frame Spark recomputes per row: O(rows²) per partition,
-    # 6.8 → 45 s at sf0.1. Reversing the sort order turns "first
-    # following, excluding current" into "last preceding, excluding
-    # current" — same rows, incremental evaluation, one extra in-
-    # partition sort (no extra shuffle: same partition key).
+
+
+def interpolate_on_grid(
+    obs: DataFrame,
+    grid: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    val: str = "value",
+) -> DataFrame:
+    """Linear interpolation of ``obs`` (one row per (key, ts); enforce
+    upstream) onto the timestamps of ``grid``; returns (key, ts,
+    interp_value). Interior points interpolate between brackets, points
+    past the last observation carry it forward (LOCF), points before
+    the first are NULL, and exact-hit grid points return the
+    observation itself (ratio 0).
+
+    Both brackets ride RUNNING frames (UnboundedPreceding lower
+    bound), which Spark's window exec evaluates incrementally in one
+    pass. The naive "next" frame — (1 FOLLOWING, UNBOUNDED FOLLOWING)
+    — is a shrinking frame Spark recomputes per row: O(rows²) per
+    partition, 6.8 → 45 s at sf0.1. Reversing the sort order turns
+    "first following, excluding current" into "last preceding,
+    excluding current" — same rows, incremental evaluation, one extra
+    in-partition sort (no extra shuffle: same partition key).
+    """
+    # Normalize to TIMESTAMP: callers may hold TIMESTAMP_NTZ (reader-
+    # dependent), which unix_micros rejects; interpolation only uses
+    # time DIFFERENCES, so the cast's epoch reference is irrelevant.
+    obs_t = obs.select(
+        F.col(key).alias("k"),
+        F.col(ts).cast("timestamp").alias("ts"),
+        F.col(val).cast("double").alias("value"),
+        F.lit(1).alias("is_obs"),
+    )
+    grid_t = grid.select(
+        F.col(key).alias("k"),
+        F.col(ts).cast("timestamp").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_obs"),
+    )
+    u = obs_t.unionByName(grid_t)
     w_prev = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("k")
         .orderBy(F.col("ts").asc(), F.col("is_obs").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -411,13 +441,13 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical tie semantics to the forward (1, UNBOUNDED FOLLOWING)
     # frame, where observations sort before the grid row.
     w_next = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("k")
         .orderBy(F.col("ts").desc(), F.col("is_obs").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     obs_us = F.when(F.col("is_obs") == 1, F.unix_micros("ts"))
     br = u.select(
-        "event_type",
+        "k",
         "ts",
         "is_obs",
         F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
@@ -434,7 +464,5 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
     )
     return br.filter(F.col("is_obs") == 0).select(
-        "event_type",
-        F.date_format("ts", _FMT).alias("hour_ts"),
-        F.round(interp, 9).alias("interp_value"),
+        F.col("k").alias(key), "ts", interp.alias("interp_value")
     )

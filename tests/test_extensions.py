@@ -82,3 +82,35 @@ def test_jaccard_threshold_in_safe_gap():
     # and below 0.07 (noise); the threshold must sit inside that gap so
     # float noise can never flip a pair across it.
     assert 0.1 < JACCARD_THRESHOLD < 0.9
+
+
+def test_interpolate_on_grid_edges(spark):
+    """Pin all four bracket regimes of the interpolation kernel on a
+    handcrafted series: NULL before the first observation, exact value
+    at an exact-hit grid point, linear value between brackets, LOCF
+    after the last observation."""
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        interpolate_on_grid,
+    )
+
+    obs = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 10.0),
+         ("a", "2024-01-01 03:00:00", 30.0),
+         ("b", "2024-01-01 02:30:00", 5.0)],
+        "k string, ts string, value double",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "value")
+    grid = spark.createDataFrame(
+        [(k, f"2024-01-01 0{h}:00:00") for k in ("a", "b") for h in range(5)],
+        "k string, ts string",
+    ).select("k", F.to_timestamp("ts").alias("ts"))
+    out = {
+        (r.k, r.ts.strftime("%H:%M")): r.interp_value
+        for r in interpolate_on_grid(obs, grid, key="k").collect()
+    }
+    assert out[("a", "00:00")] is None          # before first obs
+    assert out[("a", "01:00")] == 10.0          # exact hit
+    assert out[("a", "02:00")] == 20.0          # midpoint interpolation
+    assert out[("a", "03:00")] == 30.0          # exact hit on last obs
+    assert out[("a", "04:00")] == 30.0          # LOCF past last obs
+    assert out[("b", "01:00")] is None          # before first obs
+    assert out[("b", "03:00")] == 5.0           # LOCF (single observation)
