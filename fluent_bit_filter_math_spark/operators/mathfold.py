@@ -289,3 +289,44 @@ def stream_math_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, [MathSpec.build("sum", ["value", "k", 7], "math_out")]
     ).select("event_id", "value", "math_out")
     return run_stream_to_memory(out, "stream_math_fold")
+
+
+# --- file sink round-trip: the same fold written through a checkpointed
+#     parquet writeStream (exactly-once file sink), then read back. The
+#     memory-sink queries above verify the transform; this one makes the
+#     durable-sink path itself driver-verified: availableNow replay →
+#     parquet sink commit log → batch read of the committed files. The
+#     sink's _spark_metadata commit log is what makes a restarted query
+#     resume without duplicating output files — the file-sink form of
+#     the reference's flush-and-exit cycle (test.sh:43). Scale: the sink
+#     writes one file per partition per micro-batch, no coordination
+#     beyond the log append; readers see only committed batches. -----------
+@register(
+    "stream_file_sink_roundtrip",
+    oracle=f"""
+    SELECT event_id, value, ({_VAL} + {_K} + 7.0) AS math_out
+    FROM events
+    """,
+)
+def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fluent_bit_filter_math_spark.pipeline import read_events_stream
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", drop_nanos=True
+    )
+    out = apply_specs(
+        stream, [MathSpec.build("sum", ["value", "k", 7], "math_out")]
+    ).select("event_id", "value", "math_out")
+    sink = tempfile.mkdtemp(prefix="fbm-file-sink-")
+    ckpt = tempfile.mkdtemp(prefix="fbm-file-sink-ckpt-")
+    (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink).select("event_id", "value", "math_out")
