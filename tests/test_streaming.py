@@ -141,3 +141,69 @@ def test_stream_stream_left_outer_null_padding(spark):
         """
     ).toPandas()
     _assert_frames_equal(expected, out)
+
+
+def test_multibatch_incremental_state(spark, tmp_path):
+    """All driver queries replay the single-file fixture as ONE
+    micro-batch; this pins the genuinely incremental path: the same
+    data split across 4 files with maxFilesPerTrigger=1 → 4 sequential
+    micro-batches, state carried between them. Final results must be
+    identical to the single-batch replay for (a) stateful running
+    totals and (b) watermarked dedup, with watermarks advancing
+    batch-over-batch."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "multi")
+    # 4 files, time-ordered within the whole range (hash split): the
+    # watermark advances as each file's max event time is processed.
+    table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+
+    # (a) stateful running totals across batches
+    cents = F.round(F.col("value") * 100).cast("long")
+    totals = run_stream_to_memory(
+        stream.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("c")
+        ),
+        "multibatch_totals",
+        output_mode="complete",
+    ).toPandas()
+    expected = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("c"))
+        .toPandas()
+    )
+    _assert_frames_equal(expected, totals)
+
+    # (b) watermarked dedup across batches: each key emitted exactly
+    # once. The hash split randomizes event-time order across files, so
+    # a short delay would legitimately drop late rows (and could drop a
+    # key entirely if all its occurrences land late) — the delay spans
+    # the fixture so the assertion pins cross-batch dedup STATE, not
+    # late-data policy.
+    deduped = run_stream_to_memory(
+        stream.withWatermark("ts", "3650 days")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type"),
+        "multibatch_dedup",
+    ).toPandas()
+    exp_keys = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .toPandas()
+    )
+    _assert_frames_equal(exp_keys, deduped)
