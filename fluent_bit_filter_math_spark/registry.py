@@ -108,6 +108,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_stream_join_attrib",
     "stream_stream_left_outer",
     "stream_rollup_hour_to_day",
+    "rollup_time_grains",
+    "stream_file_sink_roundtrip",
     "ts_interpolate_linear",
     "window_range_trailing_1h",
     "fn_higher_order_suite",
@@ -128,12 +130,10 @@ _PRIORITY: tuple[str, ...] = (
     # shapes, dedup/similarity/text/curation pipeline ops, streaming
     # windows + stream-static join.
     "q1_pricing_summary",
-    "q5_local_supplier",
     "topk_per_group",
     "join_semi",
     "join_asof_events",
     "dedup_minhash_lsh",
-    "dedup_exact",
     "sim_topk_bruteforce",
     "text_quality_score",
     "win_session_user",
