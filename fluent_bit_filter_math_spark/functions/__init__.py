@@ -40,6 +40,62 @@ def duck_hash60(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Engine-independent fixed-point rounding.
+#
+# Neither engine's native ``round()`` on DOUBLE is portable: Spark rounds
+# the shortest-decimal *rendering* of the double (via BigDecimal.valueOf)
+# while DuckDB rounds the *binary* value, so halfway-adjacent doubles
+# diverge — which rows flip depends on the exact fixture bytes (the six
+# CORRECTNESS_r05 hash-fails, all ``round(value*100)`` cents or 9-dp
+# transcendentals). ``floor(x*scale + 0.5)`` avoids rendering entirely:
+# IEEE multiply + add + floor is computed identically by both engines on
+# the same input double. Every driver-visible rounded output must route
+# through these helpers (or DECIMAL), never engine-native round(DOUBLE).
+# ---------------------------------------------------------------------------
+
+
+def fixed_point(col: Column, scale: int) -> Column:
+    """Half-up fixed-point of a double: floor(x*scale + 0.5) as BIGINT.
+
+    Exact for |x*scale| < 2^53 (all fixture columns are ≤ ~1e14 at
+    scale 1e9). Spark's floor(DOUBLE) already returns LONG; the cast is
+    a no-op kept for schema clarity.
+    """
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+
+
+def exact_cents(col: Column) -> Column:
+    """value → integer cents, bit-identical in Spark and DuckDB."""
+    return fixed_point(col, 100)
+
+
+def fixed_round(col: Column, dp: int) -> Column:
+    """Portable round(x, dp) as DOUBLE: floor(x*10^dp + 0.5) / 10^dp.
+
+    The integer floor result converts exactly to double (< 2^53) and the
+    final division is one IEEE op on identical operands in both engines.
+    """
+    s = float(10**dp)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def duck_fixed_point(expr: str, scale: int) -> str:
+    """DuckDB SQL spelling of :func:`fixed_point`."""
+    return f"CAST(floor(({expr}) * {scale}.0 + 0.5) AS BIGINT)"
+
+
+def duck_cents(expr: str) -> str:
+    """DuckDB SQL spelling of :func:`exact_cents`."""
+    return duck_fixed_point(expr, 100)
+
+
+def duck_fixed_round(expr: str, dp: int) -> str:
+    """DuckDB SQL spelling of :func:`fixed_round`."""
+    s = 10**dp
+    return f"(floor(({expr}) * {s}.0 + 0.5) / {s}.0)"
+
+
+# ---------------------------------------------------------------------------
 # Tokenization.
 # ---------------------------------------------------------------------------
 

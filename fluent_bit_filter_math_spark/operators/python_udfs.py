@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
+from fluent_bit_filter_math_spark.functions import exact_cents
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -66,11 +67,10 @@ def udf_scalar_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cents (the fixture's value has 2 dp) keep the Python-side sum exact.
 # ---------------------------------------------------------------------------
 def _type_totals(pdf: pd.DataFrame) -> pd.DataFrame:
-    # `cents` arrives pre-rounded JVM-side: pandas `.round()` is IEEE
-    # half-to-even while the DuckDB oracle's round() is half-away-from-
-    # zero, so the double→cents step must happen before the Python
-    # boundary (F.round is half-up, matching DuckDB) — the kernel only
-    # sums exact integers.
+    # `cents` arrives pre-fixed JVM-side via exact_cents (floor(x*100
+    # + 0.5)): pandas `.round()` is half-to-even, and BOTH engines'
+    # native round(DOUBLE) are rendering-dependent and mutually
+    # divergent — the kernel only ever sums exact integers.
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
@@ -85,14 +85,14 @@ def _type_totals(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents
     FROM events
     GROUP BY event_type
     """,
 )
 def udaf_event_type_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "event_type", exact_cents(F.col("value")).alias("cents")
     )
     return ev.groupBy("event_type").applyInPandas(
         _type_totals, schema="event_type string, n_events long, total_cents long"

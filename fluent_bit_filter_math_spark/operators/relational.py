@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.functions import exact_cents, fixed_round
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -315,7 +316,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_trailing_1h",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS trailing_cents,
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+               AS trailing_cents,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -333,7 +335,7 @@ def window_range_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(epoch)
         .rangeBetween(-3_600_000_000, 0)
     )
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = exact_cents(F.col("value"))
     return ev.select(
         "event_id",
         "user_id",
@@ -654,37 +656,75 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side combine + one merge per group; the exact twin
 # (agg_percentiles) buffers whole groups.
 # ---------------------------------------------------------------------------
+_AQ_EXACT_CTE = """WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    exact AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
+                      THEN v END) AS lo50,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 2
+                      THEN v END) AS hi50,
+             MAX((n - 1) * 0.5e0 - floor((n - 1) * 0.5e0)) AS f50,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.95e0) AS BIGINT) + 1
+                      THEN v END) AS lo95,
+             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.95e0) AS BIGINT) + 2
+                      THEN v END) AS hi95,
+             MAX((n - 1) * 0.95e0 - floor((n - 1) * 0.95e0)) AS f95
+      FROM ranked
+      GROUP BY l_returnflag
+    )"""
+
+_AQ_EXACT_SELECT = """
+           lo50 + (coalesce(hi50, lo50) - lo50) * f50 AS exact_p50,
+           lo95 + (coalesce(hi95, lo95) - lo95) * f95 AS exact_p95"""
+
+
 @register(
     "agg_approx_quantiles",
-    oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 9) AS exact_p50,
-           round(quantile_cont(l_extendedprice, 0.95), 9) AS exact_p95,
+    # The exact p50/p95 columns are computed by the SAME SQL text in both
+    # engines (shared CTE below): explicit order statistics + the shared
+    # interpolation expression, so every IEEE op runs on identical
+    # operands — engine percentile-interpolation formulas (Spark
+    # a+(b-a)*g vs quantile_cont's variant) never enter the comparison
+    # (ADVICE r5 knife-edge note).
+    oracle=_AQ_EXACT_CTE
+    + """
+    SELECT l_returnflag,"""
+    + _AQ_EXACT_SELECT
+    + """,
            TRUE AS p50_ok,
            TRUE AS p95_ok
-    FROM lineitem
-    GROUP BY l_returnflag
+    FROM exact
     """,
 )
 def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_approx(l_extendedprice, array(0.5, 0.95), 10000)"
-        ).alias("_approx"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_e50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("_e95"),
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        _AQ_EXACT_CTE
+        + """,
+    approx AS (
+      SELECT l_returnflag,
+             percentile_approx(l_extendedprice,
+                               array(0.5e0, 0.95e0), 10000) AS ap
+      FROM lineitem
+      GROUP BY l_returnflag
     )
-    return agg.select(
-        "l_returnflag",
-        F.round("_e50", 9).alias("exact_p50"),
-        F.round("_e95", 9).alias("exact_p95"),
-        (
-            F.abs(F.col("_approx")[0] - F.col("_e50")) / F.col("_e50") <= 0.02
-        ).alias("p50_ok"),
-        (
-            F.abs(F.col("_approx")[1] - F.col("_e95")) / F.col("_e95") <= 0.02
-        ).alias("p95_ok"),
+    SELECT e.l_returnflag,"""
+        + _AQ_EXACT_SELECT
+        + """,
+           abs(a.ap[0] - (lo50 + (coalesce(hi50, lo50) - lo50) * f50))
+               / (lo50 + (coalesce(hi50, lo50) - lo50) * f50) <= 0.02
+               AS p50_ok,
+           abs(a.ap[1] - (lo95 + (coalesce(hi95, lo95) - lo95) * f95))
+               / (lo95 + (coalesce(hi95, lo95) - lo95) * f95) <= 0.02
+               AS p95_ok
+    FROM exact e JOIN approx a ON e.l_returnflag = a.l_returnflag
+    """
     )
 
 
@@ -736,9 +776,12 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_stats",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_extendedprice, l_quantity), 9) AS corr_price_qty,
-           round(covar_pop(l_extendedprice, l_quantity), 9) AS covar_price_qty,
-           round(stddev_samp(l_quantity), 9) AS std_qty
+           (floor(corr(l_extendedprice, l_quantity)
+                  * 1000000000.0 + 0.5) / 1000000000.0) AS corr_price_qty,
+           (floor(covar_pop(l_extendedprice, l_quantity)
+                  * 1000000.0 + 0.5) / 1000000.0) AS covar_price_qty,
+           (floor(stddev_samp(l_quantity)
+                  * 1000000000.0 + 0.5) / 1000000000.0) AS std_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -746,13 +789,16 @@ def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 9).alias(
+        fixed_round(F.corr("l_extendedprice", "l_quantity"), 9).alias(
             "corr_price_qty"
         ),
-        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 9).alias(
+        # covar magnitude is ~1e4-1e5: partition-order co-moment noise is
+        # ~1e-9 absolute, exactly 9-dp granularity — widen to 6 dp so the
+        # margin is ~1000x the noise instead of ~1x.
+        fixed_round(F.covar_pop("l_extendedprice", "l_quantity"), 6).alias(
             "covar_price_qty"
         ),
-        F.round(F.stddev_samp("l_quantity"), 9).alias("std_qty"),
+        fixed_round(F.stddev_samp("l_quantity"), 9).alias("std_qty"),
     )
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.functions import fixed_round
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -357,12 +358,12 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
-           round(CASE
+           (floor(CASE
              WHEN pv IS NULL THEN NULL
              WHEN nv IS NULL OR nt = pt THEN pv
              ELSE pv + (nv - pv) * (CAST(epoch_us(ts) - pt AS DOUBLE)
                                     / CAST(nt - pt AS DOUBLE))
-           END, 9) AS interp_value
+           END * 1000000000.0 + 0.5) / 1000000000.0) AS interp_value
     FROM br
     WHERE is_obs = 0
     """,
@@ -388,7 +389,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.date_format("ts", _FMT).alias("hour_ts"),
-        F.round("interp_value", 9).alias("interp_value"),
+        fixed_round(F.col("interp_value"), 9).alias("interp_value"),
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from fluent_bit_filter_math_spark.functions import (
     STOPWORDS,
     duck_hash60,
+    fixed_round,
     hash60,
     tokens,
 )
@@ -224,8 +225,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT count(*) AS total FROM documents)
     SELECT term,
            COUNT(*) AS df,
-           round(ln((CAST(total AS DOUBLE) + 1.0)
-                    / (CAST(COUNT(*) AS DOUBLE) + 1.0)), 9) AS idf
+           (floor(ln((CAST(total AS DOUBLE) + 1.0)
+                     / (CAST(COUNT(*) AS DOUBLE) + 1.0))
+                  * 1000000000.0 + 0.5) / 1000000000.0) AS idf
     FROM (SELECT doc_id, unnest(list_distinct({_D_TOKENS})) AS term
           FROM documents), n
     GROUP BY term, total
@@ -245,7 +247,7 @@ def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(F.broadcast(total)).select(
         "term",
         "df",
-        F.round(
+        fixed_round(
             F.log(
                 (F.col("_total") + F.lit(1.0))
                 / (F.col("df").cast("double") + F.lit(1.0))
@@ -280,8 +282,9 @@ def text_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT tf.doc_id, tf.term,
-             round(tf * ln((CAST(total AS DOUBLE) + 1.0)
-                           / (CAST(df AS DOUBLE) + 1.0)), 9) AS tfidf
+             (floor(tf * ln((CAST(total AS DOUBLE) + 1.0)
+                            / (CAST(df AS DOUBLE) + 1.0))
+                    * 1000000000.0 + 0.5) / 1000000000.0) AS tfidf
       FROM tf JOIN df ON tf.term = df.term, n
     )
     SELECT doc_id, term, rank FROM (
@@ -311,7 +314,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            F.round(
+            fixed_round(
                 F.col("tf")
                 * F.log(
                     (F.col("_total") + F.lit(1.0))
@@ -611,7 +614,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM (SELECT unnest(t) AS u FROM tok)),
     lp AS (
       SELECT b.doc_id,
-             CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v)), 9)
+             CAST(floor(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))
+                        * 1000000000.0 + 0.5) / 1000000000.0
                   AS DECIMAL(20,9)) AS lp
       FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
     ),
@@ -655,7 +659,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(vocab))
         .select(
             "doc_id",
-            F.round(
+            fixed_round(
                 F.log(
                     (F.col("c12") + 1).cast("double")
                     / (F.col("c1") + F.col("v"))

@@ -43,6 +43,7 @@ from fluent_bit_filter_math_spark.pipeline import (
     read_events_stream,
     run_stream_to_memory,
 )
+from fluent_bit_filter_math_spark.functions import exact_cents
 from fluent_bit_filter_math_spark.registry import register
 
 _OUT_SCHEMA = "user_id long, n_events long, total_cents long"
@@ -57,8 +58,9 @@ def _update_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # `cents` is pre-rounded JVM-side (F.round = half-up, matching the
-        # DuckDB oracle; pandas .round() is half-to-even) — exact integers
+        # `cents` is pre-fixed JVM-side via exact_cents (floor(x*100+0.5),
+        # rendering-independent in both engines; engine-native round(DOUBLE)
+        # is not, and pandas .round() is half-to-even) — exact integers
         # only cross the Arrow boundary and enter the state store.
         cents += int(pdf["cents"].sum())
     state.update((n, cents))
@@ -69,7 +71,7 @@ def _update_totals(
 
 def user_running_totals_stream(spark: SparkSession, path: str) -> DataFrame:
     stream = read_events_stream(spark, path, drop_nanos=True).select(
-        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        "user_id", exact_cents(F.col("value")).alias("cents")
     )
     return stream.groupBy("user_id").applyInPandasWithState(
         _update_totals,
@@ -85,7 +87,7 @@ def user_running_totals_stream(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents
     FROM events
     GROUP BY user_id
     """,

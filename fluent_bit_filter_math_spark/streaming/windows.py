@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.functions import exact_cents
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -174,7 +175,7 @@ def win_session_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', ts), '{_D_FMT}') AS day_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
     FROM events
     WHERE date_trunc('day', ts) + INTERVAL 1 DAY
           <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
@@ -189,7 +190,7 @@ def stream_rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     stream = read_events_stream(spark, path, drop_nanos=True)
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = exact_cents(F.col("value"))
     hourly = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
@@ -248,7 +249,7 @@ def stream_rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(coalesce(h, d, w), '{_D_FMT}') AS bucket_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
     FROM (
       SELECT event_type, value,
              date_trunc('hour', ts) AS h,
@@ -261,7 +262,7 @@ def stream_rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = exact_cents(F.col("value"))
     bucketed = ev.select(
         "event_type",
         cents.alias("c"),
