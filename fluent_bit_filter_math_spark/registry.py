@@ -58,93 +58,85 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
-# Verification-first ordering (see module docstring). Three tiers:
-#   tier 1 — modules with no driver CORRECTNESS row in round 1;
-#   tier 2 — queries new or semantically changed in round 2;
-#   tier 3 — reference-surface core + one representative per verified family.
-# Demoted past the window this round to admit the six new queries
-# (decontam / domain mixture / k-means / dq audit / scd2 / pagerank):
-# sample_per_stratum_topk (sampling keeps stratified + domain-mixture
-# in-window),
-# subq_in_big_orders + subq_scalar_below_avg_qty (the subquery family
-# keeps 3 in-window rows), fn_conditional_suite + fn_map_suite (5 of 7
-# fn suites stay in-window), win_sliding_hour_30m (tumbling + session
-# pin the streaming-window mechanism) — all unchanged since their local
-# verification; families stay driver-covered.
+# Verification-first ordering (see module docstring). Per-round tiers:
+#   tier 1 — queries red in the previous round's driver check, fixed now;
+#   tier 2 — queries new or semantically changed this round;
+#   tier 3 — queries with the OLDEST driver green row (fixtures get
+#            regenerated between rounds, so old greens go stale);
+#   tier 4 — perf-touched queries + reference-core continuity.
+# Everything past the 50-slot window stays registered and benched; the
+# next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 5 rotation ---
-    # tier 1: the 19 queries that have never appeared in ANY driver
-    # window (r1-r4) — VERDICT r4 "What's missing" #1. All emit scalar
-    # columns only (checked), so none can trip the driver canonicalizer
-    # the way the raw-array fn_array_suite did.
-    "window_distribution_fns",
-    "agg_corr_stats",
-    "setop_except_all",
-    "setop_intersect_all",
-    "agg_string_agg",
-    "agg_histogram",
-    "reshape_unpivot",
-    "emb_quantize_int8",
-    "text_lm_score",
-    "ts_resample_locf",
-    "fn_map_suite",
-    "fn_conditional_suite",
-    "fn_null_semantics",
-    "fn_try_suite",
-    "subq_scalar_below_avg_qty",
-    "subq_in_big_orders",
-    "sample_per_stratum_topk",
-    "sample_split_assign",
-    "win_sliding_hour_30m",
-    # tier 2: fixed this round — need a fresh green row to close the
-    # r2-r4 failures (NTZ watermark, cents rounding, decimal-routed
-    # round, array-as-string canonicalization).
-    "fn_array_suite",
+    # --- round 6 rotation ---
+    # tier 1: the six r5 hash-fails, all fixed this round by replacing
+    # engine-native round(DOUBLE) with the shared floor(x*scale+0.5)
+    # idiom (functions.fixed_point / fixed_round) — need green rows.
     "fn_math_suite",
     "udaf_event_type_cents",
     "stream_stateful_user_totals",
-    "stream_dedup_events",
-    "stream_dedup_within_watermark",
-    "stream_stream_join_attrib",
-    "stream_stream_left_outer",
     "stream_rollup_hour_to_day",
     "rollup_time_grains",
-    "stream_file_sink_roundtrip",
-    "ts_interpolate_linear",
     "window_range_trailing_1h",
-    "fn_higher_order_suite",
+    # tier 2: queries whose outputs were re-routed through the same
+    # idiom this round as knife-edge prophylaxis (VERDICT r5 task #5) —
+    # semantics changed, so their r5/r4 greens are void.
+    "agg_corr_stats",
     "agg_approx_quantiles",
-    "agg_approx_distinct",
-    # tier 3: reference-surface core (§2.1) — keep the engine's raison
-    # d'être continuously driver-verified.
-    "math_sum",
-    "math_chain",
-    "math_div_ieee",
-    "math_tag_route",
-    "math_malformed_passthrough",
+    "ts_interpolate_linear",
+    "text_doc_freq",
+    "text_tfidf_topterms",
+    "text_lm_score",
+    # tier 3: the 34 queries whose latest driver row is ROUND 1 — before
+    # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
+    # Includes the §2.1 reference folds (math.c:197-265 semantics), the
+    # TPC-H shapes, and all three multimodal queries (VERDICT r5 task #2).
+    "math_sub",
+    "math_mul",
+    "math_div",
+    "math_cast_int",
+    "math_missing_field",
+    "math_nonnumeric",
+    "math_case_insensitive",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "agg_rollup",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_count_distinct",
+    "window_rank_lag",
+    "window_running_total",
+    "sort_limit_topn",
+    "setop_union",
+    "setop_intersect",
+    "join_anti",
+    "join_full_outer",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_signatures",
+    "sim_range_search",
+    "sim_ann_bucketed",
+    "text_token_stats",
+    "text_token_count_regex",
+    "text_lang_id",
+    "text_bigrams",
+    "text_fingerprint",
+    "mm_metadata",
+    "mm_decode",
+    "mm_frame_sample",
+    # tier 4: touched for performance this round (length-bucket pruning,
+    # single-action CC fixpoint, mem-source batching) plus the flagship
+    # reference fold for §2.1 continuity.
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
     "mem_source_fold",
-    "stream_math_fold",
-    # tier 4: one representative per already-verified family (r4-green
-    # rows whose semantics are untouched this round, or r1-green rows
-    # due a refresh): windows, relational joins/aggs/setops, TPC-H
-    # shapes, dedup/similarity/text/curation pipeline ops, streaming
-    # windows + stream-static join.
-    "q1_pricing_summary",
-    "topk_per_group",
-    "join_semi",
-    "join_asof_events",
-    "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
-    "text_quality_score",
-    "win_session_user",
-    # families left past the window this round are all r4-green with
-    # unchanged semantics (sim_ann_gemm/ivf, tfidf/pii/repetition,
-    # stratified/domain-mixture sampling, curate/pack pipelines,
-    # skew join, argmax, except, cosine/jaccard/cc/incremental dedup,
-    # kmeans, dq audit, scd2, pagerank, decontam, doc_freq,
-    # udf/udtf, grouping sets, pivot, exists/not-exists/above-avg
-    # subqueries, string/date/json fn suites, range join,
-    # stream-static join) — rotation brings them back in r6.
+    "math_sum",
+    # Families left past the window are all r4/r5-green with unchanged
+    # semantics (streaming dedup/joins/windows, fn suites, subqueries,
+    # sampling, curation, skew, kmeans, pagerank, decontam, quality,
+    # scd2, udf/udtf, grouping sets, pivot, approx sketches, quantize,
+    # distribution windows, set-ops *_all, unpivot, locf) — rotation
+    # brings representatives back in r7.
 )
 
 
