@@ -79,8 +79,10 @@ def main() -> int:
             try:
                 _force(fn(spark, SF_DIR))
             except Exception as exc:  # noqa: BLE001 — record and continue
+                # Keep any earlier successful rep timings (ADVICE r5): a
+                # flaky-once query still reports its measured min
+                # alongside the error instead of a null.
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                times[name] = []
                 continue
             times[name].append(time.perf_counter() - t0)
     per_query: dict[str, float | None] = {
@@ -119,7 +121,9 @@ def main() -> int:
     slowest = dict(
         sorted(ok.items(), key=lambda kv: -kv[1])[:15]
     )
-    slowest.update({n: None for n in errors})
+    # Failed queries surface with their measured min when one exists
+    # (flaky-once), else null.
+    slowest.update({n: per_query[n] for n in errors})
     line = {**summary, "queries": slowest, "queries_full": "BENCH_DETAIL.json"}
     spark.stop()
     sys.stdout.flush()

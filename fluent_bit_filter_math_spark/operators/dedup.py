@@ -750,9 +750,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     e = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(e)).localCheckpoint()
-        # Fixpoint iff a full round changes nothing (both are distinct
-        # sets, so equal count + empty one-sided difference ⇒ equal).
-        if nxt.count() == e.count() and nxt.subtract(e).count() == 0:
+        # Fixpoint iff a full round changes nothing. Both sides are
+        # distinct sets, so set equality ⇔ empty symmetric difference —
+        # ONE Spark action (isEmpty short-circuits at the first row)
+        # instead of the former count+count+subtract-count triple, which
+        # re-read both checkpointed edge sets three times per round.
+        if nxt.subtract(e).union(e.subtract(nxt)).isEmpty():
             return nxt
         e = nxt
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")

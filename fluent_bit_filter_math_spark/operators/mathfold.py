@@ -319,8 +319,17 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_specs(
         stream, [MathSpec.build("sum", ["value", "k", 7], "math_out")]
     ).select("event_id", "value", "math_out")
+    # Deferred cleanup (ADVICE r5): the returned DataFrame reads lazily
+    # from the sink, so the dirs can't be removed here — register them
+    # for removal at interpreter exit instead of leaking one pair per
+    # bench rep / correctness run.
+    import atexit
+    import shutil
+
     sink = tempfile.mkdtemp(prefix="fbm-file-sink-")
     ckpt = tempfile.mkdtemp(prefix="fbm-file-sink-ckpt-")
+    for d in (sink, ckpt):
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     (
         out.writeStream.format("parquet")
         .option("path", sink)

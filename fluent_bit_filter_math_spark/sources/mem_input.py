@@ -23,6 +23,9 @@ source remains the streaming analogue (``io.rate_stream``).
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -57,9 +60,23 @@ class MemMetricsReader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        for i in range(partition.start, partition.end):
-            used = mem_used(i)
-            yield (i, MEM_TOTAL, used, MEM_TOTAL - used)
+        # Emit ONE Arrow RecordBatch per partition instead of per-row
+        # tuples: the Python DataSource API pickles every yielded tuple
+        # across the Python↔JVM boundary, which made this connector the
+        # repo's only >2x-regressed bench query (VERDICT r5 perf note).
+        # A vectorized batch crosses the boundary once — the same rows,
+        # ~row-count-independent overhead.
+        i = np.arange(partition.start, partition.end, dtype=np.int64)
+        used = 400000 + (i * 37) % 100000
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(i, type=pa.int64()),
+                pa.array(np.full(len(i), MEM_TOTAL, dtype=np.int64)),
+                pa.array(used, type=pa.int64()),
+                pa.array(MEM_TOTAL - used, type=pa.int64()),
+            ],
+            names=["row_id", "mem_total", "mem_used", "mem_free"],
+        )
 
 
 class MemMetricsDataSource(DataSource):

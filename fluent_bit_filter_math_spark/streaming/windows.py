@@ -243,8 +243,8 @@ def stream_rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_time_grains",
     oracle=f"""
-    SELECT CASE WHEN h IS NOT NULL THEN 'hour'
-                WHEN d IS NOT NULL THEN 'day'
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
                 ELSE 'week' END AS grain,
            strftime(coalesce(h, d, w), '{_D_FMT}') AS bucket_start,
            event_type,
@@ -273,8 +273,8 @@ def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed.createOrReplaceTempView("rollup_grains_src")
     return spark.sql(
         f"""
-        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
-                    WHEN d IS NOT NULL THEN 'day'
+        SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                    WHEN GROUPING(d) = 0 THEN 'day'
                     ELSE 'week' END AS grain,
                date_format(coalesce(h, d, w), '{_FMT}') AS bucket_start,
                event_type,
