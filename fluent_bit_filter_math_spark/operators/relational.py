@@ -961,3 +961,85 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+# ---------------------------------------------------------------------------
+# linear-regression aggregates — slope / intercept / R² / count of
+# price on quantity per return flag, the OLS building block every
+# analytics surface carries. Like corr/covar these accumulate partition-
+# order-dependent co-moments, so outputs route through the portable
+# floor idiom at a granularity with ≥100× margin over the ~1e-8 absolute
+# accumulation noise (6 dp for the 1e2-1e4-magnitude slope/intercept,
+# 9 dp for R² ∈ [0,1]). Partial-aggregatable: one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_regr_ols",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           (floor(regr_slope(l_extendedprice, l_quantity)
+                  * 1000000.0 + 0.5) / 1000000.0) AS slope,
+           (floor(regr_intercept(l_extendedprice, l_quantity)
+                  * 1000000.0 + 0.5) / 1000000.0) AS intercept,
+           (floor(regr_r2(l_extendedprice, l_quantity)
+                  * 1000000000.0 + 0.5) / 1000000000.0) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regr_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("regr_count(l_extendedprice, l_quantity)")
+        .cast("long")
+        .alias("n"),
+        fixed_round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 6
+        ).alias("slope"),
+        fixed_round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6
+        ).alias("intercept"),
+        fixed_round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 9).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# value window functions — first / last / nth event value per user over
+# the full partition frame (the "what did this user do first/last"
+# enrichment shape). Deterministic ordering via the (ts, event_id)
+# composite key; outputs are raw fixture doubles (no arithmetic), so
+# they hash identically without any rounding. One shuffle on user_id,
+# all four windows share the partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "window_value_fns",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 3) OVER w AS third_val,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_user_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+        F.count(F.lit(1)).over(w).alias("n_user_events"),
+    )

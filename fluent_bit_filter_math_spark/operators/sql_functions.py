@@ -506,3 +506,36 @@ def fn_higher_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bitwise functions — AND/OR/XOR/shifts/popcount over integer keys, the
+# natural neighbor of the reference's arithmetic fold surface (a metric
+# filter that packs flags into words needs exactly these). All integer-
+# exact — no cross-engine float hazard at all. Pure projection: zero
+# shuffles, one whole-stage-codegen span.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS id_mix,
+           event_id << 2 AS shl2,
+           event_id >> 3 AS shr3,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("id_mix"),
+        F.shiftleft(F.col("event_id"), 2).alias("shl2"),
+        F.shiftright(F.col("event_id"), 3).alias("shr3"),
+        F.bit_count(F.col("event_id")).cast("long").alias("popcount"),
+    )

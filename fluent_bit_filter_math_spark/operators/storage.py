@@ -1,0 +1,146 @@
+"""Storage-layout queries — partition pruning and bucketed co-location.
+
+The reference has no storage layer (bytes in, bytes out —
+/root/reference/filter_math/math.c:290-296,356-357); these queries are
+the extension surface where the 100 TB story is decided BEFORE any
+operator runs:
+
+* **Partition pruning** — a corpus laid out as
+  ``.../event_type=X/part-*.parquet`` turns a predicate on the
+  partition column into directory selection: a query touching one of k
+  types reads ~1/k of the bytes, and the scan node proves it
+  (PartitionFilters in the physical plan, pinned in
+  tests/test_plans.py). At 100 TB this is the difference between a
+  full-corpus scan and reading one shard.
+* **Bucketed co-located join** — both fact tables pre-clustered into
+  the same bucket count on the join key (sources/warehouse.py): the
+  join runs with ZERO Exchange on either side. The shuffle is paid once
+  at write time and amortized over every subsequent keyed join/agg,
+  instead of re-shuffling the corpus per query.
+
+Both layouts are written once per (session, sf_dir) and reused by later
+builds in the same session — the same amortization a production
+warehouse gets from its ingest job. Oracles run on the ORIGINAL
+unpartitioned fixture: the round-trip through the layout must be
+value-invisible.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+from fluent_bit_filter_math_spark.sources.warehouse import (
+    bucketed_table,
+    write_bucketed,
+)
+
+# (applicationId, sf_dir) → partitioned-parquet path / "bucketed written"
+_PARTITIONED_DIRS: dict[tuple[str, str], str] = {}
+_BUCKETED_READY: set[tuple[str, str]] = set()
+
+_N_BUCKETS = 16
+
+
+def partitioned_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-laid-out as parquet partitioned by event_type, written
+    once per (session, fixture)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PARTITIONED_DIRS:
+        out = tempfile.mkdtemp(prefix="fbm-part-events-")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        (
+            table(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+        _PARTITIONED_DIRS[key] = out
+    return _PARTITIONED_DIRS[key]
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned scan — filter on the partition column reaches the
+# directory listing, not the row scan. The oracle reads the ORIGINAL
+# events fixture: layout must not change values. Output column order
+# mirrors the original schema (partitionBy moves event_type last in the
+# round-tripped files; the select puts it back).
+# ---------------------------------------------------------------------------
+@register(
+    "io_partitioned_prune",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type = 'error'
+    """,
+)
+def io_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = partitioned_events_path(spark, sf_dir)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    return df.select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join — orders ⋈ lineitem on the order key, both
+# sides pre-bucketed into _N_BUCKETS on that key, then a per-priority
+# revenue rollup. The join itself is Exchange-free (bucket i of one
+# table only ever meets bucket i of the other — pinned in
+# tests/test_scale.py); the only shuffle in the plan is the final small
+# per-priority aggregate. DECIMAL(38,6) accumulation keeps the float
+# sum engine-exact (the q1 idiom).
+# ---------------------------------------------------------------------------
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_READY:
+        write_bucketed(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "fbm_orders_bucketed",
+            ["o_orderkey"],
+            _N_BUCKETS,
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            "fbm_lineitem_bucketed",
+            ["l_orderkey"],
+            _N_BUCKETS,
+            sort_cols=["l_orderkey"],
+        )
+        _BUCKETED_READY.add(key)
+    return (
+        bucketed_table(spark, "fbm_orders_bucketed"),
+        bucketed_table(spark, "fbm_lineitem_bucketed"),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob, lb = _bucketed_pair(spark, sf_dir)
+    joined = ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+            " AS DECIMAL(38,6))) AS DOUBLE)"
+        ).alias("revenue"),
+    )

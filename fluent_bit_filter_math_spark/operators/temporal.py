@@ -467,3 +467,82 @@ def interpolate_on_grid(
     return br.filter(F.col("is_obs") == 0).select(
         F.col("k").alias(key), "ts", interp.alias("interp_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization — gaps-and-islands over the event stream: a new
+# session starts when a user's inter-event gap exceeds 30 minutes. The
+# batch complement of the streaming session window (win_session_user):
+# a backfill/reprocessing job sessionizes the full history with TWO
+# window passes over ONE user_id partitioning (lag → gap flag, then a
+# running sum of flags numbers the sessions), then one keyed aggregate.
+# Everything is integer epoch-µs arithmetic — engine-exact, no float in
+# any driver-visible column. Scale: one shuffle on user_id shared by
+# both windows and the aggregate (the partitioning carries through),
+# per-partition state is O(1) per window.
+# ---------------------------------------------------------------------------
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN us - lag(us) OVER w > {_SESSION_GAP_US}
+                  OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, event_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(sess_seq AS BIGINT) AS sess_seq,
+           COUNT(*) AS n_events,
+           CAST(min(us) AS BIGINT) AS sess_start_us,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, sess_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # NTZ-safe epoch ordering (the reader may infer ts as TIMESTAMP_NTZ;
+    # gaps are shift-invariant, so the cast's epoch reference is moot).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = ev.select("user_id", "event_id", us.alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = o.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > _SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "us",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_seq"),
+    )
+    return numbered.groupBy("user_id", "sess_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("sess_start_us"),
+        # Integer div on both sides: DuckDB's float '/' + CAST rounds to
+        # nearest while Spark's cast truncates — '//' vs 'div' agree.
+        F.expr("(max(us) - min(us)) div 1000000").alias("duration_sec"),
+    )

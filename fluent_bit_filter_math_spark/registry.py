@@ -86,7 +86,17 @@ _PRIORITY: tuple[str, ...] = (
     "text_doc_freq",
     "text_tfidf_topterms",
     "text_lm_score",
-    # tier 3: the 34 queries whose latest driver row is ROUND 1 — before
+    # tier 2b: NEW this round — no driver row exists yet anywhere:
+    # storage-layout queries (partition pruning, bucketed co-located
+    # join), batch sessionization, OLS regression aggregates, value
+    # window fns, bitwise suite.
+    "io_partitioned_prune",
+    "join_bucketed_colocated",
+    "sessionize_events",
+    "agg_regr_ols",
+    "window_value_fns",
+    "fn_bitwise_suite",
+    # tier 3: the 28 in-window of 34 queries whose latest driver row is ROUND 1 — before
     # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
     # Includes the §2.1 reference folds (math.c:197-265 semantics), the
     # TPC-H shapes, and all three multimodal queries (VERDICT r5 task #2).
@@ -101,14 +111,8 @@ _PRIORITY: tuple[str, ...] = (
     "q5_local_supplier",
     "q6_forecast_revenue",
     "agg_rollup",
-    "agg_cube",
     "agg_percentiles",
     "agg_count_distinct",
-    "window_rank_lag",
-    "window_running_total",
-    "sort_limit_topn",
-    "setop_union",
-    "setop_intersect",
     "join_anti",
     "join_full_outer",
     "dedup_exact",
@@ -131,6 +135,11 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_cluster_cc",
     "mem_source_fold",
     "math_sum",
+    # Demoted to fit the six new queries (r1-green, unchanged, family
+    # covered in-window): agg_cube (rollup/grouping-set kin in-window),
+    # window_rank_lag + window_running_total (4 window queries remain),
+    # sort_limit_topn (topk_per_group in-window), setop_union/intersect
+    # (the *_all bag variants were green in r5) — r7 rotates them in.
     # Families left past the window are all r4/r5-green with unchanged
     # semantics (streaming dedup/joins/windows, fn suites, subqueries,
     # sampling, curation, skew, kmeans, pagerank, decontam, quality,
@@ -163,6 +172,7 @@ def _ensure_loaded() -> None:
         skew,
         quality,
         graph,
+        storage,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

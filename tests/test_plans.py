@@ -129,3 +129,49 @@ def test_repetition_filter_partial_aggregates(spark, sf_dir):
     assert "partial_count" in plan
     assert "partial_max" in plan
     assert "Python" not in plan  # all-native expressions
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.storage import (
+        io_partitioned_prune,
+    )
+
+    plan = plan_of(io_partitioned_prune(spark, sf_dir))
+    # The event_type predicate must reach the directory listing, not the
+    # row filter: a pruned scan reads 1/k of the corpus at 100 TB.
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # And the pruned column never appears as a post-scan Filter.
+    assert "Scan parquet" in plan
+
+
+def test_bucketed_join_query_is_exchange_free_until_agg(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.storage import (
+        join_bucketed_colocated,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(join_bucketed_colocated(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # The join runs on pre-bucketed sides: the ONLY Exchange in the plan
+    # is the final 5-row per-priority aggregate. (Formatted plans print
+    # each node twice — tree line + detail block — so count node ids.)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SortMergeJoin" in plan
+
+
+def test_sessionize_shares_one_partitioning(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        sessionize_events,
+    )
+
+    plan = plan_of(sessionize_events(spark, sf_dir))
+    # lag-flag window, running-sum window and the session aggregate all
+    # key on user_id: exactly one shuffle in the whole plan.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
