@@ -100,6 +100,84 @@ def udaf_event_type_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouped-map UDAF #2 — per-event-type least-squares trend (cents vs
+# seconds since the fixture epoch) via applyInPandas: the shape a
+# production pipeline uses when the per-group kernel is genuinely
+# imperative (scipy fit, changepoint, custom loss). Determinism
+# discipline: x (whole seconds) and y (cents) are exact int64 JVM-side,
+# the kernel accumulates Python arbitrary-precision integer sums (no
+# float accumulation order), and only the final slope/intercept are
+# computed in doubles — the identical two-operand IEEE expressions the
+# DuckDB oracle spells out over its own exact HUGEINT sums.
+# ---------------------------------------------------------------------------
+_EPOCH_2024 = 1_704_067_200  # 2024-01-01 00:00:00 UTC, fixture min day
+
+
+def _group_ols(pdf: pd.DataFrame) -> pd.DataFrame:
+    xs = [int(v) for v in pdf["x"]]
+    ys = [int(v) for v in pdf["cents"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = float(n * sxy - sx * sy)
+    den = float(n * sxx - sx * sx)
+    slope = num / den
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_events": [n],
+            "slope_cents_per_s": [slope],
+            "intercept_cents": [intercept],
+        }
+    )
+
+
+@register(
+    "udaf_group_ols",
+    # DuckDB sums BIGINT into HUGEINT (exact 128-bit); the closed-form
+    # slope/intercept mirror the kernel's final double expressions
+    # operand-for-operand.
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(epoch(ts) AS BIGINT) - {_EPOCH_2024} AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(cents) AS sy,
+             SUM(x * x) AS sxx, SUM(x * cents) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           n AS n_events,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s,
+           (CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents
+    FROM sums
+    """,
+)
+def udaf_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts").cast("long") - F.lit(_EPOCH_2024)).alias("x"),
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        _group_ols,
+        schema=(
+            "event_type string, n_events long,"
+            " slope_cents_per_s double, intercept_cents double"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Python UDTF — tokenizer emitting (pos, token) rows via lateral join.
 # ---------------------------------------------------------------------------
 class _TokenizeUDTF:

@@ -1,0 +1,491 @@
+"""Extended TPC-H-shape query corpus (Q7/Q8/Q9/Q10/Q12/Q14/Q16/Q18/Q19).
+
+The reference engine has no joins or aggregations at all (single-record
+scope, math.c:322-353), so this whole module is §2.3 extension surface:
+the classic decision-support shapes adapted to the fixture schema (no
+partsupp table, no l_receiptdate/l_shipmode/p_container columns — each
+adaptation is noted per query).
+
+Scale stance (100 TB): every query is expressed declaratively so
+Catalyst owns join order and physical strategy; dimension tables
+(nation, region, filtered part/supplier slices) are broadcast
+explicitly, fact-fact joins (orders⋈lineitem) shuffle once on the order
+key, and all money aggregates run through the exact-DECIMAL sum idiom
+(`_dsum`) so partial/final aggregation trees agree bit-for-bit with the
+oracle's sequential sums. Ratio outputs divide two such sums as doubles
+— one IEEE division, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+# Shared with relational.py: exact decimal(38,6) sum of a double row
+# expression, surfaced as double (see relational.py:28 for the scale
+# rationale — fixture money columns sit on a ≤6-dp grid).
+def _dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by supplier-nation /
+# customer-nation / year. The nation-pair predicate is pushed into two
+# broadcast joins against the 25-row nation dim; the only real shuffles
+# are lineitem⋈orders (orderkey) and ⋈customer (custkey) plus the final
+# 3-key aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {_dsum(_REVENUE)} AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1998-12-31 00:00:00")
+    )
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.filter(F.col("n_name").isin("NATION_1", "NATION_2"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.expr(_dsum(_REVENUE)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — market share of one supplier nation within a customer region, per
+# year, for one part type. Adaptation: fixture p_type is a single word
+# (no partsupp), so the part filter is p_type = 'ECONOMY'. The share is
+# a conditional decimal sum over a plain decimal sum, divided as
+# doubles. part and the dims broadcast; at 100 TB the filtered part
+# slice (1/6 of part) may exceed the broadcast threshold, in which case
+# AQE falls back to a shuffle join on l_partkey — correct either way.
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {_dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {_dsum('volume')} AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_REVENUE} AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1997-12-31 00:00:00")
+    )
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    all_nations = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr(_REVENUE).alias("volume"),
+            "nation",
+        )
+    )
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                F.expr(
+                    _dsum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")
+                )
+                / F.expr(_dsum("volume"))
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year. Adaptation: no partsupp
+# table, so supply cost is modeled as 10% of p_retailprice per unit
+# (profit = revenue − 0.1·p_retailprice·l_quantity); part filter is a
+# name substring like the original's '%green%'.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT nation,
+           o_year,
+           {_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.1 * p_retailprice * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr(
+                "l_extendedprice * (1 - l_discount)"
+                " - 0.1 * p_retailprice * l_quantity"
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr(_dsum("amount")).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting: top 20 customers by lost revenue in one
+# quarter. orders filtered to the quarter, lineitem to returnflag='R';
+# customer⋈nation broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {_dsum(_REVENUE)} AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-10-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_dsum(_REVENUE)).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-latency priority audit. Adaptation: no l_shipmode /
+# l_receiptdate, so the "late" predicate is shipped > 90 days after the
+# order date, bucketed by ship year: count urgent/high-priority vs other
+# orders among late shipments. Pure conditional aggregation after one
+# orderkey join.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_late_priority",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    ORDER BY ship_year
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion-revenue share in one month. part broadcast; one
+# conditional decimal sum over another, divided as doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * {_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0 END")}
+             / {_dsum(_REVENUE)} AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1998-03-01'
+      AND l_shipdate < TIMESTAMP '1998-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-03-01") & (F.col("l_shipdate") < "1998-04-01")
+    )
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.expr(
+                    _dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE} ELSE 0 END")
+                )
+                / F.expr(_dsum(_REVENUE))
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier variety per part attribute triple. Adaptation: the
+# part-supplier relation comes from lineitem (no partsupp); excluded
+# suppliers are the negative-balance ones (no s_comment complaints
+# column). COUNT(DISTINCT) after a broadcast anti-join exclusion.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    bad_supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers: orders whose line quantities sum past a
+# threshold, joined back to customer. The HAVING subquery and the outer
+# join share the same orderkey clustering; Catalyst plans the semi
+# filter as a broadcast of the (small) qualifying-key set at this SF,
+# and a shuffle join at scale — both correct.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+      )
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+             o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive predicate revenue: OR-of-ANDs over (brand, size
+# range, quantity range). Catalyst pushes the common l_partkey equi-key
+# out of the disjunction so the join stays a hash join with the OR as a
+# post-join filter; part broadcast. Adaptation: p_container → p_size
+# bands.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_pred",
+    oracle=f"""
+    SELECT {_dsum(_REVENUE)} AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+            AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(F.expr(_dsum(_REVENUE)).alias("revenue"))

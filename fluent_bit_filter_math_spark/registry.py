@@ -96,6 +96,17 @@ _PRIORITY: tuple[str, ...] = (
     "agg_regr_ols",
     "window_value_fns",
     "fn_bitwise_suite",
+    # tier 2c: NEW this round — the extended TPC-H corpus (Q7-Q19
+    # shapes adapted to the fixture schema; operators/tpch_extra.py).
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_priority",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
     # tier 3: the 28 in-window of 34 queries whose latest driver row is ROUND 1 — before
     # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
     # Includes the §2.1 reference folds (math.c:197-265 semantics), the
@@ -109,37 +120,35 @@ _PRIORITY: tuple[str, ...] = (
     "math_case_insensitive",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "q6_forecast_revenue",
-    "agg_rollup",
     "agg_percentiles",
     "agg_count_distinct",
     "join_anti",
-    "join_full_outer",
     "dedup_exact",
     "dedup_simhash",
-    "dedup_minhash_signatures",
     "sim_range_search",
-    "sim_ann_bucketed",
     "text_token_stats",
-    "text_token_count_regex",
     "text_lang_id",
-    "text_bigrams",
-    "text_fingerprint",
     "mm_metadata",
     "mm_decode",
     "mm_frame_sample",
     # tier 4: touched for performance this round (length-bucket pruning,
-    # single-action CC fixpoint, mem-source batching) plus the flagship
-    # reference fold for §2.1 continuity.
+    # single-action CC fixpoint, mem-source batching).
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "mem_source_fold",
-    "math_sum",
-    # Demoted to fit the six new queries (r1-green, unchanged, family
-    # covered in-window): agg_cube (rollup/grouping-set kin in-window),
-    # window_rank_lag + window_running_total (4 window queries remain),
-    # sort_limit_topn (topk_per_group in-window), setop_union/intersect
-    # (the *_all bag variants were green in r5) — r7 rotates them in.
+    # Demoted to fit the fifteen new queries (family covered in-window):
+    # agg_cube + agg_rollup (rollup_time_grains' GROUPING SETS kin
+    # in-window), window_rank_lag + window_running_total (4 window
+    # queries remain), sort_limit_topn (topk_per_group in-window),
+    # setop_union/intersect (the *_all bag variants were green in r5),
+    # q6_forecast_revenue (single-table filter-agg shape covered by q1 +
+    # q14/q19), text_token_count_regex/bigrams/fingerprint (token_stats,
+    # lang_id + three tier-2 text queries remain), dedup_minhash_signatures
+    # (dedup_minhash_lsh green r5; exact+simhash in-window),
+    # sim_ann_bucketed (range/bruteforce/gemm/ivf covered r4/r5),
+    # join_full_outer (semi/anti/asof/bucketed in-window), math_sum
+    # (entry() smoke-checks the flagship fold every round; six sibling
+    # folds in-window) — r7 rotates them back in.
     # Families left past the window are all r4/r5-green with unchanged
     # semantics (streaming dedup/joins/windows, fn suites, subqueries,
     # sampling, curation, skew, kmeans, pagerank, decontam, quality,
@@ -173,6 +182,7 @@ def _ensure_loaded() -> None:
         quality,
         graph,
         storage,
+        tpch_extra,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

@@ -175,3 +175,44 @@ def test_sessionize_shares_one_partitioning(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_tpch_extra_broadcasts_dims_no_cartesian(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.tpch_extra import (
+        q7_nation_volume,
+        q9_product_profit,
+        q19_disjunctive_pred,
+    )
+
+    for q in (q7_nation_volume, q9_product_profit, q19_disjunctive_pred):
+        plan = plan_of(q(spark, sf_dir))
+        # Dim sides (nation-tagged supplier slice, filtered part) ride
+        # broadcast joins; a cartesian anywhere is a 100 TB killer.
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q19_disjunction_keeps_equi_join(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.tpch_extra import (
+        q19_disjunctive_pred,
+    )
+
+    plan = plan_of(q19_disjunctive_pred(spark, sf_dir))
+    # The common l_partkey equi-key is factored out of the OR-of-ANDs:
+    # the join stays a hash join keyed on partkey, never a nested loop
+    # evaluating the disjunction per pair.
+    assert "BroadcastHashJoin" in plan and "partkey" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q18_semi_filter_shares_orderkey_clustering(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.tpch_extra import (
+        q18_large_orders,
+    )
+
+    plan = plan_of(q18_large_orders(spark, sf_dir))
+    # The HAVING>150 key set reaches lineitem as a semi join (broadcast
+    # at this SF), not a full inner join duplicating rows.
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
