@@ -142,7 +142,7 @@ def _group_ols(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH pts AS (
       SELECT event_type,
-             CAST(epoch(ts) AS BIGINT) - {_EPOCH_2024} AS x,
+             epoch_us(ts) // 1000000 - {_EPOCH_2024} AS x,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
       FROM events
     ),
@@ -163,9 +163,15 @@ def _group_ols(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def udaf_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTZ → TIMESTAMP is exact under the UTC session pin (catalog.py);
+    # whole seconds via integer floor-div of epoch micros — the same
+    # exact BIGINT on both engines (DuckDB: epoch_us(ts) // 1000000).
     ev = table(spark, sf_dir, "events").select(
         "event_type",
-        (F.col("ts").cast("long") - F.lit(_EPOCH_2024)).alias("x"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+            - F.lit(_EPOCH_2024)
+        ).alias("x"),
         exact_cents(F.col("value")).alias("cents"),
     )
     return ev.groupBy("event_type").applyInPandas(

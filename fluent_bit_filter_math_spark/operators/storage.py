@@ -144,3 +144,81 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,6))) AS DOUBLE)"
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert (lakehouse SCD1) — apply a change batch to a keyed base
+# table: update matched keys, insert new ones, delete flagged ones. The
+# change batch is synthesized deterministically from the fixture (every
+# orderkey % 7 == 0 gets a +10.0 price amendment, % 11 == 0 a delete
+# flag, and a disjoint key range arrives as inserts), so the oracle can
+# rebuild the identical merge in pure SQL.
+#
+# Execution shape is the scalable one: ONE full-outer join on the key —
+# the same single shuffle Delta/Iceberg MERGE INTO compiles to when the
+# change batch is too big to broadcast. At 100 TB the base side would be
+# bucketed/partition-pruned by the key range of the batch (see
+# join_bucketed_colocated for the amortization); with a small batch AQE
+# broadcasts the change side and the base never shuffles at all.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS new_price,
+             CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS is_delete
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, 0
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN c.o_orderkey IS NOT NULL THEN c.new_price
+                  ELSE b.o_totalprice END AS o_totalprice,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN b.o_orderpriority
+                  ELSE 'NEW' END AS o_orderpriority,
+             COALESCE(c.is_delete, 0) AS is_delete
+      FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    )
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM merged WHERE is_delete = 0
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    amendments = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("new_price"),
+        F.when(F.col("o_orderkey") % 11 == 0, 1).otherwise(0).alias("is_delete"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.col("o_totalprice").alias("new_price"),
+        F.lit(0).alias("is_delete"),
+    )
+    changes = amendments.unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    return (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("c.o_orderkey").isNotNull(), F.col("c.new_price"))
+            .otherwise(F.col("b.o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(
+                F.col("b.o_orderkey").isNotNull(), F.col("b.o_orderpriority")
+            )
+            .otherwise(F.lit("NEW"))
+            .alias("o_orderpriority"),
+            F.coalesce(F.col("c.is_delete"), F.lit(0)).alias("is_delete"),
+        )
+        .filter(F.col("is_delete") == 0)
+        .drop("is_delete")
+    )

@@ -107,6 +107,13 @@ _PRIORITY: tuple[str, ...] = (
     "q16_supplier_variety",
     "q18_large_orders",
     "q19_disjunctive_pred",
+    # tier 2d: NEW this round — grouped-OLS applyInPandas UDAF
+    # (integer-exact kernel), streaming top-k trending (stateful hourly
+    # counts + batch-side rank finishing), and lakehouse MERGE/upsert
+    # (single full-outer-join shuffle).
+    "udaf_group_ols",
+    "stream_topk_trending",
+    "merge_upsert_orders",
     # tier 3: the 28 in-window of 34 queries whose latest driver row is ROUND 1 — before
     # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
     # Includes the §2.1 reference folds (math.c:197-265 semantics), the
@@ -124,10 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_count_distinct",
     "join_anti",
     "dedup_exact",
-    "dedup_simhash",
-    "sim_range_search",
     "text_token_stats",
-    "text_lang_id",
     "mm_metadata",
     "mm_decode",
     "mm_frame_sample",
@@ -136,7 +140,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "mem_source_fold",
-    # Demoted to fit the fifteen new queries (family covered in-window):
+    # Demoted to fit the eighteen new queries (family covered in-window):
+    # dedup_simhash (exact/jaccard/cc in-window), sim_range_search
+    # (bruteforce green r5, gemm/ivf r4), text_lang_id (token_stats +
+    # three tier-2 text queries remain),
     # agg_cube + agg_rollup (rollup_time_grains' GROUPING SETS kin
     # in-window), window_rank_lag + window_running_total (4 window
     # queries remain), sort_limit_topn (topk_per_group in-window),

@@ -285,3 +285,83 @@ def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (w, event_type))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming top-k trending — the "trending topics" shape: incremental
+# hourly counts per event_type accumulate in window state (one shuffle,
+# watermark-bounded), and the top-3 ranking runs BATCH-side over the
+# emitted windows. Ranking inside the stream would need a window
+# function after a stateful aggregate (unsupported, and rightly so —
+# a rank is only final once the window closes); production deployments
+# do exactly this split via foreachBatch or a downstream job over the
+# sink table. State per trigger is O(open windows × |event_type|), not
+# event volume.
+#
+# Finalization: append mode emits an hour once the watermark (max(ts) −
+# 1h delay) passes its end; the cutoff keeps hours with end ≤ max(ts) −
+# 2h (delay + 1h margin), the same rule as stream_rollup_hour_to_day.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_topk_trending",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hs,
+             event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM events
+      WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+            <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(hs, '{_D_FMT}') AS window_start,
+           event_type, n_events, cents, rnk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY hs ORDER BY n_events DESC, event_type
+             ) AS rnk
+      FROM hourly
+    )
+    WHERE rnk <= 3
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, path, drop_nanos=True)
+    hourly = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(exact_cents(F.col("value"))).alias("cents"),
+        )
+    )
+    out = run_stream_to_memory(hourly, "stream_topk_trending", shuffle_partitions=4)
+    cutoff = (
+        table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("interval 2 hour")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+    rank_w = Window.partitionBy("w.start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        out.filter(F.col("w.end") <= F.lit(cutoff))
+        .withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "cents",
+            "rnk",
+        )
+    )
