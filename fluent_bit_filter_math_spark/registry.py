@@ -114,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_group_ols",
     "stream_topk_trending",
     "merge_upsert_orders",
+    "stream_latest_state_per_user",
     # tier 3: the 28 in-window of 34 queries whose latest driver row is ROUND 1 — before
     # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
     # Includes the §2.1 reference folds (math.c:197-265 semantics), the
@@ -128,7 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "agg_percentiles",
-    "agg_count_distinct",
     "join_anti",
     "dedup_exact",
     "text_token_stats",
@@ -143,7 +143,8 @@ _PRIORITY: tuple[str, ...] = (
     # Demoted to fit the eighteen new queries (family covered in-window):
     # dedup_simhash (exact/jaccard/cc in-window), sim_range_search
     # (bruteforce green r5, gemm/ivf r4), text_lang_id (token_stats +
-    # three tier-2 text queries remain),
+    # three tier-2 text queries remain), agg_count_distinct
+    # (q16_supplier_variety's COUNT DISTINCT is in-window),
     # agg_cube + agg_rollup (rollup_time_grains' GROUPING SETS kin
     # in-window), window_rank_lag + window_running_total (4 window
     # queries remain), sort_limit_topn (topk_per_group in-window),

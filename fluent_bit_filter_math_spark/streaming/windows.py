@@ -365,3 +365,58 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming materialized snapshot — latest state per key (the CDC /
+# materialized-view shape: a stream continuously maintaining "current
+# row per user"). The aggregate is max_by over a (ts, event_id) struct
+# ordering — an ordinary aggregate, so streaming state is ONE row per
+# key (not the event history), updated incrementally per micro-batch.
+# Complete-mode memory sink: each trigger overwrites with the current
+# snapshot, so after the bounded availableNow replay the table IS the
+# final materialized view. A production deployment writes update-mode
+# deltas to a keyed sink (foreachBatch MERGE — see merge_upsert_orders
+# for the batch shape) instead of re-emitting the snapshot.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_latest_state_per_user",
+    oracle=f"""
+    SELECT user_id,
+           strftime(ts, '{_D_FMT}') AS last_ts,
+           event_type AS last_event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS last_cents
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, path, drop_nanos=True)
+    snap = stream.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_type", exact_cents(F.col("value")).alias("cents")),
+            F.struct("ts", "event_id"),
+        ).alias("last")
+    )
+    out = run_stream_to_memory(
+        snap,
+        "stream_latest_state_per_user",
+        output_mode="complete",
+        shuffle_partitions=4,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("last.ts", _FMT).alias("last_ts"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.cents").alias("last_cents"),
+    )

@@ -216,3 +216,39 @@ def test_q18_semi_filter_shares_orderkey_clustering(spark, sf_dir):
     # at this SF), not a full inner join duplicating rows.
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Catalyst injects a bloom-filter semi-join filter on the fact scan
+    when the other side carries a selective filter — at 100 TB the
+    defaults (10 GB probe-side scan, 10 MB creation side) trigger this
+    automatically; the fixture is far below both thresholds, so the
+    test scales them to the data to pin that our declarative plans are
+    ELIGIBLE (no manual filter plumbing, no blocking constructs)."""
+    from fluent_bit_filter_math_spark.sources import table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        od = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(j)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan  # probe-side scan filtered pre-shuffle
