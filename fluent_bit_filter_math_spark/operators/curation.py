@@ -337,3 +337,69 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contam_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset card — the release-artifact statistics block every published
+# training corpus ships (rows, size, language/source composition,
+# length distribution), computed in ONE scan: a single aggregate
+# produces every scalar, then a zero-shuffle stack() unpivots to the
+# long (metric, value) layout. Composition metrics (per-lang/source
+# counts) ride the same scan via conditional sums rather than separate
+# groupBys — at 100 TB the card costs one pass, not one pass per
+# metric. All metrics are integer-exact (counts / char totals), so the
+# gate is bitwise trivially.
+# ---------------------------------------------------------------------------
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(n_chars) AS total_chars,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             MIN(n_chars) AS min_chars,
+             MAX(n_chars) AS max_chars,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_docs_en,
+             SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS n_docs_long
+      FROM documents
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM s
+      UNION ALL SELECT 'total_chars', total_chars FROM s
+      UNION ALL SELECT 'n_langs', n_langs FROM s
+      UNION ALL SELECT 'n_sources', n_sources FROM s
+      UNION ALL SELECT 'min_chars', min_chars FROM s
+      UNION ALL SELECT 'max_chars', max_chars FROM s
+      UNION ALL SELECT 'n_docs_en', n_docs_en FROM s
+      UNION ALL SELECT 'n_docs_long', n_docs_long FROM s
+    )
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_docs_en"),
+        F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0)).alias(
+            "n_docs_long"
+        ),
+    )
+    return s.select(
+        F.expr(
+            "stack(8,"
+            " 'n_docs', n_docs, 'total_chars', total_chars,"
+            " 'n_langs', CAST(n_langs AS BIGINT),"
+            " 'n_sources', CAST(n_sources AS BIGINT),"
+            " 'min_chars', min_chars, 'max_chars', max_chars,"
+            " 'n_docs_en', n_docs_en, 'n_docs_long', n_docs_long"
+            ") AS (metric, value)"
+        )
+    )

@@ -638,3 +638,52 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = _km_update(assigned)
         assigned = _km_assign(emb, cents)
     return assigned.select("vec_id", "cluster")
+
+
+# ---------------------------------------------------------------------------
+# per-label vector centroid accumulation — the feature-store "long
+# format": (label, dimension) → exact fixed-point element sum + count,
+# i.e. the map-side partial every distributed centroid update (k-means'
+# _km_update above, class prototypes, mean-pooling) reduces to. Exposing
+# it as a query makes the accumulation itself oracle-checkable: floats
+# are scaled to micro-unit BIGINTs BEFORE summing (floor(x·10⁶ + 0.5) —
+# float→double widening is exact, so both engines fix identical
+# integers), and integer sums are shuffle-order-proof. posexplode is the
+# row-multiplying layout change (rows × 64 dims); the aggregate that
+# follows combines map-side, so the shuffle carries one row per
+# (label, dim) partial — at 100 TB the explode never materializes, it
+# streams straight into the hash aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "emb_centroid_by_label",
+    # DuckDB zips the two parallel unnests positionally (same idiom as
+    # udtf_tokenize_docs' oracle), giving (dim, element) pairs.
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS e
+      FROM embeddings
+    )
+    SELECT label, dim,
+           COUNT(*) AS n_vecs,
+           SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+             AS sum_micro
+    FROM ex
+    GROUP BY label, dim
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "e"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(
+                F.floor(F.col("e").cast("double") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sum_micro"),
+        )
+    )

@@ -115,6 +115,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_topk_trending",
     "merge_upsert_orders",
     "stream_latest_state_per_user",
+    "emb_centroid_by_label",
+    "pipeline_dataset_card",
     # tier 3: the 28 in-window of 34 queries whose latest driver row is ROUND 1 — before
     # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
     # Includes the §2.1 reference folds (math.c:197-265 semantics), the
@@ -129,9 +131,7 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "agg_percentiles",
-    "join_anti",
     "dedup_exact",
-    "text_token_stats",
     "mm_metadata",
     "mm_decode",
     "mm_frame_sample",
@@ -144,7 +144,9 @@ _PRIORITY: tuple[str, ...] = (
     # dedup_simhash (exact/jaccard/cc in-window), sim_range_search
     # (bruteforce green r5, gemm/ivf r4), text_lang_id (token_stats +
     # three tier-2 text queries remain), agg_count_distinct
-    # (q16_supplier_variety's COUNT DISTINCT is in-window),
+    # (q16_supplier_variety's COUNT DISTINCT is in-window), join_anti
+    # (q16's left_anti exclusion is in-window), text_token_stats
+    # (doc_freq/tfidf/lm_score tier-2 remain),
     # agg_cube + agg_rollup (rollup_time_grains' GROUPING SETS kin
     # in-window), window_rank_lag + window_running_total (4 window
     # queries remain), sort_limit_topn (topk_per_group in-window),
