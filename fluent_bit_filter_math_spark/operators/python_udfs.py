@@ -24,6 +24,8 @@ diverge from the DuckDB oracle.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -216,4 +218,73 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.token
         FROM udtf_docs d, LATERAL fbm_tokenize(d.text) t
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# co-grouped-map UDAF — groupBy().cogroup().applyInPandas: the two-sided
+# Python extension point (fuzzy as-of matching, per-key reconciliation,
+# custom interval alignment). The kernel reconciles each user's event
+# activity against the order history of the same-id customer: both
+# sides arrive as per-key pandas frames in ONE call. Scale story: the
+# cogroup is a single co-partitioned shuffle of both inputs on the key
+# — the same physical shape as a shuffle join, but the per-key kernel
+# sees both sides whole. Integer-exact outputs (counts / cents) keep
+# the Arrow round-trip bitwise.
+# ---------------------------------------------------------------------------
+def _reconcile(key: Tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [len(ev)],
+            "n_orders": [len(od)],
+            "event_cents": [int(ev["cents"].sum()) if len(ev) else 0],
+            "order_cents": [int(od["cents"].sum()) if len(od) else 0],
+        }
+    )
+
+
+@register(
+    "udaf_cogroup_reconcile",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS event_cents
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS order_cents
+      FROM orders WHERE o_custkey < 150 GROUP BY o_custkey
+    )
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(event_cents, 0) AS event_cents,
+           COALESCE(order_cents, 0) AS order_cents
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", exact_cents(F.col("value")).alias("cents")
+    )
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 150)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            exact_cents(F.col("o_totalprice")).alias("cents"),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(
+            _reconcile,
+            schema=(
+                "user_id long, n_events long, n_orders long,"
+                " event_cents long, order_cents long"
+            ),
+        )
     )

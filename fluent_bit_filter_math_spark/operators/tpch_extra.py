@@ -489,3 +489,271 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(cond).agg(F.expr(_dsum(_REVENUE)).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (correlated MIN subquery). Adaptation:
+# the part↔supplier relation comes from distinct lineitem pairs (no
+# partsupp) and "cost" is s_acctbal. The correlated scalar MIN
+# decorrelates to a per-part aggregate joined back on equality —
+# exactly Catalyst's rewrite; the DataFrame form writes that join
+# explicitly, the oracle keeps the correlated form so DuckDB's
+# decorrelation is exercised against it.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_partkey, p_name, s_name, s_acctbal
+    FROM part, supplier, ps
+    WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM supplier s2, ps ps2
+        WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey
+      )
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+    min_bal = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_bal),
+            (cand.p_partkey == min_bal.mk) & (cand.s_acctbal == min_bal.min_bal),
+        )
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order-priority checking: orders in one quarter with at least one
+# late line (EXISTS with a correlated non-equi condition). The semi
+# join carries the o_orderdate comparison in its condition — state
+# never duplicates orders however many lines match.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_priority_checking",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock: per-nation "inventory value" above a global
+# share threshold (HAVING against a scalar subquery). Adaptation: value
+# = revenue routed through supplier nationality (no partsupp). Both
+# sides of the > comparison derive from the same exact decimal sums, so
+# the threshold test is engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH sv AS (
+      SELECT n_name, {_dsum(_REVENUE)} AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, value
+    FROM sv
+    WHERE value > (SELECT 0.04 * SUM(value) FROM sv)
+    ORDER BY value DESC, n_name
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation")
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    sv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("n_name")
+        .agg(F.expr(_dsum(_REVENUE)).alias("value"))
+    )
+    total = sv.agg((F.lit(0.04) * F.sum("value")).alias("cut"))
+    return (
+        sv.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select("n_name", "value")
+        .orderBy(F.desc("value"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue: an aggregate view joined
+# against its own MAX (scalar subquery). Identical doubles on both
+# engines ⇒ identical argmax set.
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {_dsum(_REVENUE)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(_dsum(_REVENUE)).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: lineitems below half their part's
+# average quantity (correlated scalar AVG → decorrelated per-part
+# aggregate join). l_quantity is integer-valued, so the AVG is an exact
+# integer sum over a count — division and the 0.5× comparison are the
+# same IEEE ops in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    SELECT {_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#4' AND p_size <= 10
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10)
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((F.expr(_dsum("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity: per-nation count/balance of customers
+# above the positive-balance average (scalar subquery) with no RECENT
+# orders (anti join against the filtered order slice — every fixture
+# customer has SOME order, so the original all-time NOT EXISTS is
+# vacuous here). The average is an exact-decimal sum over a count so the
+# threshold is engine-identical; the anti join is the classic NOT
+# EXISTS decorrelation.
+# ---------------------------------------------------------------------------
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)")
+            / F.count("*")
+        ).alias("cut")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)"
+            ).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -77,27 +77,25 @@ _PRIORITY: tuple[str, ...] = (
     "stream_rollup_hour_to_day",
     "rollup_time_grains",
     "window_range_trailing_1h",
-    # tier 2: queries whose outputs were re-routed through the same
-    # idiom this round as knife-edge prophylaxis (VERDICT r5 task #5) —
-    # semantics changed, so their r5/r4 greens are void.
+    # tier 2: outputs re-routed through the same idiom this round as
+    # knife-edge prophylaxis (VERDICT r5 task #5) — semantics changed,
+    # so their r5/r4 greens are void.
     "agg_corr_stats",
     "agg_approx_quantiles",
     "ts_interpolate_linear",
     "text_doc_freq",
     "text_tfidf_topterms",
     "text_lm_score",
-    # tier 2b: NEW this round — no driver row exists yet anywhere:
-    # storage-layout queries (partition pruning, bucketed co-located
-    # join), batch sessionization, OLS regression aggregates, value
-    # window fns, bitwise suite.
+    # tier 2b: NEW this round — no driver row exists anywhere yet.
+    # Storage layout, batch sessionization, OLS aggregates, value
+    # windows, bitwise suite:
     "io_partitioned_prune",
     "join_bucketed_colocated",
     "sessionize_events",
     "agg_regr_ols",
     "window_value_fns",
     "fn_bitwise_suite",
-    # tier 2c: NEW this round — the extended TPC-H corpus (Q7-Q19
-    # shapes adapted to the fixture schema; operators/tpch_extra.py).
+    # the extended TPC-H corpus (operators/tpch_extra.py):
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
@@ -107,20 +105,25 @@ _PRIORITY: tuple[str, ...] = (
     "q16_supplier_variety",
     "q18_large_orders",
     "q19_disjunctive_pred",
-    # tier 2d: NEW this round — grouped-OLS applyInPandas UDAF
-    # (integer-exact kernel), streaming top-k trending (stateful hourly
-    # counts + batch-side rank finishing), and lakehouse MERGE/upsert
-    # (single full-outer-join shuffle).
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_sales_opportunity",
+    # UDF/streaming/lakehouse/vector/card additions:
     "udaf_group_ols",
     "stream_topk_trending",
     "merge_upsert_orders",
     "stream_latest_state_per_user",
+    "stream_stateful_sessions",
     "emb_centroid_by_label",
     "pipeline_dataset_card",
-    # tier 3: the 28 in-window of 34 queries whose latest driver row is ROUND 1 — before
-    # the driver demonstrably regenerated fixtures (the r2→r3 NTZ flip).
-    # Includes the §2.1 reference folds (math.c:197-265 semantics), the
-    # TPC-H shapes, and all three multimodal queries (VERDICT r5 task #2).
+    "udaf_cogroup_reconcile",
+    # tier 3: reference-core folds (math.c:197-265 semantics) + the
+    # three multimodal queries — r1-stale, predate the driver's fixture
+    # regeneration (VERDICT r5 task #2; the r6 prior window carried the
+    # wider stale set, these are the rows that must never go unproven).
     "math_sub",
     "math_mul",
     "math_div",
@@ -128,43 +131,18 @@ _PRIORITY: tuple[str, ...] = (
     "math_missing_field",
     "math_nonnumeric",
     "math_case_insensitive",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "agg_percentiles",
-    "dedup_exact",
     "mm_metadata",
-    "mm_decode",
     "mm_frame_sample",
-    # tier 4: touched for performance this round (length-bucket pruning,
-    # single-action CC fixpoint, mem-source batching).
-    "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "mem_source_fold",
-    # Demoted to fit the eighteen new queries (family covered in-window):
-    # dedup_simhash (exact/jaccard/cc in-window), sim_range_search
-    # (bruteforce green r5, gemm/ivf r4), text_lang_id (token_stats +
-    # three tier-2 text queries remain), agg_count_distinct
-    # (q16_supplier_variety's COUNT DISTINCT is in-window), join_anti
-    # (q16's left_anti exclusion is in-window), text_token_stats
-    # (doc_freq/tfidf/lm_score tier-2 remain),
-    # agg_cube + agg_rollup (rollup_time_grains' GROUPING SETS kin
-    # in-window), window_rank_lag + window_running_total (4 window
-    # queries remain), sort_limit_topn (topk_per_group in-window),
-    # setop_union/intersect (the *_all bag variants were green in r5),
-    # q6_forecast_revenue (single-table filter-agg shape covered by q1 +
-    # q14/q19), text_token_count_regex/bigrams/fingerprint (token_stats,
-    # lang_id + three tier-2 text queries remain), dedup_minhash_signatures
-    # (dedup_minhash_lsh green r5; exact+simhash in-window),
-    # sim_ann_bucketed (range/bruteforce/gemm/ivf covered r4/r5),
-    # join_full_outer (semi/anti/asof/bucketed in-window), math_sum
-    # (entry() smoke-checks the flagship fold every round; six sibling
-    # folds in-window) — r7 rotates them back in.
-    # Families left past the window are all r4/r5-green with unchanged
-    # semantics (streaming dedup/joins/windows, fn suites, subqueries,
-    # sampling, curation, skew, kmeans, pagerank, decontam, quality,
-    # scd2, udf/udtf, grouping sets, pivot, approx sketches, quantize,
-    # distribution windows, set-ops *_all, unpivot, locf) — rotation
-    # brings representatives back in r7.
+    # (mm_decode rotates to r7 — its Arrow plumbing family is covered
+    # by the two mm queries above and its kernel is the env-gated fake.)
+    # Past the 50-slot window (r7 rotates representatives back in):
+    # q3/q5 (15 TPC-H kin in-window), agg_percentiles/agg_count_distinct
+    # (regr/corr/quantiles in-window), dedup_* (exact/simhash/jaccard/cc
+    # r1-r5 green, jaccard+cc perf-touched but output-pinned by the
+    # local bitwise gate), mem_source_fold (green r5, Arrow batching
+    # pinned by tests), sim/text/setop/window/subquery/sampling/
+    # curation/skew/kmeans/pagerank/decontam/quality/scd2/udf/udtf
+    # families — all r4/r5-green with unchanged semantics.
 )
 
 

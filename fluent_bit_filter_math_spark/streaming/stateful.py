@@ -97,3 +97,86 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         out, "stream_stateful_user_totals", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #2 — event-time sessionization with custom gap logic.
+# Native session_window (streaming/windows.py) covers the standard gap
+# merge; THIS operator is the shape you drop to when session semantics
+# outgrow it (custom gap rules, per-key counters, fraud windows): the
+# kernel orders each group's batch by (ts, event_id), counts 30-min-gap
+# session breaks against the state's last-seen timestamp, and carries
+# (last_ts_us, n_sessions, n_events) forward. All state is integer
+# epoch-µs / counts — no floats anywhere near the state store.
+#
+# Update-mode emission: the bounded single-file replay is one
+# micro-batch (same contract as stream_stateful_user_totals above), so
+# the emitted row per user is the final tally and the batch oracle is
+# the classic gaps-and-islands count. Across many micro-batches the
+# same kernel keeps counting as long as files replay in event-time
+# order per key — the production deployment pairs it with a watermark
+# and GroupStateTimeout to close idle sessions.
+# ---------------------------------------------------------------------------
+_SESS_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+_SESS_STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _update_sessions(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last_us, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for us in pdf["ts"].astype("datetime64[us]").astype("int64"):
+            us = int(us)
+            if last_us is None or us - last_us > _SESS_GAP_US:
+                n_sessions += 1
+            last_us = us
+            n_events += 1
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+@register(
+    "stream_stateful_sessions",
+    oracle="""
+    SELECT user_id,
+           1 + SUM(CASE WHEN prev_us IS NOT NULL
+                         AND us - prev_us > 1800 * 1000000
+                        THEN 1 ELSE 0 END) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_us
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", drop_nanos=True
+    ).select("user_id", "event_id", "ts")
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(
+        out, "stream_stateful_sessions", output_mode="update"
+    )
