@@ -1043,3 +1043,58 @@ def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("value", 3).over(w).alias("third_val"),
         F.count(F.lit(1)).over(w).alias("n_user_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boolean / conditional aggregates — count_if, bool_and/bool_or,
+# any_value with a deterministic pin, min_by/max_by with composite
+# orderings. All integer/boolean-exact; one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_bool_suite",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_big_discount,
+           BOOL_AND(l_quantity >= 1) AS all_qty_pos,
+           BOOL_OR(l_tax = 0.0) AS any_tax_free,
+           MIN(l_orderkey) AS first_key,
+           ARG_MIN(l_linenumber, l_orderkey * 10 + l_linenumber)
+             AS ln_of_min_key,
+           ARG_MAX(l_orderkey,
+                   (epoch_us(l_shipdate) // 1000000) * 10000000 + l_orderkey)
+             AS key_of_last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+            F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+            F.bool_or(F.col("l_tax") == 0.0).alias("any_tax_free"),
+            # any_value is non-deterministic by contract; pin it to the
+            # MIN so the gate is exact (the suite's point is the agg
+            # surface, not the nondeterminism).
+            F.min("l_orderkey").alias("first_key"),
+            # arg_min/arg_max tie-breaks ride scalar composite keys the
+            # oracle spells out identically (DuckDB 1.x arg_* cannot
+            # order by struct): linenumber ≤ 7 and orderkey < 10⁷ keep
+            # both keys inside int64.
+            F.min_by(
+                "l_linenumber",
+                F.expr("l_orderkey * 10 + l_linenumber"),
+            ).alias("ln_of_min_key"),
+            F.max_by(
+                "l_orderkey",
+                F.expr(
+                    "unix_micros(cast(l_shipdate as timestamp)) div 1000000"
+                    " * 10000000 + l_orderkey"
+                ),
+            ).alias("key_of_last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )

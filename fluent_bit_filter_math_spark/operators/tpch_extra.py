@@ -757,3 +757,155 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution: LEFT OUTER join (customers
+# with zero orders must appear), per-customer count, then a histogram
+# of the counts. Two shuffles by construction (custkey agg, count agg);
+# the left join shuffles on custkey once and the first aggregate reuses
+# that clustering.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion: suppliers who moved serious volume of
+# one part family in one year (nested IN chain: parts by name → grouped
+# HAVING per (supplier, part) → supplier IN). Adaptation: volume
+# condition on shipped quantity (no partsupp availqty). The chain
+# compiles to two semi joins; the grouped HAVING shuffles once on the
+# composite key.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+        )
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 50
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blue = table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    movers = (
+        li.join(
+            F.broadcast(blue.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = table(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(movers), supp.s_suppkey == movers.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting: the only late supplier in a
+# multi-supplier order (EXISTS + NOT EXISTS over the same fact).
+# Adaptation: "late" = shipped > 90 days after order date (no
+# receipt/commit dates). The two correlated EXISTS decorrelate to two
+# per-order aggregates — distinct suppliers and distinct LATE suppliers
+# — both reusing the orderkey clustering of the late-lines join.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    per_order AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    late_per_order AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_late
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(DISTINCT late.l_orderkey) AS numwait
+    FROM late
+    JOIN per_order USING (l_orderkey)
+    JOIN late_per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = late.l_suppkey
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    return (
+        late.join(per_order, "l_orderkey")
+        .join(late_per_order, late.l_orderkey == F.col("lk"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct(late.l_orderkey).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
