@@ -253,3 +253,47 @@ def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(keep < F.col("mix_rate") * MIX_SCALE)
         .select("doc_id", "source", "mix_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted Bernoulli sampling — inclusion probability proportional to a
+# weight column (n_chars: longer documents are likelier kept — the
+# size-biased sampling a token-budgeted subcorpus wants). Fully
+# deterministic and engine-exact: the only float is the inclusion
+# probability p = TARGET·w/Σw, identical two-operand IEEE arithmetic in
+# both engines; the keep decision compares an integer hash bucket to
+# floor(p·2³⁰) — no RNG, reproducible under re-runs and repartitioning
+# (the same leak-proof property as sample_split_assign). Σw comes from
+# one tiny aggregate broadcast back; the corpus side is a stateless
+# filter — zero shuffles at any scale.
+# ---------------------------------------------------------------------------
+_W_KEY = "wsample:"
+_W_TARGET = 100.0  # expected sample size
+_W_BUCKETS = 1_073_741_824.0  # 2^30
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle=f"""
+    WITH tot AS (SELECT SUM(n_chars) AS tc FROM documents)
+    SELECT doc_id, n_chars
+    FROM documents, tot
+    WHERE {duck_hash60(f"'{_W_KEY}' || CAST(doc_id AS VARCHAR)")} % 1073741824
+          < floor({_W_TARGET} * n_chars / tc * {_W_BUCKETS})
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").alias("tc"))
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(_W_KEY), F.col("doc_id").cast("string"))),
+        F.lit(1073741824),
+    )
+    thresh = F.floor(
+        F.lit(_W_TARGET) * F.col("n_chars") / F.col("tc") * F.lit(_W_BUCKETS)
+    )
+    return (
+        docs.join(F.broadcast(tot))
+        .filter(bucket < thresh)
+        .select("doc_id", "n_chars")
+    )
