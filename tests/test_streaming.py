@@ -207,3 +207,97 @@ def test_multibatch_incremental_state(spark, tmp_path):
         .toPandas()
     )
     _assert_frames_equal(exp_keys, deduped)
+
+
+def test_multibatch_session_kernel_state(spark, tmp_path):
+    """The applyInPandasWithState session kernel carries
+    (last_ts, n_sessions, n_events) across micro-batches; its driver
+    query replays one file = one batch, so this pins the cross-batch
+    path: the fixture split into 4 TIME-ORDERED files (the kernel's
+    documented ordering contract) replayed with maxFilesPerTrigger=1
+    must produce the same per-user session counts as the batch
+    gaps-and-islands computation."""
+    import time
+
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _SESS_OUT_SCHEMA,
+        _SESS_STATE_SCHEMA,
+        _update_sessions,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = table(spark, SF_DIR, "events").select("user_id", "event_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    src = str(tmp_path / "sess")
+    # Sequential single-file writes in time order: FileStreamSource
+    # replays oldest-modification-first, so batches arrive time-ordered.
+    import os
+
+    span = (hi - lo) / 4
+    for i in range(4):
+        a = lo + i * span
+        b = hi if i == 3 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if i == 3 else F.col("ts") < F.lit(b)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+
+    out = run_stream_to_memory(
+        stream.groupBy("user_id").applyInPandasWithState(
+            _update_sessions,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        "multibatch_sessions",
+        output_mode="update",
+    )
+    # update mode emits one row per touched key per batch; the final
+    # tally per user is the row with the highest n_events (monotonic).
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("n_sessions", "n_events").alias("n_sessions"),
+        )
+        .toPandas()
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    expected = (
+        ev.withColumn("prev", F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp")) - F.col("prev")
+                    > gap_us
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("brk").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .toPandas()
+    )
+    _assert_frames_equal(expected, final)
