@@ -491,3 +491,62 @@ def stream_distinct_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((abs_err <= 6) | (rel_err <= 0.15)).alias("approx_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental continuous-aggregate refresh (batch) — maintain a daily
+# rollup WITHOUT rescanning history: the standing rollup covers events
+# before the refresh cutoff (pre-aggregated once), the delta scan reads
+# only the new slice, and the merge is a groupBy-sum over (day, type)
+# partials — mergeable-aggregate maintenance, the TimescaleDB
+# continuous-aggregate / materialized-view-refresh shape. At 100 TB the
+# refresh cost tracks the DELTA size + rollup cardinality, never the
+# corpus. The oracle recomputes the rollup from scratch — the merged
+# result must be indistinguishable (counts/cents are integers, so the
+# merge is exact by construction).
+# ---------------------------------------------------------------------------
+_REFRESH_CUTOFF = "2024-01-24 00:00:00"
+
+
+@register(
+    "rollup_incremental_refresh",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_D_FMT}') AS day_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = exact_cents(F.col("value"))
+
+    def day_rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("_day"), "event_type"
+        ).agg(F.count("*").alias("n_events"), F.sum(cents).alias("cents"))
+
+    # Standing rollup: everything before the cutoff, aggregated once
+    # (in production this is the stored table; localCheckpoint stands in
+    # for its materialization so the refresh plan cannot re-derive it
+    # from the raw scan).
+    standing = day_rollup(
+        ev.filter(F.col("ts") < _REFRESH_CUTOFF)
+    ).localCheckpoint(eager=True)
+    delta = day_rollup(ev.filter(F.col("ts") >= _REFRESH_CUTOFF))
+    return (
+        standing.unionByName(delta)
+        .groupBy("_day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            F.date_format("_day", _FMT).alias("day_start"),
+            "event_type",
+            "n_events",
+            "cents",
+        )
+    )
