@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fluent_bit_filter_math_spark.functions import fixed_round
+from fluent_bit_filter_math_spark.functions import exact_cents, fixed_round
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -545,4 +545,59 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Integer div on both sides: DuckDB's float '/' + CAST rounds to
         # nearest while Spark's cast truncates — '//' vs 'div' agree.
         F.expr("(max(us) - min(us)) div 1000000").alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsample — per-hour open/high/low/close candles over the event
+# value stream: the canonical time-series compaction (Kline bars /
+# monitoring rollups). One hash aggregate, one shuffle; open/close are
+# arg-extremes over a scalar epoch-µs·2²⁰+event_id composite (both
+# engines spell the identical BIGINT key — DuckDB 1.x arg_* cannot
+# order by struct), high/low are plain extremes in exact cents.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_downsample_ohlc",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+           ARG_MIN(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                   (epoch_us(ts) - 1704067200000000) * 1048576 + event_id)
+             AS open_cents,
+           MAX(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS high_cents,
+           MIN(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS low_cents,
+           ARG_MAX(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                   (epoch_us(ts) - 1704067200000000) * 1048576 + event_id)
+             AS close_cents,
+           COUNT(*) AS n_ticks
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = exact_cents(F.col("value"))
+    # Rebase µs to the fixture epoch so the composite fits int64:
+    # 30 days ≈ 2.6e12 µs, ×2^20 ≈ 2.7e18 < 2^63; ordering is still
+    # lexicographic (ts, event_id).
+    seq = F.expr(
+        "(unix_micros(cast(ts as timestamp)) - 1704067200000000)"
+        " * 1048576 + event_id"
+    )
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("_bar"))
+        .agg(
+            F.min_by(cents, seq).alias("open_cents"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            F.max_by(cents, seq).alias("close_cents"),
+            F.count("*").alias("n_ticks"),
+        )
+        .select(
+            F.date_format("_bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_ticks",
+        )
     )
