@@ -222,3 +222,71 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_delete") == 0)
         .drop("is_delete")
     )
+
+
+# ---------------------------------------------------------------------------
+# XML round-trip — Spark 4's built-in XML source (the config-file /
+# legacy-feed interchange format the reference's Fluent Bit world
+# speaks; SURVEY §2.3 scans/sources row). A slice of events is written
+# as <row> elements and read back through the XML reader into the same
+# typed projection the oracle computes from the parquet original —
+# schema inference, type coercion, and element round-tripping are all
+# under the gate. The written slice is small by design: XML is a
+# row-tag-splittable but verbose interchange format, the 100 TB corpus
+# itself stays parquet (see the pruning/bucketing queries above).
+# ---------------------------------------------------------------------------
+_XML_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _xml_events_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _XML_DIRS:
+        out = tempfile.mkdtemp(prefix="fbm-xml-events-")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 20 == 0)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                # 2-dp doubles survive XML text round-trip exactly via
+                # cents (shortest-repr printing of arbitrary doubles is
+                # engine-asymmetric; integers are not).
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            )
+            .coalesce(1)
+            .write.format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .mode("overwrite")
+            .save(out)
+        )
+        _XML_DIRS[key] = out
+    return _XML_DIRS[key]
+
+
+@register(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 20 = 0
+    """,
+)
+def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _xml_events_path(spark, sf_dir)
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .load(path)
+    )
+    return df.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("event_type").cast("string"),
+        F.col("cents").cast("long"),
+    )
