@@ -339,3 +339,56 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(sink).select("event_id", "value", "math_out")
+
+
+# ---------------------------------------------------------------------------
+# custom Python sink round-trip — the write-side twin of
+# mem_source_fold: the fold output leaves the engine through the
+# jsonsink Python DataSource (per-partition JSON-line shards + a
+# manifest commit, sources/json_sink.py — the reference's stdout JSON
+# output, test.sh:30-43), then the committed shards are read back and
+# oracle-gated. Integer cents only cross the text boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "pysink_fold_roundtrip",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) + user_id AS fold_sum
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.sources.json_sink import (
+        register_json_sink,
+    )
+
+    register_json_sink(spark)
+    out_dir = tempfile.mkdtemp(prefix="fbm-json-sink-")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    folded = ev.select(
+        "event_id",
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+        (exact_cents(F.col("value")) + F.col("user_id")).alias("fold_sum"),
+    )
+    folded.write.format("jsonsink").option("path", out_dir).mode(
+        "append"
+    ).save()
+
+    return (
+        spark.read.schema(
+            "event_id long, user_id long, cents long, fold_sum long"
+        )
+        .option("pathGlobFilter", "part-*.json")
+        .json(out_dir)
+    )
