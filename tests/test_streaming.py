@@ -301,3 +301,71 @@ def test_multibatch_session_kernel_state(spark, tmp_path):
         .toPandas()
     )
     _assert_frames_equal(expected, final)
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: a checkpointed file-sink query run
+    to completion, then MORE source files appear and the SAME
+    checkpoint is reused — the second run must process only the new
+    files, and the sink must hold every input row exactly once."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "user_id")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == first.count()
+
+    # restart with more data, same checkpoint
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    assert got.count() == ev.count()  # nothing reprocessed, nothing lost
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_observe_metrics_on_fold(spark):
+    """df.observe() attaches streaming-safe metric accumulators to the
+    fold pipeline — the engine's runtime-telemetry surface (row counts
+    and exact cents totals collected as a side effect of one action,
+    no second scan)."""
+    from pyspark.sql import Observation
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, SF_DIR, "events")
+    obs = Observation("fold_metrics")
+    df = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(exact_cents(F.col("value"))).alias("total_cents"),
+    ).select("event_id", "value")
+    df.write.format("noop").mode("overwrite").save()
+
+    expected = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(exact_cents(F.col("value"))).alias("c"),
+    ).first()
+    assert obs.get["n_rows"] == expected["n"]
+    assert obs.get["total_cents"] == expected["c"]
