@@ -1098,3 +1098,52 @@ def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact discrete median — the order statistic itself (row at position
+# ⌈n/2⌉ under a total (cents, event_id) order), NOT an interpolated
+# percentile: interpolation formulas differ per engine in the last ulp,
+# a selected row cannot. One shuffle; both window functions share the
+# event_type partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_median_disc",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cents, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type, cents AS median_cents, n AS n_events
+    FROM r WHERE rn = (n + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def agg_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", exact_cents(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("event_type")
+    r = ev.withColumn(
+        "rn", F.row_number().over(w.orderBy("cents", "event_id"))
+    ).withColumn("n", F.count("*").over(w))
+    return (
+        r.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("cents").alias("median_cents"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
