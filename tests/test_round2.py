@@ -971,3 +971,26 @@ def test_release_edge_index_unpersists(spark):
     assert any(k[0] == app_id for k in _EDGE_CACHE)
     release_edge_index(spark)
     assert not any(k[0] == app_id for k in _EDGE_CACHE)
+
+
+def test_parameterized_sql(spark):
+    """spark.sql() named-parameter binding — the injection-safe query
+    API (Spark 3.4+): parameter markers bind typed literals, never
+    string-spliced SQL."""
+    from fluent_bit_filter_math_spark.sources import table
+
+    table(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView(
+        "param_events"
+    )
+    got = spark.sql(
+        """
+        SELECT count(*) AS n FROM param_events
+        WHERE event_type = :etype AND value > :floor
+        """,
+        args={"etype": "click", "floor": 100.0},
+    ).first()["n"]
+    expected = spark.sql(
+        "SELECT count(*) AS n FROM param_events"
+        " WHERE event_type = 'click' AND value > 100.0"
+    ).first()["n"]
+    assert got == expected > 0
