@@ -288,3 +288,52 @@ def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the lowest-overhead Python extension point: batches
+# arrive as raw pyarrow RecordBatches (no pandas conversion at all).
+# The kernel computes exact fixed-point vector norms: each float32
+# element widens to float64 (exact), scales to micro-unit int64 via
+# floor(x·10⁶ + 0.5) (the repo's portable rounding idiom), and the
+# sum of squares stays in int64 — nothing order- or engine-dependent
+# ever crosses the boundary. Oracle: the same integer pipeline spelled
+# as DuckDB list lambdas.
+# ---------------------------------------------------------------------------
+def _arrow_norms(batches):
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        vec_ids = batch.column("vec_id")
+        embs = batch.column("embedding")
+        out = []
+        for i in range(batch.num_rows):
+            x = np.asarray(embs[i].as_py(), dtype=np.float64)
+            q = np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+            out.append(int(np.dot(q, q)))
+        yield pa.RecordBatch.from_arrays(
+            [vec_ids, pa.array(out, type=pa.int64())],
+            names=["vec_id", "sq_norm_micro2"],
+        )
+
+
+@register(
+    "emb_norm_arrow",
+    oracle="""
+    SELECT vec_id,
+           CAST(list_aggregate(
+             list_transform(
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT)),
+               y -> y * y),
+             'sum') AS BIGINT) AS sq_norm_micro2
+    FROM embeddings
+    """,
+)
+def emb_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        _arrow_norms, schema="vec_id long, sq_norm_micro2 long"
+    )
