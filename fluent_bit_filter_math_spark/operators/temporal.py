@@ -559,29 +559,33 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_downsample_ohlc",
     oracle="""
+    WITH base AS (SELECT min(epoch_us(ts)) AS b FROM events)
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
            ARG_MIN(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
-                   (epoch_us(ts) - 1704067200000000) * 1048576 + event_id)
-             AS open_cents,
+                   (epoch_us(ts) - b) * 1048576 + event_id) AS open_cents,
            MAX(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS high_cents,
            MIN(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS low_cents,
            ARG_MAX(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
-                   (epoch_us(ts) - 1704067200000000) * 1048576 + event_id)
-             AS close_cents,
+                   (epoch_us(ts) - b) * 1048576 + event_id) AS close_cents,
            COUNT(*) AS n_ticks
-    FROM events
+    FROM events, base
     GROUP BY date_trunc('hour', ts)
     """,
 )
 def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cents = exact_cents(F.col("value"))
-    # Rebase µs to the fixture epoch so the composite fits int64:
-    # 30 days ≈ 2.6e12 µs, ×2^20 ≈ 2.7e18 < 2^63; ordering is still
-    # lexicographic (ts, event_id).
+    # Rebase µs to the fixture's own min timestamp so the composite
+    # fits int64 whatever time range a regenerated fixture uses: a
+    # 30-day span ≈ 2.6e12 µs, ×2^20 ≈ 2.7e18 < 2^63; ordering stays
+    # lexicographic (ts, event_id). The base is a 1-row aggregate
+    # (same pattern as the streaming finalization cutoffs).
+    base = ev.agg(
+        F.min(F.expr("unix_micros(cast(ts as timestamp))")).alias("b")
+    )
+    ev = ev.join(F.broadcast(base))
     seq = F.expr(
-        "(unix_micros(cast(ts as timestamp)) - 1704067200000000)"
-        " * 1048576 + event_id"
+        "(unix_micros(cast(ts as timestamp)) - b) * 1048576 + event_id"
     )
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("_bar"))
