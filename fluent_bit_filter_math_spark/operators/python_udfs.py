@@ -14,6 +14,11 @@ when Python is genuinely unavoidable:
 * aggregation — `applyInPandas` over a grouped DataFrame: one Arrow
   batch per group, partial-agg-less but state-free (the 100 TB story is
   the group count, not the group size: groups here are event types);
+* two-sided aggregation — `cogroup().applyInPandas`: both inputs
+  co-partitioned in ONE shuffle, the kernel sees both sides whole per
+  key (fuzzy reconciliation, custom alignment);
+* raw-batch map — `mapInArrow`: pyarrow RecordBatches straight through,
+  no pandas conversion — the lowest-overhead Python path;
 * table function — `@udtf` with a lateral join (Spark 4 Python UDTF),
   one emitted row per token.
 

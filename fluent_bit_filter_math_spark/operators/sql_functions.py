@@ -581,3 +581,52 @@ def fn_variant_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("variant_get(parse_json(props), '$.k', 'string')")
         ).alias("k_str"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL functions — parse_url component extraction (HOST / PATH / QUERY /
+# single query parameter) over URLs synthesized deterministically from
+# fixture columns. DuckDB has no parse_url; the oracle mirrors each
+# component with anchored regexes — which also documents exactly what
+# subset of URL semantics the query relies on (no userinfo, no port,
+# single-valued params).
+# ---------------------------------------------------------------------------
+@register(
+    "fn_url_suite",
+    oracle="""
+    WITH u AS (
+      SELECT event_id,
+             'https://h' || CAST(user_id AS VARCHAR)
+               || '.example.com/t/' || event_type
+               || '?uid=' || CAST(user_id AS VARCHAR)
+               || '&b=' || CAST(event_id % 7 AS VARCHAR) AS url
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT event_id,
+           regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]b=([^&]*)', 1) AS b_param
+    FROM u
+    """,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    url = F.concat(
+        F.lit("https://h"),
+        F.col("user_id").cast("string"),
+        F.lit(".example.com/t/"),
+        F.col("event_type"),
+        F.lit("?uid="),
+        F.col("user_id").cast("string"),
+        F.lit("&b="),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("b")).alias("b_param"),
+    )
