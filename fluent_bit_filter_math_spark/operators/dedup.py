@@ -838,3 +838,72 @@ def release_cluster_map(
         if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
     ]:
         _CLUSTER_CACHE.pop(key).unpersist()
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup — the CommonCrawl-style crawl-dedup stage
+# that precedes any content dedup: normalize each document's source URL
+# (lowercase host, strip tracking query params, trim trailing slash)
+# and keep the lowest doc_id per canonical URL. The fixture's `source`
+# column is not URL-shaped, so URLs are synthesized DETERMINISTICALLY
+# from doc_id with deliberate collisions (same page reached via
+# different hosts-case and utm params — the exact noise canonicalization
+# exists to remove); both engines build the identical strings, so the
+# canonical grouping is fully oracle-checked. One hash aggregate, one
+# shuffle on the canonical key.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH crawled AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'https://Site' ELSE 'https://site' END
+               || CAST(doc_id % 250 AS VARCHAR)
+               || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&utm_campaign=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^https://([^/]+)/', 1))
+               || regexp_replace(regexp_extract(url, '^https://[^/]+(/[^?]*)', 1),
+                                 '/$', '') AS curl
+      FROM crawled
+    )
+    SELECT curl, MIN(doc_id) AS keep_id, COUNT(*) AS n_variants
+    FROM canon
+    GROUP BY curl
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://Site")).otherwise(
+            F.lit("https://site")
+        ),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    crawled = docs.select("doc_id", url.alias("url"))
+    curl = F.concat(
+        F.lower(F.parse_url("url", F.lit("HOST"))),
+        F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", ""),
+    )
+    return (
+        crawled.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )
