@@ -118,3 +118,65 @@ def dq_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("fk_violations").alias("metric"), "value")
     )
     return metrics.unionAll(fk)
+
+
+# ---------------------------------------------------------------------------
+# volume-anomaly audit — flag days whose event count deviates ±50% from
+# the trailing-7-day median: the ingest-monitoring check a production
+# pipeline runs before trusting a day's data. The median is the EXACT
+# middle order statistic of the 7 trailing integer counts (collect over
+# a ROWS frame → sort → element 4) — no interpolation, no engine
+# variance; the ±50% thresholds are exact (1.5·int and int/2·... both
+# representable). One shuffle to the daily grain, then a single-
+# partition ordered frame over ~30 rows (day cardinality, not event
+# volume — at 100 TB this stage sees one row per day).
+# ---------------------------------------------------------------------------
+@register(
+    "dq_volume_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT d, cnt,
+             list_sort(list(cnt) OVER (
+               ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+             ))[4] AS trail_med,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           cnt,
+           trail_med,
+           cnt > 1.5 * trail_med OR 2 * cnt < trail_med AS is_anomaly
+    FROM med WHERE rn > 7
+    ORDER BY day
+    """,
+)
+def dq_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.orderBy("d")
+    frame = w.rowsBetween(-7, -1)
+    med = (
+        daily.withColumn(
+            "trail_med",
+            F.element_at(F.array_sort(F.collect_list("cnt").over(frame)), 4),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 7)
+    )
+    return med.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        "trail_med",
+        (
+            (F.col("cnt") > 1.5 * F.col("trail_med"))
+            | (2 * F.col("cnt") < F.col("trail_med"))
+        ).alias("is_anomaly"),
+    ).orderBy("day")

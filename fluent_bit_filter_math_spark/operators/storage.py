@@ -290,3 +290,74 @@ def io_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").cast("string"),
         F.col("cents").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff — derive the change set BETWEEN two table versions
+# (the inverse of merge_upsert_orders, which APPLIES one): full-outer
+# join two keyed snapshots, classify each key as insert / delete /
+# update / unchanged, emit only the changes. Snapshots are simulated as
+# date-sliced views of orders; the totalprice comparison is exact cents.
+# One co-partitioned shuffle; at 100 TB both snapshots would be
+# bucketed on the key (join_bucketed_colocated's layout) making the
+# diff Exchange-free.
+# ---------------------------------------------------------------------------
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 13 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                WHEN v2.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           v1.cents AS old_cents,
+           v2.cents AS new_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.cents <> v2.cents
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    orders = table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey", exact_cents(F.col("o_totalprice")).alias("cents")
+    )
+    v2 = orders.filter(F.col("o_orderdate") < "2000-01-01").select(
+        "o_orderkey",
+        (
+            exact_cents(F.col("o_totalprice"))
+            + F.when(F.col("o_orderkey") % 13 == 0, 500).otherwise(0)
+        ).alias("cents"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("a.o_orderkey").isNull(), "insert")
+            .when(F.col("b.o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change"),
+            F.col("a.cents").alias("old_cents"),
+            F.col("b.cents").alias("new_cents"),
+        )
+        .filter(
+            F.col("old_cents").isNull()
+            | F.col("new_cents").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+    )
