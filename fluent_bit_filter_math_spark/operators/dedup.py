@@ -907,3 +907,55 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked record linkage (entity resolution) — fuzzy-match candidate
+# pairs via edit distance INSIDE blocking buckets: pairs only form
+# within a (p_brand, p_size) block, so the join volume is Σ|block|²,
+# never |table|² — the classic linkage blocking strategy (same shape as
+# the LSH banding above, with a domain blocking key instead of a hash).
+# levenshtein() is integer-exact in both engines; the canonical pair
+# orientation (a.key < b.key) halves the candidates and makes output
+# deterministic. At 100 TB: block-size skew is the risk — a df-cap on
+# block cardinality (as in dedup_ngram_jaccard's hot-shingle cap)
+# bounds the worst block.
+# ---------------------------------------------------------------------------
+@register(
+    "er_fuzzy_match_parts",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY id_a, id_b
+    """,
+)
+def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b").cast("long"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+        .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
+        .orderBy("id_a", "id_b")
+    )

@@ -369,3 +369,106 @@ def test_observe_metrics_on_fold(spark):
     ).first()
     assert obs.get["n_rows"] == expected["n"]
     assert obs.get["total_cents"] == expected["c"]
+
+
+def test_foreachbatch_merge_materializes_latest_state(spark, tmp_path):
+    """Pins the claim in stream_latest_state_per_user's docstring: a
+    production deployment maintains the keyed current-state table by
+    MERGING each micro-batch's update-mode deltas via foreachBatch,
+    instead of re-emitting the whole snapshot. Replays the fixture as
+    2 time-ordered file batches; after each batch the materialized
+    table must equal the batch-computed latest-state for the data seen
+    so far."""
+    import time
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = table(spark, SF_DIR, "events").select("user_id", "event_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+
+    snap = stream.groupBy("user_id").agg(
+        F.max_by(F.struct("ts", "event_id"), F.struct("ts", "event_id")).alias(
+            "last"
+        )
+    )
+
+    def merge_batch(batch_df, batch_id):
+        # MERGE the delta into the keyed state table: keep the newer of
+        # (existing, incoming) per key — the same full-outer coalesce
+        # shape as merge_upsert_orders, file-swap committed.
+        delta = batch_df.select(
+            "user_id",
+            F.col("last.ts").alias("ts"),
+            F.col("last.event_id").alias("event_id"),
+        )
+        import os
+
+        if os.path.isdir(state_dir):
+            cur = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                cur.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by(
+                        F.struct("ts", "event_id"), F.struct("ts", "event_id")
+                    ).alias("m")
+                )
+                .select(
+                    "user_id",
+                    F.col("m.ts").alias("ts"),
+                    F.col("m.event_id").alias("event_id"),
+                )
+            )
+        else:
+            merged = delta
+        tmp = state_dir + ".new"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        snap.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    expected = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .toPandas()
+    )
+    got = spark.read.parquet(state_dir).toPandas()
+    _assert_frames_equal(expected, got)
