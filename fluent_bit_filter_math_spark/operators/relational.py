@@ -1147,3 +1147,75 @@ def agg_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic mode — most frequent value per group with an explicit
+# total tie-break (count DESC, value ASC): both engines' native mode()
+# leave ties implementation-defined, so the query builds the argmax
+# explicitly — count per (group, value), then rank. Two shuffles by
+# construction; the second operates on (group × distinct-value)
+# cardinality, not row volume.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, n
+    FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity
+             ) AS rn
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "n")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# running distinct count — cumulative per-user distinct event types in
+# event-time order: size(collect_set) over a RUNNING frame. Exact and
+# deterministic (set membership is order-independent); the frame is
+# per-user, so state is bounded by |distinct values| per key.
+# ---------------------------------------------------------------------------
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ))) AS BIGINT) AS types_seen
+    FROM events
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("types_seen"),
+    )
