@@ -166,3 +166,82 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         "rank_fp",
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances — frontier expansion over the part↔supplier supply
+# graph from a seed set (suppliers 0-4), unrolled to 3 rounds: each
+# round is one join (frontier × edges) + one min-distance aggregate —
+# the third canonical iterative-graph shape next to PageRank (rank
+# propagation, above) and connected components (star contraction,
+# operators/dedup.py). All-integer distances; nodes unreached within
+# the unrolled horizon are reported at distance -1 (the bounded-BFS
+# contract a production job pins with an iteration budget).
+# Oracle: DuckDB recursive CTE with per-node MIN over discovered depths.
+# ---------------------------------------------------------------------------
+BFS_ROUNDS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    edges AS (
+      SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * p AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, d) AS (
+      SELECT 2 * s + 1, 0 FROM (SELECT DISTINCT s FROM pairs WHERE s < 5)
+      UNION ALL
+      SELECT e.dst, w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.d < {BFS_ROUNDS}
+    ),
+    dist AS (SELECT id, MIN(d) AS hops FROM walk GROUP BY id)
+    SELECT n.id AS node_id,
+           COALESCE(dist.hops, -1) AS hops
+    FROM nodes n LEFT JOIN dist ON n.id = dist.id
+    ORDER BY node_id
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part_nodes = pairs.select((2 * F.col("l_partkey")).alias("src"),
+                              (2 * F.col("l_suppkey") + 1).alias("dst"))
+    supp_nodes = pairs.select((2 * F.col("l_suppkey") + 1).alias("src"),
+                              (2 * F.col("l_partkey")).alias("dst"))
+    edges = part_nodes.unionByName(supp_nodes).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+
+    frontier = (
+        pairs.select("l_suppkey")
+        .filter(F.col("l_suppkey") < 5)
+        .distinct()
+        .select((2 * F.col("l_suppkey") + 1).alias("id"))
+        .withColumn("hops", F.lit(0))
+    )
+    dist = frontier
+    for _ in range(BFS_ROUNDS):
+        expanded = (
+            dist.join(edges, dist.id == edges.src)
+            .select(F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return (
+        nodes.join(dist, "id", "left_outer")
+        .select(
+            F.col("id").alias("node_id"),
+            F.coalesce(F.col("hops"), F.lit(-1)).cast("long").alias("hops"),
+        )
+        .orderBy("node_id")
+    )

@@ -1219,3 +1219,90 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("types_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorized statistics — robust per-group stats with outliers clamped
+# to the exact p05/p95 ORDER STATISTICS (positions ⌈0.05·n⌉ / ⌈0.95·n⌉
+# of the (cents, event_id) total order — selected rows, so no
+# interpolation variance). Clamping and the clamped sum are pure
+# integer arithmetic. Two passes over one event_type partitioning:
+# rank to find the bounds, broadcast the tiny bounds table back, clamp
+# and aggregate map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cents, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                      THEN cents END) AS lo,
+             MIN(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN cents END) AS hi
+      FROM r GROUP BY event_type
+    )
+    SELECT c.event_type,
+           COUNT(*) AS n_events,
+           SUM(LEAST(GREATEST(cents, lo), hi)) AS winsorized_sum,
+           SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+             AS n_clamped
+    FROM c JOIN bounds ON c.event_type = bounds.event_type
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", exact_cents(F.col("value")).alias("cents")
+    )
+    w = Window.partitionBy("event_type")
+    r = ev.withColumn(
+        "rn", F.row_number().over(w.orderBy("cents", "event_id"))
+    ).withColumn("n", F.count("*").over(w))
+    bounds = r.groupBy(F.col("event_type").alias("bt")).agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("long"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    clamped = ev.join(
+        F.broadcast(bounds), ev.event_type == F.col("bt")
+    ).withColumn(
+        "wc", F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("wc").alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo"))
+                    | (F.col("cents") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+        )
+        .orderBy("event_type")
+    )
