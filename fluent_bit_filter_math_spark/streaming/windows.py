@@ -550,3 +550,78 @@ def rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming session windows — the native session_window aggregate under
+# readStream (win_session_user above is the batch form; the batch≡stream
+# identity is also pinned in tests/test_streaming.py — this registers
+# the STREAMING run itself under the driver's oracle gate). Sessions
+# merge in the state store per user and emit in append mode once the
+# watermark passes session end (last event + gap). Finalization cutoff:
+# keep sessions whose end ≤ max(ts) − 2h (1h delay + 1h margin), the
+# same bounded-replay rule as the other stream_* queries; the oracle
+# rebuilds sessions with the gaps-and-islands construction under the
+# identical cutoff.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_window_user",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    ), sessions AS (
+        SELECT user_id,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL '30 minutes' AS s_end,
+               COUNT(*) AS n_events
+        FROM islands
+        GROUP BY user_id, session_no
+    )
+    SELECT user_id,
+           strftime(s_start, '{_D_FMT}') AS session_start,
+           strftime(s_end, '{_D_FMT}') AS session_end,
+           n_events
+    FROM sessions
+    WHERE s_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
+def stream_session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, path, drop_nanos=True)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_memory(
+        sessions, "stream_session_window_user", shuffle_partitions=4
+    )
+    cutoff = (
+        table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr("interval 2 hour")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+    return (
+        out.filter(F.col("w.end") <= F.lit(cutoff))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )
