@@ -155,3 +155,108 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", F.col("asset_id"), F.col("frame_idx"))
         ).alias("frame_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL container decode — uncompressed PCM WAV needs no codec library,
+# so this path upgrades the decode story from "env-gated stub" to a
+# genuine format parser: an ingest kernel synthesizes valid RIFF/WAVE
+# files (44-byte canonical header + PCM16 frames derived from the
+# document bytes), and the decode kernel REALLY PARSES the container —
+# validates the RIFF/WAVE/fmt/data magics with struct.unpack, reads
+# channel count / sample rate / block align from the header, and
+# derives frame count from the data-chunk length. Corrupt payloads
+# raise. Only COMPRESSED codecs (jpeg/h264/mp3) remain env-stubbed
+# above — that boundary is now exactly "needs external codec", not
+# "needs Python".
+#
+# Determinism: every synthesized header field is arithmetic on
+# (doc_id, n_chars), so the oracle reproduces the parsed output and the
+# whole encode → binary → parse loop sits under the value-hash gate.
+# Both kernels are Arrow-batched mapInPandas — no shuffle, no driver.
+# ---------------------------------------------------------------------------
+def _wav_build(doc_id: int, text: bytes) -> bytes:
+    import struct
+
+    n_channels = 1 + doc_id % 2
+    sample_rate = 8000 + (doc_id % 3) * 4000
+    bits = 16
+    block_align = n_channels * bits // 8
+    # PCM16 frames derived from the text bytes (cycled per channel).
+    n_frames = len(text)
+    data = b"".join(
+        struct.pack(
+            "<" + "h" * n_channels,
+            *[(text[i] - 128) * 256] * n_channels,
+        )
+        for i in range(n_frames)
+    )
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def _wav_parse(payload: bytes) -> tuple[int, int, int, int]:
+    """Real RIFF/WAVE parse: magic validation + header field extraction."""
+    import struct
+
+    (riff, _sz, wave, fmt, fmt_len, codec, n_channels, sample_rate,
+     _byte_rate, block_align, bits, data_tag, data_len) = struct.unpack(
+        "<4sI4s4sIHHIIHH4sI", payload[:44]
+    )
+    if riff != b"RIFF" or wave != b"WAVE" or fmt != b"fmt " or data_tag != b"data":
+        raise ValueError("not a canonical PCM WAV container")
+    if codec != 1 or bits != 16 or fmt_len != 16:
+        raise ValueError("unsupported WAV encoding")
+    if data_len != len(payload) - 44 or data_len % block_align:
+        raise ValueError("truncated or misaligned data chunk")
+    n_frames = data_len // block_align
+    duration_us = n_frames * 1_000_000 // sample_rate
+    return n_channels, sample_rate, n_frames, duration_us
+
+
+def _wav_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [
+            _wav_build(int(i), t)
+            for i, t in zip(pdf["asset_id"], pdf["payload"])
+        ]
+        parsed = [_wav_parse(p) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "n_channels": [p[0] for p in parsed],
+                "sample_rate": [p[1] for p in parsed],
+                "n_frames": [p[2] for p in parsed],
+                "duration_us": [p[3] for p in parsed],
+            }
+        )
+
+
+@register(
+    "mm_wav_decode",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+           CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+           CAST(strlen(text) AS BIGINT) AS n_frames,
+           CAST(strlen(text) AS BIGINT) * 1000000
+             // (8000 + (doc_id % 3) * 4000) AS duration_us
+    FROM documents
+    """,
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assets(spark, sf_dir).mapInPandas(
+        _wav_roundtrip_batches,
+        schema=(
+            "asset_id long, n_channels long, sample_rate long,"
+            " n_frames long, duration_us long"
+        ),
+    )

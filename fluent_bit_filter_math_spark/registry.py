@@ -132,9 +132,11 @@ _PRIORITY: tuple[str, ...] = (
     "math_nonnumeric",
     "math_case_insensitive",
     "mm_metadata",
-    "mm_frame_sample",
-    # (mm_decode rotates to r7 — its Arrow plumbing family is covered
-    # by the two mm queries above and its kernel is the env-gated fake.)
+    "mm_wav_decode",
+    # (mm_decode + mm_frame_sample rotate to r7 — the mm Arrow plumbing
+    # family is covered by the two queries above, and mm_wav_decode is
+    # the REAL container parser that resolves VERDICT r5 "missing" #4
+    # for uncompressed formats — driver proof matters most there.)
     # Past the 50-slot window (r7 rotates representatives back in).
     # FIRST r7 priorities — new-in-r6 but out of window (locally gated
     # only): q13_order_distribution, q20_part_promotion,
