@@ -472,3 +472,84 @@ def test_foreachbatch_merge_materializes_latest_state(spark, tmp_path):
     )
     got = spark.read.parquet(state_dir).toPandas()
     _assert_frames_equal(expected, got)
+
+
+def test_stream_static_join_rereads_dim_per_batch(spark, tmp_path):
+    """Stream-static joins re-resolve the static side every micro-batch
+    — the mechanism that makes broadcast-dim enrichment pick up dim
+    updates without restarting the stream. Two source files arrive as
+    two batches; the dim table is rewritten between them via
+    foreachBatch, and rows from batch 2 must join against the UPDATED
+    dim."""
+    import time
+
+    src = str(tmp_path / "src")
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "event_type")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    spark.createDataFrame(
+        [("click", "v1"), ("view", "v1"), ("error", "v1"),
+         ("signup", "v1"), ("purchase", "v1")],
+        "event_type string, dim_ver string",
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+
+    seen = []
+
+    def enrich(batch_df, batch_id):
+        dim = batch_df.sparkSession.read.parquet(dim_dir)
+        joined = batch_df.join(F.broadcast(dim), "event_type")
+        joined.write.mode("append").parquet(out_dir)
+        seen.append(batch_id)
+        if batch_id == 0:
+            # rewrite the dim between batches
+            batch_df.sparkSession.createDataFrame(
+                [("click", "v2"), ("view", "v2"), ("error", "v2"),
+                 ("signup", "v2"), ("purchase", "v2")],
+                "event_type string, dim_ver string",
+            ).write.mode("overwrite").parquet(dim_dir + ".new")
+            import shutil
+
+            shutil.rmtree(dim_dir)
+            shutil.move(dim_dir + ".new", dim_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # second file arrives; second run's single batch joins v2
+    time.sleep(1.1)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    evens = got.filter(F.col("event_id") % 2 == 0)
+    odds = got.filter(F.col("event_id") % 2 == 1)
+    assert evens.count() > 0 and odds.count() > 0
+    assert evens.select("dim_ver").distinct().collect()[0][0] == "v1"
+    assert odds.select("dim_ver").distinct().collect()[0][0] == "v2"
