@@ -1306,3 +1306,89 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact higher moments — skewness/kurtosis WITHOUT engine-native
+# skewness()/kurtosis() (their update formulas differ per engine in the
+# last ulps): accumulate exact integer power sums Σx..Σx⁴ over cents
+# (DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB — both exact),
+# form the central-moment polynomials M2/M3/M4 in exact integer
+# arithmetic (the massive cancellation in n·Σx² − (Σx)² is precisely
+# why floats can't do this), and only the final ratios are doubles.
+# sqrt is IEEE-correctly-rounded everywhere (pow is NOT — avoided), so
+# skew = M3 / (sqrt(M2)·M2) is deterministic cross-engine. One shuffle,
+# map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_exact_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(c AS HUGEINT)) AS s1,
+             SUM(CAST(c AS HUGEINT) * c) AS s2,
+             SUM(CAST(c AS HUGEINT) * c * c) AS s3,
+             SUM(CAST(c AS HUGEINT) * c * c * c) AS s4
+      FROM (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS c
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             CAST(n * s2 - s1 * s1 AS DOUBLE) AS m2,
+             CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                  AS DOUBLE) AS m3,
+             CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                  + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                  AS DOUBLE) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           m2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_qty,
+           m3 * CAST(n AS DOUBLE) / (sqrt(m2) * m2) AS skewness,
+           m4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / (m2 * m2) - 3.0
+             AS excess_kurtosis
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity is integral-valued (1..50): x^4 <= 6.25e6 per element
+    # and n^3*Sx^4 stays ~1e34 even at sf1 — inside both DECIMAL(38)
+    # and HUGEINT. (extendedprice cents would overflow at (Sx)^4.)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("c")
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)))").alias("s1"),
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("s2"),
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c * c)").alias("s3"),
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c * c * c)").alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        "n",
+        F.expr("CAST(n * s2 - s1 * s1 AS DOUBLE)").alias("m2"),
+        F.expr(
+            "CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)"
+        ).alias("m3"),
+        F.expr(
+            "CAST(n * n * n * s4 - 4 * n * n * s1 * s3"
+            " + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)"
+        ).alias("m4"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr("m2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))").alias(
+            "var_qty"
+        ),
+        F.expr("m3 * CAST(n AS DOUBLE) / (sqrt(m2) * m2)").alias("skewness"),
+        F.expr(
+            "m4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / (m2 * m2) - 3.0"
+        ).alias("excess_kurtosis"),
+    ).orderBy("l_returnflag")
