@@ -630,3 +630,40 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("b")).alias("b_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# string shaping functions — pad/trim/translate/initcap/reverse/repeat
+# (the formatting half of the string surface; fn_string_suite above
+# covers search/extract). All codegen'd projections, zero shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_string_shape_suite",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.') AS padded_brand,
+           rpad(p_type, 10, '_') AS padded_type,
+           trim('  ' || p_name || ' ') AS trimmed,
+           ltrim('xx' || p_name, 'x') AS ltrimmed,
+           translate(p_name, 'aeiou', '12345') AS translated,
+           reverse(p_type) AS rev_type,
+           repeat(p_brand, 2) AS doubled,
+           CAST(strlen(rpad(p_name, 30, '*')) AS BIGINT) AS padded_len
+    FROM part
+    """,
+)
+def fn_string_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("padded_brand"),
+        F.rpad("p_type", 10, "_").alias("padded_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+        F.expr("ltrim('x', 'xx' || p_name)").alias("ltrimmed"),
+        F.translate("p_name", "aeiou", "12345").alias("translated"),
+        F.reverse("p_type").alias("rev_type"),
+        F.repeat("p_brand", 2).alias("doubled"),
+        F.length(F.rpad("p_name", 30, "*")).cast("long").alias("padded_len"),
+    )
