@@ -1392,3 +1392,53 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m4 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / (m2 * m2) - 3.0"
         ).alias("excess_kurtosis"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# null-safe equality join — NULL keys MATCH each other under <=> (IS
+# NOT DISTINCT FROM), unlike plain equi-joins where NULL matches
+# nothing. Nullable keys are derived with NULLIF so the fixture needs
+# no null columns; counts per joined key pin both the NULL-bucket match
+# and the ordinary buckets. Note the scale caveat the query embodies:
+# a null-safe join hashes all NULLs into ONE bucket — a skew hotspot if
+# NULLs dominate (the salting rewrite in operators/skew.py applies).
+# ---------------------------------------------------------------------------
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_custkey % 5, 0) AS k, o_orderkey FROM orders
+      WHERE o_orderkey % 7 = 0
+    ),
+    b AS (
+      SELECT NULLIF(c_custkey % 5, 0) AS k, c_custkey FROM customer
+      WHERE c_custkey % 3 = 0
+    )
+    SELECT a.k AS join_key,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           COUNT(DISTINCT c_custkey) AS n_custs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY join_key NULLS FIRST
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    a = orders.select(
+        F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("ka"), "o_orderkey"
+    )
+    b = cust.select(
+        F.nullif(F.col("c_custkey") % 5, F.lit(0)).alias("kb"), "c_custkey"
+    )
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb))
+        .groupBy(F.col("ka").alias("join_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_custs"),
+        )
+        .orderBy(F.asc_nulls_first("join_key"))
+    )

@@ -148,7 +148,8 @@ _PRIORITY: tuple[str, ...] = (
     # er_fuzzy_match_parts, agg_mode_deterministic,
     # window_running_distinct, agg_winsorized_stats, graph_bfs_hops,
     # stream_session_window_user, agg_exact_moments,
-    # fn_string_shape_suite, mm_decode, mm_frame_sample. Then:
+    # fn_string_shape_suite, join_null_safe, mm_decode,
+    # mm_frame_sample. Then:
     # q3/q5 (15 TPC-H kin in-window), agg_percentiles/agg_count_distinct
     # (regr/corr/quantiles in-window), dedup_* (exact/simhash/jaccard/cc
     # r1-r5 green, jaccard+cc perf-touched but output-pinned by the
