@@ -355,13 +355,15 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT COUNT(*) AS n_docs,
-             SUM(n_chars) AS total_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              COUNT(DISTINCT lang) AS n_langs,
              COUNT(DISTINCT source) AS n_sources,
-             MIN(n_chars) AS min_chars,
-             MAX(n_chars) AS max_chars,
-             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_docs_en,
-             SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS n_docs_long
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_en,
+             CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_long
       FROM documents
     )
     SELECT metric, value FROM (

@@ -204,7 +204,7 @@ BFS_ROUNDS = 3
     ),
     dist AS (SELECT id, MIN(d) AS hops FROM walk GROUP BY id)
     SELECT n.id AS node_id,
-           COALESCE(dist.hops, -1) AS hops
+           CAST(COALESCE(dist.hops, -1) AS BIGINT) AS hops
     FROM nodes n LEFT JOIN dist ON n.id = dist.id
     ORDER BY node_id
     """,

@@ -92,7 +92,8 @@ def _type_totals(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM events
     GROUP BY event_type
     """,
@@ -254,12 +255,14 @@ def _reconcile(key: Tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     WITH e AS (
       SELECT user_id, COUNT(*) AS n_events,
-             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS event_cents
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS event_cents
       FROM events GROUP BY user_id
     ),
     o AS (
       SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
-             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS order_cents
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS order_cents
       FROM orders WHERE o_custkey < 150 GROUP BY o_custkey
     )
     SELECT COALESCE(e.user_id, o.user_id) AS user_id,

@@ -316,8 +316,8 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_trailing_1h",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
-               AS trailing_cents,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS trailing_cents,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1256,9 +1256,10 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_type,
            COUNT(*) AS n_events,
-           SUM(LEAST(GREATEST(cents, lo), hi)) AS winsorized_sum,
-           SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
-             AS n_clamped
+           CAST(SUM(LEAST(GREATEST(cents, lo), hi)) AS BIGINT)
+             AS winsorized_sum,
+           CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
     FROM c JOIN bounds ON c.event_type = bounds.event_type
     GROUP BY c.event_type
     ORDER BY c.event_type

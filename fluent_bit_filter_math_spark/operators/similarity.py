@@ -667,8 +667,8 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, dim,
            COUNT(*) AS n_vecs,
-           SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
-             AS sum_micro
+           CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_micro
     FROM ex
     GROUP BY label, dim
     """,
@@ -677,6 +677,7 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "e"))
+        .withColumn("dim", F.col("dim").cast("long"))
         .groupBy("label", "dim")
         .agg(
             F.count("*").alias("n_vecs"),

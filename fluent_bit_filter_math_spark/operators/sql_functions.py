@@ -195,8 +195,8 @@ def fn_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000000.0) AS qty_sqrt,
            (floor(ln(l_extendedprice + 1.0) * 1000000000.0 + 0.5)
             / 1000000000.0) AS log_price,
-           ceil(l_discount * 100.0) AS disc_pct_ceil,
-           floor(l_tax * 100.0) AS tax_pct_floor
+           CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+           CAST(floor(l_tax * 100.0) AS BIGINT) AS tax_pct_floor
     FROM lineitem
     """,
 )

@@ -87,7 +87,8 @@ def user_running_totals_stream(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM events
     GROUP BY user_id
     """,
@@ -152,9 +153,9 @@ def _update_sessions(
     "stream_stateful_sessions",
     oracle="""
     SELECT user_id,
-           1 + SUM(CASE WHEN prev_us IS NOT NULL
+           CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL
                          AND us - prev_us > 1800 * 1000000
-                        THEN 1 ELSE 0 END) AS n_sessions,
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM (
       SELECT user_id, epoch_us(ts) AS us,

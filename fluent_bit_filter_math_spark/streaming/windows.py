@@ -175,7 +175,8 @@ def win_session_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', ts), '{_D_FMT}') AS day_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
     FROM events
     WHERE date_trunc('day', ts) + INTERVAL 1 DAY
           <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
@@ -249,7 +250,8 @@ def stream_rollup_hour_to_day(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(coalesce(h, d, w), '{_D_FMT}') AS bucket_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
     FROM (
       SELECT event_type, value,
              date_trunc('hour', ts) AS h,
@@ -309,7 +311,8 @@ def rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('hour', ts) AS hs,
              event_type,
              COUNT(*) AS n_events,
-             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
       FROM events
       WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
             <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
@@ -355,7 +358,7 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         out.filter(F.col("w.end") <= F.lit(cutoff))
-        .withColumn("rnk", F.row_number().over(rank_w))
+        .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rnk") <= 3)
         .select(
             F.date_format("w.start", _FMT).alias("window_start"),
@@ -514,7 +517,8 @@ _REFRESH_CUTOFF = "2024-01-24 00:00:00"
     SELECT strftime(date_trunc('day', ts), '{_D_FMT}') AS day_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
     FROM events
     GROUP BY date_trunc('day', ts), event_type
     """,

@@ -39,6 +39,30 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_class(dt) -> str:
+    """Collapse a pandas dtype into a driver-hash-relevant class.
+
+    The driver's value-hash is dtype-sensitive: DuckDB's HUGEINT (from an
+    un-cast integer SUM) fetches as float64 while Spark emits int64, and the
+    two hash differently even when every value is numerically equal. We
+    therefore require the exact same kind AND width on both sides for
+    numeric columns; datetimes must agree in kind (unit differences are
+    normalized by both engines' Arrow paths); everything else is compared
+    as its dtype string.
+    """
+    from pandas.api import types as pt
+
+    if pt.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if pt.is_bool_dtype(dt):
+        return "bool"
+    if pt.is_integer_dtype(dt):
+        return f"int{dt.itemsize * 8}"
+    if pt.is_float_dtype(dt):
+        return f"float{dt.itemsize * 8}"
+    return str(dt)
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -46,6 +70,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if scols != dcols:
         problems.append(f"columns {scols} vs {dcols}")
+        return problems
+    for c in scols:
+        sk, dk = _dtype_class(spark_pdf[c].dtype), _dtype_class(duck_pdf[c].dtype)
+        if sk != dk:
+            problems.append(f"col {c} dtype {sk} (spark) vs {dk} (oracle)")
+    if problems:
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) != len(b):
