@@ -309,6 +309,7 @@ def stream_math_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from fluent_bit_filter_math_spark.pipeline import read_events_stream
@@ -319,17 +320,24 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = apply_specs(
         stream, [MathSpec.build("sum", ["value", "k", 7], "math_out")]
     ).select("event_id", "value", "math_out")
-    # Deferred cleanup (ADVICE r5): the returned DataFrame reads lazily
-    # from the sink, so the dirs can't be removed here — register them
-    # for removal at interpreter exit instead of leaking one pair per
-    # bench rep / correctness run.
+    # Disk discipline: the returned DataFrame reads lazily from the
+    # sink, so the dirs can't be removed here. Instead of one mkdtemp
+    # pair per invocation (which grows by REPS × |events| across a
+    # bench run before the atexit sweep fires), reuse ONE fixed pair
+    # per process and wipe it at entry — the previous rep's output is
+    # dead the moment a new run starts, so growth is bounded at a
+    # single copy. Checkpoint is wiped together with the sink so the
+    # availableNow replay re-emits from scratch.
     import atexit
     import shutil
 
-    sink = tempfile.mkdtemp(prefix="fbm-file-sink-")
-    ckpt = tempfile.mkdtemp(prefix="fbm-file-sink-ckpt-")
-    for d in (sink, ckpt):
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    base = os.path.join(
+        tempfile.gettempdir(), f"fbm-file-sink-{os.getpid()}"
+    )
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(sink), os.makedirs(ckpt)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     (
         out.writeStream.format("parquet")
         .option("path", sink)
@@ -362,6 +370,7 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
+    import os
     import shutil
     import tempfile
 
@@ -371,7 +380,13 @@ def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_json_sink(spark)
-    out_dir = tempfile.mkdtemp(prefix="fbm-json-sink-")
+    # Same bounded-disk pattern as stream_file_sink_roundtrip: one
+    # fixed dir per process, wiped at entry, removed at exit.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"fbm-json-sink-{os.getpid()}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
@@ -385,10 +400,17 @@ def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).save()
 
-    return (
-        spark.read.schema(
-            "event_id long, user_id long, cents long, fold_sum long"
-        )
-        .option("pathGlobFilter", "part-*.json")
-        .json(out_dir)
-    )
+    # Read back ONLY the shards the commit protocol recorded in
+    # _MANIFEST.json — a retried/speculative write task can leave an
+    # orphan part-*.json on disk (abort runs on job abort, not per-task
+    # retry), and a glob read would double-count its rows. Consuming
+    # the manifest is what makes the sink exactly-once.
+    import json as _json
+
+    with open(
+        os.path.join(out_dir, "_MANIFEST.json"), encoding="utf-8"
+    ) as f:
+        shard_paths = [s["path"] for s in _json.load(f)["shards"]]
+    return spark.read.schema(
+        "event_id long, user_id long, cents long, fold_sum long"
+    ).json(shard_paths)

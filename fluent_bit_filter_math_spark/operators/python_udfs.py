@@ -130,8 +130,15 @@ def _group_ols(pdf: pd.DataFrame) -> pd.DataFrame:
     sxy = sum(a * b for a, b in zip(xs, ys))
     num = float(n * sxy - sx * sy)
     den = float(n * sxx - sx * sx)
-    slope = num / den
-    intercept = (float(sy) - slope * float(sx)) / float(n)
+    if den == 0.0:
+        # Degenerate group (single point or constant x): the fit is
+        # undefined. Emit NULL, matching the oracle's NULLIF(den, 0)
+        # division — a crash here would fail the whole Spark job.
+        slope = None
+        intercept = None
+    else:
+        slope = num / den
+        intercept = (float(sy) - slope * float(sx)) / float(n)
     return pd.DataFrame(
         {
             "event_type": [pdf["event_type"].iloc[0]],
@@ -162,10 +169,12 @@ def _group_ols(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT event_type,
            n AS n_events,
            CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s,
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+             AS slope_cents_per_s,
            (CAST(sy AS DOUBLE)
               - (CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+                * CAST(sx AS DOUBLE))
              / CAST(n AS DOUBLE) AS intercept_cents
     FROM sums
     """,

@@ -131,9 +131,21 @@ def _update_sessions(
     last_us, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for us in pdf["ts"].astype("datetime64[us]").astype("int64"):
+    # applyInPandasWithState may deliver one group's micro-batch as
+    # several Arrow chunks in arbitrary shuffle order; gap detection
+    # needs the group's events in global event-time order, so gather
+    # the whole micro-batch and sort ONCE before folding. Per-group
+    # micro-batch volume is bounded by the trigger interval, not the
+    # stream, so the concat is small by construction.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        whole = whole.sort_values(["ts", "event_id"], kind="mergesort")
+        for us in whole["ts"].astype("datetime64[us]").astype("int64"):
             us = int(us)
             if last_us is None or us - last_us > _SESS_GAP_US:
                 n_sessions += 1
