@@ -657,7 +657,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (agg_percentiles) buffers whole groups.
 # ---------------------------------------------------------------------------
 _AQ_EXACT_CTE = """WITH ranked AS (
-      SELECT l_returnflag, l_extendedprice AS v,
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
              row_number() OVER (PARTITION BY l_returnflag
                                 ORDER BY l_extendedprice) AS rn,
              count(*) OVER (PARTITION BY l_returnflag) AS n
@@ -665,33 +666,35 @@ _AQ_EXACT_CTE = """WITH ranked AS (
     ),
     exact AS (
       SELECT l_returnflag,
-             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 1
-                      THEN v END) AS lo50,
-             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.5e0) AS BIGINT) + 2
-                      THEN v END) AS hi50,
-             MAX((n - 1) * 0.5e0 - floor((n - 1) * 0.5e0)) AS f50,
-             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.95e0) AS BIGINT) + 1
-                      THEN v END) AS lo95,
-             MAX(CASE WHEN rn = CAST(floor((n - 1) * 0.95e0) AS BIGINT) + 2
-                      THEN v END) AS hi95,
-             MAX((n - 1) * 0.95e0 - floor((n - 1) * 0.95e0)) AS f95
+             MAX(CASE WHEN rn = CAST(floor(((n - 1) * 50) / 1e2)
+                                AS BIGINT) + 1 THEN c END) AS lo50,
+             MAX(CASE WHEN rn = CAST(floor(((n - 1) * 50) / 1e2)
+                                AS BIGINT) + 2 THEN c END) AS hi50,
+             MAX(((n - 1) * 50) % 100) AS r50,
+             MAX(CASE WHEN rn = CAST(floor(((n - 1) * 95) / 1e2)
+                                AS BIGINT) + 1 THEN c END) AS lo95,
+             MAX(CASE WHEN rn = CAST(floor(((n - 1) * 95) / 1e2)
+                                AS BIGINT) + 2 THEN c END) AS hi95,
+             MAX(((n - 1) * 95) % 100) AS r95
       FROM ranked
       GROUP BY l_returnflag
     )"""
 
 _AQ_EXACT_SELECT = """
-           lo50 + (coalesce(hi50, lo50) - lo50) * f50 AS exact_p50,
-           lo95 + (coalesce(hi95, lo95) - lo95) * f95 AS exact_p95"""
+           CAST(lo50 * 100 + (coalesce(hi50, lo50) - lo50) * r50
+                AS DOUBLE) / 1e4 AS exact_p50,
+           CAST(lo95 * 100 + (coalesce(hi95, lo95) - lo95) * r95
+                AS DOUBLE) / 1e4 AS exact_p95"""
 
 
 @register(
     "agg_approx_quantiles",
-    # The exact p50/p95 columns are computed by the SAME SQL text in both
-    # engines (shared CTE below): explicit order statistics + the shared
-    # interpolation expression, so every IEEE op runs on identical
-    # operands — engine percentile-interpolation formulas (Spark
-    # a+(b-a)*g vs quantile_cont's variant) never enter the comparison
-    # (ADVICE r5 knife-edge note).
+    # The exact p50/p95 columns are INTEGER-exact on both engines: order
+    # statistics in the cents domain, interpolation as pure BIGINT
+    # arithmetic (position fraction = ((n-1)*p) % 100, an integer), and
+    # ONE final double division by 1e4 on identical integer operands —
+    # no engine percentile-interpolation formula and no shared-double
+    # expression knife-edge anywhere in the comparison (VERDICT r6 #6).
     oracle=_AQ_EXACT_CTE
     + """
     SELECT l_returnflag,"""
@@ -717,12 +720,16 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.l_returnflag,"""
         + _AQ_EXACT_SELECT
         + """,
-           abs(a.ap[0] - (lo50 + (coalesce(hi50, lo50) - lo50) * f50))
-               / (lo50 + (coalesce(hi50, lo50) - lo50) * f50) <= 0.02
-               AS p50_ok,
-           abs(a.ap[1] - (lo95 + (coalesce(hi95, lo95) - lo95) * f95))
-               / (lo95 + (coalesce(hi95, lo95) - lo95) * f95) <= 0.02
-               AS p95_ok
+           abs(a.ap[0] - CAST(lo50 * 100
+                   + (coalesce(hi50, lo50) - lo50) * r50 AS DOUBLE) / 1e4)
+               / (CAST(lo50 * 100
+                   + (coalesce(hi50, lo50) - lo50) * r50 AS DOUBLE) / 1e4)
+               <= 0.02 AS p50_ok,
+           abs(a.ap[1] - CAST(lo95 * 100
+                   + (coalesce(hi95, lo95) - lo95) * r95 AS DOUBLE) / 1e4)
+               / (CAST(lo95 * 100
+                   + (coalesce(hi95, lo95) - lo95) * r95 AS DOUBLE) / 1e4)
+               <= 0.02 AS p95_ok
     FROM exact e JOIN approx a ON e.l_returnflag = a.l_returnflag
     """
     )

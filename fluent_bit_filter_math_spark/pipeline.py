@@ -126,6 +126,7 @@ def run_stream_to_memory(
     name: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = 4,
+    progress_out: dict | None = None,
 ) -> DataFrame:
     """Run a bounded stream into a memory sink; returns the result table.
 
@@ -160,6 +161,12 @@ def run_stream_to_memory(
                 .start()
             )
             query.awaitTermination()
+            if progress_out is not None:
+                # Surface the engine's own run report (the final
+                # StreamingQueryProgress) so callers can derive
+                # finalization bounds from the REPORTED eventTime
+                # watermark instead of re-modeling it from the data.
+                progress_out["lastProgress"] = query.lastProgress
     finally:
         if shuffle_partitions is not None:
             spark.conf.set(key, old)

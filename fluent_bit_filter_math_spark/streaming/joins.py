@@ -137,15 +137,20 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state watermark trails max event time by up to 2×(delay + interval):
 # the left side's eviction bound is derived from the right-side
 # watermark, which is itself delay behind the max event time and then
-# reduced by the join interval again — a click at mx − 3h is NOT yet
-# evicted with delay = interval = 1h. Both sides of the oracle gate
-# therefore apply the same conservative cutoff of mx − 5h (2×(delay +
-# interval) plus an hour of margin so strict-vs-non-strict boundary
-# semantics can never flip a row at the edge) — Spark post-filters the
-# materialized result (a batch DataFrame), the oracle computes it with
-# a scalar subquery. On an unbounded production stream there is no
-# cutoff; rows simply finalize a bounded lag after their event time,
-# which is the same rule with the lag spelled out.
+# reduced by the join interval again — a click at W − 3h is NOT yet
+# evicted with delay = interval = 1h. Both sides of the gate therefore
+# apply the cutoff W − 4h (2×(delay + interval) minus the delay already
+# inside W, plus an hour of margin so strict-vs-non-strict boundary
+# semantics can never flip a row at the edge), where W is the ENGINE'S
+# reported final eventTime watermark: under the default
+# multipleWatermarkPolicy=min it is the smaller of the two sides'
+# (max observed event time − delay), millisecond-truncated. Spark reads
+# W from the query's lastProgress and post-filters the materialized
+# result; the oracle reproduces the same W with LEAST over the two
+# sides' max(ts) scalars and the same ms-truncation. On an unbounded
+# production stream there is no cutoff; rows simply finalize a bounded
+# lag after their event time, which is the same rule with the lag
+# spelled out.
 # ---------------------------------------------------------------------------
 @register(
     "stream_stream_left_outer",
@@ -159,7 +164,12 @@ def stream_stream_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
       ON c.user_id = p.user_id
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-    WHERE c.ts <= (SELECT max(ts) - INTERVAL 5 HOUR FROM events)
+    WHERE c.ts <= (SELECT date_trunc('milliseconds', LEAST(
+                     (SELECT max(ts) FROM events
+                      WHERE event_type = 'click'),
+                     (SELECT max(ts) FROM events
+                      WHERE event_type = 'purchase')))
+                          - INTERVAL 5 HOUR)
     """,
 )
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,14 +203,34 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.ts").alias("_click_ts"),
         F.col("p.value").alias("purchase_value"),
     )
-    out = run_stream_to_memory(joined, "stream_stream_left_outer")
-    # Finalization cutoff from the batch twin of the same fixture —
-    # deterministic, identical to the oracle's scalar subquery.
-    cutoff = (
-        table(spark, sf_dir, "events")
-        .agg((F.max("ts") - F.expr("interval 5 hour")).alias("cut"))
-        .collect()[0]["cut"]
+    progress: dict = {}
+    out = run_stream_to_memory(
+        joined, "stream_stream_left_outer", progress_out=progress
     )
+    # Finalization cutoff derived from the ENGINE'S reported eventTime
+    # watermark (lastProgress), not re-modeled from the data: a click is
+    # provably finalized once the left state watermark — the global
+    # watermark minus the join interval, minus another (delay +
+    # interval) because the left eviction bound chains through the
+    # right-side watermark — has passed it; the extra hour is boundary
+    # margin so strict-vs-non-strict edge semantics can never flip a
+    # row. With delay = interval = 1 h that is W − 4 h. When the
+    # no-data micro-batch fully advanced the watermark (W = max(ts) −
+    # delay, the normal availableNow completion), this equals the
+    # oracle's max(ts) − 5 h scalar subquery; if the engine ever
+    # under-advances, the derived cutoff shrinks with it and the gate
+    # flags the shortfall instead of silently trusting a constant.
+    import datetime
+
+    # The reported watermark is millisecond-truncated (floor) while the
+    # raw event times carry microseconds; the oracle applies the same
+    # date_trunc('milliseconds') to its max(ts) scalar — truncation
+    # commutes with subtracting whole hours, so the two cutoffs are
+    # microsecond-identical.
+    wm = progress["lastProgress"]["eventTime"]["watermark"]
+    cutoff = datetime.datetime.strptime(
+        wm, "%Y-%m-%dT%H:%M:%S.%fZ"
+    ) - datetime.timedelta(hours=4)
     return (
         out.filter(F.col("_click_ts") <= F.lit(cutoff))
         .withColumn(
