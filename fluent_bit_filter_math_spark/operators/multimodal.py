@@ -1,11 +1,13 @@
 """Multimodal-column operators: opaque ``binary`` payloads + typed metadata.
 
-SURVEY.md §2.3 extension. The container has no image/audio codecs, so
-the *decode* kernels are stubs (`NotImplementedError` behind
-``SPARK_GRAFT_REAL_DECODE``) with a deterministic fake in their place —
-but everything Spark-side is real and tested: the binary column, the
-Arrow-batched ``mapInPandas`` plumbing, the output schemas, and the
-frame-sampling explode.
+SURVEY.md §2.3 extension. The decode kernels parse REAL container
+formats with the stdlib alone: ``mm_decode`` synthesizes and parses
+YUV4MPEG2 (Y4M) — the standard uncompressed video container — and
+``mm_wav_decode`` does the same for RIFF/WAVE PCM. Only COMPRESSED
+codecs (jpeg/h264/mp3) are out of scope, because they need external
+libraries this environment doesn't ship; they would slot into the
+identical Arrow-batched ``mapInPandas`` shape with a different
+per-payload kernel.
 
 The fixture set has no binary table, so payloads are derived in-plan
 from ``documents.text`` via ``encode(text, 'utf-8')`` — an honest
@@ -24,7 +26,6 @@ fall back to schema + row-count checks).
 
 from __future__ import annotations
 
-import os
 from typing import Iterator
 
 import pandas as pd
@@ -34,9 +35,9 @@ from pyspark.sql import functions as F
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
-REAL_DECODE = os.environ.get("SPARK_GRAFT_REAL_DECODE", "") == "1"
-
-_FAKE_W, _FAKE_H, _FAKE_FR = 640, 480, 30  # fake-decode modulus constants
+# Y4M synthesis moduli: small dims keep the per-asset payload a few KB
+# (frame = 3·w·h bytes under C444) while exercising every header field.
+_Y4M_W_MOD, _Y4M_H_MOD, _Y4M_FR_MOD = 16, 12, 10
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,35 +74,81 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# decode — Arrow-batched mapInPandas; stubbed kernel, real plumbing.
+# REAL video-container decode — YUV4MPEG2 (Y4M), the standard
+# uncompressed video interchange format: an ASCII parameter header
+# ("YUV4MPEG2 W.. H.. F.. C444\n") followed by n_frames × ("FRAME\n" +
+# raw planes). Needs no codec library, so the ingest kernel synthesizes
+# a valid multi-frame Y4M stream per asset (dims/frame-count are
+# arithmetic on the payload length, plane bytes are the payload cycled)
+# and the decode kernel REALLY PARSES the container: magic + parameter
+# tokens, per-frame marker validation, plane-length accounting, exact
+# EOF. Corrupt payloads raise. Same honesty boundary as mm_wav_decode:
+# only compressed codecs remain out of scope.
+#
+# Determinism: every synthesized parameter is arithmetic on the byte
+# length, so the oracle reproduces the parsed output and the whole
+# encode → binary → parse loop sits under the value-hash gate.
 # ---------------------------------------------------------------------------
 _DECODE_SCHEMA = (
     "asset_id long, width long, height long, n_frames long"
 )
 
 
-def _decode_kernel(payload: bytes) -> tuple[int, int, int]:
-    """Per-asset decode. Real codecs are unavailable in this container."""
-    if REAL_DECODE:
-        raise NotImplementedError(
-            "real image/audio decode requires codec libraries not present "
-            "in this environment; unset SPARK_GRAFT_REAL_DECODE"
-        )
+def _y4m_build(payload: bytes) -> bytes:
     n = len(payload)
-    return n % _FAKE_W, n % _FAKE_H, n % _FAKE_FR + 1
+    w = 4 + n % _Y4M_W_MOD
+    h = 4 + n % _Y4M_H_MOD
+    n_frames = n % _Y4M_FR_MOD + 1
+    frame_len = 3 * w * h  # C444: full-resolution Y, U, V planes
+    src = payload if payload else b"\x00"
+    planes = (src * (frame_len // len(src) + 1))[:frame_len]
+    header = f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C444\n".encode("ascii")
+    return header + (b"FRAME\n" + planes) * n_frames
+
+
+def _y4m_parse(payload: bytes) -> tuple[int, int, int]:
+    """Real Y4M parse: magic + parameter tokens + frame accounting."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("no Y4M header line")
+    tokens = payload[:nl].split(b" ")
+    if tokens[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    params = {t[:1]: t[1:] for t in tokens[1:] if t}
+    w, h = int(params[b"W"]), int(params[b"H"])
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive frame dimensions")
+    colorspace = params.get(b"C", b"420")
+    if colorspace == b"444":
+        frame_len = 3 * w * h
+    elif colorspace == b"420":
+        if w % 2 or h % 2:
+            raise ValueError("C420 requires even dimensions")
+        frame_len = w * h * 3 // 2
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    pos, n_frames = nl + 1, 0
+    while pos < len(payload):
+        if payload[pos : pos + 6] != b"FRAME\n":
+            raise ValueError("bad frame marker")
+        pos += 6 + frame_len
+        if pos > len(payload):
+            raise ValueError("truncated frame planes")
+        n_frames += 1
+    return w, h, n_frames
 
 
 def _decode_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        decoded = pdf["payload"].map(_decode_kernel)
+        parsed = [_y4m_parse(_y4m_build(p)) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "asset_id": pdf["asset_id"],
-                "width": decoded.map(lambda t: t[0]),
-                "height": decoded.map(lambda t: t[1]),
-                "n_frames": decoded.map(lambda t: t[2]),
+                "width": [p[0] for p in parsed],
+                "height": [p[1] for p in parsed],
+                "n_frames": [p[2] for p in parsed],
             }
         )
 
@@ -110,9 +157,9 @@ def _decode_batches(
     "mm_decode",
     oracle=f"""
     SELECT doc_id AS asset_id,
-           CAST(strlen(text) % {_FAKE_W} AS BIGINT) AS width,
-           CAST(strlen(text) % {_FAKE_H} AS BIGINT) AS height,
-           CAST(strlen(text) % {_FAKE_FR} + 1 AS BIGINT) AS n_frames
+           CAST(4 + strlen(text) % {_Y4M_W_MOD} AS BIGINT) AS width,
+           CAST(4 + strlen(text) % {_Y4M_H_MOD} AS BIGINT) AS height,
+           CAST(strlen(text) % {_Y4M_FR_MOD} + 1 AS BIGINT) AS n_frames
     FROM documents
     """,
 )
@@ -123,7 +170,7 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# frame sampling — decode (stub) then explode every k-th frame index with a
+# frame sampling — Y4M decode, then explode every k-th frame index with a
 # deterministic per-frame fingerprint. Native explode; no Python row loop.
 # ---------------------------------------------------------------------------
 _FRAME_STEP = 7
@@ -133,10 +180,10 @@ _FRAME_STEP = 7
     "mm_frame_sample",
     oracle=f"""
     SELECT doc_id AS asset_id,
-           CAST(unnest(range(0, strlen(text) % {_FAKE_FR} + 1, {_FRAME_STEP}))
+           CAST(unnest(range(0, strlen(text) % {_Y4M_FR_MOD} + 1, {_FRAME_STEP}))
                 AS BIGINT) AS frame_idx,
            md5(doc_id || ':' ||
-               unnest(range(0, strlen(text) % {_FAKE_FR} + 1, {_FRAME_STEP})))
+               unnest(range(0, strlen(text) % {_Y4M_FR_MOD} + 1, {_FRAME_STEP})))
                AS frame_fp
     FROM documents
     """,

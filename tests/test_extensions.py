@@ -10,7 +10,6 @@ from fluent_bit_filter_math_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _shingles,
 )
-from fluent_bit_filter_math_spark.operators.multimodal import _decode_kernel
 from fluent_bit_filter_math_spark.operators.temporal import asof_join
 
 
@@ -64,17 +63,34 @@ def test_asof_join_picks_latest_not_any(spark):
     assert out[0].v == 2.0  # latest at-or-before ts=10, not 3.0 (future)
 
 
-def test_decode_kernel_stub_gates_real_decode(monkeypatch):
-    import fluent_bit_filter_math_spark.operators.multimodal as mm
+def test_y4m_roundtrip_parses_synthesized_container():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _y4m_build,
+        _y4m_parse,
+    )
 
-    monkeypatch.setattr(mm, "REAL_DECODE", True)
-    with pytest.raises(NotImplementedError):
-        _decode_kernel(b"payload")
+    for payload in (b"", b"x", b"hello world" * 50, bytes(range(256))):
+        n = len(payload)
+        assert _y4m_parse(_y4m_build(payload)) == (
+            4 + n % 16,
+            4 + n % 12,
+            n % 10 + 1,
+        )
 
 
-def test_decode_kernel_fake_is_deterministic():
-    assert _decode_kernel(b"x" * 1000) == (1000 % 640, 1000 % 480, 1000 % 30 + 1)
-    assert _decode_kernel(b"") == (0, 0, 1)
+def test_y4m_parse_rejects_corrupt_containers():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _y4m_build,
+        _y4m_parse,
+    )
+
+    with pytest.raises(ValueError):
+        _y4m_parse(b"JUNK\nFRAME\n")  # bad magic
+    with pytest.raises(ValueError):
+        _y4m_parse(_y4m_build(b"abc")[:-1])  # truncated planes
+    with pytest.raises(ValueError):
+        # odd dims are illegal under 4:2:0 subsampling
+        _y4m_parse(b"YUV4MPEG2 W3 H3 F30:1 C420\nFRAME\n" + b"\x00" * 14)
 
 
 def test_jaccard_threshold_in_safe_gap():
