@@ -67,96 +67,78 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 6 rotation ---
-    # tier 1: the six r5 hash-fails, all fixed this round by replacing
-    # engine-native round(DOUBLE) with the shared floor(x*scale+0.5)
-    # idiom (functions.fixed_point / fixed_round) — need green rows.
+    # --- round 7 rotation ---
+    # tier 1: the 12 r6 hash-fails — all one defect class (oracle
+    # integer aggregates promoted to HUGEINT/float64, ceil-floor and
+    # int-width mismatches), fixed this round by making every
+    # driver-visible column dtype-identical on both engines. Need
+    # green rows.
     "fn_math_suite",
     "udaf_event_type_cents",
     "stream_stateful_user_totals",
     "stream_rollup_hour_to_day",
     "rollup_time_grains",
     "window_range_trailing_1h",
-    # tier 2: outputs re-routed through the same idiom this round as
-    # knife-edge prophylaxis (VERDICT r5 task #5) — semantics changed,
-    # so their r5/r4 greens are void.
-    "agg_corr_stats",
-    "agg_approx_quantiles",
-    "ts_interpolate_linear",
-    "text_doc_freq",
-    "text_tfidf_topterms",
-    "text_lm_score",
-    # tier 2b: NEW this round — no driver row exists anywhere yet.
-    # Storage layout, batch sessionization, OLS aggregates, value
-    # windows, bitwise suite:
-    "io_partitioned_prune",
-    "join_bucketed_colocated",
-    "sessionize_events",
-    "agg_regr_ols",
-    "window_value_fns",
-    "fn_bitwise_suite",
-    # the extended TPC-H corpus (operators/tpch_extra.py):
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
     "q12_late_priority",
-    "q14_promo_revenue",
-    "q16_supplier_variety",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q2_min_cost_supplier",
-    "q4_priority_checking",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q22_sales_opportunity",
-    # UDF/streaming/lakehouse/vector/card additions:
-    "udaf_group_ols",
     "stream_topk_trending",
-    "merge_upsert_orders",
-    "stream_latest_state_per_user",
     "stream_stateful_sessions",
     "emb_centroid_by_label",
     "pipeline_dataset_card",
     "udaf_cogroup_reconcile",
-    # tier 3: reference-core folds (math.c:197-265 semantics) + the
-    # three multimodal queries — r1-stale, predate the driver's fixture
-    # regeneration (VERDICT r5 task #2; the r6 prior window carried the
-    # wider stale set, these are the rows that must never go unproven).
-    "math_sub",
-    "math_mul",
-    "math_div",
-    "math_cast_int",
-    "math_missing_field",
-    "math_nonnumeric",
-    "math_case_insensitive",
-    "mm_metadata",
-    "mm_wav_decode",
-    # (mm_decode + mm_frame_sample rotate to r7 — the mm Arrow plumbing
-    # family is covered by the two queries above, and mm_wav_decode is
-    # the REAL container parser that resolves VERDICT r5 "missing" #4
-    # for uncompressed formats — driver proof matters most there.)
-    # Past the 50-slot window (r7 rotates representatives back in).
-    # FIRST r7 priorities — new-in-r6 but out of window (locally gated
-    # only): q13_order_distribution, q20_part_promotion,
-    # q21_waiting_supplier, agg_bool_suite, stream_distinct_users_hourly,
-    # sample_weighted_bernoulli, rollup_incremental_refresh,
-    # ts_downsample_ohlc, io_xml_roundtrip, pysink_fold_roundtrip,
-    # agg_median_disc, fn_variant_suite, emb_norm_arrow, fn_url_suite,
-    # dedup_url_canonical, cdc_snapshot_diff, dq_volume_anomaly_days,
-    # er_fuzzy_match_parts, agg_mode_deterministic,
-    # window_running_distinct, agg_winsorized_stats, graph_bfs_hops,
-    # stream_session_window_user, agg_exact_moments,
-    # fn_string_shape_suite, join_null_safe, mm_decode,
-    # mm_frame_sample. Then:
-    # q3/q5 (15 TPC-H kin in-window), agg_percentiles/agg_count_distinct
-    # (regr/corr/quantiles in-window), dedup_* (exact/simhash/jaccard/cc
-    # r1-r5 green, jaccard+cc perf-touched but output-pinned by the
-    # local bitwise gate), mem_source_fold (green r5, Arrow batching
-    # pinned by tests), sim/text/setop/window/subquery/sampling/
-    # curation/skew/kmeans/pagerank/decontam/quality/scd2/udf/udtf
-    # families — all r4/r5-green with unchanged semantics.
+    # tier 2: semantics changed this round — watermark-derived
+    # finalization cutoff, integer-exact percentile interpolation, the
+    # real Y4M container decode (also r1-stale), aggregate-pushdown
+    # null-safe join.
+    "stream_stream_left_outer",
+    "agg_approx_quantiles",
+    "mm_decode",
+    "mm_frame_sample",
+    "stream_foreachbatch_merge",
+    # tier 3: the 26 queries that have NEVER had a driver row (new in
+    # r6 past the window; two of them — rollup_incremental_refresh,
+    # agg_winsorized_stats — carried the latent dtype defect and are
+    # fixed above). join_null_safe additionally changed semantics (see
+    # tier 2 note).
+    "join_null_safe",
+    "rollup_incremental_refresh",
+    "agg_winsorized_stats",
+    "graph_bfs_hops",
+    "pysink_fold_roundtrip",
+    "agg_bool_suite",
+    "agg_median_disc",
+    "agg_mode_deterministic",
+    "window_running_distinct",
+    "agg_exact_moments",
+    "dedup_url_canonical",
+    "er_fuzzy_match_parts",
+    "ts_downsample_ohlc",
+    "fn_variant_suite",
+    "fn_url_suite",
+    "fn_string_shape_suite",
+    "emb_norm_arrow",
+    "sample_weighted_bernoulli",
+    "dq_volume_anomaly_days",
+    "io_xml_roundtrip",
+    "cdc_snapshot_diff",
+    "q13_order_distribution",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "stream_distinct_users_hourly",
+    "stream_session_window_user",
+    # tier 4: oldest (r1-only) greens — fixtures have been regenerated
+    # three times since; one representative per family this round, the
+    # rest rotate to r8: window_running_total, agg_cube, sort_limit_topn,
+    # setop_intersect/union, join_anti/full_outer, agg_count_distinct,
+    # agg_percentiles, dedup_minhash_signatures/simhash,
+    # sim_range_search, text_token_stats/token_count_regex/fingerprint/
+    # bigrams.
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "agg_rollup",
+    "dedup_exact",
+    "text_lang_id",
+    "sim_ann_bucketed",
 )
 
 
@@ -188,6 +170,7 @@ def _ensure_loaded() -> None:
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,
+        foreach_sink,
         joins as stream_joins,
         stateful,
         windows,

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime row-level filtering: when a shuffle join's build side
+        # carries a selective filter, inject a bloom filter into the
+        # probe side's scan so non-joining rows die at the source
+        # instead of crossing the shuffle. The size thresholds are left
+        # at their defaults (≥10 GB probe scans), so this is inert on
+        # the local fixtures and load-bearing exactly where it matters
+        # — the 100 TB fact-dim join. Injection behavior is pinned by
+        # tests/test_plans.py with test-scoped thresholds.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -137,7 +137,12 @@ def test_stream_stream_left_outer_null_padding(spark):
         LEFT JOIN (SELECT * FROM loj_events WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND p.ts >= c.ts AND p.ts <= c.ts + interval 1 hour
-        WHERE c.ts <= (SELECT max(ts) - interval 5 hour FROM loj_events)
+        WHERE c.ts <= (SELECT date_trunc('millisecond', LEAST(
+                         (SELECT max(ts) FROM loj_events
+                          WHERE event_type = 'click'),
+                         (SELECT max(ts) FROM loj_events
+                          WHERE event_type = 'purchase')))
+                              - interval 5 hour)
         """
     ).toPandas()
     _assert_frames_equal(expected, out)
@@ -553,3 +558,41 @@ def test_stream_static_join_rereads_dim_per_batch(spark, tmp_path):
     assert evens.count() > 0 and odds.count() > 0
     assert evens.select("dim_ver").distinct().collect()[0][0] == "v1"
     assert odds.select("dim_ver").distinct().collect()[0][0] == "v2"
+
+
+def test_foreachbatch_merge_fold_is_slicing_invariant(spark):
+    """The foreachBatch state fold must give the same final state no
+    matter how the stream is sliced into micro-batches — that is the
+    property that makes the incremental MERGE correct under any
+    maxFilesPerTrigger / arrival order."""
+    from fluent_bit_filter_math_spark.streaming.foreach_sink import (
+        _merge_batch,
+    )
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 100),
+        (2, 11, "2024-01-01 00:05:00", 200),
+        (1, 12, "2024-01-01 00:10:00", 300),
+        (3, 13, "2024-01-01 00:01:00", 400),
+        (1, 14, "2024-01-01 00:07:00", 500),
+    ]
+    schema = "user_id long, event_id long, ts string, cents long"
+
+    def mk(subset):
+        df = spark.createDataFrame(subset, schema)
+        return df.withColumn("ts", df.ts.cast("timestamp"))
+
+    def fold(slices):
+        state = None
+        for sl in slices:
+            state = _merge_batch(state, mk(sl))
+        return sorted(map(tuple, state.collect()))
+
+    whole = fold([rows])
+    two = fold([rows[:2], rows[2:]])
+    singles = fold([[r] for r in rows])
+    reordered = fold([rows[3:], rows[:3]])
+    assert whole == two == singles == reordered
+    by_user = {r[0]: r for r in whole}
+    # user 1: three events, latest is event 12 at 00:10 with 300 cents.
+    assert by_user[1][1] == 3 and by_user[1][3] == 12 and by_user[1][4] == 300
