@@ -155,3 +155,40 @@ def subq_in_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery — per-customer top-2 orders by price.
+# The naive reading re-executes the inner ORDER BY/LIMIT once per outer
+# row; Catalyst DECORRELATES it (DecorrelateInnerQuery) into one
+# window rank over orders plus one equi-join — verified in the plan:
+# Window + BroadcastHashJoin, no nested loop, no per-row subquery
+# nodes. The same rewrite is what makes the construct survive 100 TB:
+# cost is one shuffle of orders by custkey, independent of customer
+# count. DuckDB runs the identical LATERAL text natively.
+# ---------------------------------------------------------------------------
+@register(
+    "subq_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o ON TRUE
+    """,
+)
+def subq_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM sq_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM sq_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        """
+    )
