@@ -680,3 +680,57 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_logprob", F.lit(0.0)).alias("sum_logprob"),
         (F.col("sum_logprob") / F.col("n_bigrams")).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking — fixed-size overlapping windows, the standard LLM
+# context-prep transform (RAG indexing / long-doc pretraining): stride
+# 400 chars with 100 chars of overlap (chunk = 500). Native explode of
+# a start-offset sequence into substring slices — no Python, no
+# shuffle; the explode streams row-by-row into the projection, so at
+# 100 TB the expansion is pipeline-parallel with the scan and output
+# volume is input × (1 + overlap/stride), never materialized per doc.
+# Empty docs yield one empty chunk (greatest(n,1)) so no document
+# silently disappears from the corpus. Character (not byte) semantics
+# on both engines: length()/substr() count codepoints in Spark and
+# DuckDB alike.
+# ---------------------------------------------------------------------------
+_CHUNK_LEN, _CHUNK_STRIDE = 500, 400
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS chunk_start,
+           CAST(length(chunk_text) AS BIGINT) AS chunk_chars,
+           md5(chunk_text) AS chunk_fp
+    FROM (
+      SELECT doc_id,
+             unnest(range(0, greatest(length(text), 1),
+                          {_CHUNK_STRIDE})) AS start,
+             text
+      FROM documents
+    ), LATERAL (SELECT substr(text, start + 1, {_CHUNK_LEN})
+                AS chunk_text)
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text"), F.lit(1)) - 1,
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunk = F.expr(f"substring(text, start + 1, {_CHUNK_LEN})")
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_chars"),
+            F.md5(chunk).alias("chunk_fp"),
+        )
+    )
