@@ -223,7 +223,15 @@ class _TokenizeUDTF:
 )
 def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register(
-        "fbm_tokenize", udtf(_TokenizeUDTF, returnType="pos: bigint, token: string")
+        "fbm_tokenize",
+        # Arrow-optimized UDTF (Spark 4): emitted rows cross the Python
+        # boundary as Arrow batches instead of pickled rows — same
+        # ~10-100x transfer win as pandas_udf vs row-at-a-time udf.
+        udtf(
+            _TokenizeUDTF,
+            returnType="pos: bigint, token: string",
+            useArrow=True,
+        ),
     )
     table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 50 == 0
