@@ -361,3 +361,75 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_cents") != F.col("new_cents"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution read — a table whose files were written under two
+# schema versions (v2 adds a column), read as ONE table with
+# mergeSchema: rows from old files surface NULL for the new column.
+# This is the lakehouse reality at 100 TB — a petabyte table is never
+# rewritten when a field is added; readers reconcile footers instead.
+# mergeSchema costs one footer-read per file at planning (not a data
+# scan); steady-state deployments pin the merged schema in the
+# catalog/metastore so even that planning cost is paid once, not per
+# query. Column pruning and filter pushdown still reach both file
+# generations.
+# ---------------------------------------------------------------------------
+_EVOLVE_DIRS: dict = {}
+
+
+def _evolving_events_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = sf_dir
+    if key not in _EVOLVE_DIRS:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"fbm-evolve-{os.getpid()}-{abs(hash(key)) % 10**8}",
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        ev = table(spark, sf_dir, "events")
+        cents = (
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents")
+        )
+        # v1 files: (event_id, user_id, cents) — the schema before the
+        # event_type field existed.
+        (
+            ev.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", cents)
+            .coalesce(1)
+            .write.parquet(out, mode="append")
+        )
+        # v2 files: the same table after the column was added.
+        (
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", cents, F.col("event_type"))
+            .coalesce(1)
+            .write.parquet(out, mode="append")
+        )
+        _EVOLVE_DIRS[key] = out
+    return _EVOLVE_DIRS[key]
+
+
+@register(
+    "io_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+    FROM events
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _evolving_events_path(spark, sf_dir)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("event_id", "user_id", "cents", "event_type")
+    )

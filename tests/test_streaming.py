@@ -596,3 +596,104 @@ def test_foreachbatch_merge_fold_is_slicing_invariant(spark):
     by_user = {r[0]: r for r in whole}
     # user 1: three events, latest is event 12 at 00:10 with 300 cents.
     assert by_user[1][1] == 3 and by_user[1][3] == 12 and by_user[1][4] == 300
+
+
+def test_stateful_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Kill-and-restart recovery: run the stateful running-totals query
+    over file 1, stop, drop files 2-3 into the source, restart with the
+    SAME checkpoint. The restarted query must resume from the persisted
+    state store — users re-emitted in run 2 carry totals that include
+    run 1's contribution, matching the batch aggregate over ALL files."""
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _update_totals,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", exact_cents(F.col("value")).alias("cents")
+    )
+    for part in range(3):
+        ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.parquet(
+            src, mode="append" if part else "overwrite"
+        )
+    files = sorted(
+        str(p) for p in (tmp_path / "src").glob("part-*.parquet")
+    )
+    assert len(files) == 3
+    # Phase 1: only file 1 visible (move the rest aside).
+    hidden = tmp_path / "hidden"
+    hidden.mkdir()
+    moved = []
+    for f in files[1:]:
+        dst = hidden / f.split("/")[-1]
+        import shutil
+
+        shutil.move(f, dst)
+        moved.append(dst)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        # Memory sink can't recover from a checkpoint; foreachBatch can
+        # — capture each micro-batch's emissions driver-side.
+        emitted = []
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .select("user_id", "cents")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_totals,
+                outputStructType=_OUT_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: emitted.append(df.toPandas())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return pd.concat(emitted) if emitted else pd.DataFrame(
+            columns=["user_id", "n_events", "total_cents"]
+        )
+
+    run_once()
+    # Phase 2: reveal the remaining files; restart from the checkpoint.
+    import shutil
+
+    for dst in moved:
+        shutil.move(str(dst), src)
+    out2 = run_once()
+
+    whole = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    late_users = set(
+        spark.read.parquet(*[f"{src}/{d.name}" for d in moved])
+        .select("user_id")
+        .distinct()
+        .toPandas()["user_id"]
+    )
+    assert set(out2["user_id"]) == late_users
+    for _, row in out2.iterrows():
+        exp = whole.loc[row["user_id"]]
+        assert row["n_events"] == exp["n_events"]
+        assert row["total_cents"] == exp["total_cents"]
