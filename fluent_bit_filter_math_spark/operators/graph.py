@@ -245,3 +245,60 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE reachability — the SAME bipartite walk as
+# graph_bfs_hops, but expressed as ANSI WITH RECURSIVE and executed
+# NATIVELY by both engines from one shared SQL text (Spark 4 added
+# recursive CTE support; graph_bfs_hops keeps the manually-unrolled
+# DataFrame form for engines/versions without it — the two queries
+# deliberately pin the same semantics through both code paths).
+# Observable: nodes first reached per depth level — a 4-row aggregate,
+# so the gate checks the whole traversal while the result stays tiny.
+# Scale: each recursion step is one frontier⋈edges join; Spark bounds
+# runaway recursion via spark.sql.cteRecursionLevelLimit, and the
+# depth guard (d < 3) keeps the walk finite on any graph. UNION ALL
+# path explosion is bounded by MIN-per-node dedup in the final
+# aggregate, and each recursion step carries DISTINCT frontier nodes
+# (Spark supports only UNION ALL recursion, so the per-step DISTINCT
+# is what bounds a step at |nodes| rows instead of |paths|).
+# ---------------------------------------------------------------------------
+_RCTE_SQL = """
+    WITH RECURSIVE
+    pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM {lineitem}
+    ),
+    edges AS (
+      SELECT 2 * p AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * p AS dst FROM pairs
+    ),
+    walk(id, d) AS (
+      SELECT CAST(2 * s + 1 AS BIGINT), CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT s FROM pairs WHERE s < 5)
+      UNION ALL
+      SELECT DISTINCT CAST(e.dst AS BIGINT), w.d + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.d < 3
+    ),
+    first_reach AS (
+      SELECT id, MIN(d) AS d FROM walk GROUP BY id
+    )
+    SELECT d AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_first_reached
+    FROM first_reach
+    GROUP BY d
+    ORDER BY depth
+"""
+
+
+@register(
+    "graph_reach_recursive_cte",
+    oracle=_RCTE_SQL.format(lineitem="lineitem"),
+)
+def graph_reach_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "rcte_lineitem"
+    )
+    return spark.sql(_RCTE_SQL.format(lineitem="rcte_lineitem"))
