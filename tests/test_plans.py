@@ -252,3 +252,49 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan  # probe-side scan filtered pre-shuffle
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL correlated ORDER BY/LIMIT must decorrelate into a
+    window rank + join — a nested-loop per-outer-row re-execution would
+    be quadratic at scale."""
+    from fluent_bit_filter_math_spark.operators.subqueries import (
+        subq_lateral_topk,
+    )
+
+    plan = plan_of(subq_lateral_topk(spark, sf_dir))
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_chunking_is_narrow_and_jvm_side(spark, sf_dir):
+    """Document chunking must stay a narrow, Python-free pipeline: the
+    sequence-explode streams into the projection with no shuffle."""
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_chunk_documents,
+    )
+
+    plan = plan_of(text_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_schema_evolution_merged_read_prunes_columns(spark, sf_dir):
+    """The mergeSchema read must still prune columns at the scan: a
+    projection of 2 of the 4 merged columns reads only those two."""
+    from fluent_bit_filter_math_spark.operators.storage import (
+        _evolving_events_path,
+    )
+
+    path = _evolving_events_path(spark, sf_dir)
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("event_id", "cents")
+    )
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"event_id", "cents"}
