@@ -251,6 +251,65 @@ def mem_source_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row_id", "mem_used", "mem_free", "mem_sum")
 
 
+# ---------------------------------------------------------------------------
+# custom STREAMING source fold — the LIVE half of the reference's
+# `mem -f 1` sampler loop (test.sh:15): the memmetrics connector's
+# SimpleDataSourceStreamReader serves deterministic row-counter offsets
+# micro-batch by micro-batch (4 batches of 250 here) and the same fold
+# runs incrementally over it. processAllAvailable() drains the stream
+# once the source's latest offset stops advancing at the cap — the
+# custom-source analogue of availableNow. Offsets make any window
+# replayable (readBetweenOffsets), so checkpoint recovery re-serves
+# identical rows.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_mem_source_fold",
+    oracle=f"""
+    SELECT range AS row_id,
+           400000 + (range * 37) % 100000 AS mem_used,
+           4050908 - (400000 + (range * 37) % 100000) AS mem_free,
+           CAST(4050908 AS BIGINT) AS mem_sum
+    FROM range({_MEM_N})
+    """,
+)
+def stream_mem_source_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fluent_bit_filter_math_spark.sources.mem_input import (
+        register_mem_source,
+    )
+
+    register_mem_source(spark)
+    stream = (
+        spark.readStream.format("memmetrics")
+        .option("numRows", _MEM_N)
+        .option("batchRows", _MEM_N // 4)
+        .load()
+    )
+    out = apply_specs(
+        stream,
+        [
+            MathSpec.build(
+                "sum", ["MEM_USED", "MEM_FREE"], "mem_sum", cast_to_int=True
+            )
+        ],
+    ).select("row_id", "mem_used", "mem_free", "mem_sum")
+    name = "stream_mem_source_fold"
+    with tempfile.TemporaryDirectory() as ckpt:
+        query = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return spark.table(name)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The test.sh scenario (4 ops, one with cast_to_int) fused into a
     single narrow projection — the reference needed four plugin instances

@@ -17,8 +17,11 @@ query over a *custom connector* end-to-end (``mem_source_fold`` in
 ``operators/mathfold.py``) — the same trick the reference smoke test
 cannot do (it eyeballs stdout, test.sh:42).
 
-For *live* periodic sampling (the `-f 1` flush loop) the built-in rate
-source remains the streaming analogue (``io.rate_stream``).
+The *live* periodic-sampling half (the `-f 1` flush loop) is the
+``SimpleDataSourceStreamReader`` below: row-counter offsets served
+micro-batch by micro-batch, replayable between any two offsets for
+checkpoint recovery (``stream_mem_source_fold`` runs the fold over it
+under the oracle gate).
 """
 
 from __future__ import annotations
@@ -27,7 +30,12 @@ import numpy as np
 import pyarrow as pa
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 MEM_TOTAL = 4050908  # the documented example record's Mem.total
 
@@ -79,8 +87,46 @@ class MemMetricsReader(DataSourceReader):
         )
 
 
+def _mem_rows(lo: int, hi: int) -> list:
+    # A LIST, not a generator: the engine's prefetch cache copy.copy()s
+    # the returned iterator when planning partitions, and generators
+    # are neither copyable nor picklable.
+    return [
+        (i, MEM_TOTAL, mem_used(i), MEM_TOTAL - mem_used(i))
+        for i in range(lo, hi)
+    ]
+
+
+class MemMetricsStreamReader(SimpleDataSourceStreamReader):
+    """The LIVE half of the reference's `mem -f 1` flush loop: a custom
+    STREAMING Python DataSource (Spark 4). Offsets are plain row
+    counters; each micro-batch serves the next deterministic slice
+    until the configured cap, after which latest offset stops
+    advancing and the bounded run drains. readBetweenOffsets makes any
+    offset window replayable, so checkpoint recovery re-serves the
+    identical rows — the custom-source form of exactly-once replay.
+    """
+
+    def __init__(self, options):
+        self.n_total = int(options.get("numrows", 1000))
+        self.batch_rows = max(1, int(options.get("batchrows", 250)))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        lo = int(start["row"])
+        hi = min(lo + self.batch_rows, self.n_total)
+        return iter(_mem_rows(lo, hi)), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(_mem_rows(int(start["row"]), int(end["row"])))
+
+
 class MemMetricsDataSource(DataSource):
-    """``spark.read.format("memmetrics").option("numRows", n)``."""
+    """``spark.read.format("memmetrics").option("numRows", n)`` — and
+    ``spark.readStream.format("memmetrics")`` for the live-sampler
+    stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -91,6 +137,9 @@ class MemMetricsDataSource(DataSource):
 
     def reader(self, schema) -> MemMetricsReader:
         return MemMetricsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> MemMetricsStreamReader:
+        return MemMetricsStreamReader(self.options)
 
 
 def register_mem_source(spark: SparkSession) -> None:
