@@ -125,20 +125,23 @@ _PRIORITY: tuple[str, ...] = (
     "q21_waiting_supplier",
     "stream_distinct_users_hourly",
     "stream_session_window_user",
+    # tier 3b: new in r7 itself — no driver row can exist yet; these
+    # outrank stale-but-once-proven greens (same rule that ordered
+    # tier 3).
+    "subq_lateral_topk",
+    "text_chunk_documents",
+    "io_schema_evolution",
+    "graph_reach_recursive_cte",
+    "stream_mem_source_fold",
     # tier 4: oldest (r1-only) greens — fixtures have been regenerated
-    # three times since; one representative per family this round, the
-    # rest rotate to r8: window_running_total, agg_cube, sort_limit_topn,
-    # setop_intersect/union, join_anti/full_outer, agg_count_distinct,
-    # agg_percentiles, dedup_minhash_signatures/simhash,
-    # sim_range_search, text_token_stats/token_count_regex/fingerprint/
-    # bigrams.
+    # three times since; two representatives this round, the rest
+    # rotate to r8: q5/q6, agg_rollup/cube, window_running_total,
+    # sort_limit_topn, setop_intersect/union, join_anti/full_outer,
+    # agg_count_distinct, agg_percentiles, dedup_minhash_signatures/
+    # simhash, sim_range_search/ann_bucketed, text_lang_id/token_stats/
+    # token_count_regex/fingerprint/bigrams.
     "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "agg_rollup",
     "dedup_exact",
-    "text_lang_id",
-    "sim_ann_bucketed",
 )
 
 
