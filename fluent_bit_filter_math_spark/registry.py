@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_schema_evolution",
     "graph_reach_recursive_cte",
     "stream_mem_source_fold",
+    "stream_stream_full_outer",
     # tier 4: oldest (r1-only) greens — fixtures have been regenerated
     # three times since; two representatives this round, the rest
     # rotate to r8: q5/q6, agg_rollup/cube, window_running_total,

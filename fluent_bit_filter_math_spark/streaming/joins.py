@@ -240,3 +240,93 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_id", "purchase_id", "user_id", "click_ts", "purchase_value"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream FULL OUTER interval join — clicks that never converted
+# AND purchases with no preceding click, in one query. Null padding on
+# BOTH sides is watermark-driven eviction, so the finalized prefix
+# applies the symmetric form of the left-outer rule: a row is kept only
+# when every side it carries is ≤ W − 4h (matched rows are emitted
+# eagerly; filtering them by the same bound keeps the two engines'
+# row sets identical). W is the reported final eventTime watermark —
+# min over the two sides under multipleWatermarkPolicy=min — exactly
+# as in stream_stream_left_outer above.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH cut AS (
+      SELECT date_trunc('milliseconds', LEAST(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase')))
+             - INTERVAL 5 HOUR AS t
+    )
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           COALESCE(c.user_id, p.user_id) AS user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE (c.ts IS NULL OR c.ts <= (SELECT t FROM cut))
+      AND (p.ts IS NULL OR p.ts <= (SELECT t FROM cut))
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    clicks = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .alias("c")
+    )
+    purchases = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id"
+            " AND p.ts >= c.ts"
+            " AND p.ts <= c.ts + interval 1 hour"
+        ),
+        "full_outer",
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+        F.col("c.ts").alias("_c_ts"),
+        F.col("p.ts").alias("_p_ts"),
+    )
+    progress: dict = {}
+    out = run_stream_to_memory(
+        joined, "stream_stream_full_outer", progress_out=progress
+    )
+    import datetime
+
+    wm = progress["lastProgress"]["eventTime"]["watermark"]
+    # W - 4h: the same eviction-lag bound (+1h boundary margin) the
+    # left-outer query derives; the longer of the two sides' chains
+    # governs both here.
+    cutoff = datetime.datetime.strptime(
+        wm, "%Y-%m-%dT%H:%M:%S.%fZ"
+    ) - datetime.timedelta(hours=4)
+    return (
+        out.filter(
+            (F.col("_c_ts").isNull() | (F.col("_c_ts") <= F.lit(cutoff)))
+            & (F.col("_p_ts").isNull() | (F.col("_p_ts") <= F.lit(cutoff)))
+        )
+        .withColumn("click_ts", F.date_format("_c_ts", "yyyy-MM-dd HH:mm:ss"))
+        .withColumn(
+            "purchase_ts", F.date_format("_p_ts", "yyyy-MM-dd HH:mm:ss")
+        )
+        .select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+    )
