@@ -135,12 +135,15 @@ _PRIORITY: tuple[str, ...] = (
     "stream_mem_source_fold",
     "stream_stream_full_outer",
     # tier 4: oldest (r1-only) greens — fixtures have been regenerated
-    # three times since; two representatives this round, the rest
-    # rotate to r8: q5/q6, agg_rollup/cube, window_running_total,
-    # sort_limit_topn, setop_intersect/union, join_anti/full_outer,
-    # agg_count_distinct, agg_percentiles, dedup_minhash_signatures/
-    # simhash, sim_range_search/ann_bucketed, text_lang_id/token_stats/
-    # token_count_regex/fingerprint/bigrams.
+    # three times since; the window has room for one representative
+    # this round (slot 50), the rest rotate to r8: q5/q6,
+    # agg_rollup/cube, window_running_total, sort_limit_topn,
+    # setop_intersect/union, join_anti/full_outer, agg_count_distinct,
+    # agg_percentiles, dedup_exact/minhash_signatures/simhash,
+    # sim_range_search/ann_bucketed, text_lang_id/token_stats/
+    # token_count_regex/fingerprint/bigrams. All 26 are green on the
+    # current fixtures under the local dtype-exact gate
+    # (CORRECTNESS_LOCAL.json), which bounds the staleness risk.
     "q3_shipping_priority",
     "dedup_exact",
 )

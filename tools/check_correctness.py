@@ -7,6 +7,11 @@ Stricter than the driver's value-hash: if this passes, any reasonable
 hash of the same values matches.
 
 Usage: python tools/check_correctness.py [query ...]
+
+A full run (no query args) also writes CORRECTNESS_LOCAL.json — the
+machine-readable twin of the printout, committed as the repo's local
+proof that every registered query passed the dtype-exact gate on the
+current fixtures.
 """
 
 from __future__ import annotations
@@ -111,32 +116,58 @@ def main(selected: list[str]) -> int:
     oracles = entrymod.oracle_sql()
     names = selected or list(qs)
     failures = 0
+    results = {}
     for name in names:
         t0 = time.time()
         try:
             spark_pdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, "
                   f"{time.time()-t0:.1f}s, no oracle)")
+            results[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "duckdb_error", "err": str(e)[:300]}
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems[:3]))
+            results[name] = {"status": "mismatch", "problems": problems[:3]}
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match "
                   f"({time.time()-t0:.1f}s)")
+            results[name] = {"status": "ok", "rows": len(spark_pdf)}
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if not selected:
+        import json
+
+        with open(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "passed": len(names) - failures,
+                    "total": len(names),
+                    "comparison": "dtype-exact (int/float kind+width), "
+                                  "bitwise doubles, sorted rows",
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
     return 1 if failures else 0
 
 
