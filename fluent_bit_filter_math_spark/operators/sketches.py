@@ -1,0 +1,174 @@
+"""Sketch-based approximate/exact summary operators.
+
+Absent from the reference (no cross-record state — math.h:46-55 holds
+only config); these are the fixed-size-summary extensions every
+large-scale pipeline leans on when exact per-key state stops fitting:
+
+* ``sketch_cms_heavy_hitters`` — a Count-Min sketch (Cormode &
+  Muthukrishnan, J. Algorithms 2005): D hash rows × W counters ingest
+  the stream in ONE map-side-combined aggregate whose output is D·W
+  rows **regardless of key cardinality** — the whole point at 100 TB,
+  where a per-key exact count is its own giant shuffle but the sketch
+  is a constant-size object you can broadcast, merge across days, or
+  ship to a dashboard. Estimates (min over rows) upper-bound true
+  counts; the query surfaces the heavy hitters with both numbers so
+  the overestimate is itself oracle-checked. Because the hash is the
+  engine-portable md5-based ``hash60``, the ENTIRE sketch — counters,
+  estimates, over-counts — is deterministic and replicated exactly by
+  the DuckDB oracle: no error-contract weakening needed.
+
+* ``sketch_bitmap_distinct`` — exact COUNT(DISTINCT) via Spark's
+  bitmap aggregates (``bitmap_bucket_number`` / ``bitmap_bit_position``
+  / ``bitmap_construct_agg`` / ``bitmap_count``): keys become set bits
+  in per-(group, bucket) fixed-width bitmaps, so the shuffle carries
+  one ≤4 KB bitmap per 32768-key bucket instead of one row per
+  distinct key — the roaring-bitmap distinct shape engines (Druid,
+  ClickHouse, Databricks) use when count-distinct shuffles dominate.
+  Two-level: construct per bucket, then SUM the per-bucket exact
+  cardinalities. Output is exact, so the oracle is plain
+  COUNT(DISTINCT).
+
+Scale notes: the CMS probe side joins the D·W-row sketch BROADCAST —
+never a shuffle of the stream; the only stream-sized aggregate is the
+per-key exact count the query needs anyway to certify the estimate
+(a production deployment would skip it and keep only the sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluent_bit_filter_math_spark.functions import duck_hash60, hash60
+from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import table
+
+CMS_W = 64  # counters per hash row
+CMS_D = 3  # independent hash rows
+CMS_FRAC = 50  # heavy hitter = count ≥ N / CMS_FRAC
+
+
+def _cms_pos(d: F.Column, key: F.Column) -> F.Column:
+    """Row-d counter index of a key: hash60('d:key') mod W."""
+    return F.pmod(
+        hash60(F.concat(d.cast("string"), F.lit(":"), key.cast("string"))),
+        F.lit(CMS_W),
+    )
+
+
+def _duck_cms_pos(d_expr: str, key_expr: str) -> str:
+    h = duck_hash60(
+        f"CAST({d_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    )
+    return f"({h} % {CMS_W})"
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (SELECT user_id FROM events),
+    n AS (SELECT COUNT(*) AS total FROM ev),
+    fan AS (
+      SELECT user_id, d FROM ev, UNNEST([0, 1, 2]) t(d)
+    ),
+    sketch AS (
+      SELECT d, {_duck_cms_pos('d', 'user_id')} AS pos,
+             CAST(COUNT(*) AS BIGINT) AS counter
+      FROM fan GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM ev GROUP BY 1
+    ),
+    probe AS (
+      SELECT e.user_id, e.true_count, s.counter
+      FROM exact e, UNNEST([0, 1, 2]) t(d)
+      JOIN sketch s
+        ON s.d = t.d AND s.pos = {_duck_cms_pos('t.d', 'e.user_id')}
+    ),
+    est AS (
+      SELECT user_id,
+             MAX(true_count) AS true_count,
+             MIN(counter) AS cms_estimate
+      FROM probe GROUP BY user_id
+    )
+    SELECT user_id, true_count, cms_estimate,
+           cms_estimate - true_count AS overcount
+    FROM est, n
+    WHERE cms_estimate >= total // {CMS_FRAC}
+    ORDER BY user_id
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id")
+    total = ev.agg(F.count("*").alias("total"))
+
+    # One-pass sketch ingest: fan each record out to its D counter
+    # cells map-side; the aggregate's map-side combine means the
+    # shuffle carries ≤ D·W partial rows per input partition.
+    d_arr = F.array(*[F.lit(i) for i in range(CMS_D)])
+    sketch = (
+        ev.select("user_id", F.explode(d_arr).alias("d"))
+        .select("d", _cms_pos(F.col("d"), F.col("user_id")).alias("pos"))
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("counter"))
+    )
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    probe = (
+        exact.select("user_id", "true_count", F.explode(d_arr).alias("d"))
+        .withColumn("pos", _cms_pos(F.col("d"), F.col("user_id")))
+        .join(F.broadcast(sketch), ["d", "pos"])
+    )
+    est = probe.groupBy("user_id").agg(
+        F.max("true_count").alias("true_count"),
+        F.min("counter").alias("cms_estimate"),
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("cms_estimate") >= F.floor(F.col("total") / CMS_FRAC)
+        )
+        .select(
+            "user_id",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "sketch_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    # Level 1: one ≤4 KB bitmap per (group, 32768-key bucket); the
+    # construct aggregate combines map-side, so the shuffle moves
+    # bitmaps, not keys.
+    buckets = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    # Level 2: per-bucket popcounts sum to the exact distinct count.
+    return (
+        buckets.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

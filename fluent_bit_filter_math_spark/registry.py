@@ -174,6 +174,8 @@ def _ensure_loaded() -> None:
         graph,
         storage,
         tpch_extra,
+        retrieval,
+        sketches,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,
