@@ -605,3 +605,212 @@ def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ticks",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered stage conversion (view → click → purchase)
+# per user: the product-analytics primitive behind conversion dashboards
+# and, in a training-data pipeline, behavior-sequence mining. Each
+# stage's timestamp is the MIN event time at-or-after the previous
+# stage's timestamp, so out-of-order occurrences (click before any
+# view) don't count.
+#
+# Scale shape: THREE chained window passes over ONE user_id hash
+# partitioning — the stage-k column only needs the whole-partition MIN
+# of a CASE expression (unbounded frame, no sort), so Spark runs all
+# three in a single Exchange followed by narrow window operators; the
+# finishing aggregate is a 3-column 1-row reduction unpivoted with
+# stack(). Per-user state never materializes anywhere — no collect, no
+# per-user arrays — so the shape survives any user cardinality.
+# Cross-engine: all arithmetic is exact epoch-µs BIGINT.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'view' THEN us END)
+                 OVER (PARTITION BY user_id) AS v_us
+      FROM o
+    ),
+    s2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND us >= v_us THEN us END)
+                 OVER (PARTITION BY user_id) AS c_us
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' AND us >= c_us THEN us END)
+                 OVER (PARTITION BY user_id) AS p_us
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(v_us) AS v_us, MAX(c_us) AS c_us,
+             MAX(p_us) AS p_us
+      FROM s3 GROUP BY user_id
+    ),
+    agg AS (
+      SELECT
+        CAST(COUNT(v_us) AS BIGINT) AS n_view,
+        CAST(COUNT(c_us) AS BIGINT) AS n_click,
+        CAST(COUNT(p_us) AS BIGINT) AS n_purchase,
+        CAST(COALESCE(SUM(CASE WHEN c_us IS NOT NULL
+                               THEN c_us - v_us END), 0) AS BIGINT)
+            AS d_click,
+        CAST(COALESCE(SUM(CASE WHEN p_us IS NOT NULL
+                               THEN p_us - c_us END), 0) AS BIGINT)
+            AS d_purchase
+      FROM per_user
+    )
+    SELECT stage, n_users, sum_delay_us FROM (
+      SELECT 'view' AS stage, n_view AS n_users,
+             CAST(0 AS BIGINT) AS sum_delay_us, 1 AS ord FROM agg
+      UNION ALL
+      SELECT 'click', n_click, d_click, 2 FROM agg
+      UNION ALL
+      SELECT 'purchase', n_purchase, d_purchase, 3 FROM agg
+    ) ORDER BY ord
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = ev.select("user_id", "event_type", us.alias("us"))
+    w = Window.partitionBy("user_id")
+    s1 = o.withColumn(
+        "v_us", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "c_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") >= F.col("v_us")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("c_us")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("v_us").alias("v_us"),
+        F.max("c_us").alias("c_us"),
+        F.max("p_us").alias("p_us"),
+    )
+    agg = per_user.agg(
+        F.count("v_us").alias("n_view"),
+        F.count("c_us").alias("n_click"),
+        F.count("p_us").alias("n_purchase"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("c_us").isNotNull(), F.col("c_us") - F.col("v_us"))
+            ),
+            F.lit(0),
+        ).alias("d_click"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("p_us").isNotNull(), F.col("p_us") - F.col("c_us"))
+            ),
+            F.lit(0),
+        ).alias("d_purchase"),
+    )
+    return agg.selectExpr(
+        """stack(3,
+              'view', n_view, CAST(0 AS BIGINT),
+              'click', n_click, d_click,
+              'purchase', n_purchase, d_purchase)
+           AS (stage, n_users, sum_delay_us)"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-pattern matching — the MATCH_RECOGNIZE shape Spark lacks as
+# SQL: find purchases preceded by a view within 30 minutes with NO
+# error event between the view and the purchase. Decomposed into
+# trailing-window arg-maxima: over each user's event sequence
+# (ordered by exact epoch-µs, event_id tie-break), the ROWS
+# [unbounded, 1 preceding] frame carries "most recent view so far"
+# and "most recent error so far"; the pattern predicate is then a
+# per-row filter — one shuffle, one sort, no self-join, no NFA state
+# blowup. This is how sequence patterns compile onto vanilla window
+# engines at 100 TB: the frame maxima are O(1) running state per
+# pattern symbol.
+# ---------------------------------------------------------------------------
+@register(
+    "event_pattern_match",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'view' THEN us END)
+                 OVER w AS last_view_us,
+             MAX(CASE WHEN event_type = 'error' THEN us END)
+                 OVER w AS last_err_us
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           last_view_us AS view_us, us AS purchase_us,
+           us - last_view_us AS delay_us
+    FROM m
+    WHERE event_type = 'purchase'
+      AND last_view_us IS NOT NULL
+      AND us - last_view_us <= 1800000000
+      AND (last_err_us IS NULL OR last_err_us < last_view_us)
+    ORDER BY user_id, purchase_event_id
+    """,
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = ev.select("user_id", "event_id", "event_type", us.alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = o.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.max(F.when(F.col("event_type") == "view", F.col("us")))
+        .over(w)
+        .alias("last_view_us"),
+        F.max(F.when(F.col("event_type") == "error", F.col("us")))
+        .over(w)
+        .alias("last_err_us"),
+    )
+    return (
+        m.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_view_us").isNotNull()
+            & (F.col("us") - F.col("last_view_us") <= 1800000000)
+            & (
+                F.col("last_err_us").isNull()
+                | (F.col("last_err_us") < F.col("last_view_us"))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("last_view_us").alias("view_us"),
+            F.col("us").alias("purchase_us"),
+            (F.col("us") - F.col("last_view_us")).alias("delay_us"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
