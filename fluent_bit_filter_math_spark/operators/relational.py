@@ -1469,3 +1469,194 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("join_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — k buckets with (near-)equal row counts over
+# o_totalprice, the boundary structure behind optimizer statistics,
+# percentile dashboards, and balanced range-partitioning layouts.
+# Semantics are exactly NTILE(k) over (price, key): deterministic,
+# order-statistic-exact, ties broken by the key.
+#
+# Scale shape: a bare NTILE over a global ORDER BY collapses the table
+# into ONE window task. This is the two-level distributed form instead
+# (the pipeline_pack_sequences discipline): rows coarse-bucket by a
+# monotone function of the sort key (price // 10000 — same-price rows
+# can never split across coarse buckets, so within-bucket (price, key)
+# order is globally consistent); local row_number stays partitioned;
+# coarse-bucket counts take an exclusive prefix sum on a tiny
+# one-row-per-bucket frame; global rank = offset + local rank, and the
+# NTILE bucket is closed-form arithmetic on (rank, n). No per-row data
+# ever crosses a single-partition boundary.
+# ---------------------------------------------------------------------------
+_EQD_K = 8
+_EQD_COARSE_W = 10000.0
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice, o_orderkey,
+             NTILE({_EQD_K}) OVER (ORDER BY o_totalprice, o_orderkey)
+                 AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(floor(min(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+               AS lo_cents,
+           CAST(floor(max(o_totalprice) * 100.0 + 0.5) AS BIGINT)
+               AS hi_cents
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = orders.withColumn(
+        "cb", F.floor(F.col("o_totalprice") / F.lit(_EQD_COARSE_W))
+    )
+    w_in = Window.partitionBy("cb").orderBy("o_totalprice", "o_orderkey")
+    local = b.withColumn("lr", F.row_number().over(w_in).cast("long"))
+
+    # Exclusive prefix over the tiny one-row-per-coarse-bucket frame.
+    w_cb = Window.orderBy("cb").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("cb")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cb", F.coalesce(F.sum("cnt").over(w_cb), F.lit(0)).alias("off")
+        )
+    )
+    n_row = orders.agg(F.count("*").alias("n"))
+
+    ranked = (
+        local.join(F.broadcast(offs), "cb")
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("r", F.col("off") + F.col("lr"))
+    )
+    # NTILE(k) closed form: the first n%k buckets hold n//k+1 rows.
+    m = F.col("n") % _EQD_K
+    big = m * (F.expr(f"n div {_EQD_K}") + 1)
+    bucket = F.when(
+        F.col("r") <= big,
+        F.expr(f"(r + (n div {_EQD_K})) div ((n div {_EQD_K}) + 1)"),
+    ).otherwise(
+        m
+        + F.expr(
+            f"(r - ((n % {_EQD_K}) * ((n div {_EQD_K}) + 1))"
+            f" + (n div {_EQD_K}) - 1) div (n div {_EQD_K})"
+        )
+    )
+    return (
+        ranked.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_cents(F.min("o_totalprice")).alias("lo_cents"),
+            exact_cents(F.max("o_totalprice")).alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning — the explicit form of the runtime bloom
+# join Spark injects under spark.sql.optimizer.runtime.bloomFilter (and
+# Delta/Iceberg use for file skipping): a fixed-size bit set built from
+# the small side's join keys pre-filters the probe side BEFORE any
+# join/shuffle touches it, with false positives removed by the exact
+# join that follows. Output is therefore EXACTLY the plain semi-join
+# result — the bloom stage only changes the plan, never the answer —
+# so the oracle is the plain join.
+#
+# Construction: k=2 portable hash60 positions per key into an m=4096
+# slot space. The build side's set positions collapse to ≤ min(2·|B|,
+# m) distinct values — broadcast. The probe applies TWO chained
+# broadcast LEFT SEMI joins (pos0 ∈ S, then pos1 ∈ S): AND semantics
+# without exploding probe rows or re-aggregating them, zero probe-side
+# shuffles. At 100 TB the win is that the expensive exact join (and
+# its shuffle, if any) sees only the ~|B|·fp-rate survivors instead of
+# the full probe table.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096
+
+
+def _bloom_pos(tag: str, key: F.Column) -> F.Column:
+    from fluent_bit_filter_math_spark.functions import hash60
+
+    return F.pmod(
+        hash60(F.concat(F.lit(tag + ":"), key.cast("string"))),
+        F.lit(_BLOOM_M),
+    )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    )
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+    # Build: the bloom bit set as a ≤m-row distinct-position table.
+    build_pos = (
+        cust.select(
+            F.explode(
+                F.array(
+                    _bloom_pos("b0", F.col("c_custkey")),
+                    _bloom_pos("b1", F.col("c_custkey")),
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+    # Probe: chained broadcast semi joins = "both bits set".
+    probed = orders.withColumn(
+        "p0", _bloom_pos("b0", F.col("o_custkey"))
+    ).withColumn("p1", _bloom_pos("b1", F.col("o_custkey")))
+    probed = probed.join(
+        F.broadcast(build_pos.withColumnRenamed("pos", "p0")),
+        "p0",
+        "left_semi",
+    )
+    probed = probed.join(
+        F.broadcast(build_pos.withColumnRenamed("pos", "p1")),
+        "p1",
+        "left_semi",
+    )
+
+    # Exact join removes bloom false positives.
+    exact = probed.join(
+        F.broadcast(cust),
+        probed.o_custkey == cust.c_custkey,
+        "left_semi",
+    )
+    return (
+        exact.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(exact_cents(F.col("o_totalprice"))).alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
