@@ -959,3 +959,90 @@ def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "name_a", "name_b", "edit_dist")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by cluster-then-compare (Abbas et al.,
+# arXiv:2303.09540): k-means-assign every embedding to its nearest
+# centroid, then search for near-duplicate pairs ONLY within each
+# cluster. This is the third blocking strategy in the dedup family —
+# LSH buckets (dedup_embedding_cosine) and (brand,size) blocks
+# (er_fuzzy_match_parts) bound the pair volume structurally; SemDeDup
+# bounds it SEMANTICALLY, which is why it scales to web-corpus
+# embedding dedup: Σ|cluster|² pairs with k chosen so clusters stay
+# small (production uses k ~ 10⁴-10⁵; the fixture uses the shared
+# KM_K=8 seeds so the oracle can replay the assignment exactly).
+#
+# Reuses similarity._km_assign: centroids ship as ONE broadcast row,
+# assignment is map-side; the only shuffle is the per-cluster
+# self-join. Determinism: assignment argmin ties break by cluster id
+# (both engines), the cosine threshold sits ≥2e-3 from every fixture
+# pair (the dedup_embedding_cosine τ-gap argument), and output is
+# integer ids only.
+# ---------------------------------------------------------------------------
+@register(
+    "semdedup_cluster_prune",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
+      FROM embeddings WHERE vec_id < 8
+    ),
+    s AS (
+      SELECT e.vec_id, c0.cluster,
+             list_aggregate(list_transform(range(1, 65),
+                 i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])), 'sum') AS d
+      FROM emb e, c0
+    ),
+    a AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster)
+                   AS rn
+        FROM s
+      ) WHERE rn = 1
+    )
+    SELECT x.cluster AS cluster, x.vec_id AS id_a, y.vec_id AS id_b
+    FROM a x
+    JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN emb ea ON ea.vec_id = x.vec_id
+    JOIN emb eb ON eb.vec_id = y.vec_id
+    WHERE list_cosine_similarity(ea.v, eb.v) >= {COSINE_THRESHOLD}
+    ORDER BY x.cluster, id_a, id_b
+    """,
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import cosine
+    from fluent_bit_filter_math_spark.operators.similarity import _km_assign
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    a = _km_assign(emb, cents)
+    left = a.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    right = a.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_THRESHOLD)
+        .select("cluster", "id_a", "id_b")
+        .orderBy("cluster", "id_a", "id_b")
+    )
