@@ -433,3 +433,191 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("event_id", "user_id", "cents", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering — multi-dimensional data skipping. A sort on ONE
+# column gives perfect file skipping on that column and none on any
+# other; interleaving the bit representations of TWO columns
+# (Morton/Z-curve — the Delta Lake / Iceberg OPTIMIZE ZORDER layout)
+# makes every written file cover a narrow range of BOTH, so parquet
+# min/max footer stats prune files for predicates on either dimension
+# or both. The z-value is pure native bit arithmetic (shifts + masks,
+# whole-stage codegen), the layout write is one repartitionByRange on
+# it, and the z-column itself is dropped before writing — it exists
+# only to order the write.
+#
+# The oracle runs the same two-dimensional predicate on the ORIGINAL
+# fixture: layout must be value-invisible. File-level skip quality
+# (each file covering ≪ the full (user, hour) rectangle) is pinned in
+# tests/test_plans.py against the parquet footers.
+# ---------------------------------------------------------------------------
+_Z_BITS = 10  # per-dimension bits after normalization (1024 cells)
+
+
+def _zvalue(a: F.Column, b: F.Column) -> F.Column:
+    """Interleave the low _Z_BITS bits of a and b (a even, b odd)."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(a.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        )
+    return z
+
+
+def _znorm(col: F.Column, lo: F.Column, hi: F.Column) -> F.Column:
+    """Min/max-normalize a dimension onto the full _Z_BITS bit range.
+
+    Raw-bit interleaving degenerates when the dimensions' magnitudes
+    differ (a 4-bit user id against a 19-bit epoch-hour sorts by hour
+    alone — every file then spans ALL users); normalizing each column
+    to [0, 2^_Z_BITS) first makes the curve alternate fairly between
+    dimensions whatever their native ranges. Production z-order
+    (Delta's OPTIMIZE ZORDER) rank-normalizes for the same reason.
+    """
+    span = F.greatest(hi - lo, F.lit(1)).cast("double")
+    return F.floor(
+        (col - lo).cast("double") * F.lit(float(2**_Z_BITS - 1)) / span
+    ).cast("long")
+
+
+_ZORDER_DIRS: dict[tuple[str, str], str] = {}
+_Z_FILES = 16
+
+
+def zordered_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Events rewritten in z-order on (user_id, event hour index)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ZORDER_DIRS:
+        out = tempfile.mkdtemp(prefix="fbm-zorder-events-")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        ev = table(spark, sf_dir, "events")
+        hour_idx = F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000)
+        )
+        # Dimension bounds: one tiny broadcast row (never a driver job).
+        bounds = ev.agg(
+            F.min("user_id").alias("u_lo"),
+            F.max("user_id").alias("u_hi"),
+            F.min(hour_idx).alias("h_lo"),
+            F.max(hour_idx).alias("h_hi"),
+        )
+        (
+            ev.join(F.broadcast(bounds))
+            .withColumn(
+                "_z",
+                _zvalue(
+                    _znorm(F.col("user_id"), F.col("u_lo"), F.col("u_hi")),
+                    _znorm(hour_idx, F.col("h_lo"), F.col("h_hi")),
+                ),
+            )
+            .drop("u_lo", "u_hi", "h_lo", "h_hi")
+            .repartitionByRange(_Z_FILES, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _ZORDER_DIRS[key] = out
+    return _ZORDER_DIRS[key]
+
+
+@register(
+    "layout_zorder_prune",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id BETWEEN 40 AND 55
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    ORDER BY event_id
+    """,
+)
+def layout_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = zordered_events_path(spark, sf_dir)
+    df = spark.read.parquet(path)
+    return (
+        df.filter(
+            (F.col("user_id").between(40, 55))
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast(df.schema["ts"].dataType))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast(df.schema["ts"].dataType))
+        )
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction — the table-maintenance pass every streaming or
+# incremental ingest needs: micro-batch writers leave thousands of tiny
+# files whose per-file open/footer overhead eventually dominates scan
+# cost; compaction rewrites them into few right-sized files WITHOUT a
+# shuffle (coalesce merges input splits map-side — at 100 TB you size
+# the target file count from bytes/128 MB, or use AQE's REBALANCE hint
+# when output skew matters). The oracle reads the original fixture:
+# compaction must be value-invisible. The 64→≤4 file-count drop is
+# pinned in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+_COMPACT_DIRS: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def compacted_lineitem_paths(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """(fragmented_dir, compacted_dir) for the lineitem subset."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COMPACT_DIRS:
+        frag = tempfile.mkdtemp(prefix="fbm-frag-lineitem-")
+        comp = tempfile.mkdtemp(prefix="fbm-compact-lineitem-")
+        atexit.register(shutil.rmtree, frag, ignore_errors=True)
+        atexit.register(shutil.rmtree, comp, ignore_errors=True)
+        sub = (
+            table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") % 3 == 0)
+            .select(
+                "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+            )
+        )
+        # Simulated micro-batch debris: 64 shards.
+        sub.repartition(64).write.mode("overwrite").parquet(frag)
+        # The compaction pass itself: map-side merge, no shuffle.
+        spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(
+            comp
+        )
+        _COMPACT_DIRS[key] = (frag, comp)
+    return _COMPACT_DIRS[key]
+
+
+@register(
+    "storage_compact_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_cents,
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_orderkey % 3 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def storage_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, comp = compacted_lineitem_paths(spark, sf_dir)
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    return (
+        spark.read.parquet(comp)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            exact_cents(F.col("l_quantity")).alias("qty_cents"),
+            exact_cents(F.col("l_extendedprice")).alias("price_cents"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

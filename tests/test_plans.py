@@ -298,3 +298,64 @@ def test_schema_evolution_merged_read_prunes_columns(spark, sf_dir):
     assert m is not None
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"event_id", "cents"}
+
+
+def test_zorder_layout_files_cover_narrow_rectangles(spark, sf_dir):
+    """Z-ordered files must each span ≪ the full (user_id, hour) space —
+    that narrowness IS the file-skipping guarantee the layout buys."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from fluent_bit_filter_math_spark.operators.storage import (
+        zordered_events_path,
+    )
+
+    path = zordered_events_path(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) > 4
+
+    global_lo, global_hi = None, None
+    spans = []
+    for f in files:
+        t = pq.read_table(f, columns=["user_id"])
+        arr = t["user_id"].to_pylist()
+        lo, hi = min(arr), max(arr)
+        spans.append(hi - lo)
+        global_lo = lo if global_lo is None else min(global_lo, lo)
+        global_hi = hi if global_hi is None else max(global_hi, hi)
+    full = global_hi - global_lo
+    avg_span = sum(spans) / len(spans)
+    # A random layout gives avg span ≈ full; z-order keeps each file's
+    # user range a small fraction of it.
+    assert avg_span < 0.5 * full, (avg_span, full)
+
+    # And the two-dimensional probe must be able to skip files on
+    # footer stats alone.
+    hit = 0
+    for f in files:
+        t = pq.read_table(f, columns=["user_id"])
+        arr = t["user_id"].to_pylist()
+        if min(arr) <= 55 and max(arr) >= 40:
+            hit += 1
+    assert hit < len(files), "no file was skippable for the probe range"
+
+
+def test_compaction_reduces_file_count_without_shuffle(spark, sf_dir):
+    import glob
+    import os
+
+    from fluent_bit_filter_math_spark.operators.storage import (
+        compacted_lineitem_paths,
+    )
+
+    frag, comp = compacted_lineitem_paths(spark, sf_dir)
+    n_frag = len(glob.glob(os.path.join(frag, "part-*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp, "part-*.parquet")))
+    assert n_frag == 64
+    assert n_comp <= 4
+
+    # The compaction plan is a scan + coalesce — no Exchange.
+    df = spark.read.parquet(frag).coalesce(4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
