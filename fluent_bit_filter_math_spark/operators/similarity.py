@@ -688,3 +688,193 @@ def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN — product quantization (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011), the memory-compressed ANN
+# scale path that complements the LSH (sign-bucket) and IVF (cell
+# probe) indexes above: the 64-dim vector is split into PQ_M=4
+# subvectors, each quantized to one of PQ_K=16 codebook entries, so a
+# 256-byte float vector becomes a 4-byte code — at 100 TB THE
+# difference between an index that fits executor memory and one that
+# doesn't. Distances to a query are approximated against the DECODED
+# codes (ADC — mathematically identical to the classic per-query
+# lookup table, expressed here as a fixed-order fold so both engines
+# compute bit-equal doubles), a candidate pool of PQ_CAND is cut per
+# query, and the exact cosine re-rank runs only on that pool.
+#
+# Scale shape: the codebook is ONE broadcast row (PQ_M sorted
+# struct-arrays); encoding is a map-side projection (argmin over 16
+# entries per subspace — no shuffle, the corpus is encoded in place);
+# the ADC scoring crossJoins the 5-row broadcast query set; the only
+# shuffles are the two per-query top-k windows. Codebook entries are
+# the first PQ_K vectors' subvectors (deterministic seeds, the
+# emb_kmeans c0 idiom) so the DuckDB oracle rebuilds the identical
+# index; argmin/rank ties break by code/neighbor id.
+# ---------------------------------------------------------------------------
+PQ_M = 4
+PQ_SUB = 16  # dims per subspace (PQ_M · PQ_SUB = 64)
+PQ_K = 16  # codebook entries per subspace
+PQ_CAND = 50  # ADC candidate pool per query
+
+
+def _pq_duck_sq(a_expr: str, off: int, c_expr: str) -> str:
+    """DuckDB sequential-fold sq-distance of a 16-dim subvector."""
+    return (
+        f"list_aggregate(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> ({a_expr}[{off} + i] - {c_expr}[i]) "
+        f"* ({a_expr}[{off} + i] - {c_expr}[i])), 'sum')"
+    )
+
+
+def _pq_oracle() -> str:
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS code{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"{_pq_duck_sq('q.v', m * PQ_SUB, f'd{m}.sub')}" for m in range(PQ_M)
+    )
+    dec_joins = " ".join(
+        f"JOIN cb d{m} ON d{m}.m = {m} AND d{m}.code = c.code{m}"
+        for m in range(PQ_M)
+    )
+    # Per-subspace distance with the offset as a column (cb.m).
+    enc_dist = (
+        f"list_aggregate(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i]) "
+        f"* (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i])), 'sum')"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cb AS (
+      SELECT m, vec_id AS code,
+             v[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sub
+      FROM emb, UNNEST(range(0, {PQ_M})) t(m)
+      WHERE vec_id < {PQ_K}
+    ),
+    enc_long AS (
+      SELECT e.vec_id, cb.m, cb.code,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                                ORDER BY {enc_dist}, cb.code) AS rn
+      FROM emb e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, {code_cols} FROM enc_long WHERE rn = 1 GROUP BY vec_id
+    ),
+    enc AS (
+      SELECT e.vec_id, e.v, codes.* EXCLUDE (vec_id)
+      FROM emb e JOIN codes USING (vec_id)
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.v AS cv, q.v AS qv,
+             {adc} AS adc_d
+      FROM emb q
+      JOIN enc c ON q.vec_id <> c.vec_id
+      {dec_joins}
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_CAND}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM pool
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_pq", oracle=_pq_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def sub(col: F.Column, m: int) -> F.Column:
+        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+    # Codebook: ONE broadcast row, PQ_M code-sorted struct arrays.
+    seeds = emb.filter(F.col("vec_id") < PQ_K)
+    cb_row = seeds.agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("code"),
+                        F.transform(
+                            sub(F.col("embedding"), m),
+                            lambda x: x.cast("double"),
+                        ).alias("sub"),
+                    )
+                )
+            ).alias(f"cb{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    # Encode: map-side argmin per subspace (no shuffle). The lambda must
+    # take exactly ONE parameter (a second would be bound to the array
+    # index by F.transform), so the subvector is captured via a factory.
+    def _scorer(s: F.Column):
+        return lambda e: F.struct(
+            _km_sqdist(s, e["sub"]).alias("d"), e["code"].alias("code")
+        )
+
+    enc = emb.crossJoin(F.broadcast(cb_row))
+    for m in range(PQ_M):
+        scored = F.transform(
+            F.col(f"cb{m}"), _scorer(sub(F.col("embedding"), m))
+        )
+        enc = enc.withColumn(
+            f"code{m}", F.element_at(F.array_sort(scored), 1)["code"]
+        )
+
+    # ADC against the broadcast query set: distance to the DECODED code,
+    # summed in fixed subspace order (engine-exact).
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = enc.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    )
+    adc_d = None
+    for m in range(PQ_M):
+        dec = F.element_at(
+            F.col(f"cb{m}"), (F.col(f"code{m}") + 1).cast("int")
+        )["sub"]
+        d_m = _km_sqdist(sub(F.col("qe"), m), dec)
+        adc_d = d_m if adc_d is None else adc_d + d_m
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qe",
+        F.col("embedding").alias("ce"),
+        adc_d.alias("adc_d"),
+    )
+    w_pool = Window.partitionBy("query_id").orderBy("adc_d", "neighbor_id")
+    pool = scored.withColumn("rn", F.row_number().over(w_pool)).filter(
+        F.col("rn") <= PQ_CAND
+    )
+
+    # Exact cosine re-rank on the candidate pool only.
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qe"), F.col("ce"))), F.asc("neighbor_id")
+    )
+    return (
+        pool.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
