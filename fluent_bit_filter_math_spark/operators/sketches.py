@@ -172,3 +172,53 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS — the same Count-Min sketch maintained INCREMENTALLY
+# across micro-batches: the counter matrix is streaming aggregation
+# state (complete mode — the output table IS the current sketch), so
+# every trigger updates D·W counters and the sketch is queryable at
+# any moment without reprocessing history. This is the production
+# shape for "heavy hitters over a live stream" — state size is fixed
+# at D·W rows whatever the key cardinality or stream length, the
+# property that makes the sketch the streaming-state answer where an
+# exact per-key count would grow without bound. After the bounded
+# availableNow replay the final counters must equal the batch-built
+# sketch exactly — the oracle rebuilds them from the same records.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_cms_sketch",
+    oracle=f"""
+    WITH fan AS (
+      SELECT user_id, d FROM events, UNNEST([0, 1, 2]) t(d)
+    )
+    SELECT d, {_duck_cms_pos('d', 'user_id')} AS pos,
+           CAST(COUNT(*) AS BIGINT) AS counter
+    FROM fan GROUP BY 1, 2
+    ORDER BY d, pos
+    """,
+)
+def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", drop_nanos=True
+    )
+    d_arr = F.array(*[F.lit(i) for i in range(CMS_D)])
+    counters = (
+        stream.select(F.col("user_id"), F.explode(d_arr).alias("d"))
+        .select("d", _cms_pos(F.col("d"), F.col("user_id")).alias("pos"))
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("counter"))
+    )
+    out = run_stream_to_memory(
+        counters,
+        "stream_cms_sketch",
+        output_mode="complete",
+        shuffle_partitions=4,
+    )
+    return out.orderBy("d", "pos")

@@ -667,3 +667,60 @@ def fn_string_shape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat("p_brand", 2).alias("doubled"),
         F.length(F.rpad("p_name", 30, "*")).cast("long").alias("padded_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# regex function suite — extract (single group), extract-all (joined),
+# replace-all, count, and full-match boolean over a synthesized log
+# line. All codegen'd projections, zero shuffle. Engine notes folded
+# into the oracle: DuckDB's regexp_replace is first-match-only without
+# the 'g' flag (Spark's regexp_replace is always global), and
+# regexp_matches is contains-semantics like Spark's rlike.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_regex_suite",
+    oracle="""
+    WITH lg AS (
+      SELECT event_id,
+             'evt=' || event_type || ' user=u' || CAST(user_id AS VARCHAR)
+               || ' ids=[' || CAST(event_id % 13 AS VARCHAR) || ','
+               || CAST(event_id % 7 AS VARCHAR) || ']' AS line
+      FROM events WHERE event_id % 4 = 0
+    )
+    SELECT event_id,
+           regexp_extract(line, 'user=u([0-9]+)', 1) AS user_str,
+           array_to_string(regexp_extract_all(line, '[0-9]+'), '|')
+               AS all_numbers,
+           regexp_replace(line, '[0-9]+', '#', 'g') AS masked,
+           CAST(len(regexp_extract_all(line, '[aeiou]')) AS BIGINT)
+               AS n_vowels,
+           regexp_matches(line, 'ids=\\[[0-9]+,[0-9]+\\]') AS has_id_pair
+    FROM lg
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
+    line = F.concat(
+        F.lit("evt="),
+        F.col("event_type"),
+        F.lit(" user=u"),
+        F.col("user_id").cast("string"),
+        F.lit(" ids=["),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]"),
+    )
+    lg = ev.select("event_id", line.alias("line"))
+    return lg.select(
+        "event_id",
+        F.regexp_extract("line", r"user=u([0-9]+)", 1).alias("user_str"),
+        F.array_join(
+            F.regexp_extract_all("line", F.lit("([0-9]+)")), "|"
+        ).alias("all_numbers"),
+        F.regexp_replace("line", r"[0-9]+", "#").alias("masked"),
+        F.regexp_count("line", F.lit("[aeiou]")).cast("long").alias(
+            "n_vowels"
+        ),
+        F.col("line").rlike(r"ids=\[[0-9]+,[0-9]+\]").alias("has_id_pair"),
+    )
