@@ -1660,3 +1660,62 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-delta incremental view maintenance — the JOIN complement of
+# rollup_incremental_refresh (which maintains an aggregate-only view):
+# a standing materialized view MV = γ(orders ⋈ customer) is brought
+# up to date after an insert-only delta batch of orders using the IVM
+# identity  ΔMV = γ(Δorders ⋈ customer), MV' = MV ⊎ ΔMV  (additive
+# merge by group key). The maintenance cost tracks the DELTA: the
+# delta-side join is a few rows against the broadcast dimension and
+# the merge is one groupBy-sum over |MV| + |ΔMV| rows — the corpus
+# fact table is never rescanned. The oracle recomputes the view from
+# scratch on the full data: incremental ≡ full is exactly the IVM
+# correctness contract.
+# ---------------------------------------------------------------------------
+@register(
+    "ivm_join_delta",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # Snapshot vs insert-only delta batch (disjoint, exhaustive).
+    base = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 5 == 0)
+
+    def view(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(cust), fact.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(exact_cents(F.col("o_totalprice"))).alias("sum_cents"),
+            )
+        )
+
+    mv_old = view(base)  # the standing view (already materialized)
+    dmv = view(delta)  # delta-sized maintenance work
+    return (
+        mv_old.unionByName(dmv)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
