@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.functions import duck_hash60, hash60
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -350,3 +351,119 @@ def graph_reach_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .createOrReplaceTempView("rcte_seeds")
     )
     return spark.sql(_RCTE_WALK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — degree-oriented wedge closure (the MapReduce
+# classic: Suri & Vassilvitskii, "Counting Triangles and the Curse of
+# the Last Reducer", WWW'11). The naive 3-way self-join fans out
+# quadratically at hub nodes; orienting every edge from its
+# (degree, id)-smaller endpoint to the larger one bounds each node's
+# out-degree by O(√m), so the wedge join's worst key produces O(m)
+# work total — the "last reducer" never melts. Each triangle is
+# counted exactly once: its (deg,id)-minimal vertex is the only one
+# with oriented edges to both others.
+#
+# Graph: suppliers co-supplying a part (lineitem's (part, supp) pairs
+# restricted to part % 50 = 0), hash-sparsified with the portable
+# hash60 so the oracle rebuilds the identical edge set — and so the
+# demo graph isn't the near-complete co-supply clique. One distinct +
+# one degree aggregate + two joins; everything is integer.
+# ---------------------------------------------------------------------------
+_TRI_PART_MOD = 50
+_TRI_KEEP_MOD = 13
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT COUNT(*)
+            FROM o w1 JOIN o w2
+              ON w1.src = w2.src AND w1.dst < w2.dst
+            JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
+                     OR c.src = w2.dst AND c.dst = w1.dst) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % _TRI_PART_MOD == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("a"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("b"))
+    und = (
+        a.join(b, "pk")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .filter(
+            F.pmod(
+                hash60(
+                    F.concat(
+                        F.col("a").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                F.lit(_TRI_KEEP_MOD),
+            )
+            == 0
+        )
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    closer = o.select(F.col("src").alias("cs"), F.col("dst").alias("cd"))
+    tri = wedges.join(
+        closer,
+        ((F.col("cs") == F.col("v")) & (F.col("cd") == F.col("w")))
+        | ((F.col("cs") == F.col("w")) & (F.col("cd") == F.col("v"))),
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
