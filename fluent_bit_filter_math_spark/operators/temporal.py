@@ -814,3 +814,78 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized pure-range join — the interval join with NO equi key,
+# the shape Spark's SortMergeJoin degrades to a cartesian on (and
+# Databricks ships "range join hints" for): flag every purchase that
+# falls inside ANY error event's 10-minute incident window, across
+# all users. The scalable construction discretizes time into buckets
+# of exactly the interval width: an interval overlaps ≤2 buckets, a
+# point exactly 1, so exploding intervals to their covered buckets
+# turns the range join into an EQUI join on the bucket index with a
+# cheap residual filter — candidate volume is bounded by per-bucket
+# densities instead of |intervals|·|points|. DISTINCT collapses the
+# ≤2-bucket duplication. All arithmetic is integer epoch-µs.
+# ---------------------------------------------------------------------------
+_RANGE_W_US = 600_000_000  # 10-minute incident window == bucket width
+
+
+@register(
+    "join_range_bucketize",
+    oracle=f"""
+    WITH err AS (
+      SELECT epoch_us(ts) AS es FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id, ts, epoch_us(ts) AS ps FROM events
+      WHERE event_type = 'purchase'
+    ),
+    flagged AS (
+      SELECT DISTINCT p.event_id, p.ts
+      FROM p JOIN err
+        ON p.ps >= err.es AND p.ps < err.es + {_RANGE_W_US}
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_flagged
+    FROM flagged GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_range_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(us.alias("es"))
+    # Each interval [es, es+W) covers bucket floor(es/W) and, when it
+    # straddles a boundary, floor((es+W-1)/W) — sequence handles both.
+    err_b = err.select(
+        "es",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("es") / _RANGE_W_US),
+                F.floor((F.col("es") + _RANGE_W_US - 1) / _RANGE_W_US),
+            )
+        ).alias("bkt"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", us.alias("ps")
+    )
+    p_b = p.withColumn("bkt", F.floor(F.col("ps") / _RANGE_W_US))
+    flagged = (
+        p_b.join(err_b, "bkt")
+        .filter(
+            (F.col("ps") >= F.col("es"))
+            & (F.col("ps") < F.col("es") + _RANGE_W_US)
+        )
+        .select("event_id", "ts")
+        .distinct()
+    )
+    return (
+        flagged.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.count("*").alias("n_flagged"))
+        .orderBy("day")
+    )
