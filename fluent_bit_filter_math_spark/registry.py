@@ -104,21 +104,15 @@ _PRIORITY: tuple[str, ...] = (
     "agg_winsorized_stats",
     "graph_bfs_hops",
     "pysink_fold_roundtrip",
-    "agg_bool_suite",
     "agg_median_disc",
-    "agg_mode_deterministic",
     "window_running_distinct",
     "agg_exact_moments",
     "dedup_url_canonical",
     "er_fuzzy_match_parts",
     "ts_downsample_ohlc",
-    "fn_variant_suite",
-    "fn_url_suite",
-    "fn_string_shape_suite",
     "emb_norm_arrow",
     "sample_weighted_bernoulli",
     "dq_volume_anomaly_days",
-    "io_xml_roundtrip",
     "cdc_snapshot_diff",
     "q13_order_distribution",
     "q20_part_promotion",
@@ -134,16 +128,52 @@ _PRIORITY: tuple[str, ...] = (
     "graph_reach_recursive_cte",
     "stream_mem_source_fold",
     "stream_stream_full_outer",
-    # tier 4: oldest (r1-only) greens — fixtures have been regenerated
-    # three times since; the window has room for one representative
-    # this round (slot 50), the rest rotate to r8: q5/q6,
-    # agg_rollup/cube, window_running_total, sort_limit_topn,
-    # setop_intersect/union, join_anti/full_outer, agg_count_distinct,
-    # agg_percentiles, dedup_exact/minhash_signatures/simhash,
+    # tier 3c: the late-r7 additions (retrieval/sketches/layout/
+    # pattern/ANN-PQ/IVM wave). Seven slots remain in the 50-window
+    # after tiers 1-3b, so the seven most architecturally novel (new
+    # module, new physical pattern, or Python-path) queries take them;
+    # the rest of the wave queues immediately past the window for the
+    # r8 rotation, all locally green under the dtype-exact gate
+    # (CORRECTNESS_LOCAL.json). To make room, the lowest-risk tier-3
+    # members rotate to r8: the scalar-fn suites
+    # (fn_variant/fn_url/fn_string_shape — the fn family already has
+    # two in-window reps), agg_bool_suite/agg_mode_deterministic (the
+    # agg family keeps median/moments/winsorized in-window),
+    # io_xml_roundtrip, and the r6 tier-4 stale-green representatives
+    # (q3_shipping_priority, dedup_exact) — each locally green and
+    # structurally identical to an in-window family member.
+    "sim_ann_pq",
+    "semdedup_cluster_prune",
+    "sketch_cms_heavy_hitters",
+    "text_bm25_topk",
+    "layout_zorder_prune",
+    "stream_cms_sketch",
+    "graph_triangle_count",
+    # past the 50-window from here: remaining late-r7 additions first
+    # (never checked), then the r6/r1 stale-green rotation pool:
+    # io_xml_roundtrip, q3/q5/q6, agg_rollup/cube,
+    # window_running_total, sort_limit_topn, setop_intersect/union,
+    # join_anti/full_outer, agg_count_distinct, agg_percentiles,
+    # dedup_exact/minhash_signatures/simhash,
     # sim_range_search/ann_bucketed, text_lang_id/token_stats/
-    # token_count_regex/fingerprint/bigrams. All 26 are green on the
-    # current fixtures under the local dtype-exact gate
-    # (CORRECTNESS_LOCAL.json), which bounds the staleness risk.
+    # token_count_regex/fingerprint/bigrams — all locally green on the
+    # current fixtures (CORRECTNESS_LOCAL.json), bounding staleness
+    # risk until their r8 window slots.
+    "agg_equidepth_histogram",
+    "join_bloom_prefilter",
+    "join_range_bucketize",
+    "funnel_conversion",
+    "event_pattern_match",
+    "sketch_bitmap_distinct",
+    "fn_regex_suite",
+    "ivm_join_delta",
+    "storage_compact_roundtrip",
+    "fn_variant_suite",
+    "fn_url_suite",
+    "fn_string_shape_suite",
+    "agg_bool_suite",
+    "agg_mode_deterministic",
+    "io_xml_roundtrip",
     "q3_shipping_priority",
     "dedup_exact",
 )
