@@ -400,11 +400,13 @@ _TRI_KEEP_MOD = 13
     )
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM und) AS n_edges,
+           -- closure is an EQUI join: und is id-ordered (a < b) and the
+           -- wedge constrains v < w, so the closing edge is exactly
+           -- (a=v, b=w) — no disjunction, hash-joinable.
            (SELECT COUNT(*)
             FROM o w1 JOIN o w2
               ON w1.src = w2.src AND w1.dst < w2.dst
-            JOIN o c ON c.src = w1.dst AND c.dst = w2.dst
-                     OR c.src = w2.dst AND c.dst = w1.dst) AS n_triangles
+            JOIN und c ON c.a = w1.dst AND c.b = w2.dst) AS n_triangles
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +437,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
+    # Materialize the edge list ONCE (the recursive-CTE discipline
+    # above): und feeds the degree aggregate, the orientation, the
+    # wedge join, the closure join, and the edge count — recomputing
+    # its join+distinct chain five times was ~66 shuffle exchanges.
+    und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -457,12 +464,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = o.select(F.col("src"), F.col("dst").alias("v"))
     w2 = o.select(F.col("src"), F.col("dst").alias("w"))
     wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
-    closer = o.select(F.col("src").alias("cs"), F.col("dst").alias("cd"))
-    tri = wedges.join(
-        closer,
-        ((F.col("cs") == F.col("v")) & (F.col("cd") == F.col("w")))
-        | ((F.col("cs") == F.col("w")) & (F.col("cd") == F.col("v"))),
-    )
+    # Closure is an EQUI join against the id-ordered edge list: the
+    # wedge constrains v < w, und stores (a < b), so the closing edge
+    # is exactly (a=v, b=w) — hash join, never a nested-loop over a
+    # disjunction.
+    closer = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closer, ["v", "w"])
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     n_edges = und.agg(F.count("*").alias("n_edges"))
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
