@@ -359,3 +359,63 @@ def test_compaction_reduces_file_count_without_shuffle(spark, sf_dir):
     df = spark.read.parquet(frag).coalesce(4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bloom_prefilter_probe_side_never_shuffles(spark, sf_dir):
+    """The probe table must reach the exact join through broadcast semi
+    joins only — its first Exchange is the final tiny aggregate."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        join_bloom_prefilter,
+    )
+
+    plan = plan_of(join_bloom_prefilter(spark, sf_dir))
+    # Three broadcast semi joins: two bloom-position probes + the exact
+    # membership join.
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_encoding_is_map_side_broadcast(spark, sf_dir):
+    """PQ codebook ships as one broadcast row; encoding adds no shuffle
+    — the only Exchanges are the two per-query top-k windows."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        sim_ann_pq,
+    )
+
+    plan = plan_of(sim_ann_pq(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # No sort-merge join anywhere: corpus never shuffles to be encoded
+    # or scored.
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_closure_is_hash_join(spark, sf_dir):
+    """The wedge-closure join must be an equi join (id-ordered edges),
+    never a nested-loop over a disjunction. The ONLY nested-loop joins
+    allowed are the two 1-row × 1-row crossJoins assembling the three
+    scalar counts into the output row."""
+    import re
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        graph_triangle_count,
+    )
+
+    plan = plan_of(graph_triangle_count(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
+    # Wedge and closure are equi joins (SMJ/BHJ), each with join keys.
+    assert ("SortMergeJoin" in plan) or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_equidepth_global_window_sees_only_bucket_rows(spark, sf_dir):
+    """The single-partition window runs over one row per coarse bucket,
+    never per-order rows (the pack_sequences discipline)."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_equidepth_histogram,
+    )
+
+    plan = plan_of(agg_equidepth_histogram(spark, sf_dir))
+    # The per-row side keeps its hash partitioning on the coarse bucket;
+    # a global per-row sort would appear as a rangepartitioning exchange
+    # over o_totalprice — forbid it.
+    assert "rangepartitioning(o_totalprice" not in plan
