@@ -180,3 +180,109 @@ def dq_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (2 * F.col("cnt") < F.col("trail_med"))
         ).alias("is_anomaly"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — PSI (population stability index), the standard
+# ingest-monitoring statistic for "did this week's data change shape":
+# the value column is histogrammed into fixed buckets for a baseline
+# period and the current period, and PSI = Σ (p_cur − p_base) ·
+# ln(p_cur / p_base) over buckets (>0.2 conventionally flags drift).
+# Two scans collapse into ONE conditional aggregate (CASE on the
+# period), bucket shares use add-one smoothing so empty buckets stay
+# finite, and the total follows the exact-DECIMAL-sum discipline
+# (each 9-dp-rounded term is summed as DECIMAL(20,9) — shuffle-order-
+# proof, the text_lm_score idiom). One shuffle on the 10-bucket key,
+# one 1-row broadcast back: drift monitoring at 100 TB is exactly one
+# word-count-shaped pass.
+# ---------------------------------------------------------------------------
+_PSI_CUT = "2024-01-15 00:00:00"
+_PSI_W = 50.0  # bucket width over value ∈ [0, 500)
+_PSI_K = 10
+
+
+@register(
+    "dq_distribution_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT LEAST(CAST(floor(value / {_PSI_W}) AS BIGINT), {_PSI_K - 1})
+                 AS bucket,
+             CASE WHEN ts < TIMESTAMP '{_PSI_CUT}' THEN 1 ELSE 0 END
+                 AS is_base
+      FROM events
+    ),
+    g AS (
+      SELECT bucket,
+             CAST(SUM(is_base) AS BIGINT) AS n_base,
+             CAST(SUM(1 - is_base) AS BIGINT) AS n_curr
+      FROM b GROUP BY bucket
+    ),
+    tot AS (
+      SELECT SUM(n_base) AS t_base, SUM(n_curr) AS t_curr FROM g
+    ),
+    terms AS (
+      SELECT bucket, n_base, n_curr,
+             floor(
+               ((CAST(n_curr + 1 AS DOUBLE) / (t_curr + {_PSI_K}))
+                - (CAST(n_base + 1 AS DOUBLE) / (t_base + {_PSI_K})))
+               * ln((CAST(n_curr + 1 AS DOUBLE) / (t_curr + {_PSI_K}))
+                    / (CAST(n_base + 1 AS DOUBLE) / (t_base + {_PSI_K})))
+               * 1000000000.0 + 0.5) / 1000000000.0 AS psi_term
+      FROM g, tot
+    ),
+    total AS (
+      SELECT CAST(SUM(CAST(psi_term AS DECIMAL(20,9))) AS DOUBLE)
+                 AS psi_total
+      FROM terms
+    )
+    SELECT bucket, n_base, n_curr, psi_term, psi_total
+    FROM terms, total
+    ORDER BY bucket
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(
+            F.floor(F.col("value") / _PSI_W).cast("long"),
+            F.lit(_PSI_K - 1),
+        ).alias("bucket"),
+        F.when(
+            F.col("ts") < F.lit(_PSI_CUT).cast(ev.schema["ts"].dataType), 1
+        )
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(1 - F.col("is_base")).alias("n_curr"),
+    )
+    tot = g.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_curr").alias("t_curr")
+    )
+    p_base = (F.col("n_base") + 1).cast("double") / (
+        F.col("t_base") + _PSI_K
+    )
+    p_curr = (F.col("n_curr") + 1).cast("double") / (
+        F.col("t_curr") + _PSI_K
+    )
+    term = (
+        F.floor(
+            (p_curr - p_base) * F.log(p_curr / p_base) * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000000.0)
+    )
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_base", "n_curr", term.alias("psi_term")
+    )
+    total = terms.agg(
+        F.sum(F.col("psi_term").cast("decimal(20,9)"))
+        .cast("double")
+        .alias("psi_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select("bucket", "n_base", "n_curr", "psi_term", "psi_total")
+        .orderBy("bucket")
+    )

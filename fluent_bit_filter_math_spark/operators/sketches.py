@@ -222,3 +222,62 @@ def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=4,
     )
     return out.orderBy("d", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches — the property that makes sketches the
+# distributed answer: build Apache DataSketches HLL sketches on two
+# DISJOINT halves of the stream (think: two days, two clusters, two
+# regions), hll_union them, and the estimate must equal the single
+# sketch built over everything — register-wise max is lossless at
+# equal lgK, so partial sketches roll up across any partitioning /
+# time hierarchy without re-reading data. That algebraic-merge
+# contract (merged ≡ direct, bit-for-bit at fixed input) plus the
+# usual error contract vs the exact count are the oracle-checkable
+# observables (the agg_approx_distinct discipline — estimates
+# themselves are engine-specific).
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_lossless,
+           TRUE AS approx_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    h1 = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("s1"))
+    )
+    h2 = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("s2"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_d"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    merged = h1.join(h2, "event_type").select(
+        "event_type",
+        F.hll_sketch_estimate(F.hll_union("s1", "s2")).alias("est_m"),
+    )
+    j = direct.join(merged, "event_type")
+    rel_err = F.abs(F.col("est_m") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return j.select(
+        "event_type",
+        "exact_users",
+        (F.col("est_m") == F.col("est_d")).alias("merge_lossless"),
+        (rel_err <= 0.15).alias("approx_ok"),
+    ).orderBy("event_type")
