@@ -168,6 +168,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_regex_suite",
     "ivm_join_delta",
     "storage_compact_roundtrip",
+    "dq_distribution_drift",
+    "sketch_hll_mergeable",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
