@@ -1014,7 +1014,6 @@ def er_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluent_bit_filter_math_spark.functions import cosine
     from fluent_bit_filter_math_spark.operators.similarity import _km_assign
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -1028,21 +1027,43 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double")).alias("c"),
         )
     )
+    import numpy as np
+    import pandas as pd
+
     a = _km_assign(emb, cents)
-    left = a.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-    )
-    right = a.select(
-        F.col("cluster"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-    )
+
+    # Per-cluster pairwise scoring as ONE BLAS GEMM per cluster (the
+    # dedup_embedding_cosine kernel, keyed by semantic cluster instead
+    # of hash block): the expression-fold form costs |cluster|²·d
+    # interpreted ops and went 6.3× on 10× vectors; the GEMM is a
+    # single vectorized call. BLAS reassociation noise (~1e-13) never
+    # crosses the τ-gap (≥2e-3 in the fixture, module docstring).
+    def gemm_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["v"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        out = []
+        cluster = int(pdf["cluster"].iat[0])
+        # Chunk rows so the cosine tile stays bounded whatever the
+        # cluster size.
+        for lo in range(0, len(ids), 1024):
+            cos = mat[lo : lo + 1024] @ mat.T
+            ai, bi = np.nonzero(cos >= COSINE_THRESHOLD)
+            ida, idb = ids[lo + ai], ids[bi]
+            keep = ida < idb
+            out.append(
+                pd.DataFrame(
+                    {
+                        "cluster": cluster,
+                        "id_a": ida[keep],
+                        "id_b": idb[keep],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
     return (
-        left.join(right, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= COSINE_THRESHOLD)
-        .select("cluster", "id_a", "id_b")
+        a.groupBy("cluster")
+        .applyInPandas(gemm_cluster, schema="cluster long, id_a long, id_b long")
         .orderBy("cluster", "id_a", "id_b")
     )
