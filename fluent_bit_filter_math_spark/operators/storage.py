@@ -621,3 +621,63 @@ def storage_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC round-trip — a full custom FORMAT on the Python DataSource
+# API (sources/arrow_ipc.py): the events slice is written as Arrow IPC
+# shards BY THE EXECUTORS (mapInArrow — one file per partition, only
+# the tiny manifest reaches the driver) and read back through the
+# registered ``arrow_ipc`` source (one InputPartition per shard,
+# RecordBatches crossing the boundary vectorized). The oracle reads
+# the ORIGINAL fixture: the format round-trip must be value-invisible.
+# ---------------------------------------------------------------------------
+_ARROW_DIRS: dict[tuple[str, str], str] = {}
+
+
+def arrow_ipc_events_path(spark: SparkSession, sf_dir: str) -> str:
+    from fluent_bit_filter_math_spark.sources.arrow_ipc import (
+        ArrowIPCDataSource,
+        write_arrow_ipc,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ARROW_DIRS:
+        try:
+            spark.dataSource.register(ArrowIPCDataSource)
+        except Exception:
+            pass  # already registered in this session
+        out = tempfile.mkdtemp(prefix="fbm-arrow-events-")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        sub = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "event_type", "value")
+            .repartition(8, "event_id")
+        )
+        write_arrow_ipc(sub, out)
+        _ARROW_DIRS[key] = out
+    return _ARROW_DIRS[key]
+
+
+@register(
+    "io_arrow_ipc_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 2 = 0
+    ORDER BY event_id
+    """,
+)
+def io_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = arrow_ipc_events_path(spark, sf_dir)
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    df = spark.read.format("arrow_ipc").option("path", path).load()
+    return df.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        exact_cents(F.col("value")).alias("cents"),
+    ).orderBy("event_id")

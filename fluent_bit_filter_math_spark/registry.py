@@ -170,6 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "storage_compact_roundtrip",
     "dq_distribution_drift",
     "sketch_hll_mergeable",
+    "io_arrow_ipc_roundtrip",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",

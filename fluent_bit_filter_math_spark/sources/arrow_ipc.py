@@ -1,0 +1,106 @@
+"""Arrow IPC (Feather v2) file connector — a full custom FORMAT on the
+Spark 4 Python DataSource API, complementing the synthetic `mem` source
+(sources/mem_input.py) and the JSON-lines sink (sources/json_sink.py):
+this one round-trips a real columnar wire format end-to-end.
+
+* **Writer** — not a driver loop: the shard files are written by the
+  EXECUTORS through ``mapInArrow`` (each task streams its partition's
+  RecordBatches into one ``pyarrow.ipc`` file and emits a 1-row
+  manifest entry), so the write parallelizes like any Spark sink and
+  only the ≤n_shards-row manifest ever reaches the driver.
+* **Reader** — one ``InputPartition`` per shard file; ``read()`` yields
+  the file's Arrow RecordBatches as-is. Arrow batches cross the
+  Python↔JVM boundary vectorized (the mem-source lesson: per-row
+  tuples pickle one at a time and were the repo's only >2× perf
+  regression), so the connector's per-row overhead is ~constant.
+
+Limits, stated honestly: the Python DataSource API exposes no filter
+pushdown or column pruning to the source, so a scan always reads whole
+shards — at 100 TB you would keep IPC for interchange and convert to
+parquet for queryable storage, or partition the shard layout so path
+selection does the pruning (the io_partitioned_prune pattern).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+class _ShardFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ArrowIPCReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("arrow_ipc requires option 'path'")
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.path, "*.arrow")))
+        if not files:
+            raise FileNotFoundError(f"no .arrow shards under {self.path}")
+        return [_ShardFile(f) for f in files]
+
+    def read(self, partition: _ShardFile):
+        with pa.ipc.open_file(partition.path) as rd:
+            for i in range(rd.num_record_batches):
+                yield rd.get_batch(i)
+
+
+class ArrowIPCDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_ipc"
+
+    def schema(self):
+        files = sorted(
+            glob.glob(os.path.join(self.options.get("path", ""), "*.arrow"))
+        )
+        if not files:
+            raise FileNotFoundError("no .arrow shards to infer schema from")
+        with pa.ipc.open_file(files[0]) as rd:
+            import pyspark.sql.pandas.types as pt
+
+            return pt.from_arrow_schema(rd.schema)
+
+    def reader(self, schema):
+        return ArrowIPCReader(self.options)
+
+
+def write_arrow_ipc(df, out_dir: str) -> int:
+    """Write a DataFrame as one Arrow IPC file per partition, executor-
+    side, returning the number of shards written (from the manifest)."""
+    import pyarrow as pa  # re-import for the serialized closure
+
+    def write_shard(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}.arrow")
+        writer = None
+        n = 0
+        for batch in batches:
+            if writer is None:
+                writer = pa.ipc.new_file(path, batch.schema)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], type=pa.int64()), pa.array([n], type=pa.int64())],
+            names=["pid", "n_rows"],
+        )
+
+    manifest = df.mapInArrow(write_shard, "pid long, n_rows long").collect()
+    return len(manifest)
