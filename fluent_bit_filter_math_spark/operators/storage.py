@@ -681,3 +681,101 @@ def io_arrow_ipc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         exact_cents(F.col("value")).alias("cents"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Malformed-CSV recovery — the FILE-ingestion extension of the
+# reference's core malformed-record pass-through (math.c:343-352: a
+# record that isn't a map is forwarded untouched, never dropped, never
+# fatal): a CSV feed with deterministically injected broken lines
+# (event_id % 97 → wrong delimiter, unparseable) is read in PERMISSIVE
+# mode with a corrupt-record column, so bad lines become DATA — routed,
+# counted, and auditable — instead of killing the job (FAILFAST) or
+# vanishing (DROPMALFORMED). The CSV itself is written distributed
+# (df.write.text, one shard per partition). The oracle rebuilds both
+# populations from the injection rule.
+# ---------------------------------------------------------------------------
+_CSV_DIRS: dict[tuple[str, str], str] = {}
+
+
+def malformed_csv_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CSV_DIRS:
+        out = tempfile.mkdtemp(prefix="fbm-csv-events-")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+        line = F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit("BROKEN|"), F.col("event_id").cast("string")),
+        ).otherwise(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                # printf rendering: no thousands separators (format_number
+                # inserts them, and any de-separator regex is a trap — it
+                # cannot tell a grouping comma from a FIELD comma).
+                F.format_string("%.2f", F.col("value")),
+            )
+        )
+        ev.select(line.alias("value")).write.mode("overwrite").text(out)
+        _CSV_DIRS[key] = out
+    return _CSV_DIRS[key]
+
+
+@register(
+    "io_csv_malformed_recovery",
+    oracle="""
+    SELECT CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS is_corrupt,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 0
+                    ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                    END) AS BIGINT) AS sum_cents,
+           -- corrupt lines parse NO fields (PERMISSIVE nulls them all)
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_parsed_ids,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_parsed_users
+    FROM events
+    WHERE event_id % 3 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def io_csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = malformed_csv_path(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "event_id LONG, user_id LONG, value DOUBLE, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    # Reference EVERY schema column: the CSV parser's column pruning
+    # (spark.sql.csv.parser.columnPruning) skips unreferenced fields,
+    # and a token it never parses can never flag the row corrupt — a
+    # projection of only (_corrupt, value) silently reports 0 corrupt
+    # rows. Carrying event_id/user_id through the aggregate forces the
+    # full-row parse PERMISSIVE needs.
+    return (
+        df.select(
+            F.col("_corrupt").isNotNull().cast("int").alias("is_corrupt"),
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("_corrupt").isNull(), exact_cents(F.col("value"))
+            )
+            .otherwise(F.lit(0))
+            .alias("cents"),
+        )
+        .groupBy("is_corrupt")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.count("event_id").alias("n_parsed_ids"),
+            F.count("user_id").alias("n_parsed_users"),
+        )
+        .orderBy("is_corrupt")
+    )

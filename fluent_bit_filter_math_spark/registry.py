@@ -171,6 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_distribution_drift",
     "sketch_hll_mergeable",
     "io_arrow_ipc_roundtrip",
+    "io_csv_malformed_recovery",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
