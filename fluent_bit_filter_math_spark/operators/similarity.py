@@ -878,3 +878,101 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance / Gram accumulation — the X^T X shape under every
+# distributed PCA, linear probe, whitening, or ridge solve: one pass
+# over the corpus accumulates n, Σx_i, and Σx_i·x_j for every
+# dimension pair (i ≤ j) of the leading PCA_DIMS dims. The pair
+# explosion streams straight into a map-side-combined hash aggregate
+# (the emb_centroid_by_label discipline squared), so the shuffle
+# carries one row per (i, j) partial — D(D+1)/2 rows per partition —
+# never per-vector data. All sums are exact micro-unit BIGINTs
+# (|x|≤1 ⇒ products ≤ 1e12, corpus sums ≪ 2^63), so the accumulated
+# moments are engine- and order-exact; the derived covariance is one
+# identical double expression on both engines.
+# ---------------------------------------------------------------------------
+PCA_DIMS = 16
+
+
+@register(
+    "emb_covariance_exact",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(0, {PCA_DIMS})) AS dim,
+             unnest(embedding[1:{PCA_DIMS}]) AS e
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, dim,
+             CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      FROM ex
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.dim AS i, b.dim AS j, a.x AS xi, b.x AS xj
+      FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    )
+    SELECT i, j,
+           COUNT(*) AS n,
+           CAST(SUM(xi) AS BIGINT) AS sum_xi,
+           CAST(SUM(xj) AS BIGINT) AS sum_xj,
+           CAST(SUM(xi * xj) AS BIGINT) AS sum_xixj,
+           (CAST(SUM(xi * xj) AS DOUBLE) / COUNT(*))
+             - (CAST(SUM(xi) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(xj) AS DOUBLE) / COUNT(*)) AS cov_micro2
+    FROM pairs
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+)
+def emb_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # Per-row pair expansion as a NESTED array transform — no self-join,
+    # no shuffle of per-vector data: each row emits its D(D+1)/2
+    # (i, j, xi, xj) structs map-side and they stream straight into the
+    # partial aggregate.
+    xs = F.transform(
+        F.slice("embedding", 1, PCA_DIMS),
+        lambda e: F.floor(e.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(PCA_DIMS - 1))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(PCA_DIMS - 1)),
+                lambda j: F.struct(
+                    i.cast("long").alias("i"),
+                    j.cast("long").alias("j"),
+                    F.element_at(F.col("_xs"), (i + 1).cast("int")).alias(
+                        "xi"
+                    ),
+                    F.element_at(F.col("_xs"), (j + 1).cast("int")).alias(
+                        "xj"
+                    ),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        emb.select(xs.alias("_xs"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.xi", "p.xj")
+    )
+    g = pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum("xi").alias("sum_xi"),
+        F.sum("xj").alias("sum_xj"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sum_xixj"),
+    )
+    cov = (F.col("sum_xixj").cast("double") / F.col("n")) - (
+        F.col("sum_xi").cast("double") / F.col("n")
+    ) * (F.col("sum_xj").cast("double") / F.col("n"))
+    return g.select(
+        "i", "j", "n", "sum_xi", "sum_xj", "sum_xixj",
+        cov.alias("cov_micro2"),
+    ).orderBy("i", "j")

@@ -172,6 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_hll_mergeable",
     "io_arrow_ipc_roundtrip",
     "io_csv_malformed_recovery",
+    "emb_covariance_exact",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
