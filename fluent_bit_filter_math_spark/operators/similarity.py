@@ -976,3 +976,208 @@ def emb_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i", "j", "n", "sum_xi", "sum_xj", "sum_xixj",
         cov.alias("cov_micro2"),
     ).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# Dominant eigenvector by power iteration — distributed PCA's top
+# component, built ON the exact covariance accumulation above: ONE
+# corpus pass produces the D×D scatter matrix, then PCA_ITERS unrolled
+# matvec+normalize rounds run on the tiny matrix (256 rows — broadcast
+# joins, no corpus access ever again). This is the canonical split of
+# large-scale linear algebra on Spark: data-sized work once,
+# iteration on a summary.
+#
+# Engine-exactness through an iterative float algorithm (the hard
+# part): the scatter entries are formed in DECIMAL(38,0) (n·Σxixj −
+# Σxi·Σxj overflows int64) and scaled to BIGINTs via a single
+# double-floor; each matvec is then an EXACT integer sum; each
+# normalization squares into DECIMAL(38,0), takes one double sqrt,
+# and re-quantizes the vector to 1e6 fixed point with the portable
+# floor(x+0.5). Every float op is an identical single expression on
+# identical operands in both engines, and every accumulation is
+# integer/DECIMAL — shuffle-order-proof, so three rounds stay
+# bit-identical end to end.
+# ---------------------------------------------------------------------------
+PCA_ITERS = 3
+_PCA_FP = 1000000
+
+
+def _pca_oracle() -> str:
+    head = f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(0, {PCA_DIMS})) AS dim,
+             unnest(embedding[1:{PCA_DIMS}]) AS e
+      FROM embeddings
+    ),
+    mo AS (
+      SELECT vec_id, dim,
+             CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      FROM ex
+    ),
+    g AS (
+      SELECT a.dim AS i, b.dim AS j,
+             COUNT(*) AS n,
+             CAST(SUM(a.x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(b.x) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(a.x * b.x) AS DECIMAL(38,0)) AS sxy
+      FROM mo a JOIN mo b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT i, j,
+             CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy
+                             AS DOUBLE) / 1e12) AS BIGINT) AS mij
+      FROM g
+    ),
+    v0 AS (
+      SELECT CAST(t.d AS BIGINT) AS i, CAST({_PCA_FP} AS BIGINT) AS v
+      FROM UNNEST(range(0, {PCA_DIMS})) t(d)
+    )"""
+    steps = []
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+    w{k} AS (
+      SELECT m.i, CAST(SUM(m.mij * {prev}.v) AS BIGINT) AS w
+      FROM m JOIN {prev} ON m.j = {prev}.i
+      GROUP BY m.i
+    ),
+    s{k} AS (
+      SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(38,0))
+                           * CAST(w AS DECIMAL(38,0))) AS DOUBLE)) AS nrm
+      FROM w{k}
+    ),
+    v{k} AS (
+      SELECT i,
+             CAST(floor(CAST(w AS DOUBLE) / s{k}.nrm * {_PCA_FP} + 0.5)
+                  AS BIGINT) AS v
+      FROM w{k}, s{k}
+    )""")
+        prev = f"v{k}"
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT v{PCA_ITERS}.i AS dim, v{PCA_ITERS}.v AS eigvec_fp,
+           floor(s{PCA_ITERS}.nrm / {_PCA_FP} * 1000000000.0 + 0.5)
+             / 1000000000.0 AS eigval_scaled
+    FROM v{PCA_ITERS}, s{PCA_ITERS}
+    ORDER BY dim
+    """
+    )
+
+
+@register("emb_pca_power_iteration", oracle=_pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    emb = _emb(spark, sf_dir)
+    # Upper-triangle moments via the same map-side nested-transform
+    # pair expansion as emb_covariance_exact (no per-vector self-join);
+    # the full matrix is recovered by mirroring the tiny aggregate.
+    xs = F.transform(
+        F.slice("embedding", 1, PCA_DIMS),
+        lambda e: F.floor(e.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(PCA_DIMS - 1))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(PCA_DIMS - 1)),
+                lambda j: F.struct(
+                    i.cast("long").alias("i"),
+                    j.cast("long").alias("j"),
+                    F.element_at(F.col("_xs"), (i + 1).cast("int")).alias(
+                        "xi"
+                    ),
+                    F.element_at(F.col("_xs"), (j + 1).cast("int")).alias(
+                        "xj"
+                    ),
+                ),
+            ),
+        )
+    )
+    dec = DecimalType(38, 0)
+    g_up = (
+        emb.select(xs.alias("_xs"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j", "p.xi", "p.xj")
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("xi").cast(dec).alias("sx"),
+            F.sum("xj").cast(dec).alias("sy"),
+            F.sum(F.col("xi") * F.col("xj")).cast(dec).alias("sxy"),
+        )
+    )
+    g = g_up.unionByName(
+        g_up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"),
+            F.col("i").alias("j"),
+            "n",
+            F.col("sy").alias("sx"),
+            F.col("sx").alias("sy"),
+            "sxy",
+        )
+    )
+    m = g.select(
+        "i",
+        "j",
+        F.floor(
+            (
+                F.col("n").cast(dec) * F.col("sxy")
+                - F.col("sx") * F.col("sy")
+            ).cast("double")
+            / F.lit(1e12)
+        )
+        .cast("long")
+        .alias("mij"),
+    )
+    v = spark.range(PCA_DIMS).select(
+        F.col("id").alias("i"), F.lit(_PCA_FP).cast("long").alias("v")
+    )
+    nrm_col = None
+    for _ in range(PCA_ITERS):
+        w = (
+            m.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("mij") * F.col("v")).alias("w"))
+        )
+        s = w.agg(
+            F.sqrt(
+                F.sum(F.col("w").cast(dec) * F.col("w").cast(dec)).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(s)).select(
+            "i",
+            F.floor(
+                F.col("w").cast("double") / F.col("nrm") * _PCA_FP
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        nrm_col = s
+    return (
+        v.crossJoin(F.broadcast(nrm_col))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("eigvec_fp"),
+            (
+                F.floor(
+                    F.col("nrm") / _PCA_FP * F.lit(1000000000.0) + F.lit(0.5)
+                )
+                / F.lit(1000000000.0)
+            ).alias("eigval_scaled"),
+        )
+        .orderBy("dim")
+    )

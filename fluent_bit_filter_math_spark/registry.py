@@ -173,6 +173,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_arrow_ipc_roundtrip",
     "io_csv_malformed_recovery",
     "emb_covariance_exact",
+    "emb_pca_power_iteration",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
