@@ -712,10 +712,25 @@ def malformed_csv_path(spark: SparkSession, sf_dir: str) -> str:
                 ",",
                 F.col("event_id").cast("string"),
                 F.col("user_id").cast("string"),
-                # printf rendering: no thousands separators (format_number
-                # inserts them, and any de-separator regex is a trap — it
-                # cannot tell a grouping comma from a FIELD comma).
-                F.format_string("%.2f", F.col("value")),
+                # Render the value from exact integer cents (never a
+                # float formatter: format_number inserts grouping commas
+                # a de-separator regex can't tell from FIELD commas, and
+                # printf %.2f rounding differs across engines) — so the
+                # oracle can predict the parsed-back cents exactly
+                # whatever precision a regenerated fixture uses.
+                F.concat_ws(
+                    ".",
+                    F.expr(
+                        "cast(floor(value * 100.0 + 0.5) div 100 as string)"
+                    ),
+                    F.lpad(
+                        F.expr(
+                            "cast(floor(value * 100.0 + 0.5) % 100 as string)"
+                        ),
+                        2,
+                        "0",
+                    ),
+                ),
             )
         )
         ev.select(line.alias("value")).write.mode("overwrite").text(out)
