@@ -889,3 +889,125 @@ def join_range_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_flagged"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join — the bidirectional complement of
+# ``join_asof_events`` (backward-only): each click is matched to its
+# temporally CLOSEST error event on either side (tie → the earlier
+# one), the semantics sensor-fusion and feature-attribution pipelines
+# want when "most recent" is the wrong prior. Neither engine has a
+# native nearest ASOF, so both express the SAME construction: one
+# union of the two record kinds, one (user_id, time) sort, and two
+# mirrored window frames carrying the latest-preceding / earliest-
+# following error as a packed (µs·2²⁰ + cents) BIGINT composite (the
+# ts_downsample_ohlc rebase idiom — arg-extreme retrieval without
+# struct-typed window aggregates). One shuffle on user_id total;
+# integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH base AS (SELECT min(epoch_us(ts)) AS b FROM events),
+    obs AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS us,
+             event_type = 'error' AS is_err,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    w AS (
+      SELECT user_id, event_id, us, is_err, cents, b,
+             MAX(CASE WHEN is_err
+                 THEN (us - b) * 1048576 + cents END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_pack,
+             MIN(CASE WHEN is_err
+                 THEN (us - b) * 1048576 + cents END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_pack
+      FROM obs, base
+    ),
+    picked AS (
+      SELECT user_id, event_id, us, b,
+             CASE
+               WHEN prev_pack IS NULL THEN next_pack
+               WHEN next_pack IS NULL THEN prev_pack
+               WHEN us - (b + prev_pack // 1048576)
+                    <= (b + next_pack // 1048576) - us THEN prev_pack
+               ELSE next_pack
+             END AS pack
+      FROM w WHERE NOT is_err
+    )
+    SELECT user_id, event_id AS click_event_id,
+           CAST(us - (b + pack // 1048576) AS BIGINT) AS delta_us,
+           CAST(pack % 1048576 AS BIGINT) AS err_cents
+    FROM picked
+    WHERE pack IS NOT NULL
+    ORDER BY user_id, click_event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    usx = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.agg(F.min(usx).alias("b"))
+    obs = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            usx.alias("us"),
+            (F.col("event_type") == "error").alias("is_err"),
+            exact_cents(F.col("value")).alias("cents"),
+        )
+        .join(F.broadcast(base))
+    )
+    pack = F.when(
+        F.col("is_err"),
+        (F.col("us") - F.col("b")) * 1048576 + F.col("cents"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = obs.select(
+        "user_id",
+        "event_id",
+        "us",
+        "is_err",
+        "b",
+        F.max(pack).over(w_prev).alias("prev_pack"),
+        F.min(pack).over(w_next).alias("next_pack"),
+    )
+    prev_us = F.col("b") + F.expr("prev_pack div 1048576")
+    next_us = F.col("b") + F.expr("next_pack div 1048576")
+    chosen = (
+        F.when(F.col("prev_pack").isNull(), F.col("next_pack"))
+        .when(F.col("next_pack").isNull(), F.col("prev_pack"))
+        .when(
+            F.col("us") - prev_us <= next_us - F.col("us"),
+            F.col("prev_pack"),
+        )
+        .otherwise(F.col("next_pack"))
+    )
+    picked = (
+        w.filter(~F.col("is_err"))
+        .withColumn("pack", chosen)
+        .filter(F.col("pack").isNotNull())
+    )
+    return picked.select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        (F.col("us") - (F.col("b") + F.expr("pack div 1048576")))
+        .cast("long")
+        .alias("delta_us"),
+        F.expr("pack % 1048576").cast("long").alias("err_cents"),
+    ).orderBy("user_id", "click_event_id")

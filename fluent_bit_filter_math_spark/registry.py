@@ -174,6 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_csv_malformed_recovery",
     "emb_covariance_exact",
     "emb_pca_power_iteration",
+    "join_asof_nearest",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
