@@ -154,3 +154,38 @@ def test_stream_ts_never_ntz(spark):
     assert "timestamp_ntz" not in {t for _, t in stream.dtypes}
     # The actual failure mode: attaching a watermark must analyze.
     stream.withWatermark("ts", "1 hour")
+
+
+def test_arrow_ipc_roundtrip_with_empty_partitions(spark, tmp_path):
+    """The shard writer must tolerate empty input partitions (no file,
+    manifest row with n_rows=0) and the reader must reproduce exactly
+    the non-empty rows."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_filter_math_spark.sources.arrow_ipc import (
+        ArrowIPCDataSource,
+        write_arrow_ipc,
+    )
+
+    try:
+        spark.dataSource.register(ArrowIPCDataSource)
+    except Exception:
+        pass
+    out = str(tmp_path / "ipc")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    # 3 rows into 8 partitions → at least 5 empty partitions.
+    df = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    ).repartition(8)
+    write_arrow_ipc(df, out)
+
+    back = spark.read.format("arrow_ipc").option("path", out).load()
+    rows = sorted((r.k, r.v) for r in back.collect())
+    assert rows == [(0, 0), (1, 10), (2, 20)]
+    # Only non-empty partitions left files behind.
+    import glob
+
+    files = glob.glob(os.path.join(out, "*.arrow"))
+    assert 1 <= len(files) <= 3
