@@ -453,9 +453,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # No broadcast hint on the degree table: it is |V|-cardinality and
+    # grows with the graph — let Catalyst choose (it broadcasts at
+    # fixture scale anyway, and shuffles when |V| demands it).
     o = (
-        und.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        und.join(da, "a")
+        .join(db, "b")
         .select(
             F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),

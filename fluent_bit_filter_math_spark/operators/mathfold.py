@@ -395,7 +395,9 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
     shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(sink), os.makedirs(ckpt)
+    # exist_ok: a stale same-pid dir another user owns makes the
+    # rmtree above a silent no-op; the query must not crash on it
+    os.makedirs(sink, exist_ok=True), os.makedirs(ckpt, exist_ok=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     (
         out.writeStream.format("parquet")
@@ -445,7 +447,7 @@ def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"fbm-json-sink-{os.getpid()}"
     )
     shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
 
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)

@@ -115,6 +115,8 @@ def _y4m_parse(payload: bytes) -> tuple[int, int, int]:
     if tokens[0] != b"YUV4MPEG2":
         raise ValueError("not a YUV4MPEG2 stream")
     params = {t[:1]: t[1:] for t in tokens[1:] if t}
+    if b"W" not in params or b"H" not in params:
+        raise ValueError("Y4M header missing W or H parameter")
     w, h = int(params[b"W"]), int(params[b"H"])
     if w <= 0 or h <= 0:
         raise ValueError("non-positive frame dimensions")

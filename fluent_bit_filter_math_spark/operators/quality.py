@@ -211,11 +211,22 @@ _PSI_K = 10
                  AS is_base
       FROM events
     ),
-    g AS (
+    gobs AS (
       SELECT bucket,
              CAST(SUM(is_base) AS BIGINT) AS n_base,
              CAST(SUM(1 - is_base) AS BIGINT) AS n_curr
       FROM b GROUP BY bucket
+    ),
+    -- every one of the K buckets contributes a smoothed term, even
+    -- when empty in BOTH periods: the add-one denominators (t + K)
+    -- assume K terms, so dropping all-empty buckets biases psi_total
+    -- whenever t_base != t_curr
+    g AS (
+      SELECT t.d AS bucket,
+             COALESCE(gobs.n_base, 0) AS n_base,
+             COALESCE(gobs.n_curr, 0) AS n_curr
+      FROM UNNEST(range(0, {_PSI_K})) t(d)
+      LEFT JOIN gobs ON gobs.bucket = t.d
     ),
     tot AS (
       SELECT SUM(n_base) AS t_base, SUM(n_curr) AS t_curr FROM g
@@ -253,9 +264,20 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_base"),
     )
-    g = b.groupBy("bucket").agg(
+    gobs = b.groupBy("bucket").agg(
         F.sum("is_base").alias("n_base"),
         F.sum(1 - F.col("is_base")).alias("n_curr"),
+    )
+    # All K buckets, zero-filled when empty in both periods (see the
+    # oracle comment: the smoothing denominators assume K terms).
+    grid = spark.range(_PSI_K).select(F.col("id").alias("bucket"))
+    g = (
+        grid.join(gobs, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_curr", F.lit(0)).alias("n_curr"),
+        )
     )
     tot = g.agg(
         F.sum("n_base").alias("t_base"), F.sum("n_curr").alias("t_curr")

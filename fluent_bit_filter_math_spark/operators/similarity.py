@@ -895,6 +895,40 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 PCA_DIMS = 16
 
+def _pair_expansion():
+    """(xs, pair_structs) for the leading-PCA_DIMS upper-triangle pair
+    moments: per-row nested-transform expansion — map-side, no
+    self-join. Shared by emb_covariance_exact and
+    emb_pca_power_iteration so the quantization and indexing can never
+    diverge between the covariance and scatter pipelines."""
+    xs = F.transform(
+        F.slice("embedding", 1, PCA_DIMS),
+        lambda e: F.floor(e.cast("double") * 1000000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    idx = F.sequence(F.lit(0), F.lit(PCA_DIMS - 1))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(PCA_DIMS - 1)),
+                lambda j: F.struct(
+                    i.cast("long").alias("i"),
+                    j.cast("long").alias("j"),
+                    F.element_at(F.col("_xs"), (i + 1).cast("int")).alias(
+                        "xi"
+                    ),
+                    F.element_at(F.col("_xs"), (j + 1).cast("int")).alias(
+                        "xj"
+                    ),
+                ),
+            ),
+        )
+    )
+    return xs, pair_structs
+
+
 
 @register(
     "emb_covariance_exact",
@@ -933,31 +967,7 @@ def emb_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no shuffle of per-vector data: each row emits its D(D+1)/2
     # (i, j, xi, xj) structs map-side and they stream straight into the
     # partial aggregate.
-    xs = F.transform(
-        F.slice("embedding", 1, PCA_DIMS),
-        lambda e: F.floor(e.cast("double") * 1000000 + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    idx = F.sequence(F.lit(0), F.lit(PCA_DIMS - 1))
-    pair_structs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(PCA_DIMS - 1)),
-                lambda j: F.struct(
-                    i.cast("long").alias("i"),
-                    j.cast("long").alias("j"),
-                    F.element_at(F.col("_xs"), (i + 1).cast("int")).alias(
-                        "xi"
-                    ),
-                    F.element_at(F.col("_xs"), (j + 1).cast("int")).alias(
-                        "xj"
-                    ),
-                ),
-            ),
-        )
-    )
+    xs, pair_structs = _pair_expansion()
     pairs = (
         emb.select(xs.alias("_xs"))
         .select(F.explode(pair_structs).alias("p"))
@@ -1077,31 +1087,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Upper-triangle moments via the same map-side nested-transform
     # pair expansion as emb_covariance_exact (no per-vector self-join);
     # the full matrix is recovered by mirroring the tiny aggregate.
-    xs = F.transform(
-        F.slice("embedding", 1, PCA_DIMS),
-        lambda e: F.floor(e.cast("double") * 1000000 + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    idx = F.sequence(F.lit(0), F.lit(PCA_DIMS - 1))
-    pair_structs = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.sequence(i, F.lit(PCA_DIMS - 1)),
-                lambda j: F.struct(
-                    i.cast("long").alias("i"),
-                    j.cast("long").alias("j"),
-                    F.element_at(F.col("_xs"), (i + 1).cast("int")).alias(
-                        "xi"
-                    ),
-                    F.element_at(F.col("_xs"), (j + 1).cast("int")).alias(
-                        "xj"
-                    ),
-                ),
-            ),
-        )
-    )
+    xs, pair_structs = _pair_expansion()
     dec = DecimalType(38, 0)
     g_up = (
         emb.select(xs.alias("_xs"))

@@ -267,9 +267,20 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_d"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    merged = h1.join(h2, "event_type").select(
+    # Full outer: a group whose events all share one event_id parity
+    # exists in only one half — its merge partner is the EMPTY sketch,
+    # i.e. the present side alone (an inner join would silently drop
+    # the group while the oracle still emits it).
+    merged = h1.join(h2, "event_type", "full_outer").select(
         "event_type",
-        F.hll_sketch_estimate(F.hll_union("s1", "s2")).alias("est_m"),
+        F.hll_sketch_estimate(
+            F.when(
+                F.col("s1").isNotNull() & F.col("s2").isNotNull(),
+                F.hll_union("s1", "s2"),
+            )
+            .when(F.col("s1").isNotNull(), F.col("s1"))
+            .otherwise(F.col("s2"))
+        ).alias("est_m"),
     )
     j = direct.join(merged, "event_type")
     rel_err = F.abs(F.col("est_m") - F.col("exact_users")) / F.col(

@@ -718,14 +718,23 @@ def malformed_csv_path(spark: SparkSession, sf_dir: str) -> str:
                 # printf %.2f rounding differs across engines) — so the
                 # oracle can predict the parsed-back cents exactly
                 # whatever precision a regenerated fixture uses.
-                F.concat_ws(
-                    ".",
+                # sign-correct integer-cents rendering: div/% on a
+                # negative cents value yield negative parts that lpad
+                # would mangle ('-25' → '0-25'), so render |cents| and
+                # prefix the sign explicitly
+                F.concat(
+                    F.when(
+                        F.expr("floor(value * 100.0 + 0.5)") < 0, F.lit("-")
+                    ).otherwise(F.lit("")),
                     F.expr(
-                        "cast(floor(value * 100.0 + 0.5) div 100 as string)"
+                        "cast(abs(floor(value * 100.0 + 0.5)) div 100"
+                        " as string)"
                     ),
+                    F.lit("."),
                     F.lpad(
                         F.expr(
-                            "cast(floor(value * 100.0 + 0.5) % 100 as string)"
+                            "cast(abs(floor(value * 100.0 + 0.5)) % 100"
+                            " as string)"
                         ),
                         2,
                         "0",

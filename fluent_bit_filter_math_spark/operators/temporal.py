@@ -913,7 +913,11 @@ def join_range_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id,
              epoch_us(ts) AS us,
              event_type = 'error' AS is_err,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+             -- clamp into the 2^20 pack field: out-of-range cents must
+             -- not bleed into the timestamp bits of the MAX/MIN compare
+             GREATEST(CAST(0 AS BIGINT),
+                      LEAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT),
+                            CAST(1048575 AS BIGINT))) AS cents
       FROM events WHERE event_type IN ('click', 'error')
     ),
     w AS (
@@ -960,7 +964,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             usx.alias("us"),
             (F.col("event_type") == "error").alias("is_err"),
-            exact_cents(F.col("value")).alias("cents"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    exact_cents(F.col("value")), F.lit(1048575).cast("long")
+                ),
+            ).alias("cents"),
         )
         .join(F.broadcast(base))
     )

@@ -107,7 +107,7 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"fbm-feb-merge-{os.getpid()}"
     )
     shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base)
+    os.makedirs(base, exist_ok=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = os.path.join(base, "src")
 
