@@ -1020,3 +1020,117 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("delta_us"),
         F.expr("pack % 1048576").cast("long").alias("err_cents"),
     ).orderBy("user_id", "click_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Interval union / coverage — merge each supplier's overlapping
+# 7-day shipment windows into maximal covered spans and report span
+# count + total covered days: the SLA/uptime/availability primitive
+# (union of validity intervals), and the interval complement of
+# sessionize_events' gap splitting. Same single-shuffle discipline:
+# the previous-ends running MAX, the island flag, the island-id
+# running sum, and the per-island aggregate all share ONE supplier
+# partitioning. All arithmetic is exact epoch-day integers.
+# ---------------------------------------------------------------------------
+_IU_SPAN_DAYS = 7
+
+
+@register(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT l_suppkey,
+             epoch_us(l_shipdate) // 86400000000 AS s,
+             epoch_us(l_shipdate) // 86400000000 + {_IU_SPAN_DAYS} AS e,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    flagged AS (
+      SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY l_suppkey
+                    ORDER BY s, e, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) >= s THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    -- the running sum MUST use the same total order as the flag
+    -- window: with only (s, e) the tied rows' frame contents depend
+    -- on physical row order — nondeterministic under Spark shuffles
+    numbered AS (
+      SELECT l_suppkey, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY s, e, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM flagged
+    ),
+    islands AS (
+      SELECT l_suppkey, island,
+             MIN(s) AS i_start, MAX(e) AS i_end
+      FROM numbered GROUP BY l_suppkey, island
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_spans,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_days,
+           CAST(MIN(i_start) AS BIGINT) AS first_day,
+           CAST(MAX(i_end) AS BIGINT) AS last_day
+    FROM islands GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    day = F.expr(
+        "unix_micros(cast(l_shipdate as timestamp)) div 86400000000"
+    )
+    iv = li.select(
+        "l_suppkey",
+        day.alias("s"),
+        (day + _IU_SPAN_DAYS).alias("e"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_prev = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "l_suppkey",
+        "s",
+        "e",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    # (s, e) repeats across lineitems: the running sum must use the
+    # SAME total order as the flag window, or tied rows' island ids
+    # depend on physical row order.
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "l_suppkey",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island"),
+    )
+    islands = numbered.groupBy("l_suppkey", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return (
+        islands.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_days"),
+            F.min("i_start").alias("first_day"),
+            F.max("i_end").alias("last_day"),
+        )
+        .orderBy("l_suppkey")
+    )

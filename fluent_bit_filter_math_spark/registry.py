@@ -175,6 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_covariance_exact",
     "emb_pca_power_iteration",
     "join_asof_nearest",
+    "interval_union_coverage",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
