@@ -419,3 +419,22 @@ def test_equidepth_global_window_sees_only_bucket_rows(spark, sf_dir):
     # a global per-row sort would appear as a rangepartitioning exchange
     # over o_totalprice — forbid it.
     assert "rangepartitioning(o_totalprice" not in plan
+
+
+def test_zvalue_expression_matches_python_model(spark, sf_dir):
+    """The Column-expression Morton interleave must agree with the
+    pure-Python model the property tests verify."""
+    from pyspark.sql import functions as F
+
+    from fluent_bit_filter_math_spark.operators.storage import _zvalue
+    from tests.test_property import _py_zvalue
+
+    df = (
+        spark.range(256)
+        .select(
+            (F.col("id") % 16).alias("a"), (F.col("id") / 16).cast("long").alias("b")
+        )
+        .withColumn("z", _zvalue(F.col("a"), F.col("b")))
+    )
+    for r in df.collect():
+        assert r.z == _py_zvalue(r.a, r.b), (r.a, r.b)

@@ -200,3 +200,104 @@ def test_cast_to_int_bool_parsing(raw):
              ("output_field", "out"), ("cast_to_int", raw)]
     spec = MathSpec.from_properties(props)
     assert spec.cast_to_int is (raw.strip().lower() in MathSpec._TRUE)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: Y4M container build→parse round-trip (pure Python, no
+# Spark) — the parser must recover exactly the dimensions and frame
+# count the builder encoded, for ANY payload, and must reject
+# truncation with ValueError (the documented corrupt-container
+# contract).
+# ---------------------------------------------------------------------------
+@given(st.binary(min_size=0, max_size=2048))
+def test_y4m_roundtrip_any_payload(payload):
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _Y4M_FR_MOD,
+        _Y4M_H_MOD,
+        _Y4M_W_MOD,
+        _y4m_build,
+        _y4m_parse,
+    )
+
+    blob = _y4m_build(payload)
+    w, h, n_frames = _y4m_parse(blob)
+    n = len(payload)
+    assert (w, h, n_frames) == (
+        4 + n % _Y4M_W_MOD,
+        4 + n % _Y4M_H_MOD,
+        n % _Y4M_FR_MOD + 1,
+    )
+
+
+@given(st.binary(min_size=1, max_size=512), st.integers(1, 40))
+def test_y4m_truncation_always_valueerror(payload, cut):
+    import pytest
+
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _y4m_build,
+        _y4m_parse,
+    )
+
+    blob = _y4m_build(payload)
+    cut = min(cut, len(blob) - 1)
+    truncated = blob[: len(blob) - cut]
+    with pytest.raises(ValueError):
+        _y4m_parse(truncated)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the NTILE(k) closed form used by agg_equidepth_histogram
+# (pure arithmetic, no Spark) — for any n ≥ k, applying the formula to
+# every rank 1..n must reproduce exactly the SQL NTILE distribution:
+# the first n%k buckets hold n//k+1 rows, the rest n//k, and buckets
+# are assigned in rank order.
+# ---------------------------------------------------------------------------
+@given(st.integers(8, 5000))
+def test_equidepth_ntile_closed_form(n):
+    k = 8
+    q, m = divmod(n, k)
+
+    def bucket(r):
+        big = m * (q + 1)
+        if r <= big:
+            return (r + q) // (q + 1)
+        return m + (r - m * (q + 1) + q - 1) // q
+
+    buckets = [bucket(r) for r in range(1, n + 1)]
+    # Non-decreasing, starts at 1, ends at k.
+    assert buckets[0] == 1 and buckets[-1] == k
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(buckets, buckets[1:]))
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    for b in range(1, k + 1):
+        assert sizes[b] == q + 1 if b <= m else sizes[b] == q
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: Morton interleave (pure-Python model of storage._zvalue)
+# — z-order must agree with the bit-interleave definition, and within
+# any aligned 2^b × 2^b tile the z-values must be contiguous (the
+# property that makes range-partitioned files cover small rectangles).
+# ---------------------------------------------------------------------------
+def _py_zvalue(a: int, b: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(st.integers(0, 1023), st.integers(0, 1023), st.integers(0, 4))
+def test_zvalue_tile_contiguity(a, b, tile_bits):
+    # All cells of the aligned 2^t × 2^t tile containing (a, b) form a
+    # CONTIGUOUS z-range of exactly 4^t values.
+    t = tile_bits
+    a0, b0 = (a >> t) << t, (b >> t) << t
+    zs = [
+        _py_zvalue(a0 + i, b0 + j)
+        for i in range(1 << t)
+        for j in range(1 << t)
+    ]
+    assert max(zs) - min(zs) == (1 << (2 * t)) - 1
+    assert len(set(zs)) == 1 << (2 * t)
