@@ -176,6 +176,7 @@ _PRIORITY: tuple[str, ...] = (
     "emb_pca_power_iteration",
     "join_asof_nearest",
     "interval_union_coverage",
+    "stream_pattern_match_stateful",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",

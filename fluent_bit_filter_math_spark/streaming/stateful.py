@@ -193,3 +193,114 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         out, "stream_stateful_sessions", output_mode="update"
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #3 — incremental sequence-pattern matching, the
+# streaming form of operators/temporal.py's event_pattern_match
+# (MATCH_RECOGNIZE decomposition): emit every purchase preceded by a
+# view within 30 minutes with no error in between, as events ARRIVE.
+# Pattern state per user is exactly the batch form's two trailing
+# arg-maxima — (last_view_us, last_error_us) — carried in the state
+# store across micro-batches, so each batch does O(batch) work and a
+# match is emitted the moment its purchase shows up. Chunks are
+# concatenated and sorted once per (user, batch) on exact epoch-µs
+# (the _update_sessions discipline); -1 encodes "never seen".
+# ---------------------------------------------------------------------------
+_PAT_OUT_SCHEMA = "user_id long, purchase_event_id long, delay_us long"
+_PAT_STATE_SCHEMA = "last_view long, last_err long"
+_PAT_WINDOW_US = 1_800_000_000
+
+
+def _update_pattern(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    lv, le = state.get if state.exists else (-1, -1)
+    chunks = list(pdfs)
+    whole = (
+        pd.concat(chunks, ignore_index=True)
+        if len(chunks) > 1
+        else chunks[0]
+    )
+    whole = whole.sort_values(["us", "event_id"], kind="mergesort")
+    out_ids: list[int] = []
+    out_delay: list[int] = []
+    for us, eid, et in zip(
+        whole["us"], whole["event_id"], whole["event_type"]
+    ):
+        if et == "purchase":
+            # le < lv also covers "no error yet" (le == -1 ≤ any lv ≥ 0)
+            if lv >= 0 and us - lv <= _PAT_WINDOW_US and le < lv:
+                out_ids.append(int(eid))
+                out_delay.append(int(us - lv))
+        elif et == "view":
+            lv = int(us)
+        else:  # error
+            le = int(us)
+    state.update((int(lv), int(le)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_ids),
+            "purchase_event_id": out_ids,
+            "delay_us": out_delay,
+        }
+    )
+
+
+def pattern_match_stream(spark: SparkSession, path: str) -> DataFrame:
+    stream = (
+        read_events_stream(spark, path, drop_nanos=True)
+        .filter(F.col("event_type").isin("view", "error", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_type",
+        )
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_pattern,
+        outputStructType=_PAT_OUT_SCHEMA,
+        stateStructType=_PAT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "stream_pattern_match_stateful",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view', 'error', 'purchase')
+    ),
+    m AS (
+      SELECT *,
+             MAX(CASE WHEN event_type = 'view' THEN us END)
+                 OVER w AS last_view_us,
+             MAX(CASE WHEN event_type = 'error' THEN us END)
+                 OVER w AS last_err_us
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_event_id,
+           us - last_view_us AS delay_us
+    FROM m
+    WHERE event_type = 'purchase'
+      AND last_view_us IS NOT NULL
+      AND us - last_view_us <= 1800000000
+      AND (last_err_us IS NULL OR last_err_us < last_view_us)
+    ORDER BY user_id, purchase_event_id
+    """,
+)
+def stream_pattern_match_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = pattern_match_stream(spark, f"{sf_dir}/events.parquet")
+    res = run_stream_to_memory(
+        out, "stream_pattern_match_stateful", output_mode="append"
+    )
+    return res.orderBy("user_id", "purchase_event_id")

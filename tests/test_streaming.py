@@ -697,3 +697,105 @@ def test_stateful_checkpoint_restart_recovers_state(spark, tmp_path):
         exp = whole.loc[row["user_id"]]
         assert row["n_events"] == exp["n_events"]
         assert row["total_cents"] == exp["total_cents"]
+
+
+def test_pattern_match_stateful_is_slicing_invariant(spark, tmp_path):
+    """The pattern-match kernel's (last_view, last_err) state must make
+    a 4-batch time-ordered replay produce exactly the single-batch /
+    batch-SQL match set."""
+    import time
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _PAT_OUT_SCHEMA,
+        _PAT_STATE_SCHEMA,
+        _PAT_WINDOW_US,
+        _update_pattern,
+    )
+
+    ev = table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin("view", "error", "purchase")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    src = str(tmp_path / "pat")
+    span = (hi - lo) / 4
+    for i in range(4):
+        a = lo + i * span
+        b = hi if i == 3 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(a)) & (
+            F.col("ts") <= F.lit(b) if i == 3 else F.col("ts") < F.lit(b)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    for name, dtype in stream.dtypes:
+        if dtype == "timestamp_ntz":
+            stream = stream.withColumn(name, F.col(name).cast("timestamp"))
+    stream = stream.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    out = run_stream_to_memory(
+        stream.groupBy("user_id").applyInPandasWithState(
+            _update_pattern,
+            outputStructType=_PAT_OUT_SCHEMA,
+            stateStructType=_PAT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        ),
+        "pat_sliced",
+        output_mode="append",
+    )
+    sliced = sorted(
+        (r.user_id, r.purchase_event_id, r.delay_us) for r in out.collect()
+    )
+
+    # Batch reference: the trailing-frame window decomposition.
+    from pyspark.sql import Window
+
+    o = table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isin("view", "error", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = (
+        o.select(
+            "user_id",
+            "event_id",
+            "us",
+            "event_type",
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).over(w).alias("lv"),
+            F.max(
+                F.when(F.col("event_type") == "error", F.col("us"))
+            ).over(w).alias("le"),
+        )
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("lv").isNotNull()
+            & (F.col("us") - F.col("lv") <= _PAT_WINDOW_US)
+            & (F.col("le").isNull() | (F.col("le") < F.col("lv")))
+        )
+        .select("user_id", "event_id", (F.col("us") - F.col("lv")).alias("d"))
+    )
+    expected = sorted((r.user_id, r.event_id, r.d) for r in ref.collect())
+    assert sliced == expected and len(expected) > 0
