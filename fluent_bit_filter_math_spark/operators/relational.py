@@ -1719,3 +1719,74 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median — windowed ORDER STATISTICS, the missing piece
+# between the frame-based running aggregates (window_running_total)
+# and the whole-table exact percentiles (agg_percentiles): for each
+# event, the median of the user's trailing 10 observation values. No
+# engine has a distributive windowed median, so both express the same
+# O(frame²→frame·log) decomposition: collect the frame into an array,
+# sort it, index the order statistic — exact integer cents end to end
+# (discrete lower-median, the agg_median_disc convention). Frame
+# buffers are bounded by the trailing-window width (10), so per-row
+# state is O(w) regardless of partition size — this is the shape to
+# use when w is small; for wide frames the two-heap / indexable-
+# skiplist kernels inside applyInPandas take over.
+# ---------------------------------------------------------------------------
+_RM_W = 10  # trailing frame width (rows)
+
+
+@register(
+    "window_rolling_median",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS us,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fr AS (
+      SELECT user_id, event_id, cents,
+             list_sort(list(cents) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {_RM_W - 1} PRECEDING AND CURRENT ROW
+             )) AS frame
+      FROM o
+    )
+    SELECT user_id, event_id,
+           CAST(len(frame) AS BIGINT) AS n_frame,
+           frame[(len(frame) + 1) // 2] AS rolling_median_cents
+    FROM fr
+    ORDER BY user_id, event_id
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    o = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(_RM_W - 1), 0)
+    )
+    fr = o.select(
+        "user_id",
+        "event_id",
+        F.array_sort(F.collect_list("cents").over(w)).alias("frame"),
+    )
+    return fr.select(
+        "user_id",
+        "event_id",
+        F.size("frame").cast("long").alias("n_frame"),
+        F.element_at(
+            "frame", ((F.size("frame") + 1) / 2).cast("int")
+        ).alias("rolling_median_cents"),
+    ).orderBy("user_id", "event_id")

@@ -177,6 +177,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "interval_union_coverage",
     "stream_pattern_match_stateful",
+    "window_rolling_median",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
