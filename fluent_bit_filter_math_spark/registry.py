@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = (
     "interval_union_coverage",
     "stream_pattern_match_stateful",
     "window_rolling_median",
+    "win_session_dynamic_gap",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",

@@ -629,3 +629,80 @@ def stream_session_window_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# session window with a DYNAMIC per-event gap — Spark's gap argument
+# accepts a Column, so different event kinds can hold a session open
+# for different durations (here: purchase/signup keep the visit alive
+# 60 minutes, everything else 15). Each event contributes the interval
+# [ts, ts+gap(event)); overlapping intervals merge — i.e. the session
+# is the interval UNION (the interval_union_coverage semantics), which
+# is exactly how the oracle replays it: running max of previous
+# interval ends → island flag → island id → per-island aggregate, on
+# exact epoch-µs integers. Same F.session_window expression runs
+# unchanged under readStream (state-store merge); the batch form here
+# sits under the value-hash gate.
+# ---------------------------------------------------------------------------
+_DG_LONG_US = 3_600_000_000  # 60 min
+_DG_SHORT_US = 900_000_000  # 15 min
+
+
+@register(
+    "win_session_dynamic_gap",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS us,
+             epoch_us(ts) + CASE WHEN event_type IN ('purchase', 'signup')
+                                 THEN {_DG_LONG_US}
+                                 ELSE {_DG_SHORT_US} END AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us, e, event_id,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) > us THEN 0 ELSE 1 END AS new_island
+      FROM o
+    ),
+    numbered AS (
+      SELECT user_id, us, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(e) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, island
+    ORDER BY user_id, session_start_us
+    """,
+)
+def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
