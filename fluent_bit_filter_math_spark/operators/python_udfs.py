@@ -362,3 +362,72 @@ def emb_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInArrow(
         _arrow_norms, schema="vec_id long, sq_norm_micro2 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# pandas UDAF inside a WINDOW frame — the WindowInPandas operator, the
+# one Python evaluation surface the UDF suite hadn't exercised: a
+# GROUPED_AGG pandas_udf evaluated per sliding frame (trailing 10
+# observations per user). The kernel sums exact integer cents and
+# divides once, so the double result is the same single IEEE division
+# DuckDB's AVG(BIGINT) performs on the identical exact sum — engine-
+# bit-identical with no rounding discipline needed. Scale note: every
+# frame ships to Python as an Arrow batch — ~frame×rows values across
+# the boundary, the priciest window-evaluation mode Spark has; the
+# native frame AVG is the production form, and this query exists to
+# prove the API path end-to-end (the python_udfs.py charter), not to
+# recommend it.
+# ---------------------------------------------------------------------------
+_WPD_W = 10
+
+
+@register(
+    "udaf_window_pandas",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER w AS BIGINT) AS frame_sum_cents,
+           CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(*) OVER w
+               AS frame_mean_cents
+    FROM o
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN {_WPD_W - 1} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def udaf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    @pandas_udf("long")
+    def frame_sum(cents: pd.Series) -> int:
+        return int(cents.sum())
+
+    @pandas_udf("double")
+    def frame_mean(cents: pd.Series) -> float:
+        # exact integer sum, ONE double division — mirrors AVG(BIGINT)
+        return float(int(cents.sum())) / len(cents)
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    o = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-(_WPD_W - 1), 0)
+    )
+    return o.select(
+        "user_id",
+        "event_id",
+        frame_sum(F.col("cents")).over(w).alias("frame_sum_cents"),
+        frame_mean(F.col("cents")).over(w).alias("frame_mean_cents"),
+    ).orderBy("user_id", "event_id")

@@ -179,6 +179,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_pattern_match_stateful",
     "window_rolling_median",
     "win_session_dynamic_gap",
+    "udaf_window_pandas",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
