@@ -1167,3 +1167,81 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit — the evaluation harness every approximate index
+# needs before it replaces the exact path: per query point, what
+# fraction of the TRUE top-k (brute force) does the LSH-bucketed
+# index return? Reuses the two registered builders verbatim — the
+# audit IS a join of their outputs (left semi per rank pair → count /
+# k), so it stays correct as either implementation evolves. At 100 TB
+# this runs on a sampled query set; the exact side is the expensive
+# leg and bounds the audit cost, not the index.
+# ---------------------------------------------------------------------------
+@register(
+    "sim_recall_audit",
+    oracle=f"""
+    WITH exact_tk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_D_COS} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    approx_tk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_D_COS} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+          AND ({_D_BUCKET.format(side='q')}) = ({_D_BUCKET.format(side='c')})
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM exact_tk e
+    LEFT JOIN approx_tk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = sim_ann_bucketed(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    j = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.neighbor_id == approx.a_neighbor),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "a_neighbor")
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k_exact"),
+            F.sum(
+                F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+            (
+                F.sum(
+                    F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -180,6 +180,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_rolling_median",
     "win_session_dynamic_gap",
     "udaf_window_pandas",
+    "sim_recall_audit",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
