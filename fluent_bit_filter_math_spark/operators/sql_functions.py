@@ -724,3 +724,59 @@ def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("line").rlike(r"ids=\[[0-9]+,[0-9]+\]").alias("has_id_pair"),
     )
+
+
+# ---------------------------------------------------------------------------
+# datetime construction / calendar suite — the half of the date
+# surface fn_date_suite doesn't touch: component-wise timestamp
+# CONSTRUCTION (make_timestamp — the inverse of extraction), month-end
+# alignment (last_day), ISO week numbering and ISO weekday (both
+# engines agree on ISO 8601: week 1 holds Jan 4, Monday=1), quarter,
+# and month arithmetic with end-of-month clamping (add_months: Jan 31
+# + 1 month = Feb 28/29 — the calendar rule naive day-arithmetic
+# gets wrong). All codegen'd projections, zero shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_calendar_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(make_timestamp(year(o_orderdate), month(o_orderdate),
+                                   day(o_orderdate), 12, 30, 0),
+                    '%Y-%m-%d %H:%M:%S') AS rebuilt_noonish,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           strftime(CAST(o_orderdate + INTERVAL 1 MONTH AS DATE),
+                    '%Y-%m-%d') AS plus_month
+    FROM orders WHERE o_orderkey % 9 = 0
+    """,
+)
+def fn_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.make_timestamp(
+                F.year("o_orderdate"),
+                F.month("o_orderdate"),
+                F.dayofmonth("o_orderdate"),
+                F.lit(12),
+                F.lit(30),
+                F.lit(0),
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("rebuilt_noonish"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        # Spark has no isodow; dayofweek is Sunday=1 → ISO Monday=1.
+        F.expr("((dayofweek(o_orderdate) + 5) % 7) + 1")
+        .cast("long")
+        .alias("iso_dow"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
+            "plus_month"
+        ),
+    )

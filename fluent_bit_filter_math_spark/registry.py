@@ -181,6 +181,7 @@ _PRIORITY: tuple[str, ...] = (
     "win_session_dynamic_gap",
     "udaf_window_pandas",
     "sim_recall_audit",
+    "fn_calendar_suite",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
