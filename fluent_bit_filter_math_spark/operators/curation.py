@@ -405,3 +405,93 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (metric, value)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Release composition by (split × source) — the table every dataset
+# release publishes next to its card: document and character counts
+# per (train/val/test, source-domain) cell, with each cell's share of
+# its split. Reuses sample_split_assign's leak-proof hash assignment
+# verbatim (same SPLIT_KEY grid — a doc's split can never differ
+# between the assignment query and the release report) and
+# pipeline_dataset_card's exact integer counting. One hash aggregate
+# + a per-split 1-level broadcast-back for the shares; shares are
+# single double divisions of exact integers.
+# ---------------------------------------------------------------------------
+from fluent_bit_filter_math_spark.functions import duck_hash60 as _dh60
+
+_SPLIT_H = _dh60("'split:' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "pipeline_split_composition",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE
+               WHEN {_SPLIT_H} % 1000 < 800 THEN 'train'
+               WHEN {_SPLIT_H} % 1000 < 900 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             source, n_chars
+      FROM documents
+    ),
+    cells AS (
+      SELECT split, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM assigned GROUP BY split, source
+    ),
+    totals AS (
+      SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_docs
+      FROM cells GROUP BY split
+    )
+    SELECT c.split, c.source, c.n_docs, c.n_chars,
+           CAST(c.n_docs AS DOUBLE) / t.split_docs AS share_of_split
+    FROM cells c JOIN totals t ON c.split = t.split
+    ORDER BY c.split, c.source
+    """,
+)
+def pipeline_split_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        SPLIT_KEY,
+        TRAIN_PERMILLE,
+        VAL_PERMILLE,
+    )
+
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(SPLIT_KEY), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    split = (
+        F.when(bucket < TRAIN_PERMILLE, "train")
+        .when(bucket < VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    cells = (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    totals = cells.groupBy("split").agg(
+        F.sum("n_docs").alias("split_docs")
+    )
+    return (
+        cells.join(F.broadcast(totals), "split")
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_chars",
+            (F.col("n_docs").cast("double") / F.col("split_docs")).alias(
+                "share_of_split"
+            ),
+        )
+        .orderBy("split", "source")
+    )

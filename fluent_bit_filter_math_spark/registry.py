@@ -182,6 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "udaf_window_pandas",
     "sim_recall_audit",
     "fn_calendar_suite",
+    "pipeline_split_composition",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
