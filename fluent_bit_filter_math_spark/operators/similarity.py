@@ -796,23 +796,21 @@ def _pq_oracle() -> str:
     """
 
 
-@register("sim_ann_pq", oracle=_pq_oracle())
-def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+def _pq_sub(col: F.Column, m: int) -> F.Column:
+    return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
 
-    def sub(col: F.Column, m: int) -> F.Column:
-        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
 
-    # Codebook: ONE broadcast row, PQ_M code-sorted struct arrays.
+def _pq_codebook_row(emb: DataFrame) -> DataFrame:
+    """Codebook as ONE broadcast row: PQ_M code-sorted struct arrays."""
     seeds = emb.filter(F.col("vec_id") < PQ_K)
-    cb_row = seeds.agg(
+    return seeds.agg(
         *[
             F.array_sort(
                 F.collect_list(
                     F.struct(
                         F.col("vec_id").alias("code"),
                         F.transform(
-                            sub(F.col("embedding"), m),
+                            _pq_sub(F.col("embedding"), m),
                             lambda x: x.cast("double"),
                         ).alias("sub"),
                     )
@@ -822,22 +820,46 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    # Encode: map-side argmin per subspace (no shuffle). The lambda must
-    # take exactly ONE parameter (a second would be bound to the array
-    # index by F.transform), so the subvector is captured via a factory.
+
+def _pq_encode(enc: DataFrame) -> DataFrame:
+    """Add code0..codeM columns: map-side argmin per subspace (no
+    shuffle). Input must carry `embedding` and the cb columns. The
+    lambda must take exactly ONE parameter (a second would be bound to
+    the array index by F.transform), so the subvector is captured via
+    a factory."""
+
     def _scorer(s: F.Column):
         return lambda e: F.struct(
             _km_sqdist(s, e["sub"]).alias("d"), e["code"].alias("code")
         )
 
-    enc = emb.crossJoin(F.broadcast(cb_row))
     for m in range(PQ_M):
         scored = F.transform(
-            F.col(f"cb{m}"), _scorer(sub(F.col("embedding"), m))
+            F.col(f"cb{m}"), _scorer(_pq_sub(F.col("embedding"), m))
         )
         enc = enc.withColumn(
             f"code{m}", F.element_at(F.array_sort(scored), 1)["code"]
         )
+    return enc
+
+
+def _pq_adc(qe: str = "qe") -> F.Column:
+    """Fixed-subspace-order ADC distance against the decoded codes."""
+    adc_d = None
+    for m in range(PQ_M):
+        dec = F.element_at(
+            F.col(f"cb{m}"), (F.col(f"code{m}") + 1).cast("int")
+        )["sub"]
+        d_m = _km_sqdist(_pq_sub(F.col(qe), m), dec)
+        adc_d = d_m if adc_d is None else adc_d + d_m
+    return adc_d
+
+
+@register("sim_ann_pq", oracle=_pq_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    cb_row = _pq_codebook_row(emb)
+    enc = _pq_encode(emb.crossJoin(F.broadcast(cb_row)))
 
     # ADC against the broadcast query set: distance to the DECODED code,
     # summed in fixed subspace order (engine-exact).
@@ -847,13 +869,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = enc.join(
         F.broadcast(q), F.col("vec_id") != F.col("query_id")
     )
-    adc_d = None
-    for m in range(PQ_M):
-        dec = F.element_at(
-            F.col(f"cb{m}"), (F.col(f"code{m}") + 1).cast("int")
-        )["sub"]
-        d_m = _km_sqdist(sub(F.col("qe"), m), dec)
-        adc_d = d_m if adc_d is None else adc_d + d_m
+    adc_d = _pq_adc("qe")
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -1244,4 +1260,189 @@ def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed production ANN index (FAISS's IVFPQ): IVF
+# cells bound WHICH vectors a query inspects (NPROBE cells instead of
+# the corpus), PQ codes bound WHAT is stored and scanned per vector
+# (4 bytes instead of 256). The query path is: probe the NPROBE
+# nearest cells → ADC-rank the probed cells' codes → exact-rerank the
+# PQ_CAND pool. Both sub-indexes reuse the registered builders'
+# construction verbatim (salted-hash IVF seeds; _pq_codebook_row /
+# _pq_encode / _pq_adc), so this query pins their COMPOSITION, the
+# thing a production deployment actually runs. All broadcast joins;
+# the corpus is touched once to assign + encode.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    h = (
+        "CAST('0x' || substr(md5('"
+        + _IVF_SALT
+        + "' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS code{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"{_pq_duck_sq('qv.v', m * PQ_SUB, f'd{m}.sub')}"
+        for m in range(PQ_M)
+    )
+    dec_joins = " ".join(
+        f"JOIN cb d{m} ON d{m}.m = {m} AND d{m}.code = c.code{m}"
+        for m in range(PQ_M)
+    )
+    enc_dist = (
+        f"list_aggregate(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i]) "
+        f"* (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i])), 'sum')"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      ORDER BY {h}, vec_id LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                     v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings v, cent c
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT m, vec_id AS code,
+             v[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sub
+      FROM emb, UNNEST(range(0, {PQ_M})) t(m)
+      WHERE vec_id < {PQ_K}
+    ),
+    enc_long AS (
+      SELECT e.vec_id, cb.m, cb.code,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                                ORDER BY {enc_dist}, cb.code) AS rn
+      FROM emb e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, {code_cols} FROM enc_long WHERE rn = 1 GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    adc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {adc} AS adc_d
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN emb qv ON qv.vec_id = p.query_id
+      {dec_joins}
+      WHERE c.vec_id <> p.query_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_CAND}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT pool.query_id, pool.neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY pool.query_id
+               ORDER BY list_cosine_similarity(
+                   qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+                   pool.neighbor_id
+             ) AS BIGINT) AS rank
+      FROM pool
+      JOIN embeddings qe ON qe.vec_id = pool.query_id
+      JOIN embeddings ce ON ce.vec_id = pool.neighbor_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_ivfpq", oracle=_ivfpq_oracle())
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import hash60
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    h = hash60(F.concat(F.lit(_IVF_SALT), F.col("vec_id").cast("string")))
+    cent = (
+        emb.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
+    crossed = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+    )
+    assign = crossed.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cid"), F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+        ).alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    cb_row = _pq_codebook_row(emb)
+    enc = _pq_encode(assign.crossJoin(F.broadcast(cb_row)))
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            F.col("cid").alias("cell"),
+            F.row_number().over(wp).alias("prn"),
+        )
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .drop("prn")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(enc, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_d", _pq_adc("qe"))
+    )
+    w_pool = Window.partitionBy("query_id").orderBy("adc_d", "vec_id")
+    pool = cand.withColumn("rn", F.row_number().over(w_pool)).filter(
+        F.col("rn") <= PQ_CAND
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qe"), F.col("embedding"))), F.asc("vec_id")
+    )
+    return (
+        pool.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
     )

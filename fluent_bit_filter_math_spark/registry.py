@@ -183,6 +183,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_recall_audit",
     "fn_calendar_suite",
     "pipeline_split_composition",
+    "sim_ann_ivfpq",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
