@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fluent_bit_filter_math_spark.functions import fixed_round
+from fluent_bit_filter_math_spark.functions import exact_cents, fixed_round
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -779,4 +779,112 @@ def fn_calendar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.add_months("o_orderdate", 1), "yyyy-MM-dd").alias(
             "plus_month"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# generator NULL semantics — explode vs explode_outer (LATERAL VIEW
+# OUTER): rows whose array is EMPTY vanish under plain explode but
+# survive with a NULL element under the OUTER form — the difference
+# between silently dropping childless parents and keeping them, the
+# classic one-to-many flattening bug. The possibly-empty array is
+# derived deterministically (tokens longer than 8 chars — many docs
+# have none). Both engines aggregate both behaviors side by side.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_explode_outer_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 8)
+                 AS longs
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    inner_x AS (
+      SELECT doc_id, unnest(longs) AS tok FROM t
+    ),
+    outer_x AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END)
+                 AS tok
+      FROM t
+    )
+    SELECT
+      (SELECT COUNT(*) FROM inner_x) AS n_inner_rows,
+      (SELECT COUNT(DISTINCT doc_id) FROM inner_x) AS n_inner_docs,
+      (SELECT COUNT(*) FROM outer_x) AS n_outer_rows,
+      (SELECT COUNT(DISTINCT doc_id) FROM outer_x) AS n_outer_docs,
+      (SELECT COUNT(*) FROM outer_x WHERE tok IS NULL) AS n_childless
+    """,
+)
+def fn_explode_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split("text", " "), lambda x: F.length(x) > 8
+        ).alias("longs"),
+    )
+    inner_x = t.select("doc_id", F.explode("longs").alias("tok"))
+    outer_x = t.select("doc_id", F.explode_outer("longs").alias("tok"))
+    a = inner_x.agg(
+        F.count("*").alias("n_inner_rows"),
+        F.countDistinct("doc_id").alias("n_inner_docs"),
+    )
+    b = outer_x.agg(
+        F.count("*").alias("n_outer_rows"),
+        F.countDistinct("doc_id").alias("n_outer_docs"),
+        F.sum(F.col("tok").isNull().cast("long")).alias("n_childless"),
+    )
+    return a.crossJoin(b)
+
+
+# ---------------------------------------------------------------------------
+# collation-aware comparison — Spark 4's COLLATE: a UTF8_LCASE column
+# groups and compares case-insensitively WITHOUT materializing a
+# lowercased copy (the collation rides the type, so every comparison
+# operator — GROUP BY, =, IN, joins — honors it). A mixed-case type
+# column is synthesized deterministically; the oracle is the classic
+# lower() rewrite, which must agree exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_collation_suite",
+    oracle="""
+    WITH mixed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS etype,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT lower(etype) AS etype_ci,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN etype = 'CLICK' OR etype = 'click'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_click_eq,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM mixed
+    GROUP BY lower(etype)
+    ORDER BY etype_ci
+    """,
+)
+def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    mixed = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        )
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    ci = F.collate(F.col("etype"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(F.lower("etype").alias("etype_ci"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((ci == F.lit("click")).cast("long")).alias("n_click_eq"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("etype_ci")
     )

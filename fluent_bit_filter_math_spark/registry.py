@@ -184,6 +184,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_calendar_suite",
     "pipeline_split_composition",
     "sim_ann_ivfpq",
+    "fn_explode_outer_suite",
+    "fn_collation_suite",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
