@@ -186,6 +186,7 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_ivfpq",
     "fn_explode_outer_suite",
     "fn_collation_suite",
+    "stream_arrow_ipc_sink",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",

@@ -78,16 +78,19 @@ class ArrowIPCDataSource(DataSource):
         return ArrowIPCReader(self.options)
 
 
-def write_arrow_ipc(df, out_dir: str) -> int:
+def write_arrow_ipc(df, out_dir: str, prefix: str = "shard") -> int:
     """Write a DataFrame as one Arrow IPC file per partition, executor-
-    side, returning the number of shards written (from the manifest)."""
+    side, returning the number of shards written (from the manifest).
+    ``prefix`` namespaces shard files so INCREMENTAL writers (e.g. a
+    foreachBatch sink passing the batch id) never collide across
+    invocations into the same directory."""
     import pyarrow as pa  # re-import for the serialized closure
 
     def write_shard(batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"shard-{pid:05d}.arrow")
+        path = os.path.join(out_dir, f"{prefix}-{pid:05d}.arrow")
         writer = None
         n = 0
         for batch in batches:

@@ -161,3 +161,87 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(key, old_sp)
     return spark.read.parquet(versions[-1]).select(*_STATE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch → custom Arrow IPC FORMAT sink — the composition of the
+# streaming sink surface with the custom connector
+# (sources/arrow_ipc.py): every micro-batch appends its own
+# batch-id-prefixed IPC shards (executor-side mapInArrow writer, no
+# driver data), and the result is read back through the registered
+# ``arrow_ipc`` Python DataSource and aggregated under the oracle
+# gate. This is the "stream into an interchange format" shape —
+# downstream consumers get self-describing columnar files per batch
+# without a lakehouse dependency; batch-id prefixes make retried
+# batch writes overwrite their own shards (idempotent re-run), the
+# same guarantee the parquet sink gets from its commit log.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_arrow_ipc_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE event_id % 4 = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_arrow_ipc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.sources.arrow_ipc import (
+        ArrowIPCDataSource,
+        write_arrow_ipc,
+    )
+
+    try:
+        spark.dataSource.register(ArrowIPCDataSource)
+    except Exception:
+        pass
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fbm-arrow-sink-{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "ipc")
+    os.makedirs(out, exist_ok=True)
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 4 == 1
+    ).select("event_id", "event_type", exact_cents(F.col("value")).alias("cents"))
+    ev.repartitionByRange(2, "event_id").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_arrow_ipc(
+            batch_df.repartition(2), out, prefix=f"b{batch_id:04d}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    back = spark.read.format("arrow_ipc").option("path", out).load()
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
