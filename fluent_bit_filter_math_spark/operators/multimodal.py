@@ -309,3 +309,58 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_frames long, duration_us long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction — per-asset signal ENERGY from the decoded
+# PCM stream: the first real DSP feature over the WAV kernel (the
+# decode queries above stop at container metadata; this one touches
+# every sample). The mapInPandas kernel re-synthesizes the RIFF/WAVE
+# container, validates it with the same parser, and accumulates the
+# exact integer sum of squared int16 samples via numpy — per-asset
+# work is O(samples), Arrow-batched, no shuffle before the final
+# aggregate-free projection. The corpus text is ASCII, so the oracle
+# reproduces every sample value ((byte − 128)·256, replicated per
+# channel) from code points alone — the whole decode→feature path
+# sits under the bitwise gate.
+# ---------------------------------------------------------------------------
+def _wav_energy_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out_ns, out_sq = [], []
+        for i, t in zip(pdf["asset_id"], pdf["payload"]):
+            payload = _wav_build(int(i), t)
+            _wav_parse(payload)  # validate before touching samples
+            arr = np.frombuffer(payload[44:], dtype="<i2").astype(np.int64)
+            out_ns.append(len(arr))
+            out_sq.append(int((arr * arr).sum()))
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "n_samples": out_ns,
+                "sum_sq": out_sq,
+            }
+        )
+
+
+@register(
+    "mm_wav_energy",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(strlen(text) * (1 + doc_id % 2) AS BIGINT) AS n_samples,
+           CAST((1 + doc_id % 2) * COALESCE(list_aggregate(
+               list_transform(range(1, strlen(text) + 1),
+                   i -> CAST((ord(text[i]) - 128) * 256 AS BIGINT)
+                        * CAST((ord(text[i]) - 128) * 256 AS BIGINT)),
+               'sum'), 0) AS BIGINT) AS sum_sq
+    FROM documents
+    """,
+)
+def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assets(spark, sf_dir).mapInPandas(
+        _wav_energy_batches,
+        schema="asset_id long, n_samples long, sum_sq long",
+    )

@@ -187,6 +187,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_explode_outer_suite",
     "fn_collation_suite",
     "stream_arrow_ipc_sink",
+    "mm_wav_energy",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
