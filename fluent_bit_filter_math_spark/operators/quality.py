@@ -308,3 +308,91 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "n_base", "n_curr", "psi_term", "psi_total")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation — the two-sided integrity audit
+# dq_table_audit's one-way FK check doesn't cover: orders↔lineitem
+# agreement in BOTH directions (childless orders, orphan lineitems)
+# plus an exact money reconciliation (summed line revenue vs order
+# headers) — the daily close every billing/warehouse pipeline runs.
+# Two aggregates pre-shrink each side to one row per key before the
+# single full-outer co-partitioned join (the merge_upsert shuffle
+# shape), so the join carries |keys| rows, never line items. All
+# money is exact integer cents.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_reconcile_orders_lineitem",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_cents
+      FROM orders
+    ),
+    l AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS l_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey, l.l_orderkey, o.o_cents, l.n_lines, l.l_cents
+      FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT
+      CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS childless_orders,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS orphan_line_keys,
+      CAST(SUM(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS matched_orders,
+      CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN o_cents ELSE 0 END)
+           AS BIGINT) AS header_cents,
+      CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN l_cents ELSE 0 END)
+           AS BIGINT) AS line_cents
+    FROM j
+    """,
+)
+def dq_reconcile_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", exact_cents(F.col("o_totalprice")).alias("o_cents")
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(exact_cents(F.col("l_extendedprice"))).alias("l_cents"),
+        )
+    )
+    j = o.join(l, o.o_orderkey == l.l_orderkey, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)
+        ).alias("childless_orders"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("orphan_line_keys"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").isNotNull()
+                & F.col("l_orderkey").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("matched_orders"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNotNull(), F.col("o_cents")).otherwise(
+                0
+            )
+        ).alias("header_cents"),
+        F.sum(
+            F.when(F.col("l_orderkey").isNotNull(), F.col("l_cents")).otherwise(
+                0
+            )
+        ).alias("line_cents"),
+    )

@@ -734,3 +734,63 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick vectorizer — the fixed-width bag-of-words featurizer
+# (sklearn's HashingVectorizer / Vowpal Wabbit's core idea): tokens
+# hash into D buckets, so the feature space is CONSTANT-width with no
+# vocabulary to build, broadcast, or keep consistent across training
+# runs — the property that matters when the corpus (and vocabulary)
+# is 100 TB and growing. One explode + one (doc, bucket) hash
+# aggregate, map-side combinable; collisions are part of the contract
+# (same portable hash60 both engines, so the oracle reproduces every
+# collision exactly). Output: the sparse (doc, bucket, tf) triples +
+# per-doc L1 mass — the COO layout a trainer ingests.
+# ---------------------------------------------------------------------------
+_HV_D = 128  # feature buckets
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    b AS (
+      SELECT doc_id,
+             ({duck_hash60("'hv:' || t")}) % {_HV_D} AS bucket
+      FROM tok WHERE t <> ''
+    ),
+    coo AS (
+      SELECT doc_id, bucket, COUNT(*) AS tf
+      FROM b GROUP BY doc_id, bucket
+    )
+    SELECT doc_id, bucket, tf,
+           CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_l1
+    FROM coo
+    ORDER BY doc_id, bucket
+    """,
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    b = tok.select(
+        "doc_id",
+        F.pmod(
+            hash60(F.concat(F.lit("hv:"), F.col("t"))), F.lit(_HV_D)
+        ).alias("bucket"),
+    )
+    coo = b.groupBy("doc_id", "bucket").agg(F.count("*").alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    return coo.select(
+        "doc_id",
+        "bucket",
+        "tf",
+        F.sum("tf").over(w).alias("doc_l1"),
+    ).orderBy("doc_id", "bucket")

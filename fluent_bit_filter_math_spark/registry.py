@@ -188,6 +188,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_collation_suite",
     "stream_arrow_ipc_sink",
     "mm_wav_energy",
+    "text_hashing_vectorizer",
+    "dq_reconcile_orders_lineitem",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
