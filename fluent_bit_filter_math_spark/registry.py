@@ -190,6 +190,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_wav_energy",
     "text_hashing_vectorizer",
     "dq_reconcile_orders_lineitem",
+    "stream_session_dynamic_gap",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",

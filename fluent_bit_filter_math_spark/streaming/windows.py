@@ -706,3 +706,95 @@ def win_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming dynamic-gap sessions — the SAME F.session_window(gap
+# Column) expression as win_session_dynamic_gap, under readStream:
+# the state store merges per-event [ts, ts+gap(event)) intervals
+# incrementally and emits each session when the watermark passes its
+# end (append mode). Like stream_session_window_user, sessions whose
+# end lies inside the final watermark margin never finalize in a
+# bounded availableNow replay, so both engines restrict to the same
+# max(ts) − 2h cutoff.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + CASE WHEN event_type IN ('purchase', 'signup')
+                                 THEN 3600000000
+                                 ELSE 900000000 END AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, us, e, event_id,
+             CASE WHEN MAX(e) OVER (
+                    PARTITION BY user_id
+                    ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) > us THEN 0 ELSE 1 END AS new_island
+      FROM o
+    ),
+    numbered AS (
+      SELECT user_id, us, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS island
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id,
+             CAST(MIN(us) AS BIGINT) AS session_start_us,
+             CAST(MAX(e) AS BIGINT) AS session_end_us,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, island
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM sessions
+    WHERE session_end_us <=
+          (SELECT max(epoch_us(ts)) - 7200000000 FROM events)
+    ORDER BY user_id, session_start_us
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, path, drop_nanos=True)
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_memory(
+        sessions, "stream_session_dynamic_gap", shuffle_partitions=4
+    )
+    cutoff = (
+        _events(spark, sf_dir)
+        .agg((F.max("ts") - F.expr("interval 2 hour")).alias("cut"))
+        .collect()[0]["cut"]
+    )
+    return (
+        out.filter(F.col("w.end") <= F.lit(cutoff))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
