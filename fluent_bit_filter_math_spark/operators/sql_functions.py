@@ -888,3 +888,94 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("etype_ci")
     )
+
+
+# ---------------------------------------------------------------------------
+# digest functions — content hashing beyond the md5-based hash60 the
+# engine uses internally: sha2-256 (the content-addressing default for
+# artifact stores and dedup manifests), plain md5 hex, and digest
+# PREFIXES as BIGINT shard keys (the "first 8 hex chars as a bucket"
+# idiom for content-addressed layout). All codegen'd projections; both
+# engines implement the same FIPS 180-4 / RFC 1321 functions, so hex
+# strings compare bitwise.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_digest_suite",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha_hex,
+           md5(text) AS md5_hex,
+           CAST('0x' || substr(sha256(text), 1, 8) AS BIGINT) AS shard_key,
+           CAST(length(sha256(text)) AS BIGINT) AS sha_len
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def fn_digest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    sha = F.sha2(F.col("text"), 256)
+    return docs.select(
+        "doc_id",
+        sha.alias("sha_hex"),
+        F.md5("text").alias("md5_hex"),
+        F.conv(F.substring(sha, 1, 8), 16, 10).cast("long").alias(
+            "shard_key"
+        ),
+        F.length(sha).cast("long").alias("sha_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NESTED JSON — fn_json_suite covers flat props; this one parses a
+# two-level document (struct inside struct, arrays at both levels)
+# with a full from_json schema and extracts through the nested paths —
+# typed struct navigation + array indexing + length, the shape real
+# event payloads (and API ingests) actually have. The JSON text is
+# synthesized identically in both engines, so parsing is the only
+# variable under test; the oracle navigates with JSONPath.
+# ---------------------------------------------------------------------------
+@register(
+    "fn_nested_json_suite",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"u":{"id":' || CAST(user_id AS VARCHAR)
+               || ',"tags":["t' || CAST(event_id % 3 AS VARCHAR)
+               || '","x"]},"vals":[' || CAST(event_id % 5 AS VARCHAR)
+               || ',' || CAST(event_id % 7 AS VARCHAR) || ']}' AS doc
+      FROM events WHERE event_id % 6 = 0
+    )
+    SELECT event_id,
+           CAST(json_extract(doc, '$.u.id') AS BIGINT) AS uid,
+           json_extract_string(doc, '$.u.tags[0]') AS first_tag,
+           CAST(json_array_length(doc, '$.vals') AS BIGINT) AS n_vals,
+           CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS second_val
+    FROM j
+    """,
+)
+def fn_nested_json_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
+    doc = F.concat(
+        F.lit('{"u":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"tags":["t'),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('","x"]},"vals":['),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit(","),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_json(
+            doc,
+            "u struct<id: long, tags: array<string>>, vals array<long>",
+        ).alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.u.id").alias("uid"),
+        F.element_at("p.u.tags", 1).alias("first_tag"),
+        F.size("p.vals").cast("long").alias("n_vals"),
+        F.element_at("p.vals", 2).alias("second_val"),
+    )

@@ -191,6 +191,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_hashing_vectorizer",
     "dq_reconcile_orders_lineitem",
     "stream_session_dynamic_gap",
+    "fn_digest_suite",
+    "fn_nested_json_suite",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
