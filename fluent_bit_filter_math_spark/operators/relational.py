@@ -1790,3 +1790,121 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame", ((F.size("frame") + 1) / 2).cast("int")
         ).alias("rolling_median_cents"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period — the BI staple: daily revenue with previous-day
+# delta and percent change. One hash aggregate to day grain (map-side
+# combined), one window pass over the tiny day-count frame — at any
+# scale the windowed table is |days| rows, so the lag never touches
+# raw data. Money is exact cents; pct change is one double division
+# of exact integers, 9-dp portable-rounded.
+# ---------------------------------------------------------------------------
+@register(
+    "window_period_over_period",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY date_trunc('day', ts)
+    )
+    SELECT day, cents,
+           LAG(cents) OVER (ORDER BY day) AS prev_cents,
+           cents - LAG(cents) OVER (ORDER BY day) AS delta_cents,
+           CASE WHEN LAG(cents) OVER (ORDER BY day) IS NULL THEN NULL
+                ELSE floor(CAST(cents - LAG(cents) OVER (ORDER BY day)
+                                AS DOUBLE)
+                           / LAG(cents) OVER (ORDER BY day)
+                           * 1000000000.0 + 0.5) / 1000000000.0
+           END AS pct_change
+    FROM d ORDER BY day
+    """,
+)
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(exact_cents(F.col("value"))).alias("cents"))
+    # |days| rows — the unpartitioned window is safe by construction
+    # (the pack_sequences tiny-frame rule).
+    w = Window.orderBy("day")
+    prev = F.lag("cents").over(w)
+    return d.select(
+        "day",
+        "cents",
+        prev.alias("prev_cents"),
+        (F.col("cents") - prev).alias("delta_cents"),
+        F.when(
+            prev.isNotNull(),
+            F.floor(
+                (F.col("cents") - prev).cast("double")
+                / prev
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000000.0),
+        ).alias("pct_change"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the signup-cohort × week-offset activity matrix
+# every growth dashboard is built on: users are cohorted by their
+# FIRST signup week, and each (cohort_week, weeks_since) cell counts
+# the cohort's users active that week. Two aggregates share one
+# user_id clustering (first-signup, then distinct (user, week)); the
+# cell count is a third small aggregate over |users|·|weeks| rows at
+# most. Week arithmetic is exact epoch-day integer division — no
+# calendar functions whose week rules could diverge.
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 86400000000 // 7 AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week
+      FROM wk WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, week FROM wk
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(a.week - c.cohort_week AS BIGINT) AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM cohort c
+    JOIN active a ON a.user_id = c.user_id
+    WHERE a.week >= c.cohort_week
+    GROUP BY c.cohort_week, a.week - c.cohort_week
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    week = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000 div 7"
+    )
+    wk = ev.select("user_id", "event_type", week.alias("week"))
+    cohort = (
+        wk.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = wk.select("user_id", "week").distinct()
+    return (
+        cohort.join(active, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

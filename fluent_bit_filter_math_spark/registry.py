@@ -193,6 +193,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_session_dynamic_gap",
     "fn_digest_suite",
     "fn_nested_json_suite",
+    "window_period_over_period",
+    "q_cohort_retention",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
