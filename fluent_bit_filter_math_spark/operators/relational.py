@@ -1908,3 +1908,51 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining — the pairwise (Apriori/A-Priori step-2)
+# co-occurrence count behind recommendations: part pairs bought in the
+# same order, with support ≥ a threshold. The self-join is blocked BY
+# BASKET — Σ|basket|² work with TPC-H-style baskets of ≤7 lines, the
+# same bounded-block discipline as er_fuzzy_match_parts — and feeds
+# one map-side-combined (a, b) hash aggregate; no all-pairs join ever
+# exists. Parts are coarsened (mod 100) so the fixture yields
+# meaningful supports; pairs are id-ordered to count unordered
+# co-occurrence once.
+# ---------------------------------------------------------------------------
+_MB_MOD = 100
+_MB_MIN_SUPPORT = 20
+
+
+@register(
+    "q_market_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % {_MB_MOD} AS item
+      FROM lineitem
+    )
+    SELECT a.item AS item_a, b.item AS item_b,
+           COUNT(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= {_MB_MIN_SUPPORT}
+    ORDER BY item_a, item_b
+    """,
+)
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % _MB_MOD).alias("item")
+    ).distinct()
+    a = items.select("l_orderkey", F.col("item").alias("item_a"))
+    b = items.select("l_orderkey", F.col("item").alias("item_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MB_MIN_SUPPORT)
+        .orderBy("item_a", "item_b")
+    )

@@ -195,6 +195,7 @@ _PRIORITY: tuple[str, ...] = (
     "fn_nested_json_suite",
     "window_period_over_period",
     "q_cohort_retention",
+    "q_market_basket_pairs",
     "fn_variant_suite",
     "fn_url_suite",
     "fn_string_shape_suite",
