@@ -116,8 +116,23 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # cold/warm split (VERDICT r7 #8): rep 1 carries one-time JIT/codegen
+    # /page-cache cost (e.g. dedup_ngram_jaccard 11.9 s cold → 2.8 s
+    # warm); recording both makes regression triage mechanical — a
+    # real plan change moves `warm`, a cache/JIT artifact moves only
+    # `cold`.
+    cold = {n: (round(ts[0], 4) if ts else None) for n, ts in times.items()}
+    warm = {
+        n: (round(min(ts[1:]), 4) if len(ts) > 1 else None)
+        for n, ts in times.items()
+    }
     with open(detail_path, "w") as fh:
-        json.dump({**summary, "reps": times, "errors": errors}, fh, indent=1)
+        json.dump(
+            {**summary, "reps": times, "cold": cold, "warm": warm,
+             "errors": errors},
+            fh,
+            indent=1,
+        )
     slowest = dict(
         sorted(ok.items(), key=lambda kv: -kv[1])[:15]
     )

@@ -641,8 +641,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_ids = right["vec_id"].to_numpy(dtype=np.int64)
         a_mat = np.array(list(left["embedding"]), dtype=np.float64)
         b_mat = np.array(list(right["embedding"]), dtype=np.float64)
-        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        # Zero-norm guard: an all-zero embedding must score cosine 0,
+        # not NaN (which would silently diverge from the oracle).
+        a_n = np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_n = np.linalg.norm(b_mat, axis=1, keepdims=True)
+        a_mat /= np.where(a_n == 0.0, 1.0, a_n)
+        b_mat /= np.where(b_n == 0.0, 1.0, b_n)
         out = []
         # Chunk the GEMM so the cosine tile stays ~chunk×|right|, bounding
         # peak memory regardless of block size.
@@ -1041,7 +1045,8 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gemm_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["v"]), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(nrm == 0.0, 1.0, nrm)  # zero-norm → cosine 0, not NaN
         out = []
         cluster = int(pdf["cluster"].iat[0])
         # Chunk rows so the cosine tile stays bounded whatever the

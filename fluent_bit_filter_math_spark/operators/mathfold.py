@@ -369,7 +369,6 @@ def stream_math_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from fluent_bit_filter_math_spark.pipeline import read_events_stream
 
@@ -380,25 +379,16 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, [MathSpec.build("sum", ["value", "k", 7], "math_out")]
     ).select("event_id", "value", "math_out")
     # Disk discipline: the returned DataFrame reads lazily from the
-    # sink, so the dirs can't be removed here. Instead of one mkdtemp
-    # pair per invocation (which grows by REPS × |events| across a
-    # bench run before the atexit sweep fires), reuse ONE fixed pair
-    # per process and wipe it at entry — the previous rep's output is
-    # dead the moment a new run starts, so growth is bounded at a
-    # single copy. Checkpoint is wiped together with the sink so the
-    # availableNow replay re-emits from scratch.
-    import atexit
-    import shutil
+    # sink, so the dirs can't be removed here. scratch_dir gives ONE
+    # private mkdtemp dir per process, wiped at entry — bounded disk
+    # across bench reps, no predictable-path stale-file hazard.
+    # Checkpoint is wiped together with the sink so the availableNow
+    # replay re-emits from scratch.
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"fbm-file-sink-{os.getpid()}"
-    )
+    base = scratch_dir("file-sink")
     sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
-    # exist_ok: a stale same-pid dir another user owns makes the
-    # rmtree above a silent no-op; the query must not crash on it
-    os.makedirs(sink, exist_ok=True), os.makedirs(ckpt, exist_ok=True)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    os.makedirs(sink), os.makedirs(ckpt)
     (
         out.writeStream.format("parquet")
         .option("path", sink)
@@ -430,25 +420,18 @@ def stream_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
     from fluent_bit_filter_math_spark.sources.json_sink import (
         register_json_sink,
     )
 
     register_json_sink(spark)
     # Same bounded-disk pattern as stream_file_sink_roundtrip: one
-    # fixed dir per process, wiped at entry, removed at exit.
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"fbm-json-sink-{os.getpid()}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
-    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    # private per-process dir, wiped at entry, removed at exit.
+    out_dir = scratch_dir("json-sink")
 
     ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     folded = ev.select(

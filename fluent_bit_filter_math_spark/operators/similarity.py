@@ -189,7 +189,11 @@ def sim_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"query_id": [], "neighbor_id": [], "rank": []}
             ).astype("int64")
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        # An all-zero vector would yield 0/0 → NaN cosines and an
+        # undefined lexsort order silently diverging from the oracle;
+        # leave it at norm 1 (cosine 0 against everything) instead.
+        mat /= np.where(nrm == 0.0, 1.0, nrm)
         cos = mat[qmask] @ mat.T  # Q×|bucket| scores in one BLAS call
         out = []
         for row, qid in zip(cos, ids[qmask]):
@@ -416,8 +420,15 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     qz AS (
       SELECT vec_id, embedding, scale,
+             -- sden: an all-zero vector has scale 0; dividing by it
+             -- would make q NULL/NaN with engine-specific floor/cast
+             -- behavior. Clamping the DENOMINATOR only (scale itself
+             -- stays 0 in the output) maps zero vectors to q = all-0
+             -- identically on both engines.
+             GREATEST(scale, 1e-300) AS sden,
              list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) / GREATEST(scale, 1e-300)
+                               * 127.0 + 0.5)
                          AS BIGINT)) AS q
       FROM s
     )
@@ -444,15 +455,16 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("scale"),
     )
+    # Clamp only the division's denominator (see oracle comment): a
+    # zero vector quantizes to all-zero q instead of NULL/NaN codes.
+    sden = F.greatest(F.col("scale"), F.lit(1e-300))
     qz = s.select(
         "vec_id",
         "embedding",
         "scale",
         F.transform(
             F.col("embedding"),
-            lambda x: F.floor(
-                x.cast("double") / F.col("scale") * 127.0 + 0.5
-            ),
+            lambda x: F.floor(x.cast("double") / sden * 127.0 + 0.5),
         ).alias("q"),
     )
     zero = F.lit(0).cast("long")

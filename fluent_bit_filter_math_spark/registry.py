@@ -67,98 +67,12 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 7 rotation ---
-    # tier 1: the 12 r6 hash-fails — all one defect class (oracle
-    # integer aggregates promoted to HUGEINT/float64, ceil-floor and
-    # int-width mismatches), fixed this round by making every
-    # driver-visible column dtype-identical on both engines. Need
-    # green rows.
-    "fn_math_suite",
-    "udaf_event_type_cents",
-    "stream_stateful_user_totals",
-    "stream_rollup_hour_to_day",
-    "rollup_time_grains",
-    "window_range_trailing_1h",
-    "q12_late_priority",
-    "stream_topk_trending",
-    "stream_stateful_sessions",
-    "emb_centroid_by_label",
-    "pipeline_dataset_card",
-    "udaf_cogroup_reconcile",
-    # tier 2: semantics changed this round — watermark-derived
-    # finalization cutoff, integer-exact percentile interpolation, the
-    # real Y4M container decode (also r1-stale), aggregate-pushdown
-    # null-safe join.
-    "stream_stream_left_outer",
-    "agg_approx_quantiles",
-    "mm_decode",
-    "mm_frame_sample",
-    "stream_foreachbatch_merge",
-    # tier 3: the 26 queries that have NEVER had a driver row (new in
-    # r6 past the window; two of them — rollup_incremental_refresh,
-    # agg_winsorized_stats — carried the latent dtype defect and are
-    # fixed above). join_null_safe additionally changed semantics (see
-    # tier 2 note).
-    "join_null_safe",
-    "rollup_incremental_refresh",
-    "agg_winsorized_stats",
-    "graph_bfs_hops",
-    "pysink_fold_roundtrip",
-    "agg_median_disc",
-    "window_running_distinct",
-    "agg_exact_moments",
-    "dedup_url_canonical",
-    "er_fuzzy_match_parts",
-    "ts_downsample_ohlc",
-    "emb_norm_arrow",
-    "sample_weighted_bernoulli",
-    "dq_volume_anomaly_days",
-    "cdc_snapshot_diff",
-    "q13_order_distribution",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "stream_distinct_users_hourly",
-    "stream_session_window_user",
-    # tier 3b: new in r7 itself — no driver row can exist yet; these
-    # outrank stale-but-once-proven greens (same rule that ordered
-    # tier 3).
-    "subq_lateral_topk",
-    "text_chunk_documents",
-    "io_schema_evolution",
-    "graph_reach_recursive_cte",
-    "stream_mem_source_fold",
-    "stream_stream_full_outer",
-    # tier 3c: the late-r7 additions (retrieval/sketches/layout/
-    # pattern/ANN-PQ/IVM wave). Seven slots remain in the 50-window
-    # after tiers 1-3b, so the seven most architecturally novel (new
-    # module, new physical pattern, or Python-path) queries take them;
-    # the rest of the wave queues immediately past the window for the
-    # r8 rotation, all locally green under the dtype-exact gate
-    # (CORRECTNESS_LOCAL.json). To make room, the lowest-risk tier-3
-    # members rotate to r8: the scalar-fn suites
-    # (fn_variant/fn_url/fn_string_shape — the fn family already has
-    # two in-window reps), agg_bool_suite/agg_mode_deterministic (the
-    # agg family keeps median/moments/winsorized in-window),
-    # io_xml_roundtrip, and the r6 tier-4 stale-green representatives
-    # (q3_shipping_priority, dedup_exact) — each locally green and
-    # structurally identical to an in-window family member.
-    "sim_ann_pq",
-    "semdedup_cluster_prune",
-    "sketch_cms_heavy_hitters",
-    "text_bm25_topk",
-    "layout_zorder_prune",
-    "stream_cms_sketch",
-    "graph_triangle_count",
-    # past the 50-window from here: remaining late-r7 additions first
-    # (never checked), then the r6/r1 stale-green rotation pool:
-    # io_xml_roundtrip, q3/q5/q6, agg_rollup/cube,
-    # window_running_total, sort_limit_topn, setop_intersect/union,
-    # join_anti/full_outer, agg_count_distinct, agg_percentiles,
-    # dedup_exact/minhash_signatures/simhash,
-    # sim_range_search/ann_bucketed, text_lang_id/token_stats/
-    # token_count_regex/fingerprint/bigrams — all locally green on the
-    # current fixtures (CORRECTNESS_LOCAL.json), bounding staleness
-    # risk until their r8 window slots.
+    # --- round 8 rotation ---
+    # tier 1: the 43 queries with NO driver CORRECTNESS row in any
+    # round (CORRECTNESS_LOCAL minus the union of r01..r07 windows;
+    # VERDICT r7 'Next round' #1). All locally green under the
+    # dtype-exact gate; this rotation exists purely to convert
+    # local-only proof into driver hash-green rows.
     "agg_equidepth_histogram",
     "join_bloom_prefilter",
     "join_range_bucketize",
@@ -202,8 +116,38 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bool_suite",
     "agg_mode_deterministic",
     "io_xml_roundtrip",
-    "q3_shipping_priority",
+    # tier 2: new in r8 — the stdlib-zlib PNG decode and the
+    # fixpoint-convergence PageRank variant (VERDICT r7 #4, #7);
+    # inserted here as implemented this round.
+    # tier 3: the oldest stale greens — queries whose ONLY driver row
+    # is round 1, verified on long-regenerated fixtures (VERDICT r7
+    # #3). The window holds 50; tier 1 takes 43, so the first few of
+    # these land in-window and the rest queue for the r9 rotation,
+    # ordered family-diverse (dedup, text, sort, setop, agg, TPC-H).
     "dedup_exact",
+    "text_token_stats",
+    "sort_limit_topn",
+    "setop_union",
+    "agg_count_distinct",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q5_local_supplier",
+    "window_rank_lag",
+    "window_running_total",
+    "agg_rollup",
+    "agg_cube",
+    "setop_intersect",
+    "join_anti",
+    "join_full_outer",
+    "agg_percentiles",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "sim_range_search",
+    "sim_ann_bucketed",
+    "text_lang_id",
+    "text_token_count_regex",
+    "text_fingerprint",
+    "text_bigrams",
 )
 
 

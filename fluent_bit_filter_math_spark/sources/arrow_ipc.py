@@ -106,4 +106,7 @@ def write_arrow_ipc(df, out_dir: str, prefix: str = "shard") -> int:
         )
 
     manifest = df.mapInArrow(write_shard, "pid long, n_rows long").collect()
-    return len(manifest)
+    # Empty partitions write no file (the writer is only opened on the
+    # first batch), so "shards written" counts only non-empty ones —
+    # len(manifest) would overstate by the number of empty partitions.
+    return sum(1 for r in manifest if r.n_rows > 0)

@@ -26,10 +26,10 @@ lakehouse table the same code is MERGE INTO with file-level pruning.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
 import tempfile
+
+from fluent_bit_filter_math_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,12 +103,7 @@ def _merge_batch(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     """,
 )
 def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = os.path.join(
-        tempfile.gettempdir(), f"fbm-feb-merge-{os.getpid()}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("feb-merge")
     src = os.path.join(base, "src")
 
     ev = table(spark, sf_dir, "events").select(
@@ -200,15 +195,10 @@ def stream_arrow_ipc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"fbm-arrow-sink-{os.getpid()}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(base, exist_ok=True)
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("arrow-sink")
     src = os.path.join(base, "src")
     out = os.path.join(base, "ipc")
-    os.makedirs(out, exist_ok=True)
+    os.makedirs(out)
 
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_id") % 4 == 1
