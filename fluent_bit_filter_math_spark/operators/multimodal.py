@@ -2,12 +2,14 @@
 
 SURVEY.md §2.3 extension. The decode kernels parse REAL container
 formats with the stdlib alone: ``mm_decode`` synthesizes and parses
-YUV4MPEG2 (Y4M) — the standard uncompressed video container — and
-``mm_wav_decode`` does the same for RIFF/WAVE PCM. Only COMPRESSED
-codecs (jpeg/h264/mp3) are out of scope, because they need external
-libraries this environment doesn't ship; they would slot into the
-identical Arrow-batched ``mapInPandas`` shape with a different
-per-payload kernel.
+YUV4MPEG2 (Y4M) — the standard uncompressed video container —
+``mm_wav_decode`` does the same for RIFF/WAVE PCM, and
+``mm_png_decode`` decodes a genuinely COMPRESSED format: PNG, whose
+DEFLATE layer ships with Python (``zlib``), including CRC-validated
+chunk walking and full five-filter scanline reconstruction. Only
+codecs needing external libraries (jpeg/h264/mp3) remain out of
+scope; they would slot into the identical Arrow-batched
+``mapInPandas`` shape with a different per-payload kernel.
 
 The fixture set has no binary table, so payloads are derived in-plan
 from ``documents.text`` via ``encode(text, 'utf-8')`` — an honest
@@ -363,4 +365,212 @@ def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _assets(spark, sf_dir).mapInPandas(
         _wav_energy_batches,
         schema="asset_id long, n_samples long, sum_sq long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image decode — PNG on stdlib zlib (r7 VERDICT #4).
+# This retires the "compressed codecs out of scope" boundary for the
+# one format whose compression layer (DEFLATE) ships with Python: the
+# ingest kernel synthesizes a spec-valid 8-bit grayscale PNG per asset
+# — signature, IHDR, zlib-compressed IDAT, IEND, every chunk CRC32'd —
+# and the decode kernel is a genuine PNG reader: signature check,
+# chunk walk with CRC validation, multi-IDAT inflate, and full
+# scanline UN-FILTERING (all five PNG filter types; the encoder
+# cycles filter y % 5 per row so None/Sub/Up/Average/Paeth are all
+# exercised on every image taller than 4 rows — the fixture minimum
+# is h ≥ 2 + 44 % 12 = 10). Corrupt containers raise (bad magic, CRC
+# mismatch, truncated IDAT). jpeg/h264/mp3 remain out of scope: their
+# codecs need external libraries this environment doesn't ship.
+#
+# Determinism: dims are arithmetic on the byte length and the raw
+# pixel plane is the payload cycled, so the oracle reproduces the
+# decoded pixel checksums from code points alone — the entire
+# filter → deflate → inflate → un-filter loop sits under the bitwise
+# value-hash gate (a wrong Paeth predictor or CRC slip changes
+# pix_sum/pix_checksum and fails the driver compare).
+#
+# Scale: identical shape to the Y4M/WAV kernels — Arrow-batched
+# mapInPandas, O(pixels) per asset, no shuffle, no driver; partition
+# count alone controls parallelism at 100 TB.
+# ---------------------------------------------------------------------------
+_PNG_W_MOD, _PNG_H_MOD = 16, 12
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def _png_build(payload: bytes) -> bytes:
+    """Encode a spec-valid grayscale PNG whose raw pixels are the
+    payload bytes cycled row-major over a (w × h) plane; row y is
+    written with filter type y % 5."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    w = 4 + n % _PNG_W_MOD
+    h = 2 + n % _PNG_H_MOD
+    src = payload if payload else b"\x00"
+    plane = (src * (w * h // len(src) + 1))[: w * h]
+    raw = [plane[y * w : (y + 1) * w] for y in range(h)]
+    out = bytearray()
+    for y in range(h):
+        f = y % 5
+        row, prior = raw[y], raw[y - 1] if y else bytes(w)
+        out.append(f)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _png_paeth(left, up, ul)
+            out.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_parse(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Real PNG decode: signature, CRC-checked chunk walk, inflate,
+    scanline un-filtering. Returns (w, h, n_pixels, pix_sum,
+    pix_checksum) over the reconstructed pixel plane."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk data")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            ended = True
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("missing IHDR or IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError("unsupported PNG variant")
+    stream = zlib.decompress(bytes(idat))
+    if len(stream) != h * (w + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    prior = bytes(w)
+    pix_sum = pix_checksum = 0
+    for y in range(h):
+        f = stream[y * (w + 1)]
+        line = stream[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        if f > 4:
+            raise ValueError(f"bad filter type {f}")
+        recon = bytearray(w)
+        for x in range(w):
+            left = recon[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + left
+            elif f == 2:
+                v = line[x] + up
+            elif f == 3:
+                v = line[x] + (left + up) // 2
+            else:
+                v = line[x] + _png_paeth(left, up, ul)
+            recon[x] = v & 0xFF
+            i = y * w + x
+            pix_sum += recon[x]
+            pix_checksum += (i + 1) * recon[x]
+        prior = bytes(recon)
+    return w, h, w * h, pix_sum, pix_checksum
+
+
+def _png_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [_png_parse(_png_build(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": [p[0] for p in parsed],
+                "height": [p[1] for p in parsed],
+                "n_pixels": [p[2] for p in parsed],
+                "pix_sum": [p[3] for p in parsed],
+                "pix_checksum": [p[4] for p in parsed],
+            }
+        )
+
+
+@register(
+    "mm_png_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             4 + strlen(text) % {_PNG_W_MOD} AS w,
+             2 + strlen(text) % {_PNG_H_MOD} AS h
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               i -> CAST(ord(text[i % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               i -> (i + 1) * CAST(ord(text[i % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assets(spark, sf_dir).mapInPandas(
+        _png_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_pixels long,"
+            " pix_sum long, pix_checksum long"
+        ),
     )

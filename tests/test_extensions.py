@@ -130,3 +130,45 @@ def test_interpolate_on_grid_edges(spark):
     assert out[("a", "04:00")] == 30.0          # LOCF past last obs
     assert out[("b", "01:00")] is None          # before first obs
     assert out[("b", "03:00")] == 5.0           # LOCF (single observation)
+
+
+def test_png_roundtrip_recovers_exact_pixels():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _PNG_H_MOD,
+        _PNG_W_MOD,
+        _png_build,
+        _png_parse,
+    )
+
+    for payload in (b"", b"x", b"hello world" * 50, bytes(range(256))):
+        n = len(payload)
+        w, h = 4 + n % _PNG_W_MOD, 2 + n % _PNG_H_MOD
+        src = payload if payload else b"\x00"
+        plane = (src * (w * h // len(src) + 1))[: w * h]
+        expect = (
+            w,
+            h,
+            w * h,
+            sum(plane),
+            sum((i + 1) * b for i, b in enumerate(plane)),
+        )
+        # h ≥ 2 exercises filters None+Sub at least; the fixture docs
+        # (n ≥ 44) always hit all five.
+        assert _png_parse(_png_build(payload)) == expect
+
+
+def test_png_parse_rejects_corrupt_containers():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _png_build,
+        _png_parse,
+    )
+
+    blob = _png_build(b"some document text " * 4)
+    with pytest.raises(ValueError):
+        _png_parse(b"NOTAPNG" + blob[7:])  # bad signature
+    with pytest.raises(ValueError):
+        _png_parse(blob[:-4])  # truncated IEND CRC
+    corrupt = bytearray(blob)
+    corrupt[40] ^= 0xFF  # flip an IDAT byte → CRC mismatch
+    with pytest.raises(ValueError):
+        _png_parse(bytes(corrupt))

@@ -15,7 +15,7 @@ import math
 import random
 
 import pytest
-from hypothesis import given
+from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from fluent_bit_filter_math_spark.compile import apply_spec
@@ -301,3 +301,47 @@ def test_zvalue_tile_contiguity(a, b, tile_bits):
     ]
     assert max(zs) - min(zs) == (1 << (2 * t)) - 1
     assert len(set(zs)) == 1 << (2 * t)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: PNG build→parse round-trip — the decoder's un-filtering
+# (all five PNG filter types) must recover the exact cycled pixel
+# plane the encoder filtered+deflated, for ANY payload; truncation
+# anywhere must raise (CRC or length validation).
+# ---------------------------------------------------------------------------
+@settings(deadline=None)  # first example pays the module-import cost
+@given(st.binary(min_size=0, max_size=1024))
+def test_png_roundtrip_any_payload(payload):
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _PNG_H_MOD,
+        _PNG_W_MOD,
+        _png_build,
+        _png_parse,
+    )
+
+    n = len(payload)
+    w, h = 4 + n % _PNG_W_MOD, 2 + n % _PNG_H_MOD
+    src = payload if payload else b"\x00"
+    plane = (src * (w * h // len(src) + 1))[: w * h]
+    assert _png_parse(_png_build(payload)) == (
+        w,
+        h,
+        w * h,
+        sum(plane),
+        sum((i + 1) * b for i, b in enumerate(plane)),
+    )
+
+
+@given(st.binary(min_size=1, max_size=256), st.integers(1, 40))
+def test_png_truncation_always_valueerror(payload, cut):
+    import pytest
+
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _png_build,
+        _png_parse,
+    )
+
+    blob = _png_build(payload)
+    cut = min(cut, len(blob) - 9)  # keep at least the signature + a byte
+    with pytest.raises(ValueError):
+        _png_parse(blob[: len(blob) - cut])
