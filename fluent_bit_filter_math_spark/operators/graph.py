@@ -183,6 +183,148 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_ROUNDS = 3
 
 
+# ---------------------------------------------------------------------------
+# PageRank with the PRODUCTION STOP RULE — the fixpoint-convergence
+# twin of graph_pagerank (r7 VERDICT #7). graph_pagerank pins its
+# iteration budget as a constant (the bounded-demo contract); real
+# deployments instead iterate until rank movement falls under a
+# tolerance. This query runs that loop: each round computes
+# m_i = Σ|rank_i − rank_{i−1}| and stops at the first round where
+# m_i < PRC_TOL_FP · n_nodes (avg movement under 1.0 unit-rank in
+# micro-units — on this bipartite graph movement decays ×0.85/round
+# exactly, and the per-node movement series is scale-INVARIANT:
+# measured identical to 6 significant digits at sf0.01 and sf0.1
+# (944585 vs 944586 at round 4), so the threshold crossing sits at
+# round 4 with ≥5% margin on both sides at every SF.
+# PRC_MAX_ROUNDS=8 bounds the loop the way a production job still
+# pins a hard ceiling. A production run would set a tighter
+# tolerance and pay linearly more rounds — the ×0.85 decay contract
+# in SCALING.md makes that cost arithmetic, not a re-design.
+#
+# Engine-exactness: the integer fixed-point formulation makes every
+# round's ranks bitwise-reproducible, so the STOPPING ROUND ITSELF is
+# a pure function of the data — the oracle unrolls PRC_MAX_ROUNDS
+# rounds in SQL, computes the same movement series, and picks the
+# same first-converged round; no top-k-set weakening is needed.
+#
+# Scale: the convergence check is ONE driver-side scalar per round
+# (the same single-row fetch the streaming watermark cuts use), never
+# row data. Each round's rank table is cache()d before the check so
+# round i+1 reads materialized round-i output instead of recomputing
+# the whole lineage chain (O(R) total work, not O(R²)); intermediate
+# rounds are unpersisted as soon as their successor materializes.
+# Output: the converged round number + the top-10 nodes by rank
+# (ties to the lower node id) — the page-of-results shape a ranking
+# consumer actually reads.
+# ---------------------------------------------------------------------------
+PRC_TOL_FP = 1_000_000  # avg per-node movement threshold, micro-units
+PRC_MAX_ROUNDS = 8
+
+
+def _d_prc_tail() -> str:
+    moves = ",\n".join(
+        f"""
+    m{i} AS (
+      SELECT {i} AS round, SUM(ABS(r{i}.rank_fp - r{i - 1}.rank_fp)) AS mv,
+             COUNT(*) AS n
+      FROM r{i} JOIN r{i - 1} ON r{i}.node = r{i - 1}.node
+    )"""
+        for i in range(1, PRC_MAX_ROUNDS + 1)
+    )
+    moves_union = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, PRC_MAX_ROUNDS + 1)
+    )
+    ranks_union = " UNION ALL ".join(
+        f"SELECT {i} AS round, node, rank_fp FROM r{i}"
+        for i in range(1, PRC_MAX_ROUNDS + 1)
+    )
+    return f"""
+    {moves},
+    stop AS (
+      SELECT MIN(round) AS r FROM ({moves_union})
+      WHERE mv < {PRC_TOL_FP} * n
+    ),
+    all_rounds AS ({ranks_union})
+    SELECT CAST((SELECT r FROM stop) AS BIGINT) AS n_rounds,
+           node,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END
+               AS node_type,
+           CAST(rank_fp AS BIGINT) AS rank_fp
+    FROM all_rounds
+    WHERE round = (SELECT r FROM stop)
+    ORDER BY rank_fp DESC, node
+    LIMIT 10
+"""
+
+
+@register(
+    "graph_pagerank_converged",
+    oracle=f"""
+    WITH {_D_EDGES},
+    r0 AS (
+      SELECT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank_fp FROM deg
+    ),
+    {",".join(_d_iter(i) for i in range(1, PRC_MAX_ROUNDS + 1))},
+    {_d_prc_tail()}
+    """,
+)
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg = _edge_index(spark, sf_dir)
+    n_nodes = deg.count()
+
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PR_SCALE).cast("long").alias("rank_fp"),
+    ).cache()
+    n_rounds = PRC_MAX_ROUNDS
+    for i in range(1, PRC_MAX_ROUNDS + 1):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fp div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            deg.join(contribs, deg["src"] == contribs["dst"], "left")
+            .select(
+                F.col("src").alias("node"),
+                (
+                    F.lit((15 * PR_SCALE) // 100)
+                    + F.expr("85 * coalesce(contrib, 0) div 100")
+                ).cast("long").alias("rank_fp"),
+            )
+            .cache()
+        )
+        # ONE scalar to the driver per round — the stop rule.
+        movement = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "node")
+            .agg(
+                F.sum(F.abs(F.col("a.rank_fp") - F.col("b.rank_fp")))
+                .alias("mv")
+            )
+            .collect()[0]["mv"]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if movement < PRC_TOL_FP * n_nodes:
+            n_rounds = i
+            break
+    return (
+        ranks.select(
+            F.lit(n_rounds).cast("long").alias("n_rounds"),
+            "node",
+            F.when(F.col("node") % 2 == 0, "part")
+            .otherwise("supplier")
+            .alias("node_type"),
+            "rank_fp",
+        )
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(10)
+    )
+
+
 @register(
     "graph_bfs_hops",
     oracle=f"""
