@@ -22,11 +22,11 @@ batch's rows to their key's state partition. The Pandas kernel sees
 one group per call with its state handle — no driver involvement.
 
 Spark 4's successor API, ``transformWithStateInPandas`` (typed state
-variables, timers, TTL), is the upgrade path; it is unavailable in this
-container (its Python driver worker needs ``google.protobuf``, which is
-broken here and cannot be installed), so the engine ships the
-``applyInPandasWithState`` form, which expresses the same per-key
-arbitrary state.
+variables, timers, TTL), is ALSO covered — its only missing dependency
+in this container (the ``google.protobuf`` runtime its socket protocol
+needs) is replaced by a pure-Python wire-format twin
+(``state_proto_shim.py``), so ``stream_tws_user_totals`` below runs
+the real typed-state path end to end against the RocksDB provider.
 """
 
 from __future__ import annotations
@@ -304,3 +304,118 @@ def stream_pattern_match_stateful(
         out, "stream_pattern_match_stateful", output_mode="append"
     )
     return res.orderBy("user_id", "purchase_event_id")
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #4 — transformWithStateInPandas, Spark 4's typed-state
+# successor to applyInPandasWithState (SPARK-49564): named state
+# variables created in init() via a handle (here one ValueState), an
+# explicit per-key lifecycle (init/handleInputRows/close), timer
+# support, and TTL — running against the RocksDB state store provider
+# the API requires.
+#
+# This container has no google.protobuf runtime (and cannot install
+# one), which is the API's only missing dependency: its Python worker
+# speaks a protobuf socket protocol to the JVM state server. The
+# engine ships a pure-Python wire-format twin of that message set
+# (state_proto_shim.py, descriptor-fidelity-tested) and installs it
+# only when the real runtime is absent — so this query exercises the
+# REAL transformWithStateInPandas path end to end: JVM state server,
+# RocksDB-backed ValueState, Arrow batch transfer, typed tuples.
+#
+# Semantics mirror stream_stateful_user_totals exactly (per-user
+# count + integer-cents total, single-micro-batch bounded replay ⇒
+# emitted rows are final totals), so the same batch oracle gates both
+# the old and the new API — any wire-format slip in the shim surfaces
+# as a hash mismatch or a stuck query, never silently.
+#
+# Scale: identical to applyInPandasWithState — state partitioned by
+# key across executors, RocksDB keeps per-partition state off-heap,
+# micro-batches shuffle only their own rows. The ValueState
+# get/update round-trips per key per batch are socket-local.
+# ---------------------------------------------------------------------------
+from fluent_bit_filter_math_spark.streaming import state_proto_shim
+
+state_proto_shim.install()
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """Per-user (count, integer-cents) totals in one typed ValueState.
+
+    MUST stay a module-level class: cloudpickle then serializes it BY
+    REFERENCE, so every process that unpickles it (the TWS driver
+    worker included) imports this module first — which is what runs
+    ``state_proto_shim.install()`` before the worker's first
+    ``StateMessage_pb2`` import. A nested class would pickle by value
+    and the driver worker would crash on the missing protobuf runtime
+    before any of our code ran.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._totals.get() if self._totals.exists() else (0, 0)
+        n, cents = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_proto_shim.install()
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", drop_nanos=True
+    ).select("user_id", exact_cents(F.col("value")).alias("cents"))
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserTotalsProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB provider; scope the
+    # setting to this query's start and restore the session default.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run_stream_to_memory(
+            out, "stream_tws_user_totals", output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

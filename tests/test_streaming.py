@@ -799,3 +799,157 @@ def test_pattern_match_stateful_is_slicing_invariant(spark, tmp_path):
     )
     expected = sorted((r.user_id, r.event_id, r.d) for r in ref.collect())
     assert sliced == expected and len(expected) > 0
+
+
+# ---------------------------------------------------------------------------
+# state_proto_shim fidelity: decode the serialized FileDescriptorProto
+# embedded in the INSTALLED generated pb2 file and assert every
+# message / field number / wire kind / label in the shim matches it.
+# A PySpark upgrade that changes StateMessage.proto fails here loudly
+# instead of hanging the TWS socket protocol.
+# ---------------------------------------------------------------------------
+def test_state_proto_shim_matches_descriptor():
+    import os
+    import re
+
+    from fluent_bit_filter_math_spark.streaming import state_proto_shim as sm
+
+    pb2_path = None
+    import pyspark
+
+    cand = os.path.join(
+        os.path.dirname(pyspark.__file__),
+        "sql", "streaming", "proto", "StateMessage_pb2.py",
+    )
+    if os.path.exists(cand):
+        pb2_path = cand
+    assert pb2_path, "generated pb2 file not found"
+    src = open(pb2_path).read()
+    m = re.search(
+        r"AddSerializedFile\(\s*(b(?:'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")"
+        r"(?:\s*b(?:'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"))*)\s*\)",
+        src,
+        re.S,
+    )
+    blob = eval(m.group(1))  # noqa: S307 — literal bytes from the file
+
+    def rd_varint(b, i):
+        x = s = 0
+        while True:
+            c = b[i]
+            i += 1
+            x |= (c & 0x7F) << s
+            if not c & 0x80:
+                return x, i
+            s += 7
+
+    def fields(b):
+        i = 0
+        while i < len(b):
+            tag, i = rd_varint(b, i)
+            fn, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, i = rd_varint(b, i)
+            elif wt == 2:
+                ln, i = rd_varint(b, i)
+                v = b[i : i + ln]
+                i += ln
+            elif wt == 5:
+                v = b[i : i + 4]
+                i += 4
+            elif wt == 1:
+                v = b[i : i + 8]
+                i += 8
+            else:
+                raise ValueError(wt)
+            yield fn, wt, v
+
+    TYPE_KIND = {3: "int64", 5: "int32", 8: "bool", 9: "string",
+                 11: "message", 12: "bytes", 14: "enum"}
+
+    def parse_field(b):
+        f = {}
+        for fn, _, v in fields(b):
+            if fn == 1:
+                f["name"] = v.decode()
+            elif fn == 3:
+                f["number"] = v
+            elif fn == 4:
+                f["label"] = v
+            elif fn == 5:
+                f["kind"] = TYPE_KIND[v]
+            elif fn == 6:
+                f["type_name"] = v.decode()
+        return f
+
+    messages = {}
+
+    def parse_msg(b):
+        name, flds = None, []
+        for fn, _, v in fields(b):
+            if fn == 1:
+                name = v.decode()
+            elif fn == 2:
+                flds.append(parse_field(v))
+        messages[name] = flds
+
+    for fn, _, v in fields(blob):
+        if fn == 4:
+            parse_msg(v)
+
+    assert len(messages) >= 40
+    for name, flds in messages.items():
+        cls = getattr(sm, name, None)
+        assert cls is not None, f"shim missing message {name}"
+        shim_fields = {f.number: f for f in cls.FIELDS}
+        assert len(shim_fields) == len(flds), name
+        for df in flds:
+            f = shim_fields.get(df["number"])
+            assert f is not None, f"{name}.{df['name']} missing in shim"
+            assert f.name == df["name"], (name, f.name, df["name"])
+            assert f.kind == df["kind"], (name, f.name, f.kind, df["kind"])
+            assert f.repeated == (df["label"] == 3), (name, f.name)
+            if df["kind"] == "message":
+                assert f.msg is not None and f.msg().__name__ == \
+                    df["type_name"].rsplit(".", 1)[-1], (name, f.name)
+
+
+def test_state_proto_shim_wire_roundtrip():
+    from fluent_bit_filter_math_spark.streaming import state_proto_shim as sm
+
+    # request shape the client sends: oneof chain with empty message leaf
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+        )
+    )
+    assert req.SerializeToString() == bytes.fromhex("12040a020802")
+    # an empty oneof leaf must still hit the wire with length 0
+    req2 = sm.StateRequest(
+        implicitGroupingKeyRequest=sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        )
+    )
+    assert req2.SerializeToString() == bytes.fromhex("22021200")
+    # auto-vivified ttl marks presence only once data lands
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "x"
+    assert b"\x22" not in cmd.SerializeToString()  # no ttl field emitted
+    cmd.ttl.durationMs = 5000
+    assert cmd.SerializeToString().endswith(bytes.fromhex("2203088827"))
+    # negative int64 encodes as 10-byte two's complement varint
+    t = sm.RegisterTimer(expiryTimestampMs=-1)
+    assert len(t.SerializeToString()) == 11
+    back = sm.RegisterTimer()
+    back.ParseFromString(t.SerializeToString())
+    assert back.expiryTimestampMs == -1
+    # repeated message parse (timer list responses)
+    resp = sm.StateResponseWithTimer(
+        timer=[sm.TimerInfo(timestampMs=5), sm.TimerInfo(timestampMs=9)],
+        requireNextFetch=True,
+    )
+    parsed = sm.StateResponseWithTimer()
+    parsed.ParseFromString(resp.SerializeToString())
+    assert [x.timestampMs for x in parsed.timer] == [5, 9]
+    assert parsed.requireNextFetch is True
+    assert parsed.statusCode == 0 and parsed.errorMessage == ""
