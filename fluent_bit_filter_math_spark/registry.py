@@ -122,6 +122,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_png_decode",
     "graph_pagerank_converged",
     "stream_tws_user_totals",
+    "stream_tws_type_stats",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
     # #3). The window holds 50; tier 1 takes 43, so the first few of

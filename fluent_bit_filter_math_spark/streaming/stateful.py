@@ -419,3 +419,94 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #5 — transformWithStateInPandas with a typed
+# MAPSTATE: per-user map event_type → (count, cents), the state shape
+# the old applyInPandasWithState cannot express without serializing
+# the whole map into one row. Exercises the full MapState protocol
+# through the wire shim — containsKey / getValue / updateValue and
+# the server-side iterator (StateResponseWithMapIterator, repeated
+# kvPair) used to emit final rows.
+#
+# Bounded single-batch replay ⇒ emitted rows are final per-(user,
+# type) tallies; the oracle is the plain two-key GROUP BY.
+# ---------------------------------------------------------------------------
+_TWS_MAP_OUT = (
+    "user_id long, event_type string, n_events long, total_cents long"
+)
+
+
+class _TypeStatsProcessor(StatefulProcessor):
+    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._by_type = handle.getMapState(
+            "bytype", "event_type string", "n long, cents long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        agg: dict[str, tuple[int, int]] = {}
+        for pdf in rows:
+            for et, grp in pdf.groupby("event_type"):
+                n, c = agg.get(et, (0, 0))
+                agg[et] = (n + len(grp), c + int(grp["cents"].sum()))
+        for et, (n, c) in agg.items():
+            if self._by_type.containsKey((et,)):
+                pn, pc = self._by_type.getValue((et,))
+                n, c = n + int(pn), c + int(pc)
+            self._by_type.updateValue((et,), (n, c))
+        out = [
+            (key[0], k[0], int(v[0]), int(v[1]))
+            for k, v in self._by_type.iterator()
+        ]
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "n_events", "total_cents"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_type_stats",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_proto_shim.install()
+    stream = read_events_stream(
+        spark, f"{sf_dir}/events.parquet", drop_nanos=True
+    ).select(
+        "user_id", "event_type", exact_cents(F.col("value")).alias("cents")
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TypeStatsProcessor(),
+        outputStructType=_TWS_MAP_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run_stream_to_memory(
+            out, "stream_tws_type_stats", output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
