@@ -510,3 +510,168 @@ def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #6 — transformWithStateInPandas with EVENT-TIME
+# TIMERS: idle-session close, the canonical timer use case. Per-user
+# ValueState carries (count, cents, last-event-ms, registered-timer);
+# every input batch re-arms a timer at last_event + _TWS_IDLE_GAP_MS
+# (deleting the stale one), and when the watermark passes a user's
+# timer, handleExpiredTimer emits the closed session's totals and
+# clears the state. Exercises the timer protocol end to end through
+# the wire shim: RegisterTimer / DeleteTimer and the expiry iteration
+# (ExpiryTimerRequest → StateResponseWithTimer, repeated TimerInfo).
+#
+# Replay contract (what makes a TIMER query oracle-checkable): the
+# fixture is split into two event-time-ranged files replayed
+# maxFilesPerTrigger=1, and availableNow appends a no-data batch
+# after the last file once the watermark advances. A user fires
+# exactly once, at the first batch whose START watermark exceeds
+# their armed timer; users active in the last file re-arm and fire in
+# the final no-data batch only if still idle against the terminal
+# watermark max(ts) − 10 min. Emitted totals are whatever the state
+# held when the timer fired — and because a fired user (by
+# definition of firing) has no events after their timer, that is
+# always their COMPLETE event history. Hence the engine-independent
+# closed-form: user fires iff last_ms + GAP < max_all_ms − delay,
+# with full-history totals; that is the DuckDB oracle.
+#
+# Scale: timers live in the keyed state store next to the values;
+# expiry scans are per-partition range reads (RocksDB-ordered), no
+# shuffle beyond the input's keyed exchange.
+# ---------------------------------------------------------------------------
+_TWS_IDLE_GAP_MS = 6 * 3600 * 1000  # re-arm distance
+_TWS_IDLE_DELAY = "10 minutes"  # watermark delay
+_TWS_IDLE_FILES = 2  # replay slices; tests override to pin slicing-invariance
+_TWS_IDLE_OUT = (
+    "user_id long, n_events long, total_cents long, closed_at_ms long"
+)
+
+
+class _IdleCloseProcessor(StatefulProcessor):
+    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._tot = handle.getValueState(
+            "tot", "n long, cents long, last_ms long, timer_ms long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._tot.get() if self._tot.exists() else (0, 0, 0, 0)
+        n, cents, last_ms, timer_ms = (int(x) for x in prev)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+            last_ms = max(
+                last_ms,
+                int(
+                    pdf["ts"]
+                    .astype("datetime64[ms]")
+                    .astype("int64")
+                    .max()
+                ),
+            )
+        if timer_ms:
+            self._handle.deleteTimer(timer_ms)
+        timer_ms = last_ms + _TWS_IDLE_GAP_MS
+        self._handle.registerTimer(timer_ms)
+        self._tot.update((n, cents, last_ms, timer_ms))
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if not self._tot.exists():
+            return iter([])
+        n, cents, last_ms, _ = (int(x) for x in self._tot.get())
+        self._tot.clear()
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_cents": [cents],
+                        "closed_at_ms": [last_ms + _TWS_IDLE_GAP_MS],
+                    }
+                )
+            ]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_idle_close",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             epoch_us(max(ts)) // 1000 AS last_ms
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm FROM events
+    )
+    SELECT user_id, n_events, total_cents,
+           CAST(last_ms + {_TWS_IDLE_GAP_MS} AS BIGINT) AS closed_at_ms
+    FROM u, g
+    WHERE last_ms + {_TWS_IDLE_GAP_MS} < g.wm
+    """,
+)
+def stream_tws_idle_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import time
+
+    state_proto_shim.install()
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    base = scratch_dir("tws-idle")
+    src = os.path.join(base, "src")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    # Two event-time-ranged files; mtimes force oldest-range-first
+    # replay (FileStreamSource orders by modification time).
+    ev.repartitionByRange(_TWS_IDLE_FILES, "ts").write.parquet(src)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
+        os.utime(f, (now + i, now + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", _TWS_IDLE_DELAY)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_IdleCloseProcessor(),
+        outputStructType=_TWS_IDLE_OUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run_stream_to_memory(
+            out, "stream_tws_idle_close", output_mode="append"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
