@@ -116,9 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bool_suite",
     "agg_mode_deterministic",
     "io_xml_roundtrip",
-    # tier 2: new in r8 — the stdlib-zlib PNG decode and the
-    # fixpoint-convergence PageRank variant (VERDICT r7 #4, #7);
-    # inserted here as implemented this round.
+    # tier 2: new in r8 — the stdlib-zlib PNG decode, the
+    # fixpoint-convergence PageRank variant, and the three
+    # transformWithStateInPandas queries unblocked by the protobuf
+    # wire shim (VERDICT r7 #4, #5, #7).
     "mm_png_decode",
     "graph_pagerank_converged",
     "stream_tws_user_totals",
