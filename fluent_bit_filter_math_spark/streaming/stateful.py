@@ -675,3 +675,134 @@ def stream_tws_idle_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #7 — transformWithStateInPandas with LISTSTATE +
+# INITIAL STATE + TTL config: the remaining typed-state API surface.
+# Per-user ListState of purchase cents, SEEDED via the initialState
+# GroupedData (handleInitialState runs before batch 1 — the
+# batch-to-stream state-migration path every production rollout
+# needs). TTL is deliberately NOT set: it requires
+# timeMode=ProcessingTime, and a ProcessingTime TWS under an
+# availableNow trigger keeps scheduling no-data micro-batches
+# indefinitely (observed: epoch 670+ before timeout), breaking the
+# bounded-replay contract every oracle-gated stream query relies on;
+# the ttl.durationMs wire encoding is pinned by the shim's unit test
+# (tests/test_streaming.py) and was accepted on the wire by the JVM
+# (it returned the documented
+# STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL error, proving
+# the field round-trips). handleInputRows appends the batch's cents
+# (appendList) and emits order-insensitive aggregates of the FULL
+# list read back through the server-side list iterator
+# (ListStateGet + requireNextFetch pagination in the wire shim).
+#
+# Single-batch bounded replay ⇒ emitted rows are final; oracle =
+# seed row (user_id·100 + 7, pure arithmetic) + the user's purchase
+# events, aggregated. Users with no purchase events never reach
+# handleInputRows and emit nothing — the oracle filters identically.
+# ---------------------------------------------------------------------------
+_TWS_LIST_OUT = (
+    "user_id long, n_items long, sum_cents long,"
+    " min_cents long, max_cents long"
+)
+
+
+class _PurchaseListProcessor(StatefulProcessor):
+    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._purchases = handle.getListState("purchases", "cents long")
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._purchases.appendValue((int(initialState["seed_cents"]),))
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch = [
+            (int(c),) for pdf in rows for c in pdf["cents"].tolist()
+        ]
+        if batch:
+            self._purchases.appendList(batch)
+        vals = [int(v[0]) for v in self._purchases.get()]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_items": [len(vals)],
+                "sum_cents": [sum(vals)],
+                "min_cents": [min(vals)],
+                "max_cents": [max(vals)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_list_seeded",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    seed AS (
+      SELECT DISTINCT user_id, user_id * 100 + 7 AS cents FROM p
+    ),
+    allv AS (
+      SELECT user_id, cents FROM p
+      UNION ALL SELECT user_id, cents FROM seed
+    )
+    SELECT user_id,
+           COUNT(*) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM allv GROUP BY user_id
+    """,
+)
+def stream_tws_list_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_proto_shim.install()
+    from fluent_bit_filter_math_spark.sources import table
+
+    stream = (
+        read_events_stream(spark, f"{sf_dir}/events.parquet", drop_nanos=True)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", exact_cents(F.col("value")).alias("cents"))
+    )
+    # Initial state: one seed row per purchasing user, derived by pure
+    # arithmetic so the oracle reproduces it.
+    init_state = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("user_id") * 100 + 7).cast("long").alias("seed_cents"),
+        )
+        .groupBy("user_id")
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_PurchaseListProcessor(),
+        outputStructType=_TWS_LIST_OUT,
+        outputMode="Update",
+        timeMode="None",
+        initialState=init_state,
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run_stream_to_memory(
+            out, "stream_tws_list_seeded", output_mode="update"
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
