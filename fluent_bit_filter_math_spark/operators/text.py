@@ -794,3 +794,146 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf",
         F.sum("tf").over(w).alias("doc_l1"),
     ).orderBy("doc_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# BPE TOKENIZER TRAINING as a distributed job — the missing piece
+# between this module's token statistics and an actual trainable
+# vocabulary: learn the first _BPE_ROUNDS byte-pair merge rules from
+# the corpus, exactly the greedy algorithm of Sennrich et al. (ACL
+# 2016) that GPT/Llama tokenizers build on.
+#
+# The classical formulation trains on the WORD-FREQUENCY TABLE, not
+# the corpus — and that is also what makes it scale: one corpus scan
+# collapses 100 TB of text into |vocab| rows (word, freq), and every
+# merge round after that touches only the vocabulary (pair explode →
+# weighted count → 1-row argmax broadcast → map-side token rewrite).
+# No round rescans the corpus; cost per round is O(vocab · word_len).
+#
+# Engine-exactness: token sequences are carried as chr(31)-joined
+# strings, and a merge is string replace(a␟b → ab) — SQL replace is
+# left-to-right non-overlapping in Spark, DuckDB, and the reference
+# BPE alike, so repeated-letter words ("aaa") merge identically
+# everywhere. The argmax is (count DESC, pair ASC): bitwise-
+# deterministic, so all _BPE_ROUNDS rounds — each depending on the
+# previous round's winner — replay exactly on both engines; the
+# oracle unrolls the loop as CTE rounds.
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+_BPE_SEP_SQL = "chr(31)"  # DuckDB spelling
+_BPE_SEP_SPARK = "char(31)"  # Spark SQL spelling
+
+
+def _bpe_oracle() -> str:
+    ctes = ["""
+    wf AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    t0 AS (
+      SELECT word, freq,
+             array_to_string(
+               list_transform(range(1, strlen(word) + 1), i -> word[i]),
+               chr(31)) AS toks
+      FROM wf
+    )"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        p = r - 1
+        ctes.append(f"""
+    p{r} AS (
+      SELECT parts[i] AS a, parts[i + 1] AS b, SUM(freq) AS cnt
+      FROM (SELECT freq, string_split(toks, chr(31)) AS parts FROM t{p}) s,
+           LATERAL (SELECT unnest(range(1, len(parts))) AS i) ix
+      GROUP BY 1, 2
+    ),
+    b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    t{r} AS (
+      SELECT word, freq,
+             replace(toks, (SELECT a || chr(31) || b FROM b{r}),
+                     (SELECT a || b FROM b{r})) AS toks
+      FROM t{p}
+    )""")
+        # t{_BPE_ROUNDS} is built but unused: same shape as every round.
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, a AS merge_left, b AS merge_right,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\n    SELECT CAST(round AS BIGINT) AS round, merge_left,"
+          f" merge_right, pair_count FROM ({unions}) ORDER BY round"
+    )
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    toks = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), {_BPE_SEP_SPARK})"
+        ).alias("toks"),
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            toks.select(
+                "freq",
+                F.expr(f"split(toks, {_BPE_SEP_SPARK})").alias("parts"),
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(parts) < 2 THEN"
+                        " array() "
+                        "ELSE transform(sequence(1, size(parts) - 1),"
+                        " i -> struct(parts[i - 1] AS a, parts[i] AS b))"
+                        " END"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        # cache(): both the final union and the next round's rewrite
+        # read the winner; without it each round re-executes the whole
+        # earlier-round chain (the pagerank O(R^2) lineage trap). The
+        # cached tables are 1 row / |vocab| rows.
+        best = pairs.orderBy(
+            F.desc("cnt"), "a", "b"
+        ).limit(1).withColumn("round", F.lit(r).cast("long")).cache()
+        merges.append(best)
+        # 1-row broadcast: the winner rides into every partition's
+        # token rewrite; the vocabulary table never shuffles.
+        toks = toks.crossJoin(
+            F.broadcast(best.select(
+                F.col("a").alias("_ba"), F.col("b").alias("_bb")
+            ))
+        ).select(
+            "word",
+            "freq",
+            F.expr(
+                f"replace(toks, _ba || {_BPE_SEP_SPARK} || _bb,"
+                " _ba || _bb)"
+            ).alias("toks"),
+        ).cache()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "round",
+        F.col("a").alias("merge_left"),
+        F.col("b").alias("merge_right"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    ).orderBy("round")
