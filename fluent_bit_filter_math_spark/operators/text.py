@@ -937,3 +937,109 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("merge_right"),
         F.col("cnt").cast("long").alias("pair_count"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE — the consumer half of text_bpe_train_merges: apply the
+# learned merge rules to tokenize the corpus and report per-document
+# token statistics (the compression a tokenizer buys is THE metric a
+# data pipeline tracks per release — tokens, not characters, are what
+# training costs). The final (word → token-sequence) table is |vocab|
+# rows and broadcasts into one map-side pass over the corpus: encode
+# never shuffles document data, only the per-doc aggregate does.
+# ---------------------------------------------------------------------------
+def _bpe_final_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq, toks) after _BPE_ROUNDS merges — the trained vocab."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    toks = wf.select(
+        "word",
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), {_BPE_SEP_SPARK})"
+        ).alias("toks"),
+    )
+    for _ in range(_BPE_ROUNDS):
+        pairs = (
+            toks.select(
+                "freq",
+                F.expr(f"split(toks, {_BPE_SEP_SPARK})").alias("parts"),
+            )
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(parts) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(parts) - 1),"
+                        " i -> struct(parts[i - 1] AS a, parts[i] AS b))"
+                        " END"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).cache()
+        toks = toks.crossJoin(
+            F.broadcast(best.select(
+                F.col("a").alias("_ba"), F.col("b").alias("_bb")
+            ))
+        ).select(
+            "word",
+            "freq",
+            F.expr(
+                f"replace(toks, _ba || {_BPE_SEP_SPARK} || _bb,"
+                " _ba || _bb)"
+            ).alias("toks"),
+        ).cache()
+    return toks
+
+
+def _bpe_encode_oracle() -> str:
+    # reuse the training CTE chain; t{_BPE_ROUNDS} is the trained vocab
+    base = _bpe_oracle()
+    head = base[: base.rindex("\n    SELECT")]
+    return head + f"""
+    , dw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT dw.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(len(string_split(t.toks, chr(31)))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(strlen(dw.word)) AS BIGINT) AS n_chars
+    FROM dw JOIN t{_BPE_ROUNDS} t ON t.word = dw.word
+    WHERE dw.word <> ''
+    GROUP BY dw.doc_id
+    """
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _bpe_final_toks(spark, sf_dir).select(
+        "word",
+        F.expr(f"size(split(toks, {_BPE_SEP_SPARK}))").alias("n_tok"),
+    )
+    dw = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )

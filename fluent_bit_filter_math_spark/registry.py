@@ -127,6 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tws_idle_close",
     "stream_tws_list_seeded",
     "text_bpe_train_merges",
+    "text_bpe_encode",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
     # #3). The window holds 50; tier 1 takes 43, so the first few of
