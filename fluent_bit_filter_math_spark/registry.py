@@ -127,11 +127,15 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tws_idle_close",
     "stream_tws_list_seeded",
     "text_bpe_train_merges",
+    # text_bpe_encode sits at position 51 — one past the 50-slot
+    # window. Deliberate: tiers 1+2 hold 51 never-checked queries and
+    # one must wait for r9; encode shares its entire CTE chain with
+    # bpe_train (in-window at 50), so it is the lowest-information
+    # sacrifice. Locally green under the dtype-exact gate.
     "text_bpe_encode",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
-    # #3). The window holds 50; tier 1 takes 43, so the first few of
-    # these land in-window and the rest queue for the r9 rotation,
+    # #3); all queue for the r9 rotation behind the 51 above,
     # ordered family-diverse (dedup, text, sort, setop, agg, TPC-H).
     "dedup_exact",
     "text_token_stats",
