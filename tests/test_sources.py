@@ -189,3 +189,25 @@ def test_arrow_ipc_roundtrip_with_empty_partitions(spark, tmp_path):
 
     files = glob.glob(os.path.join(out, "*.arrow"))
     assert 1 <= len(files) <= 3
+
+
+def test_scratch_dir_private_reused_and_wiped():
+    import os
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+
+    d1 = scratch_dir("unittest-scratch")
+    # private: mkdtemp creates mode 0700, owned by us
+    assert os.stat(d1).st_mode & 0o777 == 0o700
+    with open(os.path.join(d1, "stale.txt"), "w") as f:
+        f.write("old output")
+    os.makedirs(os.path.join(d1, "subdir"))
+    with open(os.path.join(d1, "subdir", "part-0"), "w") as f:
+        f.write("old shard")
+    # reuse: same dir per (process, tag), contents wiped — the bounded
+    # disk + no-stale-reads contract the sink round-trips rely on
+    d2 = scratch_dir("unittest-scratch")
+    assert d2 == d1
+    assert os.listdir(d2) == []
+    # distinct tags never collide
+    assert scratch_dir("unittest-scratch-2") != d1
