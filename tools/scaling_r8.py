@@ -14,12 +14,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
-    "mm_png_decode",
-    "graph_pagerank_converged",
-    "stream_tws_user_totals",
-    "stream_tws_type_stats",
-    "stream_tws_idle_close",
-    "udaf_window_pandas",
+    "text_bpe_train_merges",
+    "text_bpe_encode",
+    "stream_tws_list_seeded",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 REPS = 2
