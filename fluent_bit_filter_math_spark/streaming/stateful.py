@@ -573,8 +573,13 @@ class _IdleCloseProcessor(StatefulProcessor):
                     .max()
                 ),
             )
-        if timer_ms:
-            self._handle.deleteTimer(timer_ms)
+        # Re-arm: drop every armed timer for this key via the server's
+        # timer listing (ListTimers iteration through the wire shim),
+        # not the state-tracked copy — the pattern that stays correct
+        # even if state and timer registry ever diverge (e.g. after a
+        # partial replay).
+        for armed in self._handle.listTimers():
+            self._handle.deleteTimer(int(armed))
         timer_ms = last_ms + _TWS_IDLE_GAP_MS
         self._handle.registerTimer(timer_ms)
         self._tot.update((n, cents, last_ms, timer_ms))
@@ -712,6 +717,11 @@ class _PurchaseListProcessor(StatefulProcessor):
     """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        # deleteIfExists: the schema-evolution hook (purge a state
+        # variable a previous deployment defined). No-op for a name
+        # never created — exercised here to round out the
+        # StatefulProcessorCall protocol coverage.
+        handle.deleteIfExists("legacy_purchases_v0")
         self._purchases = handle.getListState("purchases", "cents long")
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
