@@ -211,3 +211,91 @@ def test_scratch_dir_private_reused_and_wiped():
     assert os.listdir(d2) == []
     # distinct tags never collide
     assert scratch_dir("unittest-scratch-2") != d1
+
+
+def test_json_sink_exactly_once_under_real_task_retry():
+    """Inject a genuine first-attempt task failure into a jsonsink
+    write and verify the manifest commit protocol delivers
+    exactly-once: the failed attempt's partial shard stays on disk
+    (abort runs on job abort, not per-task retry), but the manifest
+    excludes it, so a manifest-only read sees every row exactly once.
+    Runs in a subprocess because task retries need their own master
+    (local[4, 2]) and SparkContext is a JVM singleton."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, os, sys, tempfile
+        sys.path.insert(0, sys.argv[1])
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from pyspark import TaskContext
+        from pyspark.sql.functions import udf
+
+        spark = (
+            SparkSession.builder.master("local[4, 2]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .appName("jsonsink-retry-test").getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        from fluent_bit_filter_math_spark.sources.json_sink import (
+            register_json_sink,
+        )
+        register_json_sink(spark)
+
+        @udf("long")
+        def fail_once(v):
+            ctx = TaskContext.get()
+            if (ctx.partitionId() == 1 and ctx.attemptNumber() == 0
+                    and v == 900):
+                raise RuntimeError("injected first-attempt failure")
+            return v
+
+        out_dir = tempfile.mkdtemp(prefix="jsonsink-retry-")
+        df = (
+            spark.range(0, 1000).repartition(4)
+            .select(F.col("id").alias("event_id"),
+                    fail_once((F.col("id") % 901).cast("long")).alias("v"))
+        )
+        df.write.format("jsonsink").option("path", out_dir).mode(
+            "append").save()
+
+        with open(os.path.join(out_dir, "_MANIFEST.json")) as f:
+            manifest = json.load(f)["shards"]
+        ids = []
+        for s in manifest:
+            with open(s["path"]) as f:
+                for line in f:
+                    ids.append(json.loads(line)["event_id"])
+        on_disk = [p for p in os.listdir(out_dir)
+                   if p.startswith("part-")]
+        print(json.dumps({
+            "manifest_shards": len(manifest),
+            "disk_shards": len(on_disk),
+            "rows": len(ids),
+            "distinct": len(set(ids)),
+        }))
+        spark.stop()
+        """
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(script)
+        path = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, path, repo],
+            capture_output=True, text=True, timeout=240, check=True,
+        )
+        stats = json.loads(out.stdout.strip().splitlines()[-1])
+    finally:
+        os.unlink(path)
+    # the retry really happened: one orphan shard beyond the manifest
+    assert stats["disk_shards"] == stats["manifest_shards"] + 1, stats
+    # and the manifest read is exactly-once despite it
+    assert stats["rows"] == 1000 and stats["distinct"] == 1000, stats
