@@ -297,3 +297,106 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < thresh)
         .select("doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# TEMPERATURE-based domain resampling — the other canonical mixture
+# shape (multilingual/CC-domain pretraining: sample domain s with
+# probability ∝ n_s^τ, τ<1 flattening the head so low-resource
+# domains up-weight; XLM-R's τ=0.3, mT5's τ=0.3-0.7). Unlike
+# sample_domain_mixture's hand-pinned target weights, the weights
+# here are DERIVED from the data. The fixture's `source` column is
+# deliberately uniform (25 docs per src at sf0.01 — rates would all
+# be 1.0 and the query vacuous), so the domain key is the document's
+# LEADING TOKEN, which is Zipf-skewed (26 vs 5 docs across its 30
+# values) — the stand-in for the language/domain field a real corpus
+# buckets by. Weights are w_s = n_s^τ with τ = 0.5, i.e.
+# sqrt(n_s) — chosen deliberately because IEEE-754 sqrt is correctly
+# rounded and therefore bit-identical across engines, while pow(x,
+# 0.3) is libm-dependent and would break the bitwise gate. The
+# weights are summed in FIXED POINT (floor(sqrt·10⁶) as BIGINT):
+# sqrt weights are irrational, so a plain double Σw is
+# reduction-order-dependent and diverged across engines in the last
+# ulp (observed 0.5 vs 0.4999999999999999); integer sums are
+# associative, and every double op after them is a fixed two-operand
+# chain. Keeps are
+# the same hash-mod discipline as every sampler here: deterministic,
+# stateless, replay/repartition-proof.
+#
+# Scale: identical to sample_domain_mixture — one #domains-row
+# aggregate, two scalar reductions over it, a broadcast-back rate
+# table, and a stateless corpus filter. Zero corpus-sized shuffles.
+# ---------------------------------------------------------------------------
+_TMP_KEY = "tmix:"
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+    WITH doms AS (
+      SELECT doc_id, split_part(text, ' ', 1) AS domain FROM documents
+    ),
+    counts AS (
+      SELECT domain, COUNT(*) AS n_s,
+             CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS w_fp
+      FROM doms GROUP BY domain
+    ),
+    tot AS (SELECT SUM(w_fp) AS sum_fp FROM counts),
+    shares AS (SELECT domain, n_s,
+                      CAST(w_fp AS DOUBLE) / CAST(sum_fp AS DOUBLE)
+                          AS share
+               FROM counts, tot),
+    cap AS (SELECT MIN(n_s / share) AS n_target FROM shares),
+    rates AS (
+      SELECT domain, n_s, share,
+             share * n_target / n_s AS mix_rate FROM shares, cap
+    )
+    SELECT d.doc_id, d.domain, r.mix_rate
+    FROM doms d JOIN rates r ON d.domain = r.domain
+    WHERE {duck_hash60(f"'{_TMP_KEY}' || CAST(doc_id AS VARCHAR)")}
+          % {MIX_SCALE} < r.mix_rate * {MIX_SCALE}
+    """,
+)
+def sample_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("domain"),
+    )
+    everything = Window.partitionBy()
+    counts = docs.groupBy("domain").agg(F.count("*").alias("n_s")).select(
+        "domain",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("w_fp"),
+    )
+    shares = counts.select(
+        "domain",
+        "n_s",
+        (
+            F.col("w_fp").cast("double")
+            / F.sum("w_fp").over(everything).cast("double")
+        ).alias("share"),
+    )
+    rates = shares.select(
+        "domain",
+        (
+            F.col("share")
+            * F.min(F.col("n_s") / F.col("share")).over(everything)
+            / F.col("n_s")
+        ).alias("mix_rate"),
+    )
+    keep = F.pmod(
+        hash60(F.concat(F.lit(_TMP_KEY), F.col("doc_id").cast("string"))),
+        F.lit(MIX_SCALE),
+    )
+    return (
+        docs.join(F.broadcast(rates), "domain")
+        .filter(keep < F.col("mix_rate") * MIX_SCALE)
+        .select("doc_id", "domain", "mix_rate")
+    )

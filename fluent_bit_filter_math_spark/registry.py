@@ -133,6 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     # bpe_train (in-window at 50), so it is the lowest-information
     # sacrifice. Locally green under the dtype-exact gate.
     "text_bpe_encode",
+    "sample_temperature_mixture",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
     # #3); all queue for the r9 rotation behind the 51 above,
