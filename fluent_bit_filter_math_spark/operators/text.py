@@ -810,22 +810,44 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weighted count → 1-row argmax broadcast → map-side token rewrite).
 # No round rescans the corpus; cost per round is O(vocab · word_len).
 #
-# Engine-exactness: token sequences are carried as chr(31)-joined
-# strings, and a merge is string replace(a␟b → ab) — SQL replace is
-# left-to-right non-overlapping in Spark, DuckDB, and the reference
-# BPE alike, so repeated-letter words ("aaa") merge identically
-# everywhere. The argmax is (count DESC, pair ASC): bitwise-
-# deterministic, so all _BPE_ROUNDS rounds — each depending on the
-# previous round's winner — replay exactly on both engines; the
-# oracle unrolls the loop as CTE rounds.
+# Token-sequence encoding (the part that makes a STRING carry exact
+# token-tuple semantics): tokens are joined with a DOUBLE chr(31)
+# separator and the string is padded with one double-separator at
+# each end —  ␟␟t₁␟␟t₂␟␟…␟␟tₙ␟␟.  A merge of pair (a,b) is then
+#   replace(toks, ␟a␟␟b␟ → ␟ab␟)
+# i.e. the pattern consumes only the INNER separator of each
+# boundary. Two properties follow, both load-bearing:
+#  * boundary anchoring — a naive single-separator replace(a␟b→ab)
+#    can match ACROSS token boundaries (pair (a,s) on tokens
+#    [f,a,st] matches the "s" prefix of "st" and corrupts the
+#    vocabulary; measured on the real fixture at merge round 13).
+#    With the margins the char after b must be a separator, so a
+#    token-prefix can never false-match.
+#  * exact run semantics — on a run [a,a,a,a] each match leaves the
+#    OUTER separator for its neighbour, so left-to-right
+#    non-overlapping replace merges tokens (0,1) and (2,3) exactly
+#    like reference BPE, not [aa,a,a].
+# tests/test_extensions.py pins this string encoding against a pure
+# token-tuple reference implementation for 15 rounds on the real
+# fixture vocabulary — well past the round-13 divergence the naive
+# encoding exhibits.
+#
+# The argmax is (count DESC, pair ASC): bitwise-deterministic, so
+# all _BPE_ROUNDS rounds — each depending on the previous round's
+# winner — replay exactly on both engines; the oracle unrolls the
+# loop as CTE rounds with the identical replace.
 # ---------------------------------------------------------------------------
 _BPE_ROUNDS = 5
-_BPE_SEP_SQL = "chr(31)"  # DuckDB spelling
-_BPE_SEP_SPARK = "char(31)"  # Spark SQL spelling
+# chr(31)/char(31): the unit-separator control char, absent from the
+# ASCII corpus by construction.
+_D_SEP = "chr(31)"
+_D_SEP2 = "(chr(31) || chr(31))"
+_S_SEP = "char(31)"
+_S_SEP2 = "(char(31) || char(31))"
 
 
 def _bpe_oracle() -> str:
-    ctes = ["""
+    ctes = [f"""
     wf AS (
       SELECT word, COUNT(*) AS freq
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -833,9 +855,9 @@ def _bpe_oracle() -> str:
     ),
     t0 AS (
       SELECT word, freq,
-             array_to_string(
+             {_D_SEP2} || array_to_string(
                list_transform(range(1, strlen(word) + 1), i -> word[i]),
-               chr(31)) AS toks
+               {_D_SEP2}) || {_D_SEP2} AS toks
       FROM wf
     )"""]
     for r in range(1, _BPE_ROUNDS + 1):
@@ -843,18 +865,23 @@ def _bpe_oracle() -> str:
         ctes.append(f"""
     p{r} AS (
       SELECT parts[i] AS a, parts[i + 1] AS b, SUM(freq) AS cnt
-      FROM (SELECT freq, string_split(toks, chr(31)) AS parts FROM t{p}) s,
+      FROM (SELECT freq,
+                   list_filter(string_split(toks, {_D_SEP2}),
+                               x -> x <> '') AS parts
+            FROM t{p}) s,
            LATERAL (SELECT unnest(range(1, len(parts))) AS i) ix
       GROUP BY 1, 2
     ),
     b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
     t{r} AS (
       SELECT word, freq,
-             replace(toks, (SELECT a || chr(31) || b FROM b{r}),
-                     (SELECT a || b FROM b{r})) AS toks
+             replace(toks,
+                     (SELECT {_D_SEP} || a || {_D_SEP2} || b || {_D_SEP}
+                      FROM b{r}),
+                     (SELECT {_D_SEP} || a || b || {_D_SEP} FROM b{r}))
+                 AS toks
       FROM t{p}
     )""")
-        # t{_BPE_ROUNDS} is built but unused: same shape as every round.
     unions = "\n      UNION ALL ".join(
         f"SELECT {r} AS round, a AS merge_left, b AS merge_right,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
@@ -867,8 +894,16 @@ def _bpe_oracle() -> str:
     )
 
 
-@register("text_bpe_train_merges", oracle=_bpe_oracle())
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge loop ONCE for both queries: returns
+    (per-round winner DataFrames, final (word, freq, toks) table).
+
+    Each round's winner and rewritten vocabulary are cache()d — the
+    union and the next round both read them — and the PREVIOUS
+    round's vocabulary is unpersisted as soon as the new one is
+    materialized (one tiny count() job), so a bench run holds at most
+    one |vocab|-row copy instead of accumulating R per invocation.
+    """
     docs = _docs(spark, sf_dir)
     wf = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -880,23 +915,24 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         "freq",
         F.expr(
-            "array_join(transform(sequence(1, length(word)),"
-            f" i -> substring(word, i, 1)), {_BPE_SEP_SPARK})"
+            f"{_S_SEP2} || array_join(transform(sequence(1, length(word)),"
+            f" i -> substring(word, i, 1)), {_S_SEP2}) || {_S_SEP2}"
         ).alias("toks"),
-    )
+    ).cache()
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
             toks.select(
                 "freq",
-                F.expr(f"split(toks, {_BPE_SEP_SPARK})").alias("parts"),
+                F.expr(
+                    f"filter(split(toks, {_S_SEP2}), x -> x <> '')"
+                ).alias("parts"),
             )
             .select(
                 "freq",
                 F.explode(
                     F.expr(
-                        "CASE WHEN size(parts) < 2 THEN"
-                        " array() "
+                        "CASE WHEN size(parts) < 2 THEN array() "
                         "ELSE transform(sequence(1, size(parts) - 1),"
                         " i -> struct(parts[i - 1] AS a, parts[i] AS b))"
                         " END"
@@ -906,17 +942,11 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").alias("cnt"))
         )
-        # cache(): both the final union and the next round's rewrite
-        # read the winner; without it each round re-executes the whole
-        # earlier-round chain (the pagerank O(R^2) lineage trap). The
-        # cached tables are 1 row / |vocab| rows.
         best = pairs.orderBy(
             F.desc("cnt"), "a", "b"
         ).limit(1).withColumn("round", F.lit(r).cast("long")).cache()
         merges.append(best)
-        # 1-row broadcast: the winner rides into every partition's
-        # token rewrite; the vocabulary table never shuffles.
-        toks = toks.crossJoin(
+        new_toks = toks.crossJoin(
             F.broadcast(best.select(
                 F.col("a").alias("_ba"), F.col("b").alias("_bb")
             ))
@@ -924,10 +954,20 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word",
             "freq",
             F.expr(
-                f"replace(toks, _ba || {_BPE_SEP_SPARK} || _bb,"
-                " _ba || _bb)"
+                f"replace(toks,"
+                f" {_S_SEP} || _ba || {_S_SEP2} || _bb || {_S_SEP},"
+                f" {_S_SEP} || _ba || _bb || {_S_SEP})"
             ).alias("toks"),
         ).cache()
+        new_toks.count()  # materialize before dropping the parent copy
+        toks.unpersist()
+        toks = new_toks
+    return merges, toks
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -948,59 +988,6 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows and broadcasts into one map-side pass over the corpus: encode
 # never shuffles document data, only the per-doc aggregate does.
 # ---------------------------------------------------------------------------
-def _bpe_final_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, freq, toks) after _BPE_ROUNDS merges — the trained vocab."""
-    docs = _docs(spark, sf_dir)
-    wf = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    toks = wf.select(
-        "word",
-        "freq",
-        F.expr(
-            "array_join(transform(sequence(1, length(word)),"
-            f" i -> substring(word, i, 1)), {_BPE_SEP_SPARK})"
-        ).alias("toks"),
-    )
-    for _ in range(_BPE_ROUNDS):
-        pairs = (
-            toks.select(
-                "freq",
-                F.expr(f"split(toks, {_BPE_SEP_SPARK})").alias("parts"),
-            )
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "CASE WHEN size(parts) < 2 THEN array() "
-                        "ELSE transform(sequence(1, size(parts) - 1),"
-                        " i -> struct(parts[i - 1] AS a, parts[i] AS b))"
-                        " END"
-                    )
-                ).alias("pr"),
-            )
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).cache()
-        toks = toks.crossJoin(
-            F.broadcast(best.select(
-                F.col("a").alias("_ba"), F.col("b").alias("_bb")
-            ))
-        ).select(
-            "word",
-            "freq",
-            F.expr(
-                f"replace(toks, _ba || {_BPE_SEP_SPARK} || _bb,"
-                " _ba || _bb)"
-            ).alias("toks"),
-        ).cache()
-    return toks
-
-
 def _bpe_encode_oracle() -> str:
     # reuse the training CTE chain; t{_BPE_ROUNDS} is the trained vocab
     base = _bpe_oracle()
@@ -1012,7 +999,8 @@ def _bpe_encode_oracle() -> str:
     )
     SELECT dw.doc_id,
            COUNT(*) AS n_words,
-           CAST(SUM(len(string_split(t.toks, chr(31)))) AS BIGINT)
+           CAST(SUM(len(list_filter(string_split(t.toks, {_D_SEP2}),
+                                    x -> x <> ''))) AS BIGINT)
                AS n_tokens,
            CAST(SUM(strlen(dw.word)) AS BIGINT) AS n_chars
     FROM dw JOIN t{_BPE_ROUNDS} t ON t.word = dw.word
@@ -1023,9 +1011,12 @@ def _bpe_encode_oracle() -> str:
 
 @register("text_bpe_encode", oracle=_bpe_encode_oracle())
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vocab = _bpe_final_toks(spark, sf_dir).select(
+    _, final_toks = _bpe_train(spark, sf_dir)
+    vocab = final_toks.select(
         "word",
-        F.expr(f"size(split(toks, {_BPE_SEP_SPARK}))").alias("n_tok"),
+        F.expr(
+            f"size(filter(split(toks, {_S_SEP2}), x -> x <> ''))"
+        ).alias("n_tok"),
     )
     dw = (
         _docs(spark, sf_dir)

@@ -172,3 +172,77 @@ def test_png_parse_rejects_corrupt_containers():
     corrupt[40] ^= 0xFF  # flip an IDAT byte → CRC mismatch
     with pytest.raises(ValueError):
         _png_parse(bytes(corrupt))
+
+
+def test_bpe_string_encoding_matches_token_tuple_reference():
+    """The chr(31)-string merge (double-separator boundary-anchored
+    replace) must reproduce reference token-tuple BPE (Sennrich ACL
+    2016) merge-for-merge. 15 rounds on the real fixture vocabulary —
+    well past round 13, where the naive single-separator encoding
+    measurably diverges (pair (a,s) matching the 's' prefix of token
+    'st' in 'fast')."""
+    import collections
+
+    import duckdb
+
+    words = collections.Counter()
+    for (t,) in duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall():
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+
+    SEP = "\x1f"
+    SEP2 = SEP + SEP
+
+    # reference: token tuples, merge leftmost-nonoverlapping
+    ref_toks = {w: tuple(w) for w in words}
+    # engine encoding: double-sep padded string, replace()-based merge
+    str_toks = {w: SEP2 + SEP2.join(w) + SEP2 for w in words}
+
+    for rnd in range(1, 16):
+        # reference pair count + argmax
+        pc = collections.Counter()
+        for w, cnt in words.items():
+            ts = ref_toks[w]
+            for a, b in zip(ts, ts[1:]):
+                pc[(a, b)] += cnt
+        (ra, rb), rcnt = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+
+        # string-encoding pair count + argmax (mirrors the SQL exactly)
+        sc = collections.Counter()
+        for w, cnt in words.items():
+            parts = [x for x in str_toks[w].split(SEP2) if x != ""]
+            for a, b in zip(parts, parts[1:]):
+                sc[(a, b)] += cnt
+        (sa, sb), scnt = sorted(
+            sc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+
+        assert (ra, rb, rcnt) == (sa, sb, scnt), f"round {rnd} winner"
+
+        # apply the merge both ways
+        for w in words:
+            ts = ref_toks[w]
+            out = []
+            i = 0
+            while i < len(ts):
+                if i + 1 < len(ts) and ts[i] == ra and ts[i + 1] == rb:
+                    out.append(ra + rb)
+                    i += 2
+                else:
+                    out.append(ts[i])
+                    i += 1
+            ref_toks[w] = tuple(out)
+            str_toks[w] = str_toks[w].replace(
+                SEP + ra + SEP2 + rb + SEP, SEP + ra + rb + SEP
+            )
+            got = tuple(
+                x for x in str_toks[w].split(SEP2) if x != ""
+            )
+            assert got == ref_toks[w], (
+                f"round {rnd} tokenization of {w!r}: {got} != {ref_toks[w]}"
+            )
