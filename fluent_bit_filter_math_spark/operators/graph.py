@@ -241,7 +241,13 @@ def _d_prc_tail() -> str:
     return f"""
     {moves},
     stop AS (
-      SELECT MIN(round) AS r FROM ({moves_union})
+      -- COALESCE mirrors the Spark loop's fallthrough: if no round
+      -- converges within the budget, both engines report the
+      -- round-PRC_MAX_ROUNDS ranks with n_rounds = PRC_MAX_ROUNDS
+      -- (without it, MIN over the empty set is NULL and the oracle
+      -- would emit 0 rows while Spark emits 10).
+      SELECT COALESCE(MIN(round), {PRC_MAX_ROUNDS}) AS r
+      FROM ({moves_union})
       WHERE mv < {PRC_TOL_FP} * n
     ),
     all_rounds AS ({ranks_union})

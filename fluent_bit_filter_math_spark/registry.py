@@ -117,7 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_mode_deterministic",
     "io_xml_roundtrip",
     # tier 2: new in r8 — the stdlib-zlib PNG decode, the
-    # fixpoint-convergence PageRank variant, and the three
+    # fixpoint-convergence PageRank variant, and the four
     # transformWithStateInPandas queries unblocked by the protobuf
     # wire shim (VERDICT r7 #4, #5, #7).
     "mm_png_decode",
@@ -127,16 +127,19 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tws_idle_close",
     "stream_tws_list_seeded",
     "text_bpe_train_merges",
-    # text_bpe_encode sits at position 51 — one past the 50-slot
-    # window. Deliberate: tiers 1+2 hold 51 never-checked queries and
-    # one must wait for r9; encode shares its entire CTE chain with
-    # bpe_train (in-window at 50), so it is the lowest-information
-    # sacrifice. Locally green under the dtype-exact gate.
+    # text_bpe_encode (position 51) and sample_temperature_mixture
+    # (position 52) sit just past the 50-slot window. Deliberate:
+    # tiers 1+2 hold 52 never-checked queries and two must wait for
+    # the r9 rotation; encode shares its entire CTE chain with
+    # bpe_train (in-window at 50) and the temperature mixture shares
+    # its rate-table/hash-filter skeleton with the driver-green
+    # sample_domain_mixture, so they are the two lowest-information
+    # sacrifices. Both locally green under the dtype-exact gate.
     "text_bpe_encode",
     "sample_temperature_mixture",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
-    # #3); all queue for the r9 rotation behind the 51 above,
+    # #3); all queue for the r9 rotation behind the 52 above,
     # ordered family-diverse (dedup, text, sort, setop, agg, TPC-H).
     "dedup_exact",
     "text_token_stats",

@@ -524,18 +524,22 @@ def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ExpiryTimerRequest → StateResponseWithTimer, repeated TimerInfo).
 #
 # Replay contract (what makes a TIMER query oracle-checkable): the
-# fixture is split into two event-time-ranged files replayed
-# maxFilesPerTrigger=1, and availableNow appends a no-data batch
-# after the last file once the watermark advances. A user fires
-# exactly once, at the first batch whose START watermark exceeds
-# their armed timer; users active in the last file re-arm and fire in
-# the final no-data batch only if still idle against the terminal
-# watermark max(ts) − 10 min. Emitted totals are whatever the state
-# held when the timer fired — and because a fired user (by
-# definition of firing) has no events after their timer, that is
-# always their COMPLETE event history. Hence the engine-independent
-# closed-form: user fires iff last_ms + GAP < max_all_ms − delay,
-# with full-history totals; that is the DuckDB oracle.
+# fixture is split at an event-time quantile into exactly TWO files
+# replayed maxFilesPerTrigger=1, and availableNow appends a no-data
+# batch after the last file once the watermark advances. With two
+# files a user can fire only (a) in batch 2 — possible only when
+# they have NO file-2 events, since input rows are processed before
+# expiry and re-arm the timer — or (b) in the terminal no-data
+# batch; in both cases the state holds the user's COMPLETE event
+# history at fire time, so the engine-independent closed form holds:
+# user fires iff last_ms + GAP < max_all_ms − delay, full-history
+# totals. The TWO-file bound is load-bearing: with ≥3 files a user
+# idle across an entire middle file they have no rows in would fire
+# mid-replay with PARTIAL history and fire AGAIN at the end — that
+# double emission is correct idle-session semantics, but it is not
+# this closed form, so the registered query pins the 2-file replay
+# and the slicing-invariance test varies the SPLIT BOUNDARY (median
+# vs first-quartile), not the file count.
 #
 # Scale: timers live in the keyed state store next to the values;
 # expiry scans are per-partition range reads (RocksDB-ordered), no
@@ -543,7 +547,7 @@ def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _TWS_IDLE_GAP_MS = 6 * 3600 * 1000  # re-arm distance
 _TWS_IDLE_DELAY = "10 minutes"  # watermark delay
-_TWS_IDLE_FILES = 2  # replay slices; tests override to pin slicing-invariance
+_TWS_IDLE_SPLIT_FRAC = 0.5  # event-time split quantile; tests vary it
 _TWS_IDLE_OUT = (
     "user_id long, n_events long, total_cents long, closed_at_ms long"
 )
@@ -643,12 +647,31 @@ def stream_tws_idle_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         exact_cents(F.col("value")).alias("cents"),
     )
-    # Two event-time-ranged files; mtimes force oldest-range-first
-    # replay (FileStreamSource orders by modification time).
-    ev.repartitionByRange(_TWS_IDLE_FILES, "ts").write.parquet(src)
+    # Exactly two event-time-ranged files, split at an exact
+    # percentile of event time (deterministic; the contract above is
+    # only a closed form for a 2-file replay). mtimes force
+    # oldest-range-first replay (FileStreamSource orders by
+    # modification time).
+    us = F.unix_micros(F.col("ts"))
+    boundary = int(
+        ev.select(
+            F.expr(
+                f"percentile(unix_micros(ts), {_TWS_IDLE_SPLIT_FRAC})"
+            ).alias("q")
+        ).collect()[0]["q"]
+    )
+    ev.filter(us <= boundary).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    ev.filter(us > boundary).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
     now = time.time()
-    for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    assert len(files) == 2
+    for i, f in enumerate(files):
         os.utime(f, (now + i, now + i))
+    src = src + "/f*"  # glob path covering both slice dirs
 
     schema = spark.read.parquet(src).schema
     stream = (

