@@ -574,3 +574,107 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pix_sum long, pix_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction ON COMPRESSED INPUT — a 4-bin pixel histogram
+# computed from the fully decoded PNG (signature → CRC walk → inflate
+# → un-filter → pixels), the step a vision-data pipeline runs right
+# after decode (exposure/contrast screens, dedup pre-features). Bins
+# are 32-wide over the ASCII band [0,128) that the synthesized
+# grayscale plane occupies; counts are exact integers, so the whole
+# deflate → inflate → unfilter → histogram path sits under the
+# bitwise gate (the oracle recomputes the bins from the cycled text
+# code points). Same Arrow-batched mapInPandas shape as every decode
+# kernel: no shuffle, no driver, O(pixels) per asset.
+# ---------------------------------------------------------------------------
+def _png_histogram_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for i, p in zip(pdf["asset_id"], pdf["payload"]):
+            blob = _png_build(p)
+            w, h, n_pixels, _, _ = _png_parse(blob)  # full validation
+            # re-decode the plane for binning (parse returns checksums)
+            import zlib
+
+            stream = zlib.decompress(
+                b"".join(_iter_idat(blob))
+            )
+            prior = bytes(w)
+            bins = [0, 0, 0, 0]
+            for y in range(h):
+                f = stream[y * (w + 1)]
+                line = stream[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+                recon = bytearray(w)
+                for x in range(w):
+                    left = recon[x - 1] if x else 0
+                    up = prior[x]
+                    ul = prior[x - 1] if x else 0
+                    if f == 0:
+                        v = line[x]
+                    elif f == 1:
+                        v = line[x] + left
+                    elif f == 2:
+                        v = line[x] + up
+                    elif f == 3:
+                        v = line[x] + (left + up) // 2
+                    else:
+                        v = line[x] + _png_paeth(left, up, ul)
+                    recon[x] = v & 0xFF
+                    bins[min(recon[x] // 32, 3)] += 1
+                prior = bytes(recon)
+            rows.append((int(i), n_pixels, *bins))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "n_pixels", "bin0", "bin1", "bin2", "bin3",
+            ],
+        )
+
+
+def _iter_idat(blob: bytes):
+    import struct
+
+    pos = 8
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            yield blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+
+
+@register(
+    "mm_png_histogram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             4 + strlen(text) % {_PNG_W_MOD} AS w,
+             2 + strlen(text) % {_PNG_H_MOD} AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w * h AS n_pixels,
+             list_transform(range(0, w * h),
+                 i -> ord(text[i % n + 1]) // 32) AS bin_ids
+      FROM d
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n_pixels AS BIGINT) AS n_pixels,
+           CAST(len(list_filter(bin_ids, x -> x = 0)) AS BIGINT) AS bin0,
+           CAST(len(list_filter(bin_ids, x -> x = 1)) AS BIGINT) AS bin1,
+           CAST(len(list_filter(bin_ids, x -> x = 2)) AS BIGINT) AS bin2,
+           CAST(len(list_filter(bin_ids, x -> x >= 3)) AS BIGINT) AS bin3
+    FROM px
+    """,
+)
+def mm_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assets(spark, sf_dir).mapInPandas(
+        _png_histogram_batches,
+        schema=(
+            "asset_id long, n_pixels long, bin0 long, bin1 long,"
+            " bin2 long, bin3 long"
+        ),
+    )

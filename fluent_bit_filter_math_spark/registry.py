@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     # sacrifices. Both locally green under the dtype-exact gate.
     "text_bpe_encode",
     "sample_temperature_mixture",
+    "mm_png_histogram",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
     # #3); all queue for the r9 rotation behind the 52 above,
