@@ -977,3 +977,126 @@ def test_tws_idle_close_slicing_invariant(spark):
     a = base.sort_values(key).reset_index(drop=True)
     b = sliced.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stateful_checkpoint_recovery_mid_replay(spark):
+    """Stop a stateful stream after its first micro-batch, restart
+    from the SAME checkpoint, and verify the recovered state store:
+    users emitted after the restart must report FULL-history totals
+    (batch-1 counts carried across the stop/start through the
+    checkpoint + state store), exactly matching a batch GROUP BY.
+    This is the exactly-once-across-restarts claim executed, not
+    asserted."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_filter_math_spark.sources import table
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _update_totals,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp(prefix="ckpt-recovery-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(floor(value * 100.0 + 0.5) as bigint)").alias("cents"),
+    )
+    ev.repartitionByRange(2, "event_id").write.parquet(src)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
+        os.utime(f, (now + i, now + i))
+    schema = spark.read.parquet(src).schema
+
+    sink_dir = os.path.join(base, "emissions")
+    os.makedirs(sink_dir)
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+            .select("user_id", "cents")
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            _update_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(sink_dir)
+
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # can — emissions accumulate in parquet tagged by batch id.
+        # Run 1 uses a LONG processingTime trigger so batch 1 cannot
+        # start before the test stops the query (stopping after "the
+        # first batch" must be deterministic, not a race against
+        # availableNow draining everything); run 2 drains the rest
+        # with availableNow.
+        w = (
+            out.writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        if name == "ckpt_run1":
+            w = w.trigger(processingTime="5 minutes")
+        else:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # run 1: stop as soon as the first micro-batch commits
+    q1 = start("ckpt_run1")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["batchId"] >= 0 and p["numInputRows"] > 0
+               for p in q1.recentProgress):
+            break
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination()
+    done_batches = {p["batchId"] for p in q1.recentProgress}
+    assert done_batches, "first run processed no batch"
+
+    # run 2: same checkpoint — must resume, not reprocess from scratch
+    q2 = start("ckpt_run2")
+    q2.awaitTermination()
+    emissions = spark.read.parquet(sink_dir)
+    max_batch = emissions.agg(F.max("batch_id")).collect()[0][0]
+    assert max_batch and max_batch >= 1, "restart processed no new batch"
+    # the restart's emissions are the batches AFTER the stop point
+    run1_batches = {p["batchId"] for p in q1.recentProgress}
+    resumed = emissions.filter(
+        ~F.col("batch_id").isin(list(run1_batches))
+    ).toPandas()
+    assert len(resumed), "restart emitted nothing"
+
+    expect = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    # users emitted post-restart carry batch-1 state: full history
+    for _, row in resumed.iterrows():
+        n, cents = expect[row["user_id"]]
+        assert (row["n_events"], row["total_cents"]) == (n, cents), (
+            f"user {row['user_id']}: recovered totals "
+            f"({row['n_events']}, {row['total_cents']}) != full-history "
+            f"({n}, {cents})"
+        )
