@@ -1100,3 +1100,119 @@ def test_stateful_checkpoint_recovery_mid_replay(spark):
             f"({row['n_events']}, {row['total_cents']}) != full-history "
             f"({n}, {cents})"
         )
+
+
+def test_tws_rocksdb_checkpoint_recovery_mid_replay(spark):
+    """The same stop/restart proof for transformWithStateInPandas:
+    typed ValueState in the RocksDB provider must survive a mid-replay
+    restart through the checkpoint — post-restart emissions carry
+    full-history totals."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_filter_math_spark.sources import table
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _OUT_SCHEMA,
+        _UserTotalsProcessor,
+        state_proto_shim,
+    )
+
+    state_proto_shim.install()
+    sf_dir = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp(prefix="tws-ckpt-recovery-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink_dir = os.path.join(base, "emissions")
+    os.makedirs(sink_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(floor(value * 100.0 + 0.5) as bigint)").alias("cents"),
+    )
+    ev.repartitionByRange(2, "event_id").write.parquet(src)
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(src + "/part-*.parquet"))):
+        os.utime(f, (now + i, now + i))
+    schema = spark.read.parquet(src).schema
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+            .select("user_id", "cents")
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserTotalsProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(sink_dir)
+
+        w = (
+            out.writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        if name == "run1":
+            w = w.trigger(processingTime="5 minutes")
+        else:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    try:
+        q1 = start("run1")
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+        run1_batches = {p["batchId"] for p in q1.recentProgress}
+        assert run1_batches, "first run processed no batch"
+
+        q2 = start("run2")
+        q2.awaitTermination()
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+
+    emissions = spark.read.parquet(sink_dir)
+    resumed = emissions.filter(
+        ~F.col("batch_id").isin(list(run1_batches))
+    ).toPandas()
+    assert len(resumed), "restart emitted nothing"
+    expect = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .collect()
+    }
+    for _, row in resumed.iterrows():
+        n, cents = expect[row["user_id"]]
+        assert (row["n_events"], row["total_cents"]) == (n, cents), (
+            f"user {row['user_id']}: RocksDB-recovered totals "
+            f"({row['n_events']}, {row['total_cents']}) != ({n}, {cents})"
+        )
