@@ -459,10 +459,10 @@ def _png_build(payload: bytes) -> bytes:
     )
 
 
-def _png_parse(payload: bytes) -> tuple[int, int, int, int, int]:
-    """Real PNG decode: signature, CRC-checked chunk walk, inflate,
-    scanline un-filtering. Returns (w, h, n_pixels, pix_sum,
-    pix_checksum) over the reconstructed pixel plane."""
+def _png_decode_plane(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode shared by every PNG kernel: signature,
+    CRC-checked chunk walk, multi-IDAT inflate, five-filter scanline
+    un-filtering. Returns (w, h, reconstructed pixel plane)."""
     import struct
     import zlib
 
@@ -498,7 +498,7 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, int, int]:
     if len(stream) != h * (w + 1):
         raise ValueError("IDAT length does not match dimensions")
     prior = bytes(w)
-    pix_sum = pix_checksum = 0
+    plane = bytearray()
     for y in range(h):
         f = stream[y * (w + 1)]
         line = stream[y * (w + 1) + 1 : (y + 1) * (w + 1)]
@@ -520,11 +520,21 @@ def _png_parse(payload: bytes) -> tuple[int, int, int, int, int]:
             else:
                 v = line[x] + _png_paeth(left, up, ul)
             recon[x] = v & 0xFF
-            i = y * w + x
-            pix_sum += recon[x]
-            pix_checksum += (i + 1) * recon[x]
+        plane += recon
         prior = bytes(recon)
-    return w, h, w * h, pix_sum, pix_checksum
+    return w, h, bytes(plane)
+
+
+def _png_parse(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(w, h, n_pixels, pix_sum, pix_checksum) over the decoded plane."""
+    w, h, plane = _png_decode_plane(payload)
+    return (
+        w,
+        h,
+        w * h,
+        sum(plane),
+        sum((i + 1) * b for i, b in enumerate(plane)),
+    )
 
 
 def _png_roundtrip_batches(
@@ -594,56 +604,17 @@ def _png_histogram_batches(
     for pdf in batches:
         rows = []
         for i, p in zip(pdf["asset_id"], pdf["payload"]):
-            blob = _png_build(p)
-            w, h, n_pixels, _, _ = _png_parse(blob)  # full validation
-            # re-decode the plane for binning (parse returns checksums)
-            import zlib
-
-            stream = zlib.decompress(
-                b"".join(_iter_idat(blob))
-            )
-            prior = bytes(w)
+            w, h, plane = _png_decode_plane(_png_build(p))
             bins = [0, 0, 0, 0]
-            for y in range(h):
-                f = stream[y * (w + 1)]
-                line = stream[y * (w + 1) + 1 : (y + 1) * (w + 1)]
-                recon = bytearray(w)
-                for x in range(w):
-                    left = recon[x - 1] if x else 0
-                    up = prior[x]
-                    ul = prior[x - 1] if x else 0
-                    if f == 0:
-                        v = line[x]
-                    elif f == 1:
-                        v = line[x] + left
-                    elif f == 2:
-                        v = line[x] + up
-                    elif f == 3:
-                        v = line[x] + (left + up) // 2
-                    else:
-                        v = line[x] + _png_paeth(left, up, ul)
-                    recon[x] = v & 0xFF
-                    bins[min(recon[x] // 32, 3)] += 1
-                prior = bytes(recon)
-            rows.append((int(i), n_pixels, *bins))
+            for b in plane:
+                bins[min(b // 32, 3)] += 1
+            rows.append((int(i), w * h, *bins))
         yield pd.DataFrame(
             rows,
             columns=[
                 "asset_id", "n_pixels", "bin0", "bin1", "bin2", "bin3",
             ],
         )
-
-
-def _iter_idat(blob: bytes):
-    import struct
-
-    pos = 8
-    while pos < len(blob):
-        (length,) = struct.unpack(">I", blob[pos : pos + 4])
-        tag = blob[pos + 4 : pos + 8]
-        if tag == b"IDAT":
-            yield blob[pos + 8 : pos + 8 + length]
-        pos += 12 + length
 
 
 @register(

@@ -189,6 +189,33 @@ def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stateless hash filter, zero corpus-sized shuffles. The fixture's
 # target weights favour src0-src9 2:1 over src10-src19.
 # ---------------------------------------------------------------------------
+def _mixture_rates(counts, weight_col):
+    """shares → corpus cap → per-domain keep rates, shared by both
+    mixture samplers (fixed-weight and temperature). `counts` has
+    (domain, n_s); `weight_col` is the domain weight Column. The
+    scalar reductions run as unpartitioned windows over the
+    per-domain AGGREGATE (#domains rows, never corpus rows)."""
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    shares = counts.select(
+        "domain",
+        "n_s",
+        (
+            weight_col.cast("double")
+            / F.sum(weight_col).over(everything).cast("double")
+        ).alias("share"),
+    )
+    return shares.select(
+        "domain",
+        (
+            F.col("share")
+            * F.min(F.col("n_s") / F.col("share")).over(everything)
+            / F.col("n_s")
+        ).alias("mix_rate"),
+    )
+
+
 MIX_KEY = "mix:"
 MIX_SCALE = 1_000_000
 _D_MIX_W = (
@@ -217,39 +244,23 @@ _D_MIX_W = (
     """,
 )
 def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     weight = F.when(
-        F.substring(F.col("source"), 4, 10).cast("int") < 10, F.lit(2.0)
+        F.substring(F.col("domain"), 4, 10).cast("int") < 10, F.lit(2.0)
     ).otherwise(F.lit(1.0))
-    # The scalar reductions (Σw, min n_s/share) run as unpartitioned
-    # windows over the per-domain AGGREGATE (#domains rows, not corpus
-    # rows) — one corpus scan builds the whole rate table; crossJoined
-    # scalar frames would re-scan the corpus once per reference.
-    everything = Window.partitionBy()
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_s")).select(
-        "source", "n_s", weight.alias("w")
-    )
-    shares = counts.select(
-        "source",
-        "n_s",
-        (F.col("w") / F.sum("w").over(everything)).alias("share"),
-    )
-    rates = shares.select(
-        "source",
-        (
-            F.col("share")
-            * F.min(F.col("n_s") / F.col("share")).over(everything)
-            / F.col("n_s")
-        ).alias("mix_rate"),
-    )
+    counts = docs.groupBy(F.col("source").alias("domain")).agg(
+        F.count("*").alias("n_s")
+    ).select("domain", "n_s", weight.alias("w"))
+    # exact 2.0/1.0 weights sum associatively; no fixed point needed
+    rates = _mixture_rates(counts, F.col("w"))
     keep = F.pmod(
         hash60(F.concat(F.lit(MIX_KEY), F.col("doc_id").cast("string"))),
         F.lit(MIX_SCALE),
     )
     return (
-        docs.join(F.broadcast(rates), "source")
+        docs.join(
+            F.broadcast(rates), docs["source"] == rates["domain"]
+        )
         .filter(keep < F.col("mix_rate") * MIX_SCALE)
         .select("doc_id", "source", "mix_rate")
     )
@@ -361,13 +372,10 @@ _TMP_KEY = "tmix:"
 def sample_temperature_mixture(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("domain"),
     )
-    everything = Window.partitionBy()
     counts = docs.groupBy("domain").agg(F.count("*").alias("n_s")).select(
         "domain",
         "n_s",
@@ -375,22 +383,7 @@ def sample_temperature_mixture(
         .cast("long")
         .alias("w_fp"),
     )
-    shares = counts.select(
-        "domain",
-        "n_s",
-        (
-            F.col("w_fp").cast("double")
-            / F.sum("w_fp").over(everything).cast("double")
-        ).alias("share"),
-    )
-    rates = shares.select(
-        "domain",
-        (
-            F.col("share")
-            * F.min(F.col("n_s") / F.col("share")).over(everything)
-            / F.col("n_s")
-        ).alias("mix_rate"),
-    )
+    rates = _mixture_rates(counts, F.col("w_fp"))
     keep = F.pmod(
         hash60(F.concat(F.lit(_TMP_KEY), F.col("doc_id").cast("string"))),
         F.lit(MIX_SCALE),

@@ -127,20 +127,22 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tws_idle_close",
     "stream_tws_list_seeded",
     "text_bpe_train_merges",
-    # text_bpe_encode (position 51) and sample_temperature_mixture
-    # (position 52) sit just past the 50-slot window. Deliberate:
-    # tiers 1+2 hold 52 never-checked queries and two must wait for
-    # the r9 rotation; encode shares its entire CTE chain with
-    # bpe_train (in-window at 50) and the temperature mixture shares
-    # its rate-table/hash-filter skeleton with the driver-green
-    # sample_domain_mixture, so they are the two lowest-information
-    # sacrifices. Both locally green under the dtype-exact gate.
+    # text_bpe_encode (51), sample_temperature_mixture (52) and
+    # mm_png_histogram (53) sit just past the 50-slot window.
+    # Deliberate: tiers 1+2 hold 53 never-checked queries and three
+    # must wait for the r9 rotation; each is the lowest-information
+    # member of a family with an in-window representative — encode
+    # shares its entire CTE chain with bpe_train (50), the
+    # temperature mixture shares its rate-table/hash-filter skeleton
+    # with driver-green sample_domain_mixture, and the histogram
+    # shares its full decode path with mm_png_decode (44). All three
+    # locally green under the dtype-exact gate.
     "text_bpe_encode",
     "sample_temperature_mixture",
     "mm_png_histogram",
     # tier 3: the oldest stale greens — queries whose ONLY driver row
     # is round 1, verified on long-regenerated fixtures (VERDICT r7
-    # #3); all queue for the r9 rotation behind the 52 above,
+    # #3); all queue for the r9 rotation behind the 53 above,
     # ordered family-diverse (dedup, text, sort, setop, agg, TPC-H).
     "dedup_exact",
     "text_token_stats",

@@ -581,8 +581,11 @@ class _IdleCloseProcessor(StatefulProcessor):
         # timer listing (ListTimers iteration through the wire shim),
         # not the state-tracked copy — the pattern that stays correct
         # even if state and timer registry ever diverge (e.g. after a
-        # partial replay).
-        for armed in self._handle.listTimers():
+        # partial replay). Drain the listing FIRST: ListTimerIterator
+        # fetches batches lazily from a server-side iterator, and
+        # deleting mid-iteration would mutate the very store a
+        # multi-batch listing is still reading.
+        for armed in list(self._handle.listTimers()):
             self._handle.deleteTimer(int(armed))
         timer_ms = last_ms + _TWS_IDLE_GAP_MS
         self._handle.registerTimer(timer_ms)
@@ -668,7 +671,11 @@ def stream_tws_idle_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     now = time.time()
     files = sorted(glob.glob(src + "/f*/part-*.parquet"))
-    assert len(files) == 2
+    if len(files) != 2:  # not assert: must hold under python -O too
+        raise RuntimeError(
+            f"two-file replay contract violated: {len(files)} data files"
+            " — degenerate percentile split or multi-part write"
+        )
     for i, f in enumerate(files):
         os.utime(f, (now + i, now + i))
     src = src + "/f*"  # glob path covering both slice dirs

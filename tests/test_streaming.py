@@ -994,6 +994,7 @@ def test_stateful_checkpoint_recovery_mid_replay(spark):
 
     from pyspark.sql import functions as F
 
+    from fluent_bit_filter_math_spark.functions import exact_cents
     from fluent_bit_filter_math_spark.sources import table
     from fluent_bit_filter_math_spark.streaming.stateful import (
         _OUT_SCHEMA,
@@ -1009,7 +1010,7 @@ def test_stateful_checkpoint_recovery_mid_replay(spark):
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.expr("cast(floor(value * 100.0 + 0.5) as bigint)").alias("cents"),
+        exact_cents(F.col("value")).alias("cents"),
     )
     ev.repartitionByRange(2, "event_id").write.parquet(src)
     now = time.time()
@@ -1114,6 +1115,7 @@ def test_tws_rocksdb_checkpoint_recovery_mid_replay(spark):
 
     from pyspark.sql import functions as F
 
+    from fluent_bit_filter_math_spark.functions import exact_cents
     from fluent_bit_filter_math_spark.sources import table
     from fluent_bit_filter_math_spark.streaming.stateful import (
         _OUT_SCHEMA,
@@ -1131,7 +1133,7 @@ def test_tws_rocksdb_checkpoint_recovery_mid_replay(spark):
     ev = table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.expr("cast(floor(value * 100.0 + 0.5) as bigint)").alias("cents"),
+        exact_cents(F.col("value")).alias("cents"),
     )
     ev.repartitionByRange(2, "event_id").write.parquet(src)
     now = time.time()
