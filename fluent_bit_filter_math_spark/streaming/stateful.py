@@ -755,7 +755,11 @@ class _PurchaseListProcessor(StatefulProcessor):
         self._purchases = handle.getListState("purchases", "cents long")
 
     def handleInitialState(self, key, initialState, timerValues) -> None:
-        self._purchases.appendValue((int(initialState["seed_cents"]),))
+        # initialState is a one-row pandas DataFrame; take the scalar
+        # explicitly (int(Series) is a pandas deprecation).
+        self._purchases.appendValue(
+            (int(initialState["seed_cents"].iloc[0]),)
+        )
 
     def handleInputRows(self, key, rows, timerValues):
         batch = [
