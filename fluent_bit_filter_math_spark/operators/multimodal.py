@@ -52,6 +52,32 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sample-level kernels (PNG pixel plane, WAV PCM samples) index the
+# PAYLOAD by byte while their oracles index ``text`` by character, so
+# the two sides only provably agree when every character is one byte
+# and the payload is non-empty (empty text would make the oracle's
+# ``i % n`` divide by zero and the kernel fall back to a zero byte the
+# oracle never sees). This guard — applied identically in the Spark
+# plan and the oracle SQL (``strlen(text) > 0 AND length(text) =
+# strlen(text)``; DuckDB strlen counts bytes, length counts chars) —
+# turns that fixture-shaped assumption into an enforced contract.
+# Header-only kernels (dims/frame counts from the byte LENGTH alone)
+# stay on the unguarded ``_assets``: strlen == octet_length always.
+_ASCII_GUARD_SQL = "strlen(text) > 0 AND length(text) = strlen(text)"
+
+
+def _ascii_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.octet_length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    ).select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.col("source").alias("container"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # metadata extraction — native expressions over the binary column.
 # ---------------------------------------------------------------------------
@@ -350,7 +376,7 @@ def _wav_energy_batches(
 
 @register(
     "mm_wav_energy",
-    oracle="""
+    oracle=f"""
     SELECT doc_id AS asset_id,
            CAST(strlen(text) * (1 + doc_id % 2) AS BIGINT) AS n_samples,
            CAST((1 + doc_id % 2) * COALESCE(list_aggregate(
@@ -359,10 +385,11 @@ def _wav_energy_batches(
                         * CAST((ord(text[i]) - 128) * 256 AS BIGINT)),
                'sum'), 0) AS BIGINT) AS sum_sq
     FROM documents
+    WHERE {_ASCII_GUARD_SQL}
     """,
 )
 def mm_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _assets(spark, sf_dir).mapInPandas(
+    return _ascii_assets(spark, sf_dir).mapInPandas(
         _wav_energy_batches,
         schema="asset_id long, n_samples long, sum_sq long",
     )
@@ -424,32 +451,38 @@ def _png_build(payload: bytes) -> bytes:
     import struct
     import zlib
 
+    import numpy as np
+
     n = len(payload)
     w = 4 + n % _PNG_W_MOD
     h = 2 + n % _PNG_H_MOD
     src = payload if payload else b"\x00"
     plane = (src * (w * h // len(src) + 1))[: w * h]
-    raw = [plane[y * w : (y + 1) * w] for y in range(h)]
-    out = bytearray()
-    for y in range(h):
-        f = y % 5
-        row, prior = raw[y], raw[y - 1] if y else bytes(w)
-        out.append(f)
-        for x in range(w):
-            left = row[x - 1] if x else 0
-            up = prior[x]
-            ul = prior[x - 1] if x else 0
-            if f == 0:
-                v = row[x]
-            elif f == 1:
-                v = row[x] - left
-            elif f == 2:
-                v = row[x] - up
-            elif f == 3:
-                v = row[x] - (left + up) // 2
-            else:
-                v = row[x] - _png_paeth(left, up, ul)
-            out.append(v & 0xFF)
+    # Encode-side filters read RAW neighbours (left/up/upper-left are
+    # the unfiltered pixels), so every filter type — Paeth included —
+    # vectorizes row-wise; uint8 arithmetic wraps mod 256 for free.
+    raw = np.frombuffer(plane, dtype=np.uint8).reshape(h, w)
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, 1:] = raw[:-1, :-1]
+    a, b, c = (m.astype(np.int16) for m in (left, up, ul))
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    filtered = np.empty((h, w + 1), dtype=np.uint8)
+    for f, pred in ((0, 0), (1, left), (2, up), (4, paeth)):
+        filtered[f::5, 0] = f
+        filtered[f::5, 1:] = raw[f::5] - pred[f::5] if f else raw[f::5]
+    filtered[3::5, 0] = 3
+    filtered[3::5, 1:] = raw[3::5] - (
+        (left[3::5].astype(np.uint16) + up[3::5]) // 2
+    ).astype(np.uint8)
+    out = filtered.tobytes()
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -459,10 +492,10 @@ def _png_build(payload: bytes) -> bytes:
     )
 
 
-def _png_decode_plane(payload: bytes) -> tuple[int, int, bytes]:
+def _png_decode_plane(payload: bytes):
     """Real PNG decode shared by every PNG kernel: signature,
     CRC-checked chunk walk, multi-IDAT inflate, five-filter scanline
-    un-filtering. Returns (w, h, reconstructed pixel plane)."""
+    un-filtering. Returns (w, h, reconstructed (h, w) uint8 plane)."""
     import struct
     import zlib
 
@@ -494,46 +527,59 @@ def _png_decode_plane(payload: bytes) -> tuple[int, int, bytes]:
     w, h, depth, color, comp, filt, interlace = ihdr
     if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
         raise ValueError("unsupported PNG variant")
+    import numpy as np
+
     stream = zlib.decompress(bytes(idat))
     if len(stream) != h * (w + 1):
         raise ValueError("IDAT length does not match dimensions")
-    prior = bytes(w)
-    plane = bytearray()
+    rows = np.frombuffer(stream, dtype=np.uint8).reshape(h, w + 1)
+    plane = np.empty((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.uint8)
     for y in range(h):
-        f = stream[y * (w + 1)]
-        line = stream[y * (w + 1) + 1 : (y + 1) * (w + 1)]
+        f = int(rows[y, 0])
+        line = rows[y, 1:]
         if f > 4:
             raise ValueError(f"bad filter type {f}")
-        recon = bytearray(w)
-        for x in range(w):
-            left = recon[x - 1] if x else 0
-            up = prior[x]
-            ul = prior[x - 1] if x else 0
-            if f == 0:
-                v = line[x]
-            elif f == 1:
-                v = line[x] + left
-            elif f == 2:
-                v = line[x] + up
-            elif f == 3:
-                v = line[x] + (left + up) // 2
-            else:
-                v = line[x] + _png_paeth(left, up, ul)
-            recon[x] = v & 0xFF
-        plane += recon
-        prior = bytes(recon)
-    return w, h, bytes(plane)
+        # Filters None/Up are elementwise; Sub's left-recursion
+        # recon[x] = line[x] + recon[x-1] telescopes to a running sum,
+        # so all three vectorize (uint8 wraps mod 256). Average/Paeth
+        # depend on the RECONSTRUCTED left byte and stay a scalar
+        # loop — but only 2 rows in 5 pay it.
+        if f == 0:
+            recon = line.copy()
+        elif f == 1:
+            recon = np.cumsum(line, dtype=np.uint64).astype(np.uint8)
+        elif f == 2:
+            recon = line + prior
+        else:
+            li, pi = line.tolist(), prior.tolist()
+            rec = [0] * w
+            left = 0
+            for x in range(w):
+                up = pi[x]
+                if f == 3:
+                    v = li[x] + (left + up) // 2
+                else:
+                    v = li[x] + _png_paeth(left, up, pi[x - 1] if x else 0)
+                left = rec[x] = v & 0xFF
+            recon = np.array(rec, dtype=np.uint8)
+        plane[y] = recon
+        prior = recon
+    return w, h, plane
 
 
 def _png_parse(payload: bytes) -> tuple[int, int, int, int, int]:
     """(w, h, n_pixels, pix_sum, pix_checksum) over the decoded plane."""
+    import numpy as np
+
     w, h, plane = _png_decode_plane(payload)
+    flat = plane.reshape(-1).astype(np.int64)
     return (
         w,
         h,
         w * h,
-        sum(plane),
-        sum((i + 1) * b for i, b in enumerate(plane)),
+        int(flat.sum()),
+        int(((np.arange(w * h, dtype=np.int64) + 1) * flat).sum()),
     )
 
 
@@ -562,6 +608,7 @@ def _png_roundtrip_batches(
              4 + strlen(text) % {_PNG_W_MOD} AS w,
              2 + strlen(text) % {_PNG_H_MOD} AS h
       FROM documents
+      WHERE {_ASCII_GUARD_SQL}
     )
     SELECT doc_id AS asset_id,
            CAST(w AS BIGINT) AS width,
@@ -577,7 +624,7 @@ def _png_roundtrip_batches(
     """,
 )
 def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _assets(spark, sf_dir).mapInPandas(
+    return _ascii_assets(spark, sf_dir).mapInPandas(
         _png_roundtrip_batches,
         schema=(
             "asset_id long, width long, height long, n_pixels long,"
@@ -601,14 +648,16 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _png_histogram_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
     for pdf in batches:
         rows = []
         for i, p in zip(pdf["asset_id"], pdf["payload"]):
             w, h, plane = _png_decode_plane(_png_build(p))
-            bins = [0, 0, 0, 0]
-            for b in plane:
-                bins[min(b // 32, 3)] += 1
-            rows.append((int(i), w * h, *bins))
+            bins = np.bincount(
+                np.minimum(plane.reshape(-1) // 32, 3), minlength=4
+            )
+            rows.append((int(i), w * h, *(int(b) for b in bins)))
         yield pd.DataFrame(
             rows,
             columns=[
@@ -625,6 +674,7 @@ def _png_histogram_batches(
              4 + strlen(text) % {_PNG_W_MOD} AS w,
              2 + strlen(text) % {_PNG_H_MOD} AS h
       FROM documents
+      WHERE {_ASCII_GUARD_SQL}
     ),
     px AS (
       SELECT doc_id, w * h AS n_pixels,
@@ -642,7 +692,7 @@ def _png_histogram_batches(
     """,
 )
 def mm_png_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _assets(spark, sf_dir).mapInPandas(
+    return _ascii_assets(spark, sf_dir).mapInPandas(
         _png_histogram_batches,
         schema=(
             "asset_id long, n_pixels long, bin0 long, bin1 long,"

@@ -13,9 +13,17 @@ read the result back. They need a scratch dir that is
   unpredictable suffix, so that failure mode cannot occur.
 * **bounded** — a bench run re-invokes each query REPS times; one new
   mkdtemp per invocation grows disk by REPS × |output| before any
-  atexit sweep fires. We therefore create ONE dir per (process, tag)
-  and wipe its *contents* on each reuse, so at most a single copy of
-  each sink's output exists at any time.
+  atexit sweep fires. We therefore create ONE base dir per
+  (process, tag) and keep exactly one *generation* subdirectory alive
+  inside it, so at most a single copy of each sink's output exists at
+  any time.
+* **loudly invalidating** — re-invoking a sink query INVALIDATES any
+  DataFrame a previous invocation returned (those read lazily from
+  the sink path). Each call returns a fresh ``gen-N`` subdirectory
+  and deletes ``gen-(N-1)``, so a held stale DataFrame fails at scan
+  time with a missing-path error instead of silently reading the new
+  invocation's files (r8 ADVICE: the old wipe-in-place reuse made
+  stale reads succeed on wrong data).
 """
 
 from __future__ import annotations
@@ -25,27 +33,32 @@ import os
 import shutil
 import tempfile
 
-_DIRS: dict[str, str] = {}
+_BASES: dict[str, str] = {}
+_GENS: dict[str, int] = {}
 
 
 def scratch_dir(tag: str) -> str:
-    """Return an empty private scratch dir, stable per (process, tag).
+    """Return an empty private scratch dir for one sink invocation.
 
-    First call per tag: ``mkdtemp(prefix=f"fbm-{tag}-")`` + atexit
-    removal. Later calls: wipe the dir's contents and return it. If a
-    wipe fails (e.g. permissions changed underneath us) we fail loudly
-    rather than risk reading stale output.
+    The returned path is a fresh ``gen-N`` subdirectory of a
+    per-(process, tag) ``mkdtemp`` base; the previous generation is
+    removed first (raises on failure — never risk a dirty or
+    half-shared scratch). Consequence callers rely on: a DataFrame
+    returned by a PREVIOUS invocation of the same query becomes
+    invalid here and will raise on its next action rather than read
+    this invocation's output.
     """
-    d = _DIRS.get(tag)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix=f"fbm-{tag}-")
-        _DIRS[tag] = d
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        return d
-    for entry in os.listdir(d):
-        p = os.path.join(d, entry)
-        if os.path.isdir(p) and not os.path.islink(p):
-            shutil.rmtree(p)  # raises on failure: never reuse dirty scratch
-        else:
-            os.unlink(p)
+    base = _BASES.get(tag)
+    if base is None or not os.path.isdir(base):
+        base = tempfile.mkdtemp(prefix=f"fbm-{tag}-")
+        _BASES[tag] = base
+        _GENS[tag] = -1
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    gen = _GENS[tag] = _GENS[tag] + 1
+    if gen:
+        prev = os.path.join(base, f"gen-{gen - 1}")
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)  # raises on failure: keep disk bounded
+    d = os.path.join(base, f"gen-{gen}")
+    os.makedirs(d)
     return d

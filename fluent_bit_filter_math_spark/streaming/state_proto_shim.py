@@ -135,6 +135,15 @@ class Message:
             raise AttributeError(
                 f"{type(self).__name__} has no field {name!r}"
             )
+        if f.oneof:
+            # Generated protobuf clears the other members of a oneof
+            # when one is assigned; mirror that so a reused request
+            # object never serializes two members of the same group
+            # (every message here declares at most one oneof group).
+            for sib in self.FIELDS:
+                if sib.oneof and sib.name != name:
+                    object.__setattr__(self, sib.name, None)
+                    self._set_msgs.discard(sib.name)
         if f.kind == "message" and not f.repeated:
             self._set_msgs.add(name)
         object.__setattr__(self, name, value)
@@ -225,9 +234,13 @@ class Message:
                     raise ValueError("truncated length-delimited field")
                 pos += size
             elif wire == 5:
+                if pos + 4 > len(data):
+                    raise ValueError("truncated fixed32 field")
                 payload = struct.unpack("<I", data[pos : pos + 4])[0]
                 pos += 4
             elif wire == 1:
+                if pos + 8 > len(data):
+                    raise ValueError("truncated fixed64 field")
                 payload = struct.unpack("<Q", data[pos : pos + 8])[0]
                 pos += 8
             else:

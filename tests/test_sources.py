@@ -191,26 +191,31 @@ def test_arrow_ipc_roundtrip_with_empty_partitions(spark, tmp_path):
     assert 1 <= len(files) <= 3
 
 
-def test_scratch_dir_private_reused_and_wiped():
+def test_scratch_dir_private_generational():
     import os
 
     from fluent_bit_filter_math_spark.scratch import scratch_dir
 
     d1 = scratch_dir("unittest-scratch")
-    # private: mkdtemp creates mode 0700, owned by us
-    assert os.stat(d1).st_mode & 0o777 == 0o700
+    # private: the mkdtemp BASE is mode 0700, owned by us; the gen
+    # subdir inherits its protection through the parent
+    base = os.path.dirname(d1)
+    assert os.stat(base).st_mode & 0o777 == 0o700
     with open(os.path.join(d1, "stale.txt"), "w") as f:
         f.write("old output")
     os.makedirs(os.path.join(d1, "subdir"))
     with open(os.path.join(d1, "subdir", "part-0"), "w") as f:
         f.write("old shard")
-    # reuse: same dir per (process, tag), contents wiped — the bounded
-    # disk + no-stale-reads contract the sink round-trips rely on
+    # re-invocation: fresh empty generation under the same base, and
+    # the previous generation is GONE — a lazily-held DataFrame over
+    # d1 now fails loudly instead of silently reading d2's output
+    # (r8 ADVICE), while disk stays bounded to one copy per tag.
     d2 = scratch_dir("unittest-scratch")
-    assert d2 == d1
+    assert d2 != d1 and os.path.dirname(d2) == base
+    assert not os.path.exists(d1)
     assert os.listdir(d2) == []
     # distinct tags never collide
-    assert scratch_dir("unittest-scratch-2") != d1
+    assert os.path.dirname(scratch_dir("unittest-scratch-2")) != base
 
 
 def test_json_sink_exactly_once_under_real_task_retry():

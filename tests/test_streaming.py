@@ -955,6 +955,38 @@ def test_state_proto_shim_wire_roundtrip():
     assert parsed.statusCode == 0 and parsed.errorMessage == ""
 
 
+def test_state_proto_shim_oneof_exclusive_and_truncation():
+    """r8 ADVICE: (a) assigning a second member of a oneof must clear
+    the first (generated protobuf semantics) so a reused request
+    object never serializes two members; (b) truncated fixed32/64
+    payloads raise ValueError like every other truncation path."""
+    import pytest
+
+    from fluent_bit_filter_math_spark.streaming import state_proto_shim as sm
+
+    call = sm.ValueStateCall(stateName="s", get=sm.Get())
+    call.valueStateUpdate = sm.ValueStateUpdate(value=b"v")
+    wire = call.SerializeToString()
+    parsed = sm.ValueStateCall()
+    parsed.ParseFromString(wire)
+    # only the LAST-assigned oneof member survives on the wire
+    assert parsed._message_field_present(parsed._by_name["valueStateUpdate"])
+    assert not parsed._message_field_present(parsed._by_name["get"])
+    # stateName sits OUTSIDE the oneof group and must be untouched
+    assert parsed.stateName == "s"
+    # duplicate oneof members in one buffer: last wins, first cleared
+    dup = sm.ValueStateCall(get=sm.Get()).SerializeToString() + \
+        sm.ValueStateCall(clear=sm.Clear()).SerializeToString()
+    p2 = sm.ValueStateCall()
+    p2.ParseFromString(dup)
+    assert p2._message_field_present(p2._by_name["clear"])
+    assert not p2._message_field_present(p2._by_name["get"])
+    # truncated fixed64 (wire type 1) / fixed32 (wire type 5)
+    for tag, tail in ((b"\x09", b"\x01\x02"), (b"\x0d", b"\x01")):
+        with pytest.raises(ValueError, match="truncated fixed"):
+            sm.RegisterTimer().ParseFromString(tag + tail)
+
+
 def test_tws_idle_close_slicing_invariant(spark):
     # The idle-close oracle is a closed form over the FULL event
     # history (fires iff last_ms + GAP < terminal watermark), valid
