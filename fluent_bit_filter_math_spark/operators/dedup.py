@@ -1072,3 +1072,85 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(gemm_cluster, schema="cluster long, id_a long, id_b long")
         .orderBy("cluster", "id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-corpus exact SPAN dedup — the C4 / RefinedWeb cleaning step the
+# family above doesn't cover: C4 removes any 3-sentence span occurring
+# more than once in the corpus (Raffel et al. 2020 §2.2); RefinedWeb
+# does the same at line level. This corpus has single-line documents,
+# so the span unit is the overlapping word-8-gram, and the operator
+# reports, per document, how many of its spans are corpus-duplicated
+# (occur ≥2 times anywhere, same doc included — C4's count is global
+# occurrences, not distinct documents) plus the resulting keep/drop
+# verdict at a 25% duplicated-span budget.
+#
+# Shape — the honest C4 shape, two hash shuffles keyed by the span:
+# explode → γ(gram → occurrence count) → shuffle-join the counts back
+# onto the span stream → γ(doc). The gram table is corpus-sized, NOT
+# broadcastable at 100 TB; both sides hash-partition on gram, and the
+# join reuses the aggregate's exchange on the build side. Skew risk is
+# hyper-common spans (boilerplate); production adds a df-cap (drop
+# grams in > N docs before the join — they are boilerplate by
+# definition and force the drop verdict anyway), the same mitigation
+# measured for dedup_ngram_jaccard's shingle index.
+# ---------------------------------------------------------------------------
+_SPAN_K = 8  # words per span (C4 uses 3 sentences; 8 words ≈ one clause)
+
+
+@register(
+    "dedup_span_corpus",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_D_TOKENS} AS t FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_SPAN_K - 2}),
+                 i -> array_to_string(t[i:i+{_SPAN_K - 1}], ' '))) AS gram
+      FROM t WHERE len(t) >= {_SPAN_K}
+    ),
+    occ AS (
+      SELECT gram, COUNT(*) AS occ FROM sp GROUP BY gram
+    )
+    SELECT sp.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           CAST(SUM(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) * 4
+                < COUNT(*) AS BOOLEAN) AS keep
+    FROM sp JOIN occ USING (gram)
+    GROUP BY sp.doc_id
+    ORDER BY sp.doc_id
+    """,
+)
+def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _SPAN_K
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+    )
+    # Overlapping spans at every position; sequence() counts DOWN when
+    # stop < start, so short docs are guarded to an empty array (explode
+    # then drops them, matching the oracle's len(t) >= K filter).
+    grams = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toks.select("doc_id", F.explode(grams).alias("gram"))
+    occ = spans.groupBy("gram").agg(F.count("*").alias("occ"))
+    return (
+        spans.join(occ, "gram")  # shuffle join on gram; exchange reused
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(
+                F.when(F.col("occ") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+        .withColumn("keep", F.col("n_dup_spans") * 4 < F.col("n_spans"))
+        .orderBy("doc_id")
+    )

@@ -1458,3 +1458,136 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction scoring — ColBERT-style MaxSim (Khattab & Zaharia,
+# SIGIR 2020): a query is a SET of token vectors, a document a SET of
+# token vectors, and the relevance score is Σ_q max_t cos(q, t) — each
+# query token picks its best-matching document token. This is the
+# retrieval model multi-vector training pipelines score with, and it
+# composes from primitives the single-vector family above cannot: a
+# per-(doc, query-token) MAX before the per-doc SUM.
+#
+# Corpus mapping: each ``label`` group is one "document" whose member
+# embeddings are its token vectors; the query token set is the
+# deterministic slice vec_id % 125 == 0 (4 tokens at sf0.01, growing
+# with the corpus).
+#
+# Engine-exactness: elements are quantized to micro-unit BIGINTs first
+# (the emb_centroids idiom), so dot products and norms are exact
+# integer sums in any order; the only float step is
+# dot / (sqrt(nq)·sqrt(nt)) — division and sqrt are IEEE
+# correctly-rounded single expressions, identical in Spark and DuckDB
+# — immediately re-quantized to a fixed-point BIGINT, after which MAX
+# and SUM are order-free integer folds. Zero-norm vectors score 0 (r8
+# ADVICE lesson).
+#
+# Scale: the query token set is the small side — ONE broadcast row set
+# against the streaming corpus; per-(label, query-token) MAX and the
+# per-label SUM are both partial-aggregatable hash aggregates keyed by
+# label (+ token), so the corpus shuffles once on label at bounded
+# width. No pairwise doc×doc term anywhere.
+# ---------------------------------------------------------------------------
+_MAXSIM_QMOD = 125  # vec_id % QMOD == 0 → query token
+_MAXSIM_FP = 1_000_000
+
+
+@register(
+    "sim_maxsim_late_interaction",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * {_MAXSIM_FP} + 0.5)
+                      AS BIGINT)) AS xv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, xv,
+             list_aggregate(list_transform(xv, v -> v * v), 'sum') AS nrm
+      FROM x
+    ),
+    q AS (
+      SELECT vec_id AS qid, xv AS qv, nrm AS qn FROM n
+      WHERE vec_id % {_MAXSIM_QMOD} = 0
+    ),
+    best AS (
+      SELECT t.label, q.qid,
+             MAX(CASE WHEN q.qn = 0 OR t.nrm = 0 THEN 0
+                 ELSE CAST(floor(
+                     CAST(list_aggregate(
+                         list_transform(range(1, len(q.qv) + 1),
+                                        i -> q.qv[i] * t.xv[i]),
+                         'sum') AS DOUBLE)
+                     / (sqrt(CAST(q.qn AS DOUBLE))
+                        * sqrt(CAST(t.nrm AS DOUBLE)))
+                     * {_MAXSIM_FP} + 0.5) AS BIGINT) END) AS best_fp
+      FROM n t, q
+      GROUP BY t.label, q.qid
+    )
+    SELECT label,
+           CAST((SELECT COUNT(*) FROM embeddings e
+                 WHERE e.label = best.label) AS BIGINT) AS n_tokens,
+           CAST(SUM(best_fp) AS BIGINT) AS maxsim_fp
+    FROM best
+    GROUP BY label
+    ORDER BY maxsim_fp DESC, label
+    """,
+)
+def sim_maxsim_late_interaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    fp = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(
+                e.cast("double") * _MAXSIM_FP + F.lit(0.5)
+            ).cast("long"),
+        ).alias("xv"),
+    ).withColumn(
+        "nrm",
+        F.aggregate(
+            F.transform("xv", lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ),
+    )
+    q = fp.filter(F.col("vec_id") % _MAXSIM_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("xv").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "xv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    cos_fp = F.when(
+        (F.col("qn") == 0) | (F.col("nrm") == 0), F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(
+            dot.cast("double")
+            / (F.sqrt(F.col("qn").cast("double"))
+               * F.sqrt(F.col("nrm").cast("double")))
+            * _MAXSIM_FP
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    best = (
+        fp.join(F.broadcast(q))
+        .select("label", "qid", cos_fp.alias("cos_fp"))
+        .groupBy("label", "qid")
+        .agg(F.max("cos_fp").alias("best_fp"))
+    )
+    n_tok = emb.groupBy("label").agg(F.count("*").alias("n_tokens"))
+    return (
+        best.groupBy("label")
+        .agg(F.sum("best_fp").alias("maxsim_fp"))
+        .join(n_tok, "label")
+        .select("label", "n_tokens", "maxsim_fp")
+        .orderBy(F.desc("maxsim_fp"), "label")
+    )

@@ -67,83 +67,33 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 8 rotation ---
-    # tier 1: the 43 queries with NO driver CORRECTNESS row in any
-    # round (CORRECTNESS_LOCAL minus the union of r01..r07 windows;
-    # VERDICT r7 'Next round' #1). All locally green under the
-    # dtype-exact gate; this rotation exists purely to convert
-    # local-only proof into driver hash-green rows.
-    "agg_equidepth_histogram",
-    "join_bloom_prefilter",
-    "join_range_bucketize",
-    "funnel_conversion",
-    "event_pattern_match",
-    "sketch_bitmap_distinct",
-    "fn_regex_suite",
-    "ivm_join_delta",
-    "storage_compact_roundtrip",
-    "dq_distribution_drift",
-    "sketch_hll_mergeable",
-    "io_arrow_ipc_roundtrip",
-    "io_csv_malformed_recovery",
-    "emb_covariance_exact",
-    "emb_pca_power_iteration",
-    "join_asof_nearest",
-    "interval_union_coverage",
-    "stream_pattern_match_stateful",
-    "window_rolling_median",
-    "win_session_dynamic_gap",
-    "udaf_window_pandas",
-    "sim_recall_audit",
-    "fn_calendar_suite",
-    "pipeline_split_composition",
-    "sim_ann_ivfpq",
-    "fn_explode_outer_suite",
-    "fn_collation_suite",
-    "stream_arrow_ipc_sink",
-    "mm_wav_energy",
-    "text_hashing_vectorizer",
-    "dq_reconcile_orders_lineitem",
-    "stream_session_dynamic_gap",
-    "fn_digest_suite",
-    "fn_nested_json_suite",
-    "window_period_over_period",
-    "q_cohort_retention",
-    "q_market_basket_pairs",
-    "fn_variant_suite",
-    "fn_url_suite",
-    "fn_string_shape_suite",
-    "agg_bool_suite",
-    "agg_mode_deterministic",
-    "io_xml_roundtrip",
-    # tier 2: new in r8 — the stdlib-zlib PNG decode, the
-    # fixpoint-convergence PageRank variant, and the four
-    # transformWithStateInPandas queries unblocked by the protobuf
-    # wire shim (VERDICT r7 #4, #5, #7).
+    # --- round 9 rotation ---
+    # tier 1: the LAST 3 queries with no driver CORRECTNESS row in
+    # any round (queued at slots 51-53 of the r8 window; VERDICT r8
+    # 'Next round' #1). After this window every registered query has
+    # a driver hash-green row.
+    "text_bpe_encode",
+    "sample_temperature_mixture",
+    "mm_png_histogram",
+    # tier 2: new or semantically touched in r9 — the C4-style span
+    # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
+    # ColBERT MaxSim; then the queries whose code changed this round:
+    # the PNG pair + WAV energy run the vectorized codec behind the
+    # new ASCII guard (r8 ADVICE #1), and the four TWS queries run
+    # under the shared _run_tws harness (conf trims + memoized split).
+    "dedup_span_corpus",
+    "mm_ulaw_energy",
+    "mm_jpeg_metadata",
+    "sim_maxsim_late_interaction",
     "mm_png_decode",
-    "graph_pagerank_converged",
+    "mm_wav_energy",
     "stream_tws_user_totals",
     "stream_tws_type_stats",
     "stream_tws_idle_close",
     "stream_tws_list_seeded",
-    "text_bpe_train_merges",
-    # text_bpe_encode (51), sample_temperature_mixture (52) and
-    # mm_png_histogram (53) sit just past the 50-slot window.
-    # Deliberate: tiers 1+2 hold 53 never-checked queries and three
-    # must wait for the r9 rotation; each is the lowest-information
-    # member of a family with an in-window representative — encode
-    # shares its entire CTE chain with bpe_train (50), the
-    # temperature mixture shares its rate-table/hash-filter skeleton
-    # with driver-green sample_domain_mixture, and the histogram
-    # shares its full decode path with mm_png_decode (44). All three
-    # locally green under the dtype-exact gate.
-    "text_bpe_encode",
-    "sample_temperature_mixture",
-    "mm_png_histogram",
-    # tier 3: the oldest stale greens — queries whose ONLY driver row
-    # is round 1, verified on long-regenerated fixtures (VERDICT r7
-    # #3); all queue for the r9 rotation behind the 53 above,
-    # ordered family-diverse (dedup, text, sort, setop, agg, TPC-H).
+    # tier 3: the 24 r1-era stale greens — their ONLY driver row is
+    # round 1, verified on long-regenerated fixtures (VERDICT r8 #1);
+    # family-diverse order (dedup, text, sort, setop, agg, TPC-H).
     "dedup_exact",
     "text_token_stats",
     "sort_limit_topn",
@@ -168,6 +118,23 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
+    # tier 4: 13 family-diverse representatives of the r4-era greens
+    # (the next-oldest cohort, 33 queries) — fills the 50-slot window;
+    # the 20 r4 queries left over queue first for the r10 rotation,
+    # then the r5/r6 cohorts by age.
+    "dedup_ngram_jaccard",
+    "graph_pagerank",
+    "emb_kmeans",
+    "decontam_ngram_overlap",
+    "pipeline_pack_sequences",
+    "sample_domain_mixture",
+    "fn_json_suite",
+    "agg_grouping_sets",
+    "join_salted_skew",
+    "scd2_user_state",
+    "udtf_tokenize_docs",
+    "win_tumbling_hour",
+    "stream_static_join_enrich",
 )
 
 

@@ -174,6 +174,113 @@ def test_png_parse_rejects_corrupt_containers():
         _png_parse(bytes(corrupt))
 
 
+def test_jpeg_metadata_roundtrip_and_corrupt_rejection():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _jpeg_build,
+        _jpeg_parse_metadata,
+    )
+
+    for doc_id, payload in ((0, b"abc def " * 12), (7, b"x"), (13, b"")):
+        n = len(payload)
+        got = _jpeg_parse_metadata(_jpeg_build(doc_id, payload))
+        assert got == (
+            1, 2, 72 + doc_id % 5, 72 + n % 7,
+            16 + n % 240, 16 + doc_id % 200, 1 + (doc_id + n) % 2 * 2,
+        )
+    blob = _jpeg_build(3, b"some text " * 8)
+    with pytest.raises(ValueError):
+        _jpeg_parse_metadata(b"\x00\x00" + blob[2:])  # missing SOI
+    with pytest.raises(ValueError):
+        _jpeg_parse_metadata(blob[:-2])  # missing EOI
+    with pytest.raises(ValueError):
+        _jpeg_parse_metadata(blob[:-1])  # truncated marker
+    corrupt = bytearray(blob)
+    corrupt[5] = 0xFF  # APP0 length low byte → segment overruns buffer
+    with pytest.raises(ValueError):
+        _jpeg_parse_metadata(bytes(corrupt))
+    misframed = bytearray(blob)
+    misframed[5] = 0x05  # short APP0 → walk lands mid-identifier
+    with pytest.raises(ValueError):
+        _jpeg_parse_metadata(bytes(misframed))
+
+
+def test_ulaw_decode_matches_reference_values():
+    """Pin the expansion against independently computed G.711 values:
+    the canonical table's extremes and midpoints (codeword → 13-bit
+    linear magnitude under the (2m+33)<<e − 33 convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _ulaw_decode_batches,
+    )
+
+    # code 0xFF → u=0 → +((0+33)<<0)-33 = 0; code 0x7F → u=128 → -0
+    # code 0x00 → u=255 → sign, exp 7, man 15 → -(63<<7 - 33) = -8031
+    # code 0x80 → u=127 → +8031; code 0xEF → u=16 → +((33<<1)-33) = 33
+    payload = bytes([0xFF, 0x7F, 0x00, 0x80, 0xEF])
+    [out] = list(
+        _ulaw_decode_batches(
+            iter([pd.DataFrame({"asset_id": [1], "payload": [payload]})])
+        )
+    )
+    code = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    u = 255 - code
+    mag = ((2 * (u & 0x0F) + 33) << ((u >> 4) & 7)) - 33
+    pcm = np.where(u & 0x80, -mag, mag)
+    assert list(pcm) == [0, 0, -8031, 8031, 33]
+    assert out.iloc[0]["n_samples"] == 5
+    assert out.iloc[0]["sum_sq"] == int((pcm * pcm).sum())
+    assert out.iloc[0]["min_pcm"] == -8031
+    assert out.iloc[0]["max_pcm"] == 8031
+
+
+def test_span_dedup_flags_only_corpus_duplicated_spans(spark):
+    import pandas as pd
+
+    from fluent_bit_filter_math_spark.operators import dedup as dd
+
+    words = [f"w{i}" for i in range(12)]
+    shared = " ".join(words[:8])  # one 8-gram, present in docs 0 and 1
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    shared + " tail0 tail1 tail2 tail3",
+                    "head0 " + shared,
+                    " ".join(words[4:12]),  # unique span
+                ],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [1] * 3,
+            }
+        )
+    )
+    import fluent_bit_filter_math_spark.sources as src
+
+    orig = src.table
+    try:
+        src.table = lambda _s, _d, name: docs
+        dd.table = src.table
+        out = {
+            r["doc_id"]: r
+            for r in dd.dedup_span_corpus(spark, "ignored").collect()
+        }
+    finally:
+        src.table = orig
+        dd.table = orig
+    # doc 0: 5 spans (12 words), only position 1 (the shared gram) dup
+    assert (out[0]["n_spans"], out[0]["n_dup_spans"]) == (5, 1)
+    assert bool(out[0]["keep"]) is True  # 1*4 < 5
+    # doc 1: 2 spans, the second is the shared gram → 50% dup → drop
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (2, 1)
+    assert bool(out[1]["keep"]) is False
+    # doc 2: single unique span
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (1, 0)
+    assert bool(out[2]["keep"]) is True
+
+
 def test_bpe_string_encoding_matches_token_tuple_reference():
     """The chr(31)-string merge (double-separator boundary-anchored
     replace) must reproduce reference token-tuple BPE (Sennrich ACL

@@ -1250,3 +1250,168 @@ def test_tws_rocksdb_checkpoint_recovery_mid_replay(spark):
             f"user {row['user_id']}: RocksDB-recovered totals "
             f"({row['n_events']}, {row['total_cents']}) != ({n}, {cents})"
         )
+
+
+def test_tws_timer_survives_restart_and_fires_once(spark):
+    """r8 VERDICT #7 — the remaining TWS recovery path: an event-time
+    timer ARMED before a stop must survive the restart through the
+    RocksDB checkpoint and fire afterward EXACTLY ONCE, when the
+    recovered watermark passes its expiry.
+
+    Harness: the idle-close processor over a two-file event-time split.
+    run1 (long processingTime trigger) processes file 0 only — every
+    user arms a timer, the watermark is still 0, so nothing can fire —
+    then stops. run2 (availableNow) recovers, processes file 1 (users
+    with file-1 events DELETE their recovered timer through the
+    listTimers walk and re-arm — exercising DeleteTimer against a
+    RECOVERED timer registry), then the terminal no-data batch fires
+    the survivors. The emission set must equal the engine-independent
+    closed form (fires iff last_ms + GAP < terminal watermark, with
+    FULL-history totals), each user at most once, all of it after the
+    restart — and at least one fired user must have had no file-1
+    events, i.e. their timer was armed in run1 and fired in run2
+    untouched."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.sources import table
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _TWS_IDLE_DELAY,
+        _TWS_IDLE_GAP_MS,
+        _TWS_IDLE_OUT,
+        _IdleCloseProcessor,
+        state_proto_shim,
+    )
+
+    state_proto_shim.install()
+    sf_dir = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp(prefix="tws-timer-restart-")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    sink_dir = os.path.join(base, "emissions")
+    os.makedirs(sink_dir)
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    # 0.99 split: at sf0.001 it leaves 7 of the 9 firing users entirely
+    # in file 0, so their timers are armed pre-stop and fire post-
+    # restart untouched (the median split leaves that cohort empty —
+    # firing users are by definition idle near the stream's END, so
+    # the boundary must sit late to strand any of them in file 0).
+    boundary = int(
+        ev.select(
+            F.expr("percentile(unix_micros(ts), 0.99)").alias("q")
+        ).collect()[0]["q"]
+    )
+    ev.filter(us <= boundary).coalesce(1).write.parquet(src + "/f0")
+    ev.filter(us > boundary).coalesce(1).write.parquet(src + "/f1")
+    now = time.time()
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    assert len(files) == 2
+    for i, f in enumerate(files):
+        os.utime(f, (now + i, now + i))
+    glob_src = src + "/f*"
+    schema = spark.read.parquet(glob_src).schema
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+
+    def start(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(glob_src)
+            .withWatermark("ts", _TWS_IDLE_DELAY)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_IdleCloseProcessor(),
+            outputStructType=_TWS_IDLE_OUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ).write.mode("append").parquet(sink_dir)
+
+        w = (
+            out.writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if name == "run1":
+            w = w.trigger(processingTime="5 minutes")
+        else:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    try:
+        q1 = start("run1")
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+        run1_batches = {p["batchId"] for p in q1.recentProgress}
+        assert run1_batches, "first run processed no batch"
+
+        q2 = start("run2")
+        q2.awaitTermination()
+    finally:
+        if old_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old_prov)
+
+    fired = spark.read.parquet(sink_dir).toPandas()
+    # exactly-once: a recovered timer firing twice would duplicate
+    assert fired["user_id"].is_unique, "a user fired more than once"
+    # everything fired AFTER the restart (watermark was 0 in run1)
+    assert set(fired["batch_id"]) & set(run1_batches) == set()
+    # the closed form, full history (the registered query's oracle)
+    hist = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            (F.max(F.unix_micros("ts")) / 1000).cast("long").alias(
+                "last_ms"
+            ),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    wm = int(hist["last_ms"].max()) - 600_000
+    expect = hist[hist["last_ms"] + _TWS_IDLE_GAP_MS < wm]
+    assert set(fired["user_id"]) == set(expect.index)
+    for _, row in fired.iterrows():
+        e = expect.loc[row["user_id"]]
+        assert (row["n_events"], row["total_cents"], row["closed_at_ms"]) \
+            == (e["n_events"], e["total_cents"],
+                e["last_ms"] + _TWS_IDLE_GAP_MS)
+    # at least one fired user armed their timer ONLY before the stop
+    boundary_ms = boundary // 1000
+    pre_stop_only = expect[expect["last_ms"] <= boundary_ms]
+    assert len(pre_stop_only), (
+        "no fired user was file-0-only; the armed-pre-restart path "
+        "was not exercised by this fixture split"
+    )
