@@ -1154,3 +1154,101 @@ def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("n_dup_spans") * 4 < F.col("n_spans"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric CONTAINMENT near-dup pairs — C(a→b) = |a∩b| / |a|, the
+# boilerplate/quote detector Jaccard cannot express: a short document
+# wholly embedded in a long one scores containment ≈ 1 while its
+# Jaccard ≈ |a|/|b| falls below any sane symmetric threshold. This is
+# the signal RefinedWeb-style pipelines use to strip quoted/templated
+# content and to catch train-on-test leakage where the test doc rides
+# inside a larger page.
+#
+# Exact, via one-sided prefix filtering: C(a→b) ≥ τ forces
+# inter ≥ ⌈τ·|a|⌉, so a's RAREST |a| − ⌈τ·|a|⌉ + 1 shingles (df asc —
+# the same total order as dedup_ngram_jaccard) must contain a shared
+# shingle — only the CONTAINED side has a prefix bound; the container
+# side joins its full shingle set (|b| is unbounded by design: that is
+# what asymmetric means). Candidate volume is Σ_s df_prefix(s)·df(s),
+# governed by rare shingles on the prefix side; at 100 TB the hot-
+# shingle df-cap transfers verbatim (drop shingles in > N docs from
+# PREFIXES only, relax τ by the dropped fraction, verify at true τ —
+# same superset proof as dedup_ngram_jaccard's). Verification scores
+# the full arrays: the integer pre-test inter·denominator ≥ τ·|a| is
+# applied as 5·inter ≥ 4·|a| (τ = 4/5 exact rational), so the float
+# containment column is reporting, never the decision.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.8  # τ = 4/5, applied as the exact rational
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(inter AS DOUBLE) / sa.n AS containment
+    FROM pairs
+    JOIN sizes sa ON pairs.doc_a = sa.doc_id
+    WHERE 5 * inter >= 4 * sa.n
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tau = CONTAINMENT_THRESHOLD
+    arrays, sh = _shingle_index(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfreq, "s")
+    w_doc = Window.partitionBy("doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    n = F.count("*").over(w_doc)
+    prefix_len = n - F.ceil(n * F.lit(tau)) + 1
+    a_prefix = (
+        ranked.select(
+            "doc_id",
+            "s",
+            F.row_number().over(w).alias("rn"),
+            prefix_len.alias("plen"),
+        )
+        .filter(F.col("rn") <= F.col("plen"))
+        .select(F.col("doc_id").alias("doc_a"), "s")
+    )
+    b_all = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        a_prefix.join(b_all, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            (inter.cast("double") / F.size("sh_a")).alias("containment"),
+        )
+        .filter(F.lit(5) * F.col("inter") >= F.lit(4) * F.col("n_a"))
+        .orderBy("doc_a", "doc_b")
+    )

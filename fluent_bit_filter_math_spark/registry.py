@@ -85,6 +85,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_ulaw_energy",
     "mm_jpeg_metadata",
     "sim_maxsim_late_interaction",
+    "dedup_containment_pairs",
+    "stream_late_data_audit",
     "mm_png_decode",
     "mm_wav_energy",
     "stream_tws_user_totals",
@@ -118,10 +120,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 4: 13 family-diverse representatives of the r4-era greens
+    # tier 4: 11 family-diverse representatives of the r4-era greens
     # (the next-oldest cohort, 33 queries) — fills the 50-slot window;
-    # the 20 r4 queries left over queue first for the r10 rotation,
-    # then the r5/r6 cohorts by age.
+    # the 22 r4 queries left over (incl. win_tumbling_hour and
+    # stream_static_join_enrich, displaced when the late-landing
+    # containment + late-audit queries took tier-2 slots) queue first
+    # for the r10 rotation, then the r5/r6 cohorts by age.
     "dedup_ngram_jaccard",
     "graph_pagerank",
     "emb_kmeans",
@@ -133,8 +137,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_salted_skew",
     "scd2_user_state",
     "udtf_tokenize_docs",
-    "win_tumbling_hour",
-    "stream_static_join_enrich",
 )
 
 

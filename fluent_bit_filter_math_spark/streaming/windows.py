@@ -798,3 +798,155 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-data accounting audit — the operational question every
+# watermarked deployment must answer: HOW MUCH data is the pipeline
+# losing to lateness? This query replays ``events`` as a three-file
+# stream (in-order history, in-order tail, then a STRAGGLER file of
+# out-of-order rows), runs a watermarked tumbling-hour aggregate, and
+# reports the engine's own late-data drop accounting
+# (``numRowsDroppedByWatermark``) against the row/straggler totals.
+#
+# Two engine contracts, measured and pinned here (Spark 4.1):
+# * The late-record filter in micro-batch N uses the watermark VALUE
+#   PRINTED WITH batch N-1's progress — i.e. max event time through
+#   batch N-2, minus the delay. For this replay the straggler batch
+#   (batch 2) therefore filters with wm1 = max(f0) − 10 min: windows
+#   still within (wm1, wm2] legitimately MERGE their stragglers
+#   (correct, not lost), everything older is dropped.
+# * The metric counts POST-partial-aggregation rows, not raw input
+#   rows: the straggler file is written as ONE shard, so its map-side
+#   partial aggregate holds one row per distinct hour window and the
+#   reported count is "distinct straggler windows older than wm1".
+#   The single-shard write is load-bearing for that determinism and
+#   is enforced below.
+#
+# Scale: the audit is free — the metric falls out of the progress the
+# engine already reports; the closed-form oracle is one aggregate over
+# the straggler set. At 100 TB this is the dashboard number that tells
+# you whether your watermark delay is eating real data.
+# ---------------------------------------------------------------------------
+_LATE_STRAG_MOD = 10  # event_id % MOD == 0 of the old half → straggler file
+_LATE_DELAY_MS = 600_000
+
+_LATE_SPLITS: dict[str, str] = {}
+
+
+def _late_split_src(spark: SparkSession, sf_dir: str) -> str:
+    """Three-file replay: f0 = in-order old half (minus stragglers),
+    f1 = new half, f2 = stragglers (old rows arriving last). Memoized
+    per sf_dir like the idle-close split (data prep, not the operator)."""
+    import glob
+    import os
+    import time
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+
+    key = os.path.abspath(sf_dir)
+    cached = _LATE_SPLITS.get(key)
+    if cached is not None and glob.glob(cached + "/part-*.parquet"):
+        return cached
+    base = scratch_dir("late-audit")
+    src = os.path.join(base, "src")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    us = F.unix_micros("ts")
+    boundary = float(
+        ev.select(
+            F.expr("percentile(unix_micros(ts), 0.5)").alias("q")
+        ).collect()[0]["q"]
+    )
+    strag = (us <= boundary) & (F.col("event_id") % _LATE_STRAG_MOD == 0)
+    ev.filter((us <= boundary) & ~strag).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    ev.filter(us > boundary).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    ev.filter(strag).coalesce(1).write.parquet(os.path.join(src, "f2"))
+    now = time.time()
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    if len(files) != 3:  # single-shard writes are load-bearing (above)
+        raise RuntimeError(
+            f"three-file replay contract violated: {len(files)} data files"
+        )
+    for i, f in enumerate(files):
+        os.utime(f, (now + i, now + i))
+    src = src + "/f*"
+    _LATE_SPLITS[key] = src
+    return src
+
+
+@register(
+    "stream_late_data_audit",
+    oracle=f"""
+    WITH b AS (
+      SELECT quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.5) AS q
+      FROM events
+    ),
+    f0 AS (
+      SELECT ts FROM events, b
+      WHERE CAST(epoch_us(ts) AS DOUBLE) <= q
+        AND event_id % {_LATE_STRAG_MOD} <> 0
+    ),
+    f2 AS (
+      SELECT ts FROM events, b
+      WHERE CAST(epoch_us(ts) AS DOUBLE) <= q
+        AND event_id % {_LATE_STRAG_MOD} = 0
+    ),
+    wm AS (
+      SELECT max(epoch_us(ts)) // 1000 - {_LATE_DELAY_MS} AS wm1 FROM f0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_input,
+           CAST((SELECT COUNT(*) FROM f2) AS BIGINT) AS n_stragglers,
+           CAST((SELECT COUNT(DISTINCT epoch_us(ts) // 3600000000)
+                 FROM f2, wm
+                 WHERE (epoch_us(ts) // 3600000000 + 1) * 3600000
+                       <= wm.wm1) AS BIGINT) AS late_windows_dropped
+    """,
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    src = _late_split_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream.writeStream.format("noop")
+                .queryName("stream_late_data_audit")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            progs = q.recentProgress
+    finally:
+        spark.conf.set(key, old)
+    n_input = sum(p["numInputRows"] for p in progs)
+    n_strag = [p["numInputRows"] for p in progs if p["batchId"] == 2]
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in progs
+        for s in p["stateOperators"]
+    )
+    return spark.createDataFrame(
+        [(n_input, n_strag[0] if n_strag else 0, dropped)],
+        "n_input long, n_stragglers long, late_windows_dropped long",
+    )

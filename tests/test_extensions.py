@@ -353,3 +353,49 @@ def test_bpe_string_encoding_matches_token_tuple_reference():
             assert got == ref_toks[w], (
                 f"round {rnd} tokenization of {w!r}: {got} != {ref_toks[w]}"
             )
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc wholly embedded in a long one: containment = 1.0
+    (caught) while Jaccard = |a|/|b| sits far below the symmetric
+    threshold (missed) — the asymmetry that justifies the operator."""
+    import pandas as pd
+
+    from fluent_bit_filter_math_spark.operators import dedup as dd
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"pad{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [short, short + " " + filler, filler],
+                "lang": ["en"] * 3,
+                "source": ["s"] * 3,
+                "n_chars": [1] * 3,
+            }
+        )
+    )
+    import fluent_bit_filter_math_spark.sources as src
+
+    orig_tab, orig_cache = src.table, dict(dd._SHINGLE_CACHE)
+    try:
+        dd._SHINGLE_CACHE.clear()
+        src.table = lambda _s, _d, name: docs
+        dd.table = src.table
+        pairs = dd.dedup_containment_pairs(spark, "unit-test-dir").collect()
+        jacc = dd.dedup_ngram_jaccard(spark, "unit-test-dir").collect()
+    finally:
+        src.table = orig_tab
+        dd.table = orig_tab
+        dd._SHINGLE_CACHE.clear()
+        dd._SHINGLE_CACHE.update(orig_cache)
+    got = {(r["doc_a"], r["doc_b"]): r["containment"] for r in pairs}
+    # doc 0's 4 shingles all appear in doc 1 → containment exactly 1.0
+    assert got[(0, 1)] == 1.0
+    # the reverse direction is far below τ and must be absent
+    assert (1, 0) not in got
+    # symmetric Jaccard misses the embedded pair entirely
+    assert not any(
+        {r["doc_a"], r["doc_b"]} == {0, 1} for r in jacc
+    ), "Jaccard unexpectedly caught the asymmetric pair"
