@@ -1152,7 +1152,6 @@ def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dup_spans"),
         )
         .withColumn("keep", F.col("n_dup_spans") * 4 < F.col("n_spans"))
-        .orderBy("doc_id")
     )
 
 
@@ -1250,5 +1249,4 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / F.size("sh_a")).alias("containment"),
         )
         .filter(F.lit(5) * F.col("inter") >= F.lit(4) * F.col("n_a"))
-        .orderBy("doc_a", "doc_b")
     )

@@ -785,7 +785,6 @@ def mm_ulaw_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " min_pcm long, max_pcm long"
             ),
         )
-        .orderBy("asset_id")
     )
 
 
@@ -923,5 +922,4 @@ def mm_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " n_comp long"
             ),
         )
-        .orderBy("asset_id")
     )
