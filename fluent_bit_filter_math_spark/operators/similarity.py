@@ -1591,3 +1591,110 @@ def sim_maxsim_late_interaction(
         .select("label", "n_tokens", "maxsim_fp")
         .orderBy(F.desc("maxsim_fp"), "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval — the dimension-budget question MRL
+# (Kusupati et al., NeurIPS 2022) training answers empirically: how
+# much retrieval quality survives truncating stored embeddings to a
+# prefix of their dimensions? The query scores recall@k of
+# TRUNCATED-to-16-dim cosine top-k against the full-64-dim top-k per
+# probe — the eval a pipeline runs before committing to a cheaper
+# index. Composes the registered brute-force ranking with a sliced
+# vector; same determinism argument as the rest of the family (rank
+# order pinned by the corpus's ≥1e-6 adjacent-cosine gaps, output is
+# integer ids/counts only).
+#
+# Scale: identical to sim_topk_bruteforce — probes broadcast, corpus
+# streams through one narrow stage per ranking, TakeOrdered top-k;
+# the truncated ranking reads the SAME column sliced, so a columnar
+# store only materializes the prefix dims (the storage saving the
+# eval is costing out).
+# ---------------------------------------------------------------------------
+_MRL_DIM = 16
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    fr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[])
+                        DESC, neighbor_id) AS rn
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    tr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(
+                          qe[1:{_MRL_DIM}]::DOUBLE[],
+                          ce[1:{_MRL_DIM}]::DOUBLE[]) DESC,
+                        neighbor_id) AS rn
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT fr.query_id,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hits
+    FROM fr
+    LEFT JOIN tr ON tr.query_id = fr.query_id
+                AND tr.neighbor_id = fr.neighbor_id
+                AND tr.rn <= {TOP_K}
+    WHERE fr.rn <= {TOP_K}
+    GROUP BY fr.query_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import cosine
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ce")).alias("cos_full"),
+        cosine(
+            F.slice("qe", 1, _MRL_DIM), F.slice("ce", 1, _MRL_DIM)
+        ).alias("cos_trunc"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("rn_full"),
+        F.row_number().over(w_trunc).alias("rn_trunc"),
+    )
+    full_k = scored.filter(F.col("rn_full") <= TOP_K).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_k = scored.filter(F.col("rn_trunc") <= TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor")
+    )
+    return (
+        full_k.join(
+            trunc_k,
+            (full_k.query_id == trunc_k.query_id)
+            & (full_k.neighbor_id == trunc_k.t_neighbor),
+            "left",
+        )
+        .groupBy(full_k.query_id)
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("t_neighbor").alias("n_hits"),
+        )
+    )

@@ -292,3 +292,79 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_m") == F.col("est_d")).alias("merge_lossless"),
         (rel_err <= 0.15).alias("approx_ok"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters — the deterministic counter-based sketch
+# (Misra & Gries 1982; "space-saving" is its cousin) the CMS above
+# complements: k counters per partition, decrement-on-overflow, with
+# the guarantee that any item of global frequency ≥ n/K survives in at
+# least one partition's sketch (pigeonhole: Σf_p ≥ Σn_p/K forces
+# f_p ≥ n_p/K somewhere, and MG with K counters keeps every item of
+# local frequency > n_p/(K+1)).
+#
+# Two-stage shape — the one that matters at 100 TB:
+#   1. per-partition MG(K) summaries (applyInPandas over
+#      spark_partition_id groups): K counters each, WHATEVER the key
+#      cardinality — the candidate union is ≤ K·partitions rows;
+#   2. exact verification: the tiny candidate set broadcast-semi-joins
+#      back, one exact count over candidates only, filter K·n ≥ total.
+# The emitted set is therefore EXACTLY the items with frequency
+# ≥ total/K — partition-layout-independent (stage 1 only needs to be
+# a superset, which the guarantee provides for any partitioning), so
+# a plain GROUP BY / HAVING oracle verifies a genuinely probabilistic-
+# looking pipeline bitwise. A production run keeps stage 1 only and
+# accepts the ε = n_p/(K+1) undercount; the exact pass here is what
+# makes the operator oracle-gated.
+# ---------------------------------------------------------------------------
+_MG_K = 30  # counters per partition == the 1/K heavy-hitter threshold
+
+
+def _mg_kernel(pdf):
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    # Weighted MG: fold each distinct word's in-partition count in one
+    # step; on overflow subtract the minimum counter from all (the
+    # batched form of k decrements), dropping zeros.
+    for w, c in pdf["word"].value_counts().items():
+        counters[w] = counters.get(w, 0) + int(c)
+        if len(counters) > _MG_K:
+            m = min(counters.values())
+            counters = {k: v - m for k, v in counters.items() if v > m}
+    return pd.DataFrame({"word": list(counters.keys())})
+
+
+@register(
+    "sketch_heavy_hitters_mg",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT word, CAST(n AS BIGINT) AS n
+    FROM c, t
+    WHERE n * {_MG_K} >= tot
+    """,
+)
+def sketch_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    summaries = (
+        words.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .applyInPandas(
+            lambda _key, pdf: _mg_kernel(pdf), schema="word string"
+        )
+    )
+    candidates = summaries.select("word").distinct()
+    exact = (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    total = words.count()
+    return exact.filter(F.col("n") * _MG_K >= F.lit(total))

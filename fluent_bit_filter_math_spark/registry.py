@@ -87,6 +87,9 @@ _PRIORITY: tuple[str, ...] = (
     "sim_maxsim_late_interaction",
     "dedup_containment_pairs",
     "stream_late_data_audit",
+    "sketch_heavy_hitters_mg",
+    "graph_triangle_participation",
+    "emb_matryoshka_recall",
     "mm_png_decode",
     "mm_wav_energy",
     "stream_tws_user_totals",
@@ -120,12 +123,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 4: 11 family-diverse representatives of the r4-era greens
+    # tier 4: 8 family-diverse representatives of the r4-era greens
     # (the next-oldest cohort, 33 queries) — fills the 50-slot window;
-    # the 22 r4 queries left over (incl. win_tumbling_hour and
-    # stream_static_join_enrich, displaced when the late-landing
-    # containment + late-audit queries took tier-2 slots) queue first
-    # for the r10 rotation, then the r5/r6 cohorts by age.
+    # the 25 r4 queries left over (incl. win_tumbling_hour,
+    # stream_static_join_enrich, join_salted_skew, scd2_user_state and
+    # udtf_tokenize_docs, displaced as the nine late-landing r9
+    # queries took tier-2 slots) queue first for the r10 rotation,
+    # then the r5/r6 cohorts by age.
     "dedup_ngram_jaccard",
     "graph_pagerank",
     "emb_kmeans",
@@ -134,9 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "sample_domain_mixture",
     "fn_json_suite",
     "agg_grouping_sets",
-    "join_salted_skew",
-    "scd2_user_state",
-    "udtf_tokenize_docs",
 )
 
 

@@ -399,3 +399,58 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert not any(
         {r["doc_a"], r["doc_b"]} == {0, 1} for r in jacc
     ), "Jaccard unexpectedly caught the asymmetric pair"
+
+
+def test_misra_gries_kernel_keeps_all_true_heavy_hitters():
+    """The MG kernel is lossy BY DESIGN for light items, but every item
+    with local frequency > n/(K+1) must survive — the half of the
+    pigeonhole argument the distributed guarantee stands on. Build a
+    skewed stream with far more distinct items than counters."""
+    import pandas as pd
+
+    from fluent_bit_filter_math_spark.operators.sketches import (
+        _MG_K,
+        _mg_kernel,
+    )
+
+    heavy = ["hh0"] * 500 + ["hh1"] * 400 + ["hh2"] * 300
+    light = [f"noise{i}" for i in range(2000)]  # 2000 singletons
+    stream = heavy + light  # n = 3200, n/(K+1) ≈ 103
+    out = set(
+        _mg_kernel(pd.DataFrame({"word": stream}))["word"].tolist()
+    )
+    assert {"hh0", "hh1", "hh2"} <= out
+    assert len(out) <= _MG_K
+
+
+def test_triangle_participation_on_known_graph(spark):
+    """Hand-built co-purchase baskets: parts {5,10,15} pairwise share
+    orders (one triangle), part 20 hangs off 5 (no triangle). Every
+    corner must report exactly 1; node 20 must be absent."""
+    import pandas as pd
+
+    from fluent_bit_filter_math_spark.operators import graph as g
+
+    rows = [
+        (1, 5), (1, 10),    # edge 5-10
+        (2, 10), (2, 15),   # edge 10-15
+        (3, 5), (3, 15),    # edge 5-15  → triangle {5,10,15}
+        (4, 5), (4, 20),    # pendant edge 5-20
+    ]
+    li = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    )
+    import fluent_bit_filter_math_spark.sources as src
+
+    orig = src.table
+    try:
+        src.table = lambda _s, _d, name: li
+        g.table = src.table
+        out = {
+            r["node"]: r["n_triangles"]
+            for r in g.graph_triangle_participation(spark, "unit").collect()
+        }
+    finally:
+        src.table = orig
+        g.table = orig
+    assert out == {5: 1, 10: 1, 15: 1}
