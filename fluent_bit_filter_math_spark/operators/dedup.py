@@ -1206,14 +1206,16 @@ CONTAINMENT_THRESHOLD = 0.8  # τ = 4/5, applied as the exact rational
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    tau = CONTAINMENT_THRESHOLD
     arrays, sh = _shingle_index(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     ranked = sh.join(dfreq, "s")
     w_doc = Window.partitionBy("doc_id")
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     n = F.count("*").over(w_doc)
-    prefix_len = n - F.ceil(n * F.lit(tau)) + 1
+    # ⌈τ·n⌉ with τ = 4/5 as EXACT integers — ⌈4n/5⌉ = ⌊(4n+4)/5⌋.
+    # float ceil(0.8·n) is only half-ulp-safe up to n ≈ 1.3e6 shingles;
+    # a giant document must not silently lose prefix recall.
+    prefix_len = n - F.floor((n * 4 + 4) / 5).cast("long") + 1
     a_prefix = (
         ranked.select(
             "doc_id",
@@ -1249,4 +1251,67 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter.cast("double") / F.size("sh_a")).alias("containment"),
         )
         .filter(F.lit(5) * F.col("inter") >= F.lit(4) * F.col("n_a"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-calibration sweep — the question every semantic-dedup
+# rollout answers BEFORE picking COSINE_THRESHOLD: how many pairs
+# would each candidate threshold mark duplicate? One pass computes
+# every pair's cosine, quantizes it to an integer percent bucket, and
+# a ≤200-row bucket histogram answers ALL thresholds at once via a
+# broadcast range join — the sweep costs one pair scan, not one scan
+# per candidate threshold. (The production version replaces the
+# all-pairs scorer with the banded-LSH candidate stream; the sweep
+# arithmetic on the bucket histogram is unchanged.)
+#
+# Determinism: the bucket is floor(cos·100) on the SAME double cosine
+# expression both engines evaluate; candidate thresholds are exact
+# integers, so every count is an integer fold over identical buckets.
+# ---------------------------------------------------------------------------
+_SWEEP_PCTS = tuple(range(40, 95, 5))  # 40%, 45%, ..., 90%
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH p AS (
+      SELECT CAST(floor(list_cosine_similarity(
+                 a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 100)
+             AS BIGINT) AS bkt
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    ),
+    t AS (SELECT unnest({list(_SWEEP_PCTS)}) AS t_pct)
+    SELECT CAST(t_pct AS BIGINT) AS t_pct,
+           CAST(COUNT(p.bkt) AS BIGINT) AS n_dup_pairs
+    FROM t LEFT JOIN p ON p.bkt >= t.t_pct
+    GROUP BY t_pct
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import cosine
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    buckets = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            F.floor(cosine(F.col("ea"), F.col("eb")) * 100)
+            .cast("long")
+            .alias("bkt")
+        )
+        .groupBy("bkt")
+        .agg(F.count("*").alias("n"))
+    )
+    thresholds = spark.createDataFrame(
+        [(t,) for t in _SWEEP_PCTS], "t_pct long"
+    )
+    return (
+        thresholds.join(
+            F.broadcast(buckets), F.col("bkt") >= F.col("t_pct"), "left"
+        )
+        .groupBy("t_pct")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dup_pairs"))
     )

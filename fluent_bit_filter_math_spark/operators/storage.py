@@ -28,6 +28,7 @@ value-invisible.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -802,4 +803,97 @@ def io_csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("user_id").alias("n_parsed_users"),
         )
         .orderBy("is_corrupt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-PARQUET quarantine — the binary-format complement of the CSV
+# PERMISSIVE recovery above: a 100 TB lake WILL contain shards
+# truncated by killed writers or bit-rotted in transit, and a batch
+# job that dies on the first bad footer loses the other 99.999%. The
+# layout builder writes the events slice as many small parquet shards,
+# then corrupts a deterministic subset IN PLACE (footer overwritten —
+# unreadable by any parquet reader). The query runs the production
+# setting `spark.sql.files.ignoreCorruptFiles=true`, scoped and
+# restored, and reports rows recovered + shards quarantined; a strict
+# read of the same directory raises, which the unit test pins.
+#
+# Determinism: shards are written one per event_id residue class, so
+# WHICH rows vanish with a corrupted shard is a pure function of the
+# data — the oracle reproduces the surviving set with a residue
+# filter. Quarantined-shard count is layout-derived, not metric-
+# derived (the metric would count tasks, not files).
+# ---------------------------------------------------------------------------
+_PQC_SHARDS = 16  # event_id % 16 residue classes, one shard each
+_PQC_BAD = (3, 11)  # residue classes whose shards get corrupted
+
+_PQC_DIRS: dict[tuple[str, str], str] = {}
+
+
+def corrupt_parquet_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQC_DIRS:
+        base = tempfile.mkdtemp(prefix="fbm-pq-corrupt-")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        out = os.path.join(base, "data")
+        ev = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value",
+            (F.col("event_id") % _PQC_SHARDS).alias("shard"),
+        )
+        ev.write.partitionBy("shard").parquet(out)
+        import glob as _glob
+
+        for r in _PQC_BAD:
+            for f in _glob.glob(f"{out}/shard={r}/part-*.parquet"):
+                size = os.path.getsize(f)
+                with open(f, "r+b") as fh:
+                    # wreck the footer: magic + metadata length live in
+                    # the last 8 bytes; zeroing the final 64 kills both
+                    fh.seek(max(0, size - 64))
+                    fh.write(b"\x00" * min(64, size))
+        _PQC_DIRS[key] = out
+    return _PQC_DIRS[key]
+
+
+@register(
+    "io_parquet_corrupt_quarantine",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_recovered,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST({len(_PQC_BAD)} AS BIGINT) AS n_shards_quarantined
+    FROM events
+    WHERE event_id % {_PQC_SHARDS} NOT IN {_PQC_BAD}
+    """,
+)
+def io_parquet_corrupt_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    path = corrupt_parquet_path(spark, sf_dir)
+    key = "spark.sql.files.ignoreCorruptFiles"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.schema(
+            "event_id long, user_id long, value double, shard int"
+        ).parquet(path)
+        # Materialize INSIDE the conf window: the setting is read at
+        # EXECUTION time, so returning the lazy plan and restoring the
+        # conf in finally would run the scan strict and die on the bad
+        # footers (measured). The aggregate is one row; re-lifting it
+        # into a DataFrame keeps the driver contract.
+        row = df.agg(
+            F.count("*").alias("n_rows_recovered"),
+            F.sum(exact_cents(F.col("value"))).alias("sum_cents"),
+        ).collect()[0]
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return spark.createDataFrame(
+        [(row["n_rows_recovered"], row["sum_cents"], len(_PQC_BAD))],
+        "n_rows_recovered long, sum_cents long, n_shards_quarantined long",
     )

@@ -90,6 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_heavy_hitters_mg",
     "graph_triangle_participation",
     "emb_matryoshka_recall",
+    "io_parquet_corrupt_quarantine",
+    "dedup_threshold_sweep",
     "mm_png_decode",
     "mm_wav_energy",
     "stream_tws_user_totals",
@@ -123,21 +125,19 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 4: 8 family-diverse representatives of the r4-era greens
+    # tier 4: 6 family-diverse representatives of the r4-era greens
     # (the next-oldest cohort, 33 queries) — fills the 50-slot window;
-    # the 25 r4 queries left over (incl. win_tumbling_hour,
-    # stream_static_join_enrich, join_salted_skew, scd2_user_state and
-    # udtf_tokenize_docs, displaced as the nine late-landing r9
-    # queries took tier-2 slots) queue first for the r10 rotation,
-    # then the r5/r6 cohorts by age.
+    # the 27 r4 queries left over (displaced one by one as the eleven
+    # late-landing r9 queries took tier-2 slots: win_tumbling_hour,
+    # stream_static_join_enrich, join_salted_skew, scd2_user_state,
+    # udtf_tokenize_docs, fn_json_suite, agg_grouping_sets, ...) queue
+    # first for the r10 rotation, then the r5/r6 cohorts by age.
     "dedup_ngram_jaccard",
     "graph_pagerank",
     "emb_kmeans",
     "decontam_ngram_overlap",
     "pipeline_pack_sequences",
     "sample_domain_mixture",
-    "fn_json_suite",
-    "agg_grouping_sets",
 )
 
 

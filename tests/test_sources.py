@@ -306,3 +306,26 @@ def test_json_sink_exactly_once_under_real_task_retry():
     assert stats["disk_shards"] == stats["manifest_shards"] + 1, stats
     # and the manifest read is exactly-once despite it
     assert stats["rows"] == 1000 and stats["distinct"] == 1000, stats
+
+
+def test_parquet_corrupt_quarantine_strict_read_raises(spark):
+    """The quarantine query's premise: the SAME directory read without
+    ignoreCorruptFiles must fail on the wrecked footers, and the
+    corrupted-shard layout must match the declared residue classes."""
+    import glob
+
+    import pytest
+
+    from fluent_bit_filter_math_spark.operators.storage import (
+        _PQC_BAD,
+        corrupt_parquet_path,
+    )
+
+    path = corrupt_parquet_path(spark, "/root/testdata/sf0.001")
+    for r in _PQC_BAD:
+        assert glob.glob(f"{path}/shard={r}/part-*.parquet")
+    strict = spark.read.schema(
+        "event_id long, user_id long, value double, shard int"
+    ).parquet(path)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|[Cc]orrupt"):
+        strict.count()
