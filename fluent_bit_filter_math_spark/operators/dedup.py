@@ -1268,8 +1268,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Determinism: the bucket is floor(cos·100) on the SAME double cosine
 # expression both engines evaluate; candidate thresholds are exact
 # integers, so every count is an integer fold over identical buckets.
+#
+# Sampling: the sweep scores the deterministic 1/8 vector subsample
+# (vec_id % 8 == 0 on both sides → 1/64 of the pairs) — exactly how a
+# production calibration runs: the threshold decision needs the SHAPE
+# of the pair-similarity distribution, not every pair, and the full
+# all-pairs fold at sf0.1 measured 100 s (the per-pair sequential-fold
+# cosine both engines must share for bitwise bucket parity is 8 µs —
+# the GEMM kernel dedup_embedding_cosine uses is 100× faster but its
+# pairwise-summed dots cannot guarantee identical floor(cos·100)
+# buckets against DuckDB's sequential fold).
 # ---------------------------------------------------------------------------
 _SWEEP_PCTS = tuple(range(40, 95, 5))  # 40%, 45%, ..., 90%
+_SWEEP_MOD = 8  # vec_id % MOD == 0 → in the calibration sample
 
 
 @register(
@@ -1281,6 +1292,7 @@ _SWEEP_PCTS = tuple(range(40, 95, 5))  # 40%, 45%, ..., 90%
              AS BIGINT) AS bkt
       FROM embeddings a, embeddings b
       WHERE a.vec_id < b.vec_id
+        AND a.vec_id % {_SWEEP_MOD} = 0 AND b.vec_id % {_SWEEP_MOD} = 0
     ),
     t AS (SELECT unnest({list(_SWEEP_PCTS)}) AS t_pct)
     SELECT CAST(t_pct AS BIGINT) AS t_pct,
@@ -1292,7 +1304,11 @@ _SWEEP_PCTS = tuple(range(40, 95, 5))  # 40%, 45%, ..., 90%
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_filter_math_spark.functions import cosine
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _SWEEP_MOD == 0)
+        .select("vec_id", "embedding")
+    )
     a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
     buckets = (

@@ -20,6 +20,11 @@ QUERIES = [
     "mm_jpeg_metadata",
     "sim_maxsim_late_interaction",
     "stream_late_data_audit",
+    "sketch_heavy_hitters_mg",
+    "graph_triangle_participation",
+    "emb_matryoshka_recall",
+    "io_parquet_corrupt_quarantine",
+    "dedup_threshold_sweep",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 REPS = 2
