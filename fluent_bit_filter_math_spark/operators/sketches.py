@@ -368,3 +368,109 @@ def sketch_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = words.count()
     return exact.filter(F.col("n") * _MG_K >= F.lit(total))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002,
+# the third distinct-count regime next to the exact bitmap and the
+# DataSketches HLL above: keep only the K smallest hash values ever
+# seen per group; the Kth smallest h_K estimates the cardinality as
+# (K−1)·M/h_K (hashes uniform on [0, M)). The sketch is K integers
+# whatever the cardinality, merges by "union then re-take K smallest"
+# (an order statistic — associative, commutative, idempotent, so
+# cross-day/cross-cluster rollups are lossless by construction), and —
+# uniquely among the estimating sketches — is fully DETERMINISTIC
+# given the hash: built on the portable md5-derived hash60, the DuckDB
+# oracle reproduces every kept hash, the Kth value, and the integer
+# estimate bit-for-bit. No error-contract weakening, no banding: the
+# estimator itself is under the bitwise gate, alongside an exact
+# count and the |est − exact| ≤ 30% acceptance bound the HLL query
+# established as house style.
+#
+# Scale: one hash projection (map-side), one DISTINCT on (group,
+# hash) — cardinality-bounded, never row-bounded — then a K-row
+# window per group; the shuffled payload is min(K, distinct) rows per
+# group. Exact count rides along only to certify the estimate.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+# 56-bit hash domain (14 md5 hex chars): (K−1)·M = 63·2^56 ≈ 4.5e18
+# stays inside int64, so the estimator is EXACT integer arithmetic in
+# both engines — the 60-bit domain would overflow the product.
+_KMV_M = 1 << 56
+
+
+@register(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, n_distinct, hv AS h_k
+      FROM ranked
+      WHERE rn = LEAST({_KMV_K}, n_distinct)
+    )
+    SELECT event_type,
+           CAST(n_distinct AS BIGINT) AS exact_users,
+           CAST(CASE WHEN n_distinct < {_KMV_K} THEN n_distinct
+                ELSE ({_KMV_K} - 1) * {_KMV_M} // h_k END AS BIGINT)
+               AS kmv_estimate,
+           CAST(abs(CASE WHEN n_distinct < {_KMV_K} THEN n_distinct
+                     ELSE ({_KMV_K} - 1) * {_KMV_M} // h_k END
+                    - n_distinct) * 100 <= 30 * n_distinct
+                AS BOOLEAN) AS approx_ok
+    FROM kth
+    ORDER BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.sources import table
+
+    h = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 14),
+                16, 10,
+            ).cast("long").alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wn = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_distinct"),
+    )
+    kth = ranked.filter(
+        F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_distinct"))
+    )
+    est = F.when(
+        F.col("n_distinct") < _KMV_K, F.col("n_distinct")
+    ).otherwise(
+        F.expr(f"({_KMV_K} - 1) * {_KMV_M} div hv")
+    )
+    return kth.select(
+        "event_type",
+        F.col("n_distinct").cast("long").alias("exact_users"),
+        est.cast("long").alias("kmv_estimate"),
+        (
+            F.abs(est - F.col("n_distinct")) * 100
+            <= F.col("n_distinct") * 30
+        ).alias("approx_ok"),
+    ).orderBy("event_type")

@@ -454,3 +454,24 @@ def test_triangle_participation_on_known_graph(spark):
         src.table = orig
         g.table = orig
     assert out == {5: 1, 10: 1, 15: 1}
+
+
+def test_kmv_merge_is_lossless():
+    """KMV's merge contract: (K smallest of A) ∪ (K smallest of B),
+    re-truncated to K, equals the K smallest of A ∪ B — the order-
+    statistic algebra that makes cross-shard rollups lossless. Pure
+    set property, pinned on adversarial overlap (shared smallest
+    values, disjoint tails)."""
+    import hashlib
+
+    K = 64
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+
+    a = {h(i) for i in range(500)}
+    b = {h(i) for i in range(300, 900)}  # overlaps a on [300, 500)
+    kmin = lambda s: sorted(s)[:K]
+    merged = kmin(set(kmin(a)) | set(kmin(b)))
+    direct = kmin(a | b)
+    assert merged == direct
