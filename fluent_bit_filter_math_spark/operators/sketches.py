@@ -380,7 +380,7 @@ def sketch_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (an order statistic — associative, commutative, idempotent, so
 # cross-day/cross-cluster rollups are lossless by construction), and —
 # uniquely among the estimating sketches — is fully DETERMINISTIC
-# given the hash: built on the portable md5-derived hash60, the DuckDB
+# given the hash: built on a 56-bit slice of the portable md5 hash, the DuckDB
 # oracle reproduces every kept hash, the Kth value, and the integer
 # estimate bit-for-bit. No error-contract weakening, no banding: the
 # estimator itself is under the bitwise gate, alongside an exact
