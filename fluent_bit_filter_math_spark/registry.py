@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_parquet_corrupt_quarantine",
     "dedup_threshold_sweep",
     "sketch_kmv_distinct",
+    "stream_tws_kmv_sketch",
     "mm_png_decode",
     "mm_wav_energy",
     "stream_tws_user_totals",
@@ -126,7 +127,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 4: 5 family-diverse representatives of the r4-era greens
+    # tier 4: 4 family-diverse representatives of the r4-era greens
     # (the next-oldest cohort, 33 queries) — fills the 50-slot window;
     # the 27 r4 queries left over (displaced one by one as the eleven
     # late-landing r9 queries took tier-2 slots: win_tumbling_hour,
@@ -137,7 +138,6 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "emb_kmeans",
     "decontam_ngram_overlap",
-    "pipeline_pack_sequences",
 )
 
 

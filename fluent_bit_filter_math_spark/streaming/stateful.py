@@ -864,3 +864,180 @@ def stream_tws_list_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         initialState=init_state,
     )
     return _run_tws(out, "stream_tws_list_seeded")
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #8 — a REAL bounded-state sketch as the stateful
+# processor: streaming KMV (k-minimum-values) distinct-count. The
+# batch twin (operators/sketches.py::sketch_kmv_distinct) proves the
+# estimator; this one proves the INCREMENTAL form a 100 TB/day stream
+# actually runs: per event_type, a typed ListState carries the K
+# smallest 56-bit hashes ever seen, each micro-batch merges its new
+# hashes and RE-TRUNCATES to K (listStatePut overwrite — the
+# order-statistic merge pinned lossless by test_kmv_merge_is_lossless),
+# so state is K longs per key FOREVER, whatever the cardinality. That
+# bounded-state property is the entire reason sketches exist in
+# streaming pipelines, and here it runs through the genuine
+# transformWithState protocol (ListStateGet pagination + listStatePut
+# through the wire shim).
+#
+# Replay: two event_id-parity files under maxFilesPerTrigger=1, so the
+# state REALLY carries hashes across micro-batches (a single-batch
+# replay would never read back its own list). Each batch emits the
+# key's current (n_hashes_seen, estimate); n_hashes_seen is
+# monotonically non-decreasing, and when it ties across batches the
+# list — hence the whole row — is identical, so DISTINCT + keep the
+# max-n row per key yields exactly the final sketch state. Oracle =
+# the batch KMV closed form over all events (the same estimator
+# arithmetic, engine-exact integers).
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_M = 1 << 56
+_TWS_KMV_OUT = (
+    "event_type string, n_kept long, kth_hash long,"
+    " exact_style_estimate long"
+)
+
+_KMV_SPLITS: dict[str, str] = {}
+
+
+def _kmv_split_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two event_id-parity replay files (event_type, 56-bit user hash),
+    memoized per sf_dir like the other split builders."""
+    import glob
+    import os
+    import time
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+
+    key = os.path.abspath(sf_dir)
+    cached = _KMV_SPLITS.get(key)
+    if cached is not None and glob.glob(cached + "/part-*.parquet"):
+        return cached
+    base = scratch_dir("tws-kmv")
+    src = os.path.join(base, "src")
+    from fluent_bit_filter_math_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 14),
+            16, 10,
+        ).cast("long").alias("hv"),
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    now = time.time()
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    if len(files) != 2:
+        raise RuntimeError(
+            f"two-file replay contract violated: {len(files)} data files"
+        )
+    for i, f in enumerate(files):
+        os.utime(f, (now + i, now + i))
+    src = src + "/f*"
+    _KMV_SPLITS[key] = src
+    return src
+
+
+class _KMVSketchProcessor(StatefulProcessor):
+    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._kmin = handle.getListState("kmin", "hv long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        fresh = {int(h) for pdf in rows for h in pdf["hv"].tolist()}
+        kept = {int(v[0]) for v in self._kmin.get()}
+        merged = sorted(kept | fresh)[:64]  # _KMV_K; literal for pickling
+        self._kmin.put([(h,) for h in merged])
+        n = len(merged)
+        kth = merged[-1] if merged else 0
+        if n < 64:
+            est = n
+        else:
+            est = (64 - 1) * (1 << 56) // kth
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_kept": [n],
+                "kth_hash": [int(kth)],
+                "exact_style_estimate": [int(est)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_kmv_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, n_distinct, hv AS h_k
+      FROM ranked
+      WHERE rn = LEAST({_KMV_K}, n_distinct)
+    )
+    SELECT event_type,
+           CAST(LEAST({_KMV_K}, n_distinct) AS BIGINT) AS n_kept,
+           CAST(h_k AS BIGINT) AS kth_hash,
+           CAST(CASE WHEN n_distinct < {_KMV_K} THEN n_distinct
+                ELSE ({_KMV_K} - 1) * {_KMV_M} // h_k END AS BIGINT)
+               AS exact_style_estimate
+    FROM kth
+    """,
+)
+def stream_tws_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_proto_shim.install()
+    src = _kmv_split_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+        .select("event_type", "hv")
+    )
+    out = stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_KMVSketchProcessor(),
+        outputStructType=_TWS_KMV_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    res = _run_tws(out, "stream_tws_kmv_sketch")
+    # Per-batch emissions: n_kept grows monotonically until it caps at
+    # K, after which the Kth hash can only SHRINK as better minima
+    # arrive — so the final sketch state per key is max n_kept, then
+    # min kth_hash (when both tie the set, hence the row, is
+    # identical). Selecting on n alone is WRONG once a key saturates:
+    # two batches can both report n = K with different lists (caught
+    # by the oracle on first submission — 142 vs 144).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_kept"), F.asc("kth_hash")
+    )
+    return (
+        res.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
