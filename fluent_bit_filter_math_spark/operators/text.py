@@ -1038,3 +1038,122 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("word")).cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules — the published document-level heuristics from
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1 /
+# Table A1), as used by MassiveWeb and most open-data pipelines since:
+#   1. 50 <= word count <= 100,000
+#   2. 3 <= mean word length <= 10
+#   3. symbol-to-word ratio ('#' or '...') < 0.1
+#   4. < 90% of lines start with a bullet ('-' or '*')
+#   5. < 30% of lines end with an ellipsis ('...')
+#   6. > 80% of words contain at least one alphabetic character
+#   7. at least 2 hits from a small function-word list
+# Absent from the reference (numbers-only filter, math.c:161-164); this
+# is the canonical pre-training corpus filter.
+#
+# Scale: one narrow projection, zero shuffles, all-native Column
+# expressions in whole-stage codegen — at 100 TB this is a pure
+# map-side scan whose cost is the parquet read itself. Every ratio is
+# ONE double division of exact integer counts (IEEE correctly rounded,
+# so the rule booleans are bitwise-identical cross-engine).
+# ---------------------------------------------------------------------------
+_GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_D_GSTOP_IN = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lns,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                 AS sum_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS alpha_words,
+             len(list_filter(toks, t -> t IN ({_D_GSTOP_IN}))) AS n_stop,
+             len(lns) AS n_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '^[-*]')))
+                 AS bullet_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))
+                 AS ellipsis_lines,
+             n_symbols
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(alpha_words AS DOUBLE) / n_words AS alpha_ratio,
+           CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+           CAST(n_stop AS BIGINT) AS n_gopher_stop,
+           (n_words BETWEEN 50 AND 100000
+            AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+            AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+            AND CAST(bullet_lines AS DOUBLE) / n_lines < 0.9
+            AND CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3
+            AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+            AND n_stop >= 2) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    lns = F.split(F.col("text"), "\n")
+    gstop = F.array(*[F.lit(w) for w in _GOPHER_STOP])
+    m = df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("sum_len"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+        .cast("long")
+        .alias("alpha_words"),
+        F.size(F.filter(t, lambda x: F.array_contains(gstop, x)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(lns).cast("long").alias("n_lines"),
+        F.size(F.filter(lns, lambda l: l.rlike("^[-*]")))
+        .cast("long")
+        .alias("bullet_lines"),
+        F.size(F.filter(lns, lambda l: l.rlike(r"\.\.\.$")))
+        .cast("long")
+        .alias("ellipsis_lines"),
+        F.regexp_count(F.col("text"), F.lit(r"#|\.\.\."))
+        .cast("long")
+        .alias("n_symbols"),
+    )
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words")
+    alpha_ratio = F.col("alpha_words").cast("double") / F.col("n_words")
+    symbol_ratio = F.col("n_symbols").cast("double") / F.col("n_words")
+    keep = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (F.col("bullet_lines").cast("double") / F.col("n_lines") < 0.9)
+        & (F.col("ellipsis_lines").cast("double") / F.col("n_lines") < 0.3)
+        & (alpha_ratio > 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        symbol_ratio.alias("symbol_ratio"),
+        F.col("n_stop").alias("n_gopher_stop"),
+        keep.alias("keep"),
+    )

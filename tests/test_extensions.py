@@ -475,3 +475,45 @@ def test_kmv_merge_is_lossless():
     merged = kmin(set(kmin(a)) | set(kmin(b)))
     direct = kmin(a | b)
     assert merged == direct
+
+
+def test_gopher_rules_python_twin(spark, sf_dir):
+    """Independent pure-Python re-evaluation of every Gopher rule on the
+    raw fixture text — pins the Column expressions (tokenization, regex
+    counts, line splits, the 7-rule conjunction) against a third
+    implementation that shares no code with Spark or the DuckDB oracle."""
+    import re
+
+    from fluent_bit_filter_math_spark.operators.text import (
+        _GOPHER_STOP,
+        text_gopher_rules,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    got = {r["doc_id"]: r for r in text_gopher_rules(spark, sf_dir).collect()}
+    raw = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(got) == len(raw) > 0
+    for row in raw:
+        toks = row["text"].split(" ")
+        lns = row["text"].split("\n")
+        n_words = len(toks)
+        mean_len = sum(len(t) for t in toks) / n_words
+        alpha = sum(1 for t in toks if re.search(r"[a-z]", t)) / n_words
+        symbols = len(re.findall(r"#|\.\.\.", row["text"])) / n_words
+        bullet = sum(1 for l in lns if re.match(r"^[-*]", l)) / len(lns)
+        ellipsis = sum(1 for l in lns if re.search(r"\.\.\.$", l)) / len(lns)
+        n_stop = sum(1 for t in toks if t in _GOPHER_STOP)
+        keep = (
+            50 <= n_words <= 100000
+            and 3.0 <= mean_len <= 10.0
+            and symbols < 0.1
+            and bullet < 0.9
+            and ellipsis < 0.3
+            and alpha > 0.8
+            and n_stop >= 2
+        )
+        g = got[row["doc_id"]]
+        assert g["n_words"] == n_words
+        assert abs(g["mean_word_len"] - mean_len) < 1e-12
+        assert g["n_gopher_stop"] == n_stop
+        assert g["keep"] == keep, (row["doc_id"], g)
