@@ -393,3 +393,162 @@ def sample_temperature_mixture(
         .filter(keep < F.col("mix_rate") * MIX_SCALE)
         .select("doc_id", "domain", "mix_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# PRIORITY sampling (Duffield, Lund & Thorup, JACM 2007) — weighted
+# sampling WITHOUT replacement with an unbiased subset-sum estimator,
+# the scheme production samplers (e.g. flow telemetry, weighted corpus
+# subsampling) use when each stratum must keep exactly k items but
+# heavy items must be kept with near-certainty. Per item: priority
+# q_i = w_i / u_i with u_i uniform(0,1]; keep the k largest
+# priorities; with tau = the (k+1)-th priority, each kept item's
+# Horvitz-Thompson weight is max(w_i, tau) and their sum unbiasedly
+# estimates the stratum's total weight. Absent from the reference
+# (math.c has no sampling); canonical for training-data pipelines
+# that cap per-domain document budgets by quality weight.
+#
+# Determinism: u_i is the 60-bit md5 hash (hash60) — stateless,
+# replay- and repartition-proof like every sampler in this module. We
+# order by key = u_i/w_i ASCENDING (== priority descending): one
+# IEEE long->double conversion and one division, both correctly
+# rounded, so the sort key is bit-identical cross-engine; ties break
+# on event_id. tau is derived from the (k+1)-th KEY as 2^60/key (a
+# power-of-two literal, exact in double), and the HT estimate is
+# summed in FIXED POINT (floor(ht*1e6+0.5) BIGINT) because a double
+# sum over k items is reduction-order-dependent.
+#
+# Scale: one narrow projection, ONE shuffle on the stratum key, one
+# window top-k per stratum (k rows survive per stratum), and the
+# second window reuses the same partitioning (no extra exchange —
+# pinned by the plan audit). At 100 TB with bounded strata this is
+# the cheapest weighted-cap shape there is; the estimator certifies
+# the sample against the exact stratum total in the same pass.
+# ---------------------------------------------------------------------------
+_PRI_K = 64
+_PRI_M = float(1 << 60)  # hash domain as an EXACT double (power of two)
+
+
+@register(
+    "sample_priority_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             GREATEST(1, CAST(floor(value * 100.0 + 0.5) AS BIGINT) + 1)
+                 AS w,
+             {duck_hash60("CAST(event_id AS VARCHAR)")} AS hv
+      FROM events
+    ), keyed AS (
+      SELECT event_type, event_id, w,
+             CAST(hv AS DOUBLE) / w AS skey
+      FROM base
+    ), ranked AS (
+      SELECT event_type, event_id, w, skey,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY skey, event_id) AS rn,
+             CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS exact_total_w
+      FROM keyed
+    ), r2 AS (
+      SELECT *,
+             MAX(CASE WHEN rn = {_PRI_K + 1} THEN skey END)
+                 OVER (PARTITION BY event_type) AS key_k1
+      FROM ranked
+    ), sel AS (
+      SELECT event_type, event_id, w, rn, exact_total_w,
+             CASE WHEN key_k1 IS NULL THEN CAST(w AS DOUBLE)
+                  ELSE GREATEST(CAST(w AS DOUBLE), {_PRI_M} / key_k1)
+             END AS ht
+      FROM r2 WHERE rn <= {_PRI_K}
+    ), fp AS (
+      SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, w,
+             CAST(floor(ht * 1000000.0 + 0.5) AS BIGINT) AS ht_fp,
+             exact_total_w,
+             CAST(SUM(CAST(floor(ht * 1000000.0 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY event_type) AS BIGINT) AS est_total_fp
+      FROM sel
+    )
+    SELECT event_type, rn, event_id, w, ht_fp, exact_total_w, est_total_fp,
+           (abs(est_total_fp - exact_total_w * 1000000) * 100
+            <= 40 * exact_total_w * 1000000) AS approx_ok
+    FROM fp
+    ORDER BY event_type, rn
+    """,
+)
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            + F.lit(1),
+        ).alias("w"),
+        hash60(F.col("event_id").cast("string")).alias("hv"),
+    )
+    keyed = base.select(
+        "event_type",
+        "event_id",
+        "w",
+        (F.col("hv").cast("double") / F.col("w")).alias("skey"),
+    )
+    worder = Window.partitionBy("event_type").orderBy("skey", "event_id")
+    wgrp = Window.partitionBy("event_type")
+    ranked = keyed.select(
+        "event_type",
+        "event_id",
+        "w",
+        "skey",
+        F.row_number().over(worder).alias("rn"),
+        F.sum("w").over(wgrp).cast("long").alias("exact_total_w"),
+    )
+    r2 = ranked.withColumn(
+        "key_k1",
+        F.max(
+            F.when(F.col("rn") == _PRI_K + 1, F.col("skey"))
+        ).over(wgrp),
+    )
+    sel = r2.filter(F.col("rn") <= _PRI_K).select(
+        "event_type",
+        "event_id",
+        "w",
+        "rn",
+        "exact_total_w",
+        F.when(
+            F.col("key_k1").isNull(), F.col("w").cast("double")
+        )
+        .otherwise(
+            F.greatest(
+                F.col("w").cast("double"), F.lit(_PRI_M) / F.col("key_k1")
+            )
+        )
+        .alias("ht"),
+    )
+    ht_fp = F.floor(F.col("ht") * 1000000.0 + F.lit(0.5)).cast("long")
+    fp = sel.select(
+        "event_type",
+        F.col("rn").cast("long").alias("rn"),
+        "event_id",
+        "w",
+        ht_fp.alias("ht_fp"),
+        "exact_total_w",
+    ).withColumn(
+        "est_total_fp", F.sum("ht_fp").over(wgrp).cast("long")
+    )
+    return fp.select(
+        "event_type",
+        "rn",
+        "event_id",
+        "w",
+        "ht_fp",
+        "exact_total_w",
+        "est_total_fp",
+        (
+            F.abs(F.col("est_total_fp") - F.col("exact_total_w") * 1000000)
+            * 100
+            <= F.lit(40) * F.col("exact_total_w") * 1000000
+        ).alias("approx_ok"),
+    ).orderBy("event_type", "rn")

@@ -517,3 +517,28 @@ def test_gopher_rules_python_twin(spark, sf_dir):
         assert abs(g["mean_word_len"] - mean_len) < 1e-12
         assert g["n_gopher_stop"] == n_stop
         assert g["keep"] == keep, (row["doc_id"], g)
+
+
+def test_priority_sample_ht_invariants(spark, sf_dir):
+    """Priority-sampling invariants (Duffield-Lund-Thorup): every
+    stratum keeps exactly k items ranked 1..k, each kept item's
+    Horvitz-Thompson weight is >= its own weight (ht = max(w, tau)),
+    and the HT sum certifies against the exact stratum total."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        _PRI_K,
+        sample_priority_topk,
+    )
+
+    rows = sample_priority_topk(spark, sf_dir).collect()
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[r["event_type"]].append(r)
+        assert r["ht_fp"] >= r["w"] * 1_000_000
+        assert r["approx_ok"]
+    for grp, rs in by_grp.items():
+        assert sorted(r["rn"] for r in rs) == list(range(1, _PRI_K + 1)), grp
+        # one shared tau: all rows where ht > w carry the SAME ht
+        taus = {r["ht_fp"] for r in rs if r["ht_fp"] > r["w"] * 1_000_000}
+        assert len(taus) <= 1, (grp, taus)
