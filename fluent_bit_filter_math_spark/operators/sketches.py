@@ -474,3 +474,154 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_distinct") * 30
         ).alias("approx_ok"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# THETA-sketch set algebra (Dasgupta, Lang, Rhodes & Thaler, "Theta-
+# Sketch Framework", 2016 — the Apache DataSketches union/intersect/
+# a-not-b model). KMV above answers "how many distinct"; the theta
+# framework answers SET-EXPRESSION cardinalities from the sketches
+# alone: with per-set samples S = {k smallest hashes} and per-set
+# thresholds theta (the k-th smallest, M when the set is smaller than
+# k), any union/intersection/difference is estimated by clipping every
+# participating sample to th = min(theta_i) and counting:
+# est = |clipped sample of the expression| * M / th. The reference has
+# no sketches at all (math.c folds raw numerics); this is the
+# mergeable-summary algebra a 100 TB overlap/attribution report runs
+# instead of a full distinct join.
+#
+# Determinism: same 56-bit md5 domain as KMV (exact BIGINT
+# arithmetic, count*M stays < 2^63); sketch build is orderBy+limit —
+# Spark compiles it to TakeOrderedAndProject (per-partition top-k,
+# merge of k-row heads; no full sort, no full shuffle) which is the
+# scale path; every downstream step touches only <= k-row inputs, all
+# broadcast. approx_ok bounds are loose 3-sigma envelopes (RSE ~
+# 1/sqrt(k-1) ~ 12.6% for the union; wider for intersection/
+# difference whose error scales with 1/overlap-fraction) — and both
+# engines compute the identical booleans regardless.
+# ---------------------------------------------------------------------------
+_TH_K = 64
+_TH_M = 1 << 56
+
+
+@register(
+    "sketch_theta_set_ops",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                           1, 14) AS BIGINT) AS hv
+      FROM events WHERE event_type = 'click'
+    ), hb AS (
+      SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                           1, 14) AS BIGINT) AS hv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT hv FROM ha ORDER BY hv LIMIT {_TH_K}),
+    sb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_TH_K}),
+    ta AS (SELECT CASE WHEN COUNT(*) = {_TH_K} THEN MAX(hv)
+                       ELSE {_TH_M} END AS th_a FROM sa),
+    tb AS (SELECT CASE WHEN COUNT(*) = {_TH_K} THEN MAX(hv)
+                       ELSE {_TH_M} END AS th_b FROM sb),
+    th AS (SELECT LEAST(th_a, th_b) AS th FROM ta, tb),
+    cu AS (SELECT COUNT(*) AS n FROM
+             (SELECT hv FROM sa UNION SELECT hv FROM sb) s, th
+           WHERE s.hv < th.th),
+    ci AS (SELECT COUNT(*) AS n FROM sa, th
+           WHERE sa.hv < th.th AND sa.hv IN (SELECT hv FROM sb)),
+    cd AS (SELECT COUNT(*) AS n FROM sa, th
+           WHERE sa.hv < th.th AND sa.hv NOT IN (SELECT hv FROM sb)),
+    ea AS (SELECT COUNT(DISTINCT user_id) AS n FROM events
+           WHERE event_type IN ('click', 'purchase')),
+    ei AS (SELECT COUNT(*) AS n FROM
+             (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+             a
+           WHERE a.user_id IN (SELECT user_id FROM events
+                               WHERE event_type = 'purchase')),
+    ed AS (SELECT COUNT(*) AS n FROM
+             (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+             a
+           WHERE a.user_id NOT IN (SELECT user_id FROM events
+                                   WHERE event_type = 'purchase'))
+    SELECT CAST(cu.n * {_TH_M} // th.th AS BIGINT) AS est_union,
+           CAST(ea.n AS BIGINT) AS exact_union,
+           CAST(ci.n * {_TH_M} // th.th AS BIGINT) AS est_inter,
+           CAST(ei.n AS BIGINT) AS exact_inter,
+           CAST(cd.n * {_TH_M} // th.th AS BIGINT) AS est_diff,
+           CAST(ed.n AS BIGINT) AS exact_diff,
+           (abs(cu.n * {_TH_M} // th.th - ea.n) * 100 <= 40 * ea.n)
+               AS union_ok,
+           (abs(ci.n * {_TH_M} // th.th - ei.n) * 100 <= 60 * ei.n)
+               AS inter_ok
+    FROM cu, ci, cd, ea, ei, ed, th
+    """,
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def hset(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 14
+                    ),
+                    16, 10,
+                ).cast("long").alias("hv")
+            )
+            .distinct()
+        )
+
+    sa = hset("click").orderBy("hv").limit(_TH_K)
+    sb = hset("purchase").orderBy("hv").limit(_TH_K)
+
+    def theta(s: DataFrame, name: str) -> DataFrame:
+        return s.agg(
+            F.when(F.count("*") == _TH_K, F.max("hv"))
+            .otherwise(F.lit(_TH_M))
+            .alias(name)
+        )
+
+    th = (
+        theta(sa, "th_a")
+        .crossJoin(theta(sb, "th_b"))
+        .select(F.least("th_a", "th_b").alias("th"))
+    )
+    clip = lambda s: s.crossJoin(F.broadcast(th)).filter(
+        F.col("hv") < F.col("th")
+    )
+    cu = clip(sa.union(sb).distinct()).agg(F.count("*").alias("cu"))
+    ci = clip(sa.join(sb, "hv", "left_semi")).agg(F.count("*").alias("ci"))
+    cd = clip(sa.join(sb, "hv", "left_anti")).agg(F.count("*").alias("cd"))
+
+    ua = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    ub = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    ea = ua.union(ub).distinct().agg(F.count("*").alias("ea"))
+    ei = ua.join(ub, "user_id", "left_semi").agg(F.count("*").alias("ei"))
+    ed = ua.join(ub, "user_id", "left_anti").agg(F.count("*").alias("ed"))
+
+    est = lambda cnt: F.expr(f"{cnt} * {_TH_M} div th")
+    return (
+        cu.crossJoin(ci)
+        .crossJoin(cd)
+        .crossJoin(ea)
+        .crossJoin(ei)
+        .crossJoin(ed)
+        .crossJoin(F.broadcast(th))
+        .select(
+            est("cu").alias("est_union"),
+            F.col("ea").cast("long").alias("exact_union"),
+            est("ci").alias("est_inter"),
+            F.col("ei").cast("long").alias("exact_inter"),
+            est("cd").alias("est_diff"),
+            F.col("ed").cast("long").alias("exact_diff"),
+            (F.abs(est("cu") - F.col("ea")) * 100 <= 40 * F.col("ea"))
+            .alias("union_ok"),
+            (F.abs(est("ci") - F.col("ei")) * 100 <= 60 * F.col("ei"))
+            .alias("inter_ok"),
+        )
+    )

@@ -542,3 +542,33 @@ def test_priority_sample_ht_invariants(spark, sf_dir):
         # one shared tau: all rows where ht > w carry the SAME ht
         taus = {r["ht_fp"] for r in rs if r["ht_fp"] > r["w"] * 1_000_000}
         assert len(taus) <= 1, (grp, taus)
+
+
+def test_theta_clip_partition_identity():
+    """Theta-framework invariant: after clipping both sketches to
+    th = min(theta_a, theta_b), the intersection and a-not-b samples
+    PARTITION the clipped A-sample, so est_inter + est_diff equals the
+    clipped-A estimate exactly — the algebra that lets a 100 TB report
+    decompose overlap from the sketches alone. Pinned on adversarial
+    overlap (shared head, disjoint tails), pure Python twin."""
+    import hashlib
+
+    K, M = 64, 1 << 56
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16)
+
+    A = {h(i) for i in range(400)}
+    B = {h(i) for i in range(200, 700)}
+    sa, sb = sorted(A)[:K], sorted(B)[:K]
+    th_a = sa[-1] if len(A) >= K else M
+    th_b = sb[-1] if len(B) >= K else M
+    th = min(th_a, th_b)
+    clip = lambda s: {x for x in s if x < th}
+    ca, cb = clip(sa), clip(sb)
+    n_inter, n_diff = len(ca & set(sb)), len(ca - set(sb))
+    assert n_inter + n_diff == len(ca)
+    est = lambda n: n * M // th
+    # and the union estimate is within 3-sigma of truth on this fixture
+    n_union = len(clip(set(sa) | set(sb)))
+    assert abs(est(n_union) - len(A | B)) <= 0.4 * len(A | B)
