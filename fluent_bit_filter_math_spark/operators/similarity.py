@@ -1698,3 +1698,129 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_neighbor").alias("n_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MIPS via the asymmetric augmentation (Bachrach et al., RecSys 2014;
+# Shrivastava & Li, NeurIPS 2014) — maximum-INNER-PRODUCT search, the
+# retrieval order recommendation and unnormalized-embedding systems
+# need, reduced to the cosine machinery every ANN index here already
+# has. Corpus vectors get one extra dimension sqrt(M^2 - |c|^2) (M =
+# max corpus norm), queries get a literal 0: the augmented cosine is
+# then ip/(|q|*M), monotone in the inner product, so ANY
+# cosine/L2 index (the bucketed/IVF/PQ paths above) serves MIPS
+# unchanged. The query ranks every pair BOTH ways — directly by inner
+# product and through the actually-augmented vectors — and emits the
+# per-pair rank agreement as the audit.
+#
+# Scale: the augmentation is one corpus-pass scalar aggregate (max
+# |c|^2 — order-independent, broadcast back as one row) plus a
+# map-side array concat; scoring inherits _scored's
+# broadcast-queries/stream-corpus shape, no corpus shuffle. Output is
+# integer-only (ids, ranks, agreement) — rank order is pinned by
+# floats whose adjacent gaps (~1e-6) dwarf engine divergence, per the
+# module-header measurement.
+# ---------------------------------------------------------------------------
+_D_IP = "list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+_D_SSQ_C = "list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+
+
+@register(
+    "sim_mips_transform",
+    oracle=f"""
+    WITH m AS (
+      SELECT MAX(list_inner_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[])) AS m2
+      FROM embeddings
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_D_IP} AS ip,
+             list_cosine_similarity(
+                 list_concat(q.embedding::DOUBLE[], [0.0]),
+                 list_concat(c.embedding::DOUBLE[],
+                             [sqrt(greatest(0.0, m.m2 - {_D_SSQ_C}))])
+             ) AS cos_aug
+      FROM embeddings q, embeddings c, m
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ), r AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ip DESC, neighbor_id) AS rank_ip,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_aug DESC, neighbor_id)
+                 AS rank_mips
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank_ip AS BIGINT) AS rank_ip,
+           CAST(rank_mips AS BIGINT) AS rank_mips,
+           rank_ip = rank_mips AS agree
+    FROM r
+    WHERE rank_ip <= {TOP_K}
+    ORDER BY query_id, rank_ip
+    """,
+)
+def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import dot
+
+    emb = _emb(spark, sf_dir)
+    ssq = dot(F.col("embedding"), F.col("embedding"))
+    m = emb.agg(F.max(ssq).alias("m2"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.crossJoin(F.broadcast(m)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.concat(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.array(
+                F.sqrt(
+                    F.greatest(
+                        F.lit(0.0),
+                        F.col("m2")
+                        - dot(F.col("embedding"), F.col("embedding")),
+                    )
+                )
+            ),
+        ).alias("ce_aug"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("qe"), F.col("ce")).alias("ip"),
+            cosine(
+                F.concat(
+                    F.transform(F.col("qe"), lambda x: x.cast("double")),
+                    F.array(F.lit(0.0)),
+                ),
+                F.col("ce_aug"),
+            ).alias("cos_aug"),
+        )
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("neighbor_id")
+    )
+    w_mips = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_aug"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w_ip).cast("long").alias("rank_ip"),
+            F.row_number().over(w_mips).cast("long").alias("rank_mips"),
+        )
+        .filter(F.col("rank_ip") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_ip",
+            "rank_mips",
+            (F.col("rank_ip") == F.col("rank_mips")).alias("agree"),
+        )
+        .orderBy("query_id", "rank_ip")
+    )

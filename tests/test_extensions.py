@@ -572,3 +572,17 @@ def test_theta_clip_partition_identity():
     # and the union estimate is within 3-sigma of truth on this fixture
     n_union = len(clip(set(sa) | set(sb)))
     assert abs(est(n_union) - len(A | B)) <= 0.4 * len(A | B)
+
+
+def test_mips_transform_order_equivalence(spark, sf_dir):
+    """The asymmetric augmentation is a MONOTONE transform of the inner
+    product, so the transform-path ranking must agree with the direct
+    inner-product ranking on every emitted pair."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        TOP_K,
+        sim_mips_transform,
+    )
+
+    rows = sim_mips_transform(spark, sf_dir).collect()
+    assert rows and all(r["agree"] for r in rows)
+    assert all(r["rank_ip"] == r["rank_mips"] <= TOP_K for r in rows)
