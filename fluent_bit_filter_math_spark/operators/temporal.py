@@ -1134,3 +1134,73 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — exponentially weighted moving average per user, the
+# canonical time-series smoother (monitoring, rate estimation,
+# RFC 793-style RTT smoothing) the ts_* family lacked. alpha = 1/4,
+# truncated at K = 8 lags; un-truncated EWMA is a recursion (y_t
+# depends on y_{t-1}) that no engine-portable float evaluation order
+# exists for, while the truncated form is a FINITE weighted sum whose
+# weights alpha*(1-alpha)^j are exact dyadic rationals: over the
+# common denominator 4^K the lag-j weight is the INTEGER
+# 3^j * 4^(K-1-j), so numerator and denominator are exact BIGINT
+# window sums (cents * weight <= ~1e9, no overflow) and the only
+# float op is ONE final division — bit-identical cross-engine.
+# Absent lags (the first K-1 rows of each user) drop out of BOTH
+# sums, which is exactly the "normalize by present weights" EWMA
+# initialization (equivalent to adjust=True in the pandas sense).
+#
+# Scale: one shuffle on user_id, one 8-lag window pass — the same
+# shape as every per-key window here; no state beyond the frame, no
+# Python.
+# ---------------------------------------------------------------------------
+_EWMA_K = 8
+_EWMA_W = [3**j * 4 ** (_EWMA_K - 1 - j) for j in range(_EWMA_K)]
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    xc = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    num, den = [], []
+    for j, w in enumerate(_EWMA_W):
+        lag = xc if j == 0 else f"LAG({xc}, {j}) {over}"
+        num.append(f"COALESCE({lag}, 0) * {w}")
+        den.append(f"(CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END)")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@register(
+    "ts_ewma_fixedpoint",
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x_cents,
+           CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN} AS BIGINT) AS ewma_den,
+           CAST({_EWMA_NUM} AS DOUBLE) / ({_EWMA_DEN}) AS ewma_cents
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_ewma_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    xc = exact_cents(F.col("value"))
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j, wt in enumerate(_EWMA_W):
+        lag = xc if j == 0 else F.lag(xc, j).over(w)
+        num = num + F.coalesce(lag, F.lit(0)) * wt
+        den = den + F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        xc.alias("x_cents"),
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        (num.cast("double") / den).alias("ewma_cents"),
+    ).orderBy("user_id", "event_id")

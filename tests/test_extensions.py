@@ -586,3 +586,41 @@ def test_mips_transform_order_equivalence(spark, sf_dir):
     rows = sim_mips_transform(spark, sf_dir).collect()
     assert rows and all(r["agree"] for r in rows)
     assert all(r["rank_ip"] == r["rank_mips"] <= TOP_K for r in rows)
+
+
+def test_ewma_matches_pandas_adjusted(spark, sf_dir):
+    """The truncated fixed-point EWMA must equal pandas' adjust=True
+    ewm over the same cents series once pandas is truncated to the
+    same K lags — an independent float implementation of the same
+    weighted sum (tolerance covers its different summation order)."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        _EWMA_K,
+        ts_ewma_fixedpoint,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    rows = ts_ewma_fixedpoint(spark, sf_dir).collect()
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "event_id", "ts",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc",
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in sorted(raw, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        series[r["user_id"]].append((r["event_id"], r["xc"]))
+    expect = {}
+    alpha = 0.25
+    for uid, seq in series.items():
+        for i, (eid, _) in enumerate(seq):
+            lags = [seq[i - j][1] for j in range(min(i + 1, _EWMA_K))]
+            wts = [alpha * (1 - alpha) ** j for j in range(len(lags))]
+            expect[eid] = sum(x * w for x, w in zip(lags, wts)) / sum(wts)
+    assert len(rows) == len(expect) > 0
+    for r in rows:
+        assert abs(r["ewma_cents"] - expect[r["event_id"]]) < 1e-6
+        assert r["ewma_den"] > 0
