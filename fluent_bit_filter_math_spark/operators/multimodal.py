@@ -923,3 +923,295 @@ def mm_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SECOND real compressed-image codec — GIF, whose compression layer
+# (LZW) needs no library at all: both the variable-width-code
+# compressor and the decompressor are implemented here against the
+# GIF89a specification (appendix F): codes start at min-code-size+1
+# bits, CLEAR resets the dictionary, the table tops out at 4095 and
+# the encoder emits CLEAR to restart, bit packing is LSB-first across
+# 255-byte sub-blocks. Width synchronization follows the spec's
+# asymmetric rule: the ENCODER widens after assigning code 2^w, the
+# DECODER one code earlier (after assigning 2^w - 1) because its
+# table additions lag the encoder's by exactly one code — the classic
+# GIF off-by-one, pinned by tests that roundtrip across both width
+# boundaries and a full-table CLEAR, plus the canonical public 1x1
+# image-block conformance vector (0x44 0x01 at mcs 2 → pixel 0).
+#
+# The ingest kernel synthesizes a spec-valid GIF89a per asset —
+# header, logical screen descriptor, 256-entry grayscale global color
+# table, image descriptor, LZW-compressed sub-blocked image data,
+# trailer — and the decode kernel REALLY parses it: signature, LSD
+# unpack, GCT load, descriptor/LSD consistency, sub-block walk, LZW
+# decode with out-of-range-code detection, pixel-count check, and
+# palette mapping. Corrupt containers raise.
+#
+# Determinism: dims are arithmetic on byte length, the pixel plane is
+# the payload cycled, and the grayscale palette maps index -> itself,
+# so the oracle reproduces the decoded pixel checksums from code
+# points — the whole compress → container → parse → decompress loop
+# sits under the bitwise value-hash gate. Scale: same Arrow-batched
+# mapInPandas shape as every codec kernel; no shuffle, no driver.
+# ---------------------------------------------------------------------------
+_GIF_W_MOD, _GIF_H_MOD = 11, 7
+
+
+def _gif_lzw_encode(mcs: int, data: bytes) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code <= 4095:
+            table[wc] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            width = mcs + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, max_out: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    width = mcs + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = mcs + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code not in table:
+                raise ValueError("first code after clear not a literal")
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            if next_code <= 4095:
+                table[next_code] = prev + entry[:1]
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+                next_code += 1
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds pixel count")
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_build(payload: bytes) -> bytes:
+    import struct
+
+    n = len(payload)
+    w = 5 + n % _GIF_W_MOD
+    h = 3 + n % _GIF_H_MOD
+    src = payload if payload else b"\x00"
+    plane = (src * (w * h // len(src) + 1))[: w * h]
+    # packed LSD byte: GCT present, 8-bit color resolution, 256-entry GCT
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    data = bytes([8]) + _gif_subblocks(_gif_lzw_encode(8, plane))
+    return b"GIF89a" + lsd + gct + desc + data + b"\x3b"
+
+
+def _gif_decode_plane(payload: bytes):
+    """Real GIF decode: signature, LSD, GCT, descriptor walk, sub-block
+    reassembly, LZW decompression, palette mapping. Returns (w, h,
+    palette-mapped pixel bytes)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    if len(payload) < 13:
+        raise ValueError("truncated logical screen descriptor")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    gct_len = 3 * (2 << (packed & 0x07))
+    pos = 13
+    gct = payload[pos : pos + gct_len]
+    if len(gct) != gct_len:
+        raise ValueError("truncated global color table")
+    pos += gct_len
+    pixels = None
+    while True:
+        if pos >= len(payload):
+            raise ValueError("missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated extension")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        iw_l, iw_t, iw, ih, ipacked = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        if (iw_l, iw_t, iw, ih) != (0, 0, w, h) or ipacked & 0xC0:
+            raise ValueError("image descriptor disagrees with screen")
+        mcs = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated image data")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            stream += payload[pos : pos + sz]
+            if len(stream) < sz:
+                raise ValueError("truncated sub-block")
+            pos += sz
+        idx = _gif_lzw_decode(mcs, bytes(stream), w * h)
+        if len(idx) != w * h:
+            raise ValueError("decoded pixel count disagrees with dims")
+        # palette map (grayscale identity here, but a REAL lookup)
+        pixels = bytes(gct[3 * i] for i in idx)
+    if pixels is None:
+        raise ValueError("no image block before trailer")
+    return w, h, pixels
+
+
+def _gif_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            w, h, pix = _gif_decode_plane(_gif_build(p))
+            flat = np.frombuffer(pix, dtype=np.uint8).astype(np.int64)
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    w * h,
+                    int(flat.sum()),
+                    int(((np.arange(w * h, dtype=np.int64) + 1) * flat).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "width",
+                "height",
+                "n_pixels",
+                "pix_sum",
+                "pix_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_gif_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             5 + strlen(text) % {_GIF_W_MOD} AS w,
+             3 + strlen(text) % {_GIF_H_MOD} AS h
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               i -> CAST(ord(text[i % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               i -> (i + 1) * CAST(ord(text[i % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _gif_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_pixels long,"
+            " pix_sum long, pix_checksum long"
+        ),
+    )

@@ -624,3 +624,55 @@ def test_ewma_matches_pandas_adjusted(spark, sf_dir):
     for r in rows:
         assert abs(r["ewma_cents"] - expect[r["event_id"]]) < 1e-6
         assert r["ewma_den"] > 0
+
+
+def test_gif_lzw_conformance_and_roundtrip():
+    """GIF LZW: the canonical public 1x1 image block (mcs=2, bytes
+    44 01) must decode to a single index-0 pixel, and encode→decode
+    must roundtrip across BOTH width-growth boundaries and a
+    full-table CLEAR restart — the cases where the spec's asymmetric
+    encoder/decoder width-bump rule bites."""
+    import random
+
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    assert _gif_lzw_decode(2, bytes([0x44, 0x01]), 4) == b"\x00"
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaaaaa",
+        bytes(range(256)) * 4,
+        bytes(rng.randrange(256) for _ in range(5000)),
+        bytes(rng.randrange(4) for _ in range(50000)),
+        (b"abcd" * 3 + b"xyz") * 4000,  # table hits 4096 -> CLEAR
+    ]
+    for c in cases:
+        assert _gif_lzw_decode(8, _gif_lzw_encode(8, c), len(c) + 1) == c
+    # cScSc pattern: exercises the code == next_code special case
+    assert _gif_lzw_decode(8, _gif_lzw_encode(8, b"ababa"), 6) == b"ababa"
+
+
+def test_gif_container_corruption_rejected():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _gif_build,
+        _gif_decode_plane,
+    )
+    import pytest as _pytest
+
+    good = _gif_build(b"hello gif world")
+    w, h, pix = _gif_decode_plane(good)
+    n = len(b"hello gif world")
+    assert (w, h) == (5 + n % 11, 3 + n % 7)
+    assert pix == (b"hello gif world" * (w * h // n + 1))[: w * h]
+    for bad in (
+        b"NOPE" + good[4:],              # bad signature
+        good[:-1],                       # missing trailer
+        good[:30],                       # truncated GCT
+        good[:6] + bytes([good[6]]) + good[7:-10],  # truncated image data
+    ):
+        with _pytest.raises(ValueError):
+            _gif_decode_plane(bad)
