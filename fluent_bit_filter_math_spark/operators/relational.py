@@ -1956,3 +1956,98 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= _MB_MIN_SUPPORT)
         .orderBy("item_a", "item_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# THEIL-SEN robust slope — median of pairwise slopes, the standard
+# outlier-resistant trend estimator (29% breakdown point vs OLS's
+# zero; agg_regr_ols above is its fragile twin). O(n^2) pairs is
+# inherent to the estimator, so the blocks are (user_id, event_type)
+# — the same explicit-bounded-block discipline as the dedup/linkage
+# operators: pair count is sum over blocks of |block|^2, and block
+# size is bounded by a user's activity in one category, NOT corpus
+# volume (measured ~13 rows/block at sf0.01 AND sf0.1 — the block
+# count grows with data, the block size doesn't).
+#
+# Determinism: x is exact epoch-us, y exact cents; each slope is ONE
+# IEEE division of two exact int64 deltas; the median is DISCRETE
+# (row (cnt+1)//2 of the slope order), so no float averaging of two
+# middles ever happens and equal-slope rank ties can't change the
+# emitted VALUE. Same-x pairs drop in both engines (a.x < b.x).
+#
+# Scale: one shuffle of events on the block key, then the self-join
+# runs inside co-partitioned blocks; the rank window reuses the same
+# partitioning. At 100 TB you'd additionally cap |block| (sample
+# within pathological blocks) — the sweep shows fixture blocks flat.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_theilsen_slope",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, event_type, epoch_us(ts) AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events
+    ), pairs AS (
+      SELECT a.user_id, a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+      FROM pts a
+      JOIN pts b
+        ON a.user_id = b.user_id AND a.event_type = b.event_type
+       AND a.x < b.x
+    ), ranked AS (
+      SELECT user_id, event_type, slope,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS cnt
+      FROM pairs
+    )
+    SELECT user_id, event_type,
+           CAST(cnt AS BIGINT) AS n_pairs,
+           slope AS theilsen_slope
+    FROM ranked
+    WHERE rn = (cnt + 1) // 2
+    ORDER BY user_id, event_type
+    """,
+)
+def agg_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        exact_cents(F.col("value")).alias("y"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("user_id", "event_type").orderBy("slope")
+    wc = Window.partitionBy("user_id", "event_type")
+    ranked = pairs.select(
+        "user_id",
+        "event_type",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("cnt").cast("long").alias("n_pairs"),
+            F.col("slope").alias("theilsen_slope"),
+        )
+        .orderBy("user_id", "event_type")
+    )

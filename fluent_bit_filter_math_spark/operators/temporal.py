@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fluent_bit_filter_math_spark.functions import exact_cents, fixed_round
+from fluent_bit_filter_math_spark.functions import (
+    duck_hash60,
+    exact_cents,
+    fixed_round,
+)
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -1204,3 +1208,205 @@ def ts_ewma_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("long").alias("ewma_den"),
         (num.cast("double") / den).alias("ewma_cents"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# GAPS-AND-ISLANDS — consecutive-day activity streaks per user, the
+# canonical SQL idiom the temporal family still lacked (login streaks,
+# retention "N consecutive days" cohorts, SLA uptime runs). The trick
+# is pure integer algebra: over each user's DISTINCT active days
+# ordered by day, (day - row_number) is CONSTANT within a run of
+# consecutive days and distinct across runs, so one GROUP BY on that
+# anchor yields every island without self-joins. Everything is date/
+# integer arithmetic — no floats anywhere near the gate.
+#
+# Scale: one shuffle on user_id for the distinct + window, then the
+# island GROUP BY reuses the same user partitioning (no second
+# exchange). Per-user state is the day list — bounded by the calendar,
+# not the event volume (the distinct collapses 100 TB of events to
+# users x days rows map-side first).
+# ---------------------------------------------------------------------------
+@register(
+    "window_login_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), anchored AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor, COUNT(*) AS streak_len,
+             MIN(d) AS streak_start, MAX(d) AS streak_end
+      FROM anchored
+      GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+           strftime(MIN(streak_start), '%Y-%m-%d') AS first_day,
+           strftime(MAX(streak_end), '%Y-%m-%d') AS last_day
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def window_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    anchored = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_streaks"),
+            F.sum("streak_len").cast("long").alias("n_active_days"),
+            F.max("streak_len").cast("long").alias("max_streak"),
+            F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias(
+                "first_day"
+            ),
+            F.date_format(F.max("streak_end"), "yyyy-MM-dd").alias(
+                "last_day"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPATIAL proximity join via GRID bucketING — the 2-D analogue of
+# join_range_bucketize above and the canonical way a distributed
+# engine answers "all pairs within radius r" without an O(n^2)
+# distance join: snap points to an r-sized grid, equi-join each point
+# against the 3x3 neighborhood of its cell (cell size == r guarantees
+# any pair within r differs by at most one cell per axis), then apply
+# the exact distance predicate inside the bucket. Candidate volume is
+# sum over cells of |cell| * |3x3 neighborhood| — density-bounded,
+# never n^2; the join key is a plain equality, so Spark runs a
+# shuffle hash join and AQE handles any hot cell. The 9 offsets come
+# from an exploded literal array on the PROBE side only (9x one
+# side's rows, nothing on the build side).
+#
+# Points are synthesized deterministically (hash60 of the event id,
+# mod a 10^4 grid) and every coordinate, delta, and distance is exact
+# BIGINT arithmetic — no floats in the whole query. Output is a
+# per-cell pair summary (count / min / sum of squared distance),
+# which pins every candidate and every survivor.
+# ---------------------------------------------------------------------------
+_SP_G = 10000  # coordinate domain per axis
+_SP_R = 50  # radius AND cell size
+
+
+@register(
+    "join_spatial_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             {duck_hash60("'x:' || CAST(event_id AS VARCHAR)")} % {_SP_G}
+                 AS px,
+             {duck_hash60("'y:' || CAST(event_id AS VARCHAR)")} % {_SP_G}
+                 AS py
+      FROM events
+    ), cells AS (
+      SELECT event_id, px, py, px // {_SP_R} AS cx, py // {_SP_R} AS cy
+      FROM pts
+    ), probe AS (
+      SELECT c.event_id, c.px, c.py, c.cx + o.ox AS ncx, c.cy + o.oy AS ncy
+      FROM cells c
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS ox) o1
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS oy) o2,
+      LATERAL (SELECT o1.ox AS ox, o2.oy AS oy) o
+    ), pairs AS (
+      SELECT a.event_id AS a_id, a.px AS apx, a.py AS apy,
+             (a.px - b.px) * (a.px - b.px)
+             + (a.py - b.py) * (a.py - b.py) AS dist_sq
+      FROM probe a
+      JOIN cells b ON a.ncx = b.cx AND a.ncy = b.cy
+                  AND a.event_id < b.event_id
+      WHERE (a.px - b.px) * (a.px - b.px)
+            + (a.py - b.py) * (a.py - b.py) <= {_SP_R * _SP_R}
+    )
+    SELECT apx // {_SP_R} AS cell_x, apy // {_SP_R} AS cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(dist_sq) AS BIGINT) AS min_dist_sq,
+           CAST(SUM(dist_sq) AS BIGINT) AS sum_dist_sq
+    FROM pairs
+    GROUP BY cell_x, cell_y
+    ORDER BY cell_x, cell_y
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import hash60
+
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.pmod(
+            hash60(F.concat(F.lit("x:"), F.col("event_id").cast("string"))),
+            F.lit(_SP_G),
+        ).alias("px"),
+        F.pmod(
+            hash60(F.concat(F.lit("y:"), F.col("event_id").cast("string"))),
+            F.lit(_SP_G),
+        ).alias("py"),
+    )
+    cells = pts.select(
+        "event_id",
+        "px",
+        "py",
+        F.expr(f"px div {_SP_R}").alias("cx"),
+        F.expr(f"py div {_SP_R}").alias("cy"),
+    )
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = (
+        cells.withColumn("ox", F.explode(offs))
+        .withColumn("oy", F.explode(offs))
+        .select(
+            "event_id",
+            "px",
+            "py",
+            (F.col("cx") + F.col("ox")).alias("ncx"),
+            (F.col("cy") + F.col("oy")).alias("ncy"),
+        )
+    )
+    a = probe.alias("a")
+    b = cells.alias("b")
+    dx = F.col("a.px") - F.col("b.px")
+    dy = F.col("a.py") - F.col("b.py")
+    dist_sq = dx * dx + dy * dy
+    pairs = a.join(
+        b,
+        (F.col("a.ncx") == F.col("b.cx"))
+        & (F.col("a.ncy") == F.col("b.cy"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    ).filter(dist_sq <= _SP_R * _SP_R).select(
+        F.col("a.px").alias("apx"),
+        F.col("a.py").alias("apy"),
+        dist_sq.alias("dist_sq"),
+    )
+    return (
+        pairs.groupBy(
+            F.expr(f"apx div {_SP_R}").alias("cell_x"),
+            F.expr(f"apy div {_SP_R}").alias("cell_y"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("dist_sq").cast("long").alias("min_dist_sq"),
+            F.sum("dist_sq").cast("long").alias("sum_dist_sq"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )

@@ -676,3 +676,36 @@ def test_gif_container_corruption_rejected():
     ):
         with _pytest.raises(ValueError):
             _gif_decode_plane(bad)
+
+
+def test_spatial_grid_join_equals_bruteforce(spark, sf_dir):
+    """Grid-bucketed proximity join must find EXACTLY the pairs a
+    brute-force O(n^2) scan finds — cell size == radius guarantees no
+    pair within r spans more than one cell per axis, so bucketing
+    loses nothing."""
+    import hashlib
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        _SP_G,
+        _SP_R,
+        join_spatial_grid,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    ids = [r["event_id"]
+           for r in table(spark, sf_dir, "events").select("event_id").collect()]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pts = [(i, h60(f"x:{i}") % _SP_G, h60(f"y:{i}") % _SP_G) for i in ids]
+    n_pairs = sum_d = 0
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1:]:
+            d = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d <= _SP_R * _SP_R and ia != ib:
+                n_pairs += 1
+                sum_d += d
+    rows = join_spatial_grid(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
+    assert sum(r["sum_dist_sq"] for r in rows) == sum_d
