@@ -1410,3 +1410,75 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_x", "cell_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# RECURSIVE EWMA — the UN-truncated smoother y_t = (3*y_{t-1} + x_t)/4
+# as an ordered per-key integer fold, complementing ts_ewma_fixedpoint
+# (whose finite window exists only because a float recursion has no
+# portable evaluation order). The recursion becomes portable by
+# making every step EXACT: x in micro-cents (cents * 1e6), each step
+# (3*a + x) >> 2 — integer multiply-add and a power-of-two shift, so
+# the fold is a deterministic function of the sequence alone. The
+# sequence order is pinned by sorting an array of (epoch_us,
+# event_id, x) structs — array_sort on structs is lexicographic in
+# both engines. This is the general "ordered fold per key" shape
+# (state machines, compound rates, session scoring) that pure
+# relational algebra lacks; per-key arrays are bounded by per-user
+# activity (~70 rows), not corpus volume.
+#
+# Scale: ONE shuffle (groupBy user) with map-side partial
+# collect_list, then O(k log k) sort + O(k) fold per key inside
+# codegen higher-order functions — no Python, no window, no second
+# exchange. The same fold at 100 TB would cap per-key history or go
+# through the streaming stateful path; the plan shape is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_ewma_recursive",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list_transform(
+                 list_sort(list((epoch_us(ts), event_id,
+                                 CAST(floor(value * 100.0 + 0.5) AS BIGINT)))),
+                 s -> s[3] * 1000000
+             ) AS xs
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_obs,
+           CAST(xs[len(xs)] // 1000000 AS BIGINT) AS last_cents,
+           CAST(list_reduce(xs, (a, x) -> (3 * a + x) // 4) AS BIGINT)
+               AS ewma_ucents
+    FROM seq
+    ORDER BY user_id
+    """,
+)
+def ts_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_id").alias("e"),
+                exact_cents(F.col("value")).alias("x"),
+            )
+        ).alias("seq")
+    )
+    xs = F.transform(
+        F.array_sort(F.col("seq")), lambda s: s["x"] * F.lit(1000000)
+    )
+    fold = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.lit(0), F.size(xs) - 1)),
+        F.element_at(xs, 1),
+        lambda a, x: F.shiftright(a * 3 + x, 2),
+    )
+    return grouped.select(
+        "user_id",
+        F.size(xs).cast("long").alias("n_obs"),
+        F.expr(
+            "element_at(transform(array_sort(seq), s -> s.x), size(seq))"
+        ).cast("long").alias("last_cents"),
+        fold.cast("long").alias("ewma_ucents"),
+    ).orderBy("user_id")

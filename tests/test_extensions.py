@@ -709,3 +709,41 @@ def test_spatial_grid_join_equals_bruteforce(spark, sf_dir):
     rows = join_spatial_grid(spark, sf_dir).collect()
     assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
     assert sum(r["sum_dist_sq"] for r in rows) == sum_d
+
+
+def test_recursive_ewma_python_twin(spark, sf_dir):
+    """Third implementation of the integer EWMA recursion: collect the
+    per-user event sequence, fold in pure Python, require exact
+    equality (the whole point of the micro-cents >> 2 formulation)."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_ewma_recursive,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc",
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in raw:
+        seqs[r["user_id"]].append((r["t"], r["event_id"], r["xc"]))
+    expect = {}
+    for uid, seq in seqs.items():
+        xs = [x * 1_000_000 for _, _, x in sorted(seq)]
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = (3 * acc + x) >> 2
+        expect[uid] = (len(xs), acc)
+    rows = ts_ewma_recursive(spark, sf_dir).collect()
+    assert len(rows) == len(expect) > 0
+    for r in rows:
+        n, acc = expect[r["user_id"]]
+        assert (r["n_obs"], r["ewma_ucents"]) == (n, acc)
