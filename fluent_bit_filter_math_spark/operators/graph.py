@@ -772,3 +772,89 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# LABEL PROPAGATION (Raghavan et al., Phys. Rev. E 2007) — community
+# detection, the third iterative-graph algorithm family next to
+# PageRank (importance) and connected components (reachability).
+# SYNCHRONOUS variant with a deterministic tie-break: every node
+# starts as its own label; each round it adopts the label most
+# frequent among its NEIGHBORS, ties to the smallest label — so the
+# whole run is exact integer counting with an explicit order, no RNG,
+# and the oracle replays it by unrolling the rounds (the pagerank
+# discipline). Two rounds on the part-supplier bipartite graph:
+# round 1 collapses each part onto its smallest-degree-weighted
+# supplier neighborhood, round 2 merges suppliers through shared
+# parts — communities are co-purchasing clusters.
+#
+# Scale: per round ONE join (labels × edges, both partitioned on the
+# node key) and one hash aggregate + per-node top-1 window — the
+# identical per-round shape PageRank runs; labels are one row per
+# node, never edge-sized. The shared cached edge index (see
+# _edge_index) is reused across the graph family.
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 2
+
+
+def _d_lpa_round(i: int) -> str:
+    prev = f"l{i - 1}"
+    return f"""
+    c{i} AS (
+      SELECT e.src AS node, {prev}.label, COUNT(*) AS cnt
+      FROM edges e JOIN {prev} ON {prev}.node = e.dst
+      GROUP BY e.src, {prev}.label
+    ),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_D_EDGES},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {",".join(_d_lpa_round(i) for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT node,
+           CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+               AS community_size
+    FROM l{_LPA_ROUNDS}
+    ORDER BY node
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges, deg = _edge_index(spark, sf_dir)
+    labels = deg.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nl = edges.join(
+            labels, edges.dst == labels.node
+        ).select(edges.src.alias("node"), "label")
+        cnt = nl.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.select(
+                "node", "label", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    wsz = Window.partitionBy("label")
+    return labels.select(
+        "node",
+        F.col("label").cast("long").alias("community"),
+        F.count("*").over(wsz).cast("long").alias("community_size"),
+    ).orderBy("node")

@@ -897,3 +897,60 @@ def io_parquet_corrupt_quarantine(
         [(row["n_rows_recovered"], row["sum_cents"], len(_PQC_BAD))],
         "n_rows_recovered long, sum_cents long, n_shards_quarantined long",
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC round-trip — the second big columnar interchange format (Hive/
+# Trino ecosystems). Closes the one format the FORMATS table supports
+# that had no registered gate query. A slice of events is written as
+# zlib-compressed ORC and read back THROUGH a row-group-prunable
+# predicate (event_type <> 'error') so the query exercises the ORC
+# reader's pushdown path (min/max stripe stats), not just decoding —
+# the plan audit records the PushedFilters entry. Cents idiom as XML:
+# integers round-trip any container exactly.
+# ---------------------------------------------------------------------------
+_ORC_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _orc_events_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORC_DIRS:
+        out = tempfile.mkdtemp(prefix="fbm-orc-events-")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 10 == 0)
+            .select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            )
+            .write.format("orc")
+            .option("compression", "zlib")
+            .mode("overwrite")
+            .save(out)
+        )
+        _ORC_DIRS[key] = out
+    return _ORC_DIRS[key]
+
+
+@register(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE event_id % 10 = 0 AND event_type <> 'error'
+    """,
+)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _orc_events_path(spark, sf_dir)
+    return (
+        spark.read.format("orc")
+        .load(path)
+        .filter(F.col("event_type") != "error")
+        .select("event_id", "user_id", "event_type", "cents")
+    )

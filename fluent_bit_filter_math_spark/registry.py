@@ -75,6 +75,23 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "sample_temperature_mixture",
     "mm_png_histogram",
+    # tier 1b: the ten operators added late in r9 — never driver-
+    # checked (local dtype-exact green only). These take the slots of
+    # the 4 tier-4 representatives and the last 6 tier-3 r1-era
+    # queries, which move to the FRONT of the r10 queue (r6 proved
+    # local-green != driver-green, so never-checked outranks stale).
+    "mm_gif_decode",
+    "sketch_theta_set_ops",
+    "sample_priority_topk",
+    "text_gopher_rules",
+    "sim_mips_transform",
+    "ts_ewma_fixedpoint",
+    "ts_ewma_recursive",
+    "agg_theilsen_slope",
+    "window_login_streaks",
+    "join_spatial_grid",
+    "io_orc_roundtrip",
+    "graph_label_propagation",
     # tier 2: new or semantically touched in r9 — the C4-style span
     # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
     # ColBERT MaxSim; then the queries whose code changed this round:
@@ -127,13 +144,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 4: 4 family-diverse representatives of the r4-era greens
-    # (the next-oldest cohort, 33 queries) — fills the 50-slot window;
-    # the 27 r4 queries left over (displaced one by one as the eleven
-    # late-landing r9 queries took tier-2 slots: win_tumbling_hour,
+    # Past slot 50 (not in this round's driver window): kept here so
+    # the r10 rotation queue is explicit — first the 6 displaced
+    # r1-era queries and the 4 r4-era representatives below, then the
+    # 27 remaining r4-era queries (win_tumbling_hour,
     # stream_static_join_enrich, join_salted_skew, scd2_user_state,
-    # udtf_tokenize_docs, fn_json_suite, agg_grouping_sets, ...) queue
-    # first for the r10 rotation, then the r5/r6 cohorts by age.
+    # udtf_tokenize_docs, fn_json_suite, agg_grouping_sets, ...),
+    # then the r5/r6 cohorts by age.
     "dedup_ngram_jaccard",
     "graph_pagerank",
     "emb_kmeans",

@@ -747,3 +747,21 @@ def test_recursive_ewma_python_twin(spark, sf_dir):
     for r in rows:
         n, acc = expect[r["user_id"]]
         assert (r["n_obs"], r["ewma_ucents"]) == (n, acc)
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """LPA sanity: every community id is a real node id, sizes are
+    consistent with the per-node rows, and propagation actually merged
+    nodes (some community has >1 member on the bipartite fixture)."""
+    from collections import Counter
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    rows = graph_label_propagation(spark, sf_dir).collect()
+    nodes = {r["node"] for r in rows}
+    sizes = Counter(r["community"] for r in rows)
+    assert all(r["community"] in nodes for r in rows)
+    assert all(sizes[r["community"]] == r["community_size"] for r in rows)
+    assert max(sizes.values()) > 1
