@@ -552,3 +552,116 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(40) * F.col("exact_total_w") * 1000000
         ).alias("approx_ok"),
     ).orderBy("event_type", "rn")
+
+
+# ---------------------------------------------------------------------------
+# K-CENTER CORESET — greedy farthest-point selection (Gonzalez 1985,
+# the 2-approximation to metric k-center), the diversity-driven data
+# SELECTION primitive (coreset construction, active-learning seed
+# sets, "prune to the most spread-out exemplars"): start from a seed,
+# repeatedly pick the point FARTHEST from everything selected so far,
+# tracking each point's distance-to-selected-set with one least()
+# update per round. The emitted coverage-radius sequence is the
+# algorithm's own certificate (non-increasing; radius_r bounds the
+# k-center cost from both sides within 2x).
+#
+# Determinism: dist^2 = <v,v> - 2<v,c> + <c,c> with every inner
+# product a sequential fold — the same evaluation order as DuckDB's
+# list_inner_product, so the doubles are bit-identical — then
+# fixed-pointed to nano-units; argmax ties break on vec_id; min in
+# the fp domain commutes with floor. The oracle unrolls all rounds.
+#
+# Scale: each round is ONE corpus pass (a 64-lit broadcast center +
+# least() update) + a TakeOrdered(1) — the selected row (the coreset
+# itself, driver-sized BY DEFINITION) is the only thing collected,
+# the pagerank-loop discipline. O(k) passes total; at 100 TB you'd
+# batch centers per pass (pick top-m spread candidates per round) —
+# same plan shape.
+# ---------------------------------------------------------------------------
+_KC_K = 6
+_KC_SCALE = 1_000_000_000
+
+
+def _d_kc_round(i: int) -> str:
+    prev_c = f"c{i - 1}"
+    prev_m = f"m{i - 1}"
+    return f"""
+    m{i} AS (
+      SELECT m.vec_id, m.v,
+             LEAST(m.dfp, CAST(floor(
+                 (list_inner_product(m.v, m.v)
+                  - 2 * list_inner_product(m.v, c.v)
+                  + list_inner_product(c.v, c.v)) * {_KC_SCALE}.0 + 0.5)
+                 AS BIGINT)) AS dfp
+      FROM {prev_m} m, {prev_c} c
+    ),
+    c{i} AS (
+      SELECT vec_id, v, dfp FROM m{i} ORDER BY dfp DESC, vec_id LIMIT 1
+    )"""
+
+
+def _kc_oracle() -> str:
+    rounds = ",".join(_d_kc_round(i) for i in range(2, _KC_K + 1))
+    finals = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS sel_round, vec_id, dfp AS radius_fp FROM c{i}"
+        for i in range(2, _KC_K + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS dfp FROM e
+           WHERE vec_id = 0),
+    m1 AS (
+      SELECT e.vec_id, e.v,
+             CAST(floor((list_inner_product(e.v, e.v)
+                         - 2 * list_inner_product(e.v, c.v)
+                         + list_inner_product(c.v, c.v))
+                        * {_KC_SCALE}.0 + 0.5) AS BIGINT) AS dfp
+      FROM e, c1 c
+    ),
+    {rounds}
+    SELECT * FROM (
+    SELECT 1 AS sel_round, vec_id, CAST(0 AS BIGINT) AS radius_fp FROM c1
+    UNION ALL
+{finals}
+    ) ORDER BY sel_round
+    """
+
+
+@register("sample_kcenter_coreset", oracle=_kc_oracle())
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import dot
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+
+    def dist_fp(center_vec: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        d = (
+            dot(F.col("v"), F.col("v"))
+            - F.lit(2.0) * dot(F.col("v"), c)
+            + dot(c, c)
+        )
+        return F.floor(d * float(_KC_SCALE) + F.lit(0.5)).cast("long")
+
+    seed = emb.filter(F.col("vec_id") == 0).select("vec_id", "v").collect()[0]
+    out_rows = [(1, seed["vec_id"], 0)]
+    cur = emb.select(
+        "vec_id", "v", dist_fp(seed["v"]).alias("dfp")
+    )
+    for r in range(2, _KC_K + 1):
+        far = cur.orderBy(F.desc("dfp"), F.asc("vec_id")).limit(1).collect()[0]
+        out_rows.append((r, far["vec_id"], far["dfp"]))
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.least(F.col("dfp"), dist_fp(far["v"])).alias("dfp"),
+        )
+    return spark.createDataFrame(
+        out_rows, "sel_round int, vec_id long, radius_fp long"
+    ).orderBy("sel_round")

@@ -1107,7 +1107,13 @@ _D_GSTOP_IN = ", ".join(f"'{w}'" for w in _GOPHER_STOP)
     """,
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
+    return _gopher_frame(_docs(spark, sf_dir))
+
+
+def _gopher_frame(df: DataFrame) -> DataFrame:
+    """The Gopher rule projection over any (doc_id, text) frame —
+    shared by the batch query and its streaming twin (stateless, so
+    batch ≡ stream is exact)."""
     t = tokens(F.col("text"))
     lns = F.split(F.col("text"), "\n")
     gstop = F.array(*[F.lit(w) for w in _GOPHER_STOP])
@@ -1157,3 +1163,66 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stop").alias("n_gopher_stop"),
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING curation — the same Gopher rules applied IN-FLIGHT over a
+# bounded document stream, emitting only the kept documents. This is
+# how a production ingest actually runs the filter (curate on arrival,
+# not in a nightly batch); the projection is stateless, so batch and
+# stream are provably identical and the oracle is the batch SQL with
+# the keep predicate applied. availableNow replay, memory sink, no
+# watermark or state — pure pipeline parallelism at any volume.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_gopher_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lns,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                 AS sum_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS alpha_words,
+             len(list_filter(toks, t -> t IN ({_D_GSTOP_IN}))) AS n_stop,
+             len(lns) AS n_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '^[-*]')))
+                 AS bullet_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))
+                 AS ellipsis_lines,
+             n_symbols
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_stop AS BIGINT) AS n_gopher_stop
+    FROM m
+    WHERE n_words BETWEEN 50 AND 100000
+      AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+      AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+      AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+      AND CAST(bullet_lines AS DOUBLE) / n_lines < 0.9
+      AND CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3
+      AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+      AND n_stop >= 2
+    """,
+)
+def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.pipeline import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    kept = (
+        _gopher_frame(stream)
+        .filter(F.col("keep"))
+        .select("doc_id", "n_words", "n_gopher_stop")
+    )
+    return run_stream_to_memory(kept, "stream_gopher_filter")

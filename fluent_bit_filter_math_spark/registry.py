@@ -92,6 +92,8 @@ _PRIORITY: tuple[str, ...] = (
     "join_spatial_grid",
     "io_orc_roundtrip",
     "graph_label_propagation",
+    "stream_gopher_filter",
+    "sample_kcenter_coreset",
     # tier 2: new or semantically touched in r9 — the C4-style span
     # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
     # ColBERT MaxSim; then the queries whose code changed this round:

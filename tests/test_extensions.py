@@ -765,3 +765,45 @@ def test_label_propagation_invariants(spark, sf_dir):
     assert all(r["community"] in nodes for r in rows)
     assert all(sizes[r["community"]] == r["community_size"] for r in rows)
     assert max(sizes.values()) > 1
+
+
+def test_kcenter_greedy_matches_numpy_twin(spark, sf_dir):
+    """Pure-numpy re-run of Gonzalez farthest-point on the same
+    fixture must pick the same centers in the same order, and the
+    coverage-radius sequence must be non-increasing."""
+    import numpy as np
+
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        _KC_K,
+        _KC_SCALE,
+        sample_kcenter_coreset,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    rows = sample_kcenter_coreset(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    ids = sorted(emb)
+    X = np.stack([emb[i] for i in ids])
+    dmin = None
+    picked = [(1, ids[0], 0)]
+    cur = X[ids.index(0)]
+    for r in range(2, _KC_K + 1):
+        d = ((X * X).sum(1) - 2 * X @ cur + cur @ cur)
+        dfp = np.floor(d * _KC_SCALE + 0.5).astype(np.int64)
+        dmin = dfp if dmin is None else np.minimum(dmin, dfp)
+        j = int(np.lexsort((ids, -dmin))[0])
+        picked.append((r, ids[j], int(dmin[j])))
+        cur = X[j]
+    got = [(r["sel_round"], r["vec_id"], r["radius_fp"]) for r in rows]
+    radii = [g[2] for g in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert len({g[1] for g in got}) == _KC_K
+    # numpy's BLAS reductions reassociate, so allow a few fp units on
+    # the radius; the center SEQUENCE must match exactly (argmax
+    # margins dwarf any reduction-order ulp)
+    assert [g[:2] for g in got] == [p[:2] for p in picked]
+    for g, p in zip(got, picked):
+        assert abs(g[2] - p[2]) <= 4, (g, p)
