@@ -396,3 +396,89 @@ def dq_reconcile_orders_lineitem(
             )
         ).alias("line_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BENFORD first-digit screen — the classic financial-data anomaly
+# check (fraud/fabrication detection, ingest sanity): genuine
+# multiplicative amounts follow P(d) = log10(1 + 1/d); a synthetic or
+# truncated feed does not. The expected shares are FIXED decimal
+# literals (12 dp), not engine log10 calls — log is not correctly
+# rounded and would break the bitwise gate; the observed share is one
+# division of exact counts, the deviation one subtraction. Output is
+# the 9-digit distribution plus a 2%-band flag per digit.
+#
+# Scale: one map-side digit projection + a 9-group aggregate +
+# broadcast of the 1-row total. Nothing here is ever larger than 9
+# rows past the scan.
+# ---------------------------------------------------------------------------
+_BENFORD = {
+    1: "0.301029995664",
+    2: "0.176091259056",
+    3: "0.124938736608",
+    4: "0.096910013008",
+    5: "0.079181246048",
+    6: "0.066946789631",
+    7: "0.057991946978",
+    8: "0.051152522447",
+    9: "0.045757490561",
+}
+_D_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({v} AS DOUBLE)" for d, v in _BENFORD.items()
+)
+
+
+@register(
+    "dq_benford_anomaly",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                 AS lead_digit
+      FROM orders
+    ), counts AS (
+      SELECT lead_digit, COUNT(*) AS n_obs FROM digits GROUP BY lead_digit
+    ), tot AS (SELECT SUM(n_obs) AS n FROM counts)
+    SELECT lead_digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n_obs AS DOUBLE) / n AS obs_share,
+           CASE lead_digit {_D_BENFORD_CASE} END AS exp_share,
+           (abs(CAST(n_obs AS DOUBLE) / n
+                - CASE lead_digit {_D_BENFORD_CASE} END) > 0.02)
+               AS out_of_band
+    FROM counts, tot
+    ORDER BY lead_digit
+    """,
+)
+def dq_benford_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    digits = orders.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias(
+            "lead_digit"
+        )
+    )
+    counts = digits.groupBy("lead_digit").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n"))
+    exp = F.element_at(
+        F.create_map(
+            *[
+                c
+                for d, v in _BENFORD.items()
+                for c in (F.lit(d).cast("long"), F.lit(float(v)))
+            ]
+        ),
+        F.col("lead_digit"),
+    )
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "lead_digit",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            obs.alias("obs_share"),
+            exp.alias("exp_share"),
+            (F.abs(obs - exp) > 0.02).alias("out_of_band"),
+        )
+        .orderBy("lead_digit")
+    )

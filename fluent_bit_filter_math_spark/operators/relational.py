@@ -2051,3 +2051,99 @@ def agg_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# MEDIAN ABSOLUTE DEVIATION — the robust dispersion partner to
+# agg_theilsen_slope's robust trend (50% breakdown vs stddev's zero;
+# the outlier-screen scale estimate monitoring pipelines use when
+# variance is poisoned by the very outliers being screened). Both
+# medians are DISCRETE order statistics ((n+1)//2-th value) over
+# exact cents, so the whole estimator is integer-exact end to end —
+# no interpolation, no float averaging, nothing for the bitwise gate
+# to disagree on.
+#
+# Scale: two window passes over the SAME event_type partitioning (no
+# second exchange) — rank to pick the median, rank again on the
+# absolute deviations. Group-local medians of 100 TB would go through
+# the two-level equi-depth machinery (agg_equidepth_histogram); the
+# per-group shape here is the exact form.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_mad_robust",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ), r1 AS (
+      SELECT event_type, cents, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM c
+    ), med AS (
+      SELECT event_type, cents AS median_cents, cnt
+      FROM r1 WHERE rn = (cnt + 1) // 2
+    ), dev AS (
+      SELECT c.event_type, med.median_cents, med.cnt,
+             abs(c.cents - med.median_cents) AS adev, c.event_id
+      FROM c JOIN med USING (event_type)
+    ), r2 AS (
+      SELECT event_type, median_cents, cnt, adev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY adev, event_id) AS rn
+      FROM dev
+    )
+    SELECT event_type,
+           CAST(cnt AS BIGINT) AS n,
+           median_cents,
+           adev AS mad_cents
+    FROM r2 WHERE rn = (cnt + 1) // 2
+    ORDER BY event_type
+    """,
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        exact_cents(F.col("value")).alias("cents"),
+        "event_id",
+    )
+    w1 = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wc = Window.partitionBy("event_type")
+    r1 = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w1).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    med = r1.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "event_type", F.col("cents").alias("median_cents"), "cnt"
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "median_cents",
+        "cnt",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("adev"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    r2 = dev.select(
+        "event_type",
+        "median_cents",
+        "cnt",
+        "adev",
+        F.row_number().over(w2).alias("rn"),
+    )
+    return (
+        r2.filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("cnt").cast("long").alias("n"),
+            "median_cents",
+            F.col("adev").alias("mad_cents"),
+        )
+        .orderBy("event_type")
+    )

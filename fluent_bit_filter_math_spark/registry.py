@@ -75,11 +75,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "sample_temperature_mixture",
     "mm_png_histogram",
-    # tier 1b: the ten operators added late in r9 — never driver-
-    # checked (local dtype-exact green only). These take the slots of
-    # the 4 tier-4 representatives and the last 6 tier-3 r1-era
-    # queries, which move to the FRONT of the r10 queue (r6 proved
-    # local-green != driver-green, so never-checked outranks stale).
+    # tier 1b: the SIXTEEN operators added late in r9 — never
+    # driver-checked (local dtype-exact green only). These take the
+    # slots of the 4 tier-4 representatives and the last 12 tier-3
+    # r1-era queries, which move to the FRONT of the r10 queue (r6
+    # proved local-green != driver-green, so never-checked outranks
+    # stale).
     "mm_gif_decode",
     "sketch_theta_set_ops",
     "sample_priority_topk",
@@ -94,6 +95,8 @@ _PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",
     "stream_gopher_filter",
     "sample_kcenter_coreset",
+    "dq_benford_anomaly",
+    "agg_mad_robust",
     # tier 2: new or semantically touched in r9 — the C4-style span
     # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
     # ColBERT MaxSim; then the queries whose code changed this round:
@@ -119,9 +122,11 @@ _PRIORITY: tuple[str, ...] = (
     "stream_tws_type_stats",
     "stream_tws_idle_close",
     "stream_tws_list_seeded",
-    # tier 3: the 24 r1-era stale greens — their ONLY driver row is
+    # tier 3: the r1-era stale greens — their ONLY driver row is
     # round 1, verified on long-regenerated fixtures (VERDICT r8 #1);
     # family-diverse order (dedup, text, sort, setop, agg, TPC-H).
+    # Only the first ~12 fit the 50-slot window this round; the rest
+    # head the r10 queue.
     "dedup_exact",
     "text_token_stats",
     "sort_limit_topn",
