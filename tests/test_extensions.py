@@ -807,3 +807,43 @@ def test_kcenter_greedy_matches_numpy_twin(spark, sf_dir):
     assert [g[:2] for g in got] == [p[:2] for p in picked]
     for g, p in zip(got, picked):
         assert abs(g[2] - p[2]) <= 4, (g, p)
+
+
+def test_theilsen_median_slope_twin(spark, sf_dir):
+    """Pure-Python Theil-Sen on every (user, event_type) block: same
+    pair set (strict x order), same discrete median selection."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_theilsen_slope,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "event_type",
+            "unix_micros(cast(ts as timestamp)) AS x",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    blocks = defaultdict(list)
+    for r in raw:
+        blocks[(r["user_id"], r["event_type"])].append((r["x"], r["y"]))
+    expect = {}
+    for key, pts in blocks.items():
+        slopes = sorted(
+            (yb - ya) / (xb - xa)
+            for i, (xa, ya) in enumerate(pts)
+            for xb, yb in pts
+            if xb > xa
+        )
+        if slopes:
+            expect[key] = (len(slopes), slopes[(len(slopes) + 1) // 2 - 1])
+    rows = agg_theilsen_slope(spark, sf_dir).collect()
+    assert len(rows) == len(expect) > 0
+    for r in rows:
+        n, med = expect[(r["user_id"], r["event_type"])]
+        assert r["n_pairs"] == n
+        assert r["theilsen_slope"] == med
