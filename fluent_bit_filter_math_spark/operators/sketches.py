@@ -572,27 +572,24 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    sa = hset("click").orderBy("hv").limit(_TH_K)
-    sb = hset("purchase").orderBy("hv").limit(_TH_K)
-
-    def theta(s: DataFrame, name: str) -> DataFrame:
-        return s.agg(
-            F.when(F.count("*") == _TH_K, F.max("hv"))
-            .otherwise(F.lit(_TH_M))
-            .alias(name)
-        )
-
-    th = (
-        theta(sa, "th_a")
-        .crossJoin(theta(sb, "th_b"))
-        .select(F.least("th_a", "th_b").alias("th"))
-    )
-    clip = lambda s: s.crossJoin(F.broadcast(th)).filter(
-        F.col("hv") < F.col("th")
-    )
-    cu = clip(sa.union(sb).distinct()).agg(F.count("*").alias("cu"))
-    ci = clip(sa.join(sb, "hv", "left_semi")).agg(F.count("*").alias("ci"))
-    cd = clip(sa.join(sb, "hv", "left_anti")).agg(F.count("*").alias("cd"))
+    # Sketch build: TakeOrderedAndProject per set (per-partition top-k,
+    # k-row merge). The sketches ARE the driver-sized summary — the
+    # set algebra below runs on the collected <=k-row payloads, which
+    # is exactly how a DataSketches-style coordinator merges partials
+    # (and what collapsed this plan from 23 shuffles to the 2 sketch
+    # builds + 3 exact-count aggregates).
+    sa = {r["hv"] for r in hset("click").orderBy("hv").limit(_TH_K).collect()}
+    sb = {
+        r["hv"]
+        for r in hset("purchase").orderBy("hv").limit(_TH_K).collect()
+    }
+    th_a = max(sa) if len(sa) >= _TH_K else _TH_M
+    th_b = max(sb) if len(sb) >= _TH_K else _TH_M
+    th = min(th_a, th_b)
+    cu = sum(1 for h in sa | sb if h < th)
+    ci = sum(1 for h in sa & sb if h < th)
+    cd = sum(1 for h in sa - sb if h < th)
+    est = lambda n: n * _TH_M // th
 
     ua = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     ub = (
@@ -604,24 +601,19 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ei = ua.join(ub, "user_id", "left_semi").agg(F.count("*").alias("ei"))
     ed = ua.join(ub, "user_id", "left_anti").agg(F.count("*").alias("ed"))
 
-    est = lambda cnt: F.expr(f"{cnt} * {_TH_M} div th")
     return (
-        cu.crossJoin(ci)
-        .crossJoin(cd)
-        .crossJoin(ea)
-        .crossJoin(ei)
+        ea.crossJoin(ei)
         .crossJoin(ed)
-        .crossJoin(F.broadcast(th))
         .select(
-            est("cu").alias("est_union"),
+            F.lit(est(cu)).cast("long").alias("est_union"),
             F.col("ea").cast("long").alias("exact_union"),
-            est("ci").alias("est_inter"),
+            F.lit(est(ci)).cast("long").alias("est_inter"),
             F.col("ei").cast("long").alias("exact_inter"),
-            est("cd").alias("est_diff"),
+            F.lit(est(cd)).cast("long").alias("est_diff"),
             F.col("ed").cast("long").alias("exact_diff"),
-            (F.abs(est("cu") - F.col("ea")) * 100 <= 40 * F.col("ea"))
+            (F.abs(F.lit(est(cu)) - F.col("ea")) * 100 <= 40 * F.col("ea"))
             .alias("union_ok"),
-            (F.abs(est("ci") - F.col("ei")) * 100 <= 60 * F.col("ei"))
+            (F.abs(F.lit(est(ci)) - F.col("ei")) * 100 <= 60 * F.col("ei"))
             .alias("inter_ok"),
         )
     )
