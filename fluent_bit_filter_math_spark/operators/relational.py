@@ -2147,3 +2147,67 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# GINI concentration — the inequality/concentration index (spend
+# concentration per segment, data-contribution skew per domain) from
+# the closed rank form G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the
+# ascending-sorted values. Equal values take adjacent ranks in a
+# deterministic (cents, event_id) order, and Σ i·x is invariant under
+# permutations of equal x, so the statistic is exact: integer
+# numerator and denominator, ONE final float division under the gate.
+#
+# Scale: one rank window + one group aggregate sharing the
+# event_type partitioning. (A 100 TB variant replaces the global
+# per-group rank with the two-level equi-depth machinery; the formula
+# consumes only Σx and Σ i·x.)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_gini_concentration",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(floor(value * 100.0 + 0.5)
+                                              AS BIGINT), event_id) AS rk
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(rk * cents) - (COUNT(*) + 1) * SUM(cents)
+                AS BIGINT) AS gini_num,
+           CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den,
+           CAST(2 * SUM(rk * cents) - (COUNT(*) + 1) * SUM(cents)
+                AS DOUBLE) / (COUNT(*) * SUM(cents)) AS gini
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = exact_cents(F.col("value"))
+    w = Window.partitionBy("event_type").orderBy(cents, F.col("event_id"))
+    r = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    n = F.count("*")
+    sx = F.sum("cents")
+    six = F.sum(F.col("rk") * F.col("cents"))
+    num = F.lit(2) * six - (n + 1) * sx
+    return (
+        r.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n"),
+            sx.cast("long").alias("total_cents"),
+            num.cast("long").alias("gini_num"),
+            (n * sx).cast("long").alias("gini_den"),
+            (num.cast("double") / (n * sx)).alias("gini"),
+        )
+        .orderBy("event_type")
+    )

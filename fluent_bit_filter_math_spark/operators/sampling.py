@@ -665,3 +665,59 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "sel_round int, vec_id long, radius_fp long"
     ).orderBy("sel_round")
+
+
+# ---------------------------------------------------------------------------
+# EPOCH SHUFFLE — the deterministic per-epoch permutation a training
+# data loader needs: epoch e orders the corpus by hash(e, doc_id), so
+# every epoch sees a different but perfectly REPRODUCIBLE order
+# (restart-safe, worker-count-independent — properties a random
+# shuffle buffer does not have). Emitted as (epoch, doc_id, rank);
+# the hash tie-break on doc_id makes the permutation total.
+#
+# Scale: ordering by a hash IS a range-partitioned total sort — the
+# exact job a shuffled-shard writer runs once per epoch to lay files
+# out in read order; rank assignment then never needs a single
+# partition (the writer records per-shard offsets). Here the
+# global window stands in for that writer at fixture scale.
+# ---------------------------------------------------------------------------
+_EPOCHS = 2
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    SELECT e.epoch, d.doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY {duck_hash60("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")},
+                        d.doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range({_EPOCHS})) AS epoch) e
+    ORDER BY epoch, shuffle_rank
+    """,
+)
+def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.withColumn(
+        "epoch", F.explode(F.array(*[F.lit(e) for e in range(_EPOCHS)]))
+    )
+    hv = hash60(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(hv, F.col("doc_id"))
+    return (
+        epochs.select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "doc_id",
+            F.row_number().over(w).cast("long").alias("shuffle_rank"),
+        )
+        .orderBy("epoch", "shuffle_rank")
+    )

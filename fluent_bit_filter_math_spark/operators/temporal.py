@@ -1482,3 +1482,65 @@ def ts_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("last_cents"),
         fold.cast("long").alias("ewma_ucents"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# TIME-WEIGHTED AVERAGE (TWAP) — the TSDB aggregate (TimescaleDB's
+# time_weight, kdb's twap) that a plain AVG gets wrong on irregular
+# series: each observation holds (LOCF) until the next one, so its
+# weight is its HOLDING TIME, not 1. Per user: value_i holds over
+# [t_i, t_{i+1}); twap = Σ cents_i·Δt_i / (t_n − t_0). Every term is
+# exact BIGINT (cents × µs ≤ ~2.6e16, well inside int64), the sums
+# are integer window/group aggregates, and the only float op is the
+# final division — engine-exact by construction. Single-observation
+# users have no holding interval and drop in both engines (den = 0).
+#
+# Scale: one user-key shuffle; lead() and the group sums share the
+# partitioning. The integral form is partial-aggregatable: at 100 TB
+# each shard contributes Σ cents·Δt for its complete segments.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(cents * (t_next - t)) AS BIGINT) AS weighted_sum,
+           CAST(MAX(t_next) - MIN(t) AS BIGINT) AS span_us,
+           CAST(SUM(cents * (t_next - t)) AS DOUBLE)
+               / (MAX(t_next) - MIN(t)) AS twap_cents
+    FROM seg
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seg = ev.select(
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    num = F.sum(F.col("cents") * (F.col("t_next") - F.col("t")))
+    den = F.max("t_next") - F.min("t")
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            num.cast("long").alias("weighted_sum"),
+            den.cast("long").alias("span_us"),
+            (num.cast("double") / den).alias("twap_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -75,9 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "sample_temperature_mixture",
     "mm_png_histogram",
-    # tier 1b: the SIXTEEN operators added late in r9 — never
+    # tier 1b: the NINETEEN operators added late in r9 — never
     # driver-checked (local dtype-exact green only). These take the
-    # slots of the 4 tier-4 representatives and the last 12 tier-3
+    # slots of the 4 tier-4 representatives and the last 15 tier-3
     # r1-era queries, which move to the FRONT of the r10 queue (r6
     # proved local-green != driver-green, so never-checked outranks
     # stale).
@@ -97,6 +97,9 @@ _PRIORITY: tuple[str, ...] = (
     "sample_kcenter_coreset",
     "dq_benford_anomaly",
     "agg_mad_robust",
+    "ts_time_weighted_avg",
+    "agg_gini_concentration",
+    "sample_epoch_shuffle",
     # tier 2: new or semantically touched in r9 — the C4-style span
     # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
     # ColBERT MaxSim; then the queries whose code changed this round:
@@ -125,7 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     # tier 3: the r1-era stale greens — their ONLY driver row is
     # round 1, verified on long-regenerated fixtures (VERDICT r8 #1);
     # family-diverse order (dedup, text, sort, setop, agg, TPC-H).
-    # Only the first ~12 fit the 50-slot window this round; the rest
+    # Only the first ~9 fit the 50-slot window this round; the rest
     # head the r10 queue.
     "dedup_exact",
     "text_token_stats",

@@ -847,3 +847,68 @@ def test_theilsen_median_slope_twin(spark, sf_dir):
         n, med = expect[(r["user_id"], r["event_type"])]
         assert r["n_pairs"] == n
         assert r["theilsen_slope"] == med
+
+
+def test_epoch_shuffle_permutations_differ_and_are_total(spark, sf_dir):
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        sample_epoch_shuffle,
+    )
+
+    rows = sample_epoch_shuffle(spark, sf_dir).collect()
+    by_epoch = defaultdict(dict)
+    for r in rows:
+        by_epoch[r["epoch"]][r["doc_id"]] = r["shuffle_rank"]
+    e0, e1 = by_epoch[0], by_epoch[1]
+    assert set(e0) == set(e1)
+    n = len(e0)
+    assert sorted(e0.values()) == list(range(1, n + 1))  # total permutation
+    assert e0 != e1  # epochs reorder
+    # determinism under re-invocation
+    again = {
+        (r["epoch"], r["doc_id"]): r["shuffle_rank"]
+        for r in sample_epoch_shuffle(spark, sf_dir).collect()
+    }
+    assert all(again[(0, d)] == rk for d, rk in e0.items())
+
+
+def test_twap_differs_from_plain_avg_and_matches_twin(spark, sf_dir):
+    """Python twin of the holding-time integral, plus the reason the
+    operator exists: on irregular series TWAP != plain AVG."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_time_weighted_avg,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc",
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in raw:
+        series[r["user_id"]].append((r["t"], r["event_id"], r["xc"]))
+    rows = ts_time_weighted_avg(spark, sf_dir).collect()
+    diff_seen = False
+    for r in rows:
+        seq = sorted(series[r["user_id"]])
+        num = sum(
+            x * (seq[i + 1][0] - t)
+            for i, (t, _, x) in enumerate(seq[:-1])
+        )
+        den = seq[-1][0] - seq[0][0]
+        assert (r["weighted_sum"], r["span_us"]) == (num, den)
+        # both engines CAST the >2^53 numerator to double BEFORE the
+        # divide; float(num) reproduces that rounding exactly
+        assert r["twap_cents"] == float(num) / den
+        avg = sum(x for _, _, x in seq) / len(seq)
+        if abs(avg - r["twap_cents"]) > 1e-9:
+            diff_seen = True
+    assert diff_seen
