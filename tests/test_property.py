@@ -345,3 +345,30 @@ def test_png_truncation_always_valueerror(payload, cut):
     cut = min(cut, len(blob) - 9)  # keep at least the signature + a byte
     with pytest.raises(ValueError):
         _png_parse(blob[: len(blob) - cut])
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW codec — property: decode(encode(x)) == x for ARBITRARY byte
+# strings, any min-code-size the format allows. Random exploration on
+# top of the fixed adversarial cases in test_extensions (width
+# boundaries, full-table CLEAR, cScSc): hypothesis shrinks any
+# counterexample to a minimal payload.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.binary(max_size=4000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_gif_lzw_roundtrip_property(data, mcs):
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    clipped = bytes(b & ((1 << mcs) - 1) for b in data)
+    enc = _gif_lzw_encode(mcs, clipped)
+    assert _gif_lzw_decode(mcs, enc, len(clipped) + 1) == clipped

@@ -1,0 +1,47 @@
+"""Per-query perf regression triage: compare BENCH_DETAIL.json's WARM
+times against BASELINE.md's consolidated table and print movers beyond
+the noise band (>1.5x warm, per SCALING.md's measured rule). Exit code
+1 when movers exist, so the round's closing checklist can gate on it.
+
+Usage: python tools/regression_guard.py [threshold]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def main(argv: list[str]) -> int:
+    thresh = float(argv[0]) if argv else 1.5
+    warm = json.load(open("BENCH_DETAIL.json"))["warm"]
+    base: dict[str, float] = {}
+    for line in open("BASELINE.md"):
+        m = re.match(r"\| (\S+) \| ([\d.]+) \| ([\d.]+) \| (\d+) \|", line)
+        if m:
+            # first row wins: the table may gain corrected re-appends
+            base.setdefault(m.group(1), float(m.group(2)))
+    movers = sorted(
+        (
+            (w / base[q], q, base[q], w)
+            for q, w in warm.items()
+            if w is not None and q in base and w / base[q] > thresh
+        ),
+        reverse=True,
+    )
+    fresh = [q for q in warm if q not in base]
+    print(
+        f"{len(base)} baseline rows, {len(warm)} benched,"
+        f" {len(fresh)} without baseline rows, {len(movers)} movers"
+        f" >{thresh}x warm:"
+    )
+    for ratio, q, b, w in movers:
+        print(f"  {q}: {b:.2f}s -> {w:.2f}s ({ratio:.2f}x)")
+    for q in fresh:
+        print(f"  (no baseline row: {q})")
+    return 1 if movers else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
