@@ -1041,3 +1041,209 @@ def stream_tws_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #9 — streaming PRIORITY SAMPLE (the incremental
+# twin of operators/sampling.py::sample_priority_topk): per stratum,
+# a ListState carries the K+1 smallest u/w keys ever seen (K sample
+# + the tau threshold entry), merged and re-truncated each
+# micro-batch — the same lossless order-statistic merge as the KMV
+# sketch, over WEIGHTED keys. Each batch emits the stratum's current
+# Horvitz-Thompson total-weight estimate; a ValueState batch counter
+# makes "the final state" selectable without ordering heuristics
+# (max batch_seq per key — replay order is deterministic).
+#
+# Every arithmetic step in the processor is the IEEE-identical
+# spelling of the batch query's Column expressions (hv/w division,
+# 2^60/key threshold, floor(ht*1e6+0.5) fixed point), so the oracle
+# is the same closed-form SQL the batch query uses, aggregated per
+# stratum. State is K+1 rows per key FOREVER — the bounded-state
+# property that makes a weighted sample maintainable on a stream.
+# ---------------------------------------------------------------------------
+_PRI_K = 64
+_PRI_M = float(1 << 60)
+_TWS_PRI_OUT = (
+    "event_type string, batch_seq long, n_kept long, est_total_fp long"
+)
+
+_PRI_SPLITS: dict[str, str] = {}
+
+
+def _pri_split_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two event_id-parity replay files of (event_type, skey, event_id,
+    w) with skey = hv/w computed IN-PLAN (the batch query's exact
+    Column expression), memoized per sf_dir."""
+    import glob
+    import os
+    import time
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+
+    key = os.path.abspath(sf_dir)
+    cached = _PRI_SPLITS.get(key)
+    if cached is not None and glob.glob(cached + "/part-*.parquet"):
+        return cached
+    base = scratch_dir("tws-pri")
+    src = os.path.join(base, "src")
+    from fluent_bit_filter_math_spark.sources import table
+
+    ev = table(spark, sf_dir, "events")
+    base_df = ev.select(
+        "event_id",
+        "event_type",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+            + F.lit(1),
+        ).alias("w"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long").alias("hv"),
+    ).select(
+        "event_id",
+        "event_type",
+        "w",
+        (F.col("hv").cast("double") / F.col("w")).alias("skey"),
+    )
+    base_df.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    base_df.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    now = time.time()
+    files = sorted(glob.glob(src + "/f*/part-*.parquet"))
+    if len(files) != 2:
+        raise RuntimeError(
+            f"two-file replay contract violated: {len(files)} data files"
+        )
+    for i, f in enumerate(files):
+        os.utime(f, (now + i, now + i))
+    src = src + "/f*"
+    _PRI_SPLITS[key] = src
+    return src
+
+
+class _PrioritySampleProcessor(StatefulProcessor):
+    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._keys = handle.getListState(
+            "keys", "skey double, event_id long, w long"
+        )
+        self._seq = handle.getValueState("seq", "n long")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        fresh = [
+            (float(s), int(e), int(w))
+            for pdf in rows
+            for s, e, w in zip(pdf["skey"], pdf["event_id"], pdf["w"])
+        ]
+        kept = [(float(v[0]), int(v[1]), int(v[2])) for v in self._keys.get()]
+        merged = sorted(set(kept) | set(fresh))[:65]  # K+1; pickle literal
+        self._keys.put([tuple(m) for m in merged])
+        seq_row = self._seq.get()
+        seq = (int(seq_row[0]) if seq_row is not None else 0) + 1
+        self._seq.update((seq,))
+        sample = merged[:64]
+        if len(merged) <= 64:
+            est_fp = sum(
+                math.floor(float(w) * 1000000.0 + 0.5) for _, _, w in sample
+            )
+        else:
+            tau = float(1 << 60) / merged[64][0]
+            est_fp = sum(
+                math.floor(max(float(w), tau) * 1000000.0 + 0.5)
+                for _, _, w in sample
+            )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "batch_seq": [seq],
+                "n_kept": [len(sample)],
+                "est_total_fp": [int(est_fp)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "stream_tws_priority_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             GREATEST(1, CAST(floor(value * 100.0 + 0.5) AS BIGINT) + 1)
+                 AS w,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events
+    ), keyed AS (
+      SELECT event_type, event_id, w,
+             CAST(hv AS DOUBLE) / w AS skey
+      FROM base
+    ), ranked AS (
+      SELECT event_type, event_id, w, skey,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY skey, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_rows
+      FROM keyed
+    ), r2 AS (
+      SELECT *,
+             MAX(CASE WHEN rn = {_PRI_K + 1} THEN skey END)
+                 OVER (PARTITION BY event_type) AS key_k1
+      FROM ranked
+    ), sel AS (
+      SELECT event_type, w, key_k1,
+             LEAST({_PRI_K}, n_rows) AS n_kept
+      FROM r2 WHERE rn <= {_PRI_K}
+    )
+    SELECT event_type,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(floor(
+               CASE WHEN key_k1 IS NULL THEN CAST(w AS DOUBLE)
+                    ELSE GREATEST(CAST(w AS DOUBLE), {_PRI_M} / key_k1)
+               END * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS est_total_fp
+    FROM sel
+    GROUP BY event_type, n_kept
+    ORDER BY event_type
+    """,
+)
+def stream_tws_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state_proto_shim.install()
+    src = _pri_split_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+        .select("event_type", "skey", "event_id", "w")
+    )
+    out = stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_PrioritySampleProcessor(),
+        outputStructType=_TWS_PRI_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    res = _run_tws(out, "stream_tws_priority_sample")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_seq"))
+    return (
+        res.select(
+            "event_type",
+            "n_kept",
+            "est_total_fp",
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("event_type")
+    )
