@@ -675,13 +675,17 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle buffer does not have). Emitted as (epoch, doc_id, rank);
 # the hash tie-break on doc_id makes the permutation total.
 #
-# Scale: ordering by a hash IS a range-partitioned total sort — the
-# exact job a shuffled-shard writer runs once per epoch to lay files
-# out in read order; rank assignment then never needs a single
-# partition (the writer records per-shard offsets). Here the
-# global window stands in for that writer at fixture scale.
+# Scale: the rank is computed the TWO-LEVEL way (the
+# pipeline_pack_sequences discipline), never as one global window:
+# the top 8 bits of the hash range-bucket each epoch into 256 shards,
+# an exclusive prefix over the tiny (epoch, bucket) count frame gives
+# each shard its global offset, and ranks are offset + within-shard
+# row_number. Because the bucket is a PREFIX of the sort key, the
+# result is bit-identical to the global row_number the oracle
+# computes — but no single task ever sees more than one shard.
 # ---------------------------------------------------------------------------
 _EPOCHS = 2
+_SHUF_BUCKET_SHIFT = 52  # 60-bit hash -> top 8 bits = 256 range buckets
 
 
 @register(
@@ -712,12 +716,38 @@ def sample_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
         )
     )
-    w = Window.partitionBy("epoch").orderBy(hv, F.col("doc_id"))
+    keyed = epochs.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "doc_id",
+        hv.alias("hv"),
+        F.shiftright(hv, _SHUF_BUCKET_SHIFT).alias("bucket"),
+    )
+    # level 1: per-(epoch, bucket) counts -> exclusive prefix offsets
+    # over a <=256-row frame per epoch
+    counts = keyed.groupBy("epoch", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    wpre = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("n").over(wpre), F.lit(0)).alias("offset"),
+    )
+    # level 2: within-shard rank + broadcast offset = global rank
+    # (bucket is the hash's top bits, i.e. a prefix of the sort key)
+    win = Window.partitionBy("epoch", "bucket").orderBy("hv", "doc_id")
     return (
-        epochs.select(
-            F.col("epoch").cast("long").alias("epoch"),
+        keyed.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
             "doc_id",
-            F.row_number().over(w).cast("long").alias("shuffle_rank"),
+            (F.col("offset") + F.row_number().over(win))
+            .cast("long")
+            .alias("shuffle_rank"),
         )
         .orderBy("epoch", "shuffle_rank")
     )
