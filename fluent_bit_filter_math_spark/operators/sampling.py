@@ -418,12 +418,12 @@ def sample_temperature_mixture(
 # summed in FIXED POINT (floor(ht*1e6+0.5) BIGINT) because a double
 # sum over k items is reduction-order-dependent.
 #
-# Scale: one narrow projection, ONE shuffle on the stratum key, one
-# window top-k per stratum (k rows survive per stratum), and the
-# second window reuses the same partitioning (no extra exchange —
-# pinned by the plan audit). At 100 TB with bounded strata this is
-# the cheapest weighted-cap shape there is; the estimator certifies
-# the sample against the exact stratum total in the same pass.
+# Scale: local top-(K+1) pruning per (stratum, source partition)
+# collapses the corpus to <= (K+1)*P candidate rows BEFORE the only
+# per-stratum rank (no task ever sorts a whole stratum), the exact
+# total is a partial-combinable aggregate, and the HT window runs on
+# K rows per stratum. Result is partition-count-independent; the
+# estimator certifies the sample against the exact stratum total.
 # ---------------------------------------------------------------------------
 _PRI_K = 64
 _PRI_M = float(1 << 60)  # hash domain as an EXACT double (power of two)
@@ -495,39 +495,54 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         (F.col("hv").cast("double") / F.col("w")).alias("skey"),
     )
-    worder = Window.partitionBy("event_type").orderBy("skey", "event_id")
-    wgrp = Window.partitionBy("event_type")
-    ranked = keyed.select(
-        "event_type",
-        "event_id",
-        "w",
-        "skey",
-        F.row_number().over(worder).alias("rn"),
-        F.sum("w").over(wgrp).cast("long").alias("exact_total_w"),
+    # Scale shape: a straight per-stratum rank would sort a whole
+    # stratum in ONE task. Instead prune to each (stratum, source
+    # partition)'s local top-(K+1) first — the global top-(K+1) is
+    # always a subset of the union of local top-(K+1)s, so the final
+    # stratum rank runs over <= (K+1)*P rows and the result is
+    # partition-count-independent (the determinism contract).
+    wloc = Window.partitionBy(
+        "event_type", F.spark_partition_id()
+    ).orderBy("skey", "event_id")
+    cand = (
+        keyed.withColumn("rn_loc", F.row_number().over(wloc))
+        .filter(F.col("rn_loc") <= _PRI_K + 1)
+        .drop("rn_loc")
     )
-    r2 = ranked.withColumn(
-        "key_k1",
-        F.max(
-            F.when(F.col("rn") == _PRI_K + 1, F.col("skey"))
-        ).over(wgrp),
+    wstr = Window.partitionBy("event_type").orderBy("skey", "event_id")
+    ranked = cand.withColumn("rn", F.row_number().over(wstr))
+    key_k1 = ranked.filter(F.col("rn") == _PRI_K + 1).select(
+        "event_type", F.col("skey").alias("key_k1")
     )
-    sel = r2.filter(F.col("rn") <= _PRI_K).select(
-        "event_type",
-        "event_id",
-        "w",
-        "rn",
-        "exact_total_w",
-        F.when(
-            F.col("key_k1").isNull(), F.col("w").cast("double")
-        )
-        .otherwise(
-            F.greatest(
-                F.col("w").cast("double"), F.lit(_PRI_M) / F.col("key_k1")
+    # the exact stratum total is a plain partial-combinable aggregate,
+    # never a full-partition window
+    totals = keyed.groupBy("event_type").agg(
+        F.sum("w").cast("long").alias("exact_total_w")
+    )
+    sel = (
+        ranked.filter(F.col("rn") <= _PRI_K)
+        .join(F.broadcast(key_k1), "event_type", "left")
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "w",
+            "rn",
+            "exact_total_w",
+            F.when(
+                F.col("key_k1").isNull(), F.col("w").cast("double")
             )
+            .otherwise(
+                F.greatest(
+                    F.col("w").cast("double"),
+                    F.lit(_PRI_M) / F.col("key_k1"),
+                )
+            )
+            .alias("ht"),
         )
-        .alias("ht"),
     )
     ht_fp = F.floor(F.col("ht") * 1000000.0 + F.lit(0.5)).cast("long")
+    wgrp = Window.partitionBy("event_type")
     fp = sel.select(
         "event_type",
         F.col("rn").cast("long").alias("rn"),
@@ -552,6 +567,7 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(40) * F.col("exact_total_w") * 1000000
         ).alias("approx_ok"),
     ).orderBy("event_type", "rn")
+
 
 
 # ---------------------------------------------------------------------------
