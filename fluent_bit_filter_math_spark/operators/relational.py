@@ -2158,10 +2158,11 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # permutations of equal x, so the statistic is exact: integer
 # numerator and denominator, ONE final float division under the gate.
 #
-# Scale: one rank window + one group aggregate sharing the
-# event_type partitioning. (A 100 TB variant replaces the global
-# per-group rank with the two-level equi-depth machinery; the formula
-# consumes only Σx and Σ i·x.)
+# Scale: the rank is computed the two-level way (range-bucket on the
+# cents' high bits + exclusive prefix + within-bucket row_number —
+# bit-identical to the oracle's global rank because the bucket is a
+# prefix of the sort key), so no task ever ranks a whole group; the
+# formula then consumes only Σx and Σ i·x in one hash aggregate.
 # ---------------------------------------------------------------------------
 @register(
     "agg_gini_concentration",
@@ -2190,11 +2191,38 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cents = exact_cents(F.col("value"))
-    w = Window.partitionBy("event_type").orderBy(cents, F.col("event_id"))
-    r = ev.select(
+    # Two-level rank (the epoch-shuffle/pack_sequences discipline): the
+    # bucket is the cents' high bits — a PREFIX of the (cents,
+    # event_id) sort key — so offset + within-bucket row_number equals
+    # the global rank bit-for-bit, and no task ranks a whole group.
+    keyed = ev.select(
         "event_type",
         cents.alias("cents"),
-        F.row_number().over(w).cast("long").alias("rk"),
+        "event_id",
+        F.shiftright(cents, 6).alias("bucket"),
+    )
+    counts = keyed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("bn")
+    )
+    wpre = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("offset"),
+    )
+    win = Window.partitionBy("event_type", "bucket").orderBy(
+        "cents", "event_id"
+    )
+    r = keyed.join(F.broadcast(offsets), ["event_type", "bucket"]).select(
+        "event_type",
+        "cents",
+        (F.col("offset") + F.row_number().over(win))
+        .cast("long")
+        .alias("rk"),
     )
     n = F.count("*")
     sx = F.sum("cents")
