@@ -482,3 +482,84 @@ def dq_benford_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lead_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# K-ANONYMITY audit (Sweeney 2002) — the privacy/governance check a
+# dataset release runs before sharing: every quasi-identifier
+# combination must describe at least k individuals, or its rows are
+# re-identifiable. QI here is (nation, market segment, balance sign)
+# over customers; the audit reports per-class sizes for the risky
+# classes (size < k), plus the dataset's anonymity level (the min
+# class size) and how many rows sit in risky classes — the numbers a
+# release gate thresholds on. Pure integer counting.
+#
+# Scale: one hash aggregate on the QI key + a 1-row broadcast-back of
+# the global min/violation totals. Class count is bounded by the QI
+# domain, not the row count.
+# ---------------------------------------------------------------------------
+_KANON_K = 10
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(c_acctbal >= 0 AS BIGINT) AS bal_sign,
+             COUNT(*) AS class_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(c_acctbal >= 0 AS BIGINT)
+    ), summary AS (
+      SELECT MIN(class_size) AS k_anonymity,
+             CAST(SUM(CASE WHEN class_size < {_KANON_K}
+                           THEN class_size ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk,
+             CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS risky_classes
+      FROM classes
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, c.bal_sign,
+           CAST(c.class_size AS BIGINT) AS class_size,
+           CAST(s.k_anonymity AS BIGINT) AS k_anonymity,
+           s.rows_at_risk, s.risky_classes
+    FROM classes c, summary s
+    WHERE c.class_size < {_KANON_K}
+    ORDER BY c.c_nationkey, c.c_mktsegment, c.bal_sign
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") >= 0).cast("long").alias("bal_sign"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_sign")
+        .agg(F.count("*").alias("class_size"))
+    )
+    summary = classes.agg(
+        F.min("class_size").cast("long").alias("k_anonymity"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size"))
+            .otherwise(0)
+        ).cast("long").alias("rows_at_risk"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, 1).otherwise(0)
+        ).cast("long").alias("risky_classes"),
+    )
+    return (
+        classes.filter(F.col("class_size") < _KANON_K)
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_sign",
+            F.col("class_size").cast("long").alias("class_size"),
+            "k_anonymity",
+            "rows_at_risk",
+            "risky_classes",
+        )
+        .orderBy("c_nationkey", "c_mktsegment", "bal_sign")
+    )
