@@ -30,6 +30,11 @@ QUERIES = [
     "io_orc_roundtrip",
     "graph_label_propagation",
     "dq_benford_anomaly",
+    "ts_time_weighted_avg",
+    "agg_gini_concentration",
+    "sample_epoch_shuffle",
+    "stream_tws_priority_sample",
+    "dq_k_anonymity",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 REPS = 2
