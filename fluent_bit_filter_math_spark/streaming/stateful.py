@@ -1247,3 +1247,111 @@ def stream_tws_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary state #10 — STATE-STORE INTROSPECTION: Spark 4's state
+# data source (`spark.read.format("statestore")`) pointed at a
+# transformWithState checkpoint this query just produced. This is the
+# operability half of stateful streaming — "what is physically in my
+# state store?" — the tool a 100 TB deployment reaches for when a
+# stateful job misbehaves, and the strongest possible correctness
+# check for the TWS path: not the EMITTED rows (stream_tws_kmv_sketch
+# already gates those) but the persisted RocksDB ListState itself,
+# read back through the checkpoint and hash-compared against the
+# batch closed form. One row per (key, list element); the oracle is
+# the K-smallest-distinct-hashes-per-type SQL. State payload equals
+# emitted sketch ⇒ the wire shim, the RocksDB provider, the
+# availableNow replay AND the snapshot format all agree end to end.
+#
+# The checkpoint lives in a memoized scratch dir (the split-builder
+# discipline): each invocation replays the bounded stream fresh into
+# a clean checkpoint, then reads the store it wrote.
+# ---------------------------------------------------------------------------
+_INSPECT_CKPTS: dict[str, str] = {}
+
+
+@register(
+    "stream_tws_state_inspect",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                 AS rn
+      FROM h
+    )
+    SELECT event_type, CAST(hv AS BIGINT) AS hv
+    FROM ranked
+    WHERE rn <= {_KMV_K}
+    ORDER BY event_type, hv
+    """,
+)
+def stream_tws_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+
+    state_proto_shim.install()
+    src = _kmv_split_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+        .select("event_type", "hv")
+    )
+    out = stream.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=_KMVSketchProcessor(),
+        outputStructType=_TWS_KMV_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    ckpt = os.path.join(scratch_dir("tws-inspect"), "ckpt")
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "trackTotalNumberOfRows": "false",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    olds = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Conf-scoped read: materialize INSIDE the window (the
+        # documented conf-laziness trap) by forcing the state scan
+        # into a cached local result before confs restore.
+        state = (
+            spark.read.format("statestore")
+            .option("stateVarName", "kmin")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("list_element.hv").alias("hv"),
+            )
+            .orderBy("event_type", "hv")
+        )
+        rows = state.collect()
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, "event_type string, hv long")
