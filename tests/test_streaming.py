@@ -1415,3 +1415,113 @@ def test_tws_timer_survives_restart_and_fires_once(spark):
         "no fired user was file-0-only; the armed-pre-restart path "
         "was not exercised by this fixture split"
     )
+
+
+def test_tws_liststate_recovery_and_statestore_read(spark):
+    """Completes the typed-state recovery matrix: a ListState sketch
+    (KMV k-min list) must survive a mid-replay stop/restart through
+    the RocksDB checkpoint, and the proof reads the PERSISTED state
+    itself back through Spark's statestore data source — the final
+    on-disk list per key must equal the batch K-smallest closed form
+    over the full history, which is only possible if batch-1 state
+    was recovered (file 2 alone lacks half the minima)."""
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fluent_bit_filter_math_spark.streaming import state_proto_shim
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _KMV_K,
+        _KMVSketchProcessor,
+        _TWS_KMV_OUT,
+        _kmv_split_src,
+    )
+
+    state_proto_shim.install()
+    sf_dir = "/root/testdata/sf0.001"
+    src = _kmv_split_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="tws-list-rec-"), "ckpt")
+
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
+    olds = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+
+        def start(name, first_run):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .format("parquet")
+                .load(src)
+                .select("event_type", "hv")
+            )
+            out = stream.groupBy("event_type").transformWithStateInPandas(
+                statefulProcessor=_KMVSketchProcessor(),
+                outputStructType=_TWS_KMV_OUT,
+                outputMode="Update",
+                timeMode="None",
+            )
+            w = (
+                out.writeStream.format("noop")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+            )
+            if first_run:
+                w = w.trigger(processingTime="5 minutes")
+            else:
+                w = w.trigger(availableNow=True)
+            return w.start()
+
+        q1 = start("tws_list_rec_1", True)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(
+                p["batchId"] >= 0 and p["numInputRows"] > 0
+                for p in q1.recentProgress
+            ):
+                break
+            time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+        assert {p["batchId"] for p in q1.recentProgress}, "run 1 idle"
+
+        q2 = start("tws_list_rec_2", False)
+        q2.awaitTermination()
+
+        state = (
+            spark.read.format("statestore")
+            .option("stateVarName", "kmin")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("list_element.hv").alias("hv"),
+            )
+            .collect()
+        )
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    got = {}
+    for r in state:
+        got.setdefault(r["event_type"], set()).add(r["hv"])
+    full = spark.read.parquet(src).select("event_type", "hv").distinct()
+    expect = {}
+    for r in full.collect():
+        expect.setdefault(r["event_type"], []).append(r["hv"])
+    assert set(got) == set(expect)
+    for etype, hvs in expect.items():
+        assert got[etype] == set(sorted(hvs)[:_KMV_K]), etype
