@@ -435,3 +435,62 @@ def udaf_window_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sum(F.col("cents")).over(w).alias("frame_sum_cents"),
         frame_mean(F.col("cents")).over(w).alias("frame_mean_cents"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# POLYMORPHIC Python UDTF — the Spark 4 `analyze()` protocol, where
+# the table function's OUTPUT SCHEMA is computed at plan time from
+# its arguments (the DataFrame-era answer to Hive's fixed-schema
+# UDTFs): `fbm_fields(text, k)` splits the first k tokens into
+# columns c1..ck, and k different call sites get k different schemas
+# from ONE registered function. analyze() receives constant-foldable
+# arguments with their values; a non-constant k is rejected at plan
+# time (enforced in the unit test), which is exactly the
+# static-schema guarantee Catalyst needs to keep the lateral join
+# fully optimizable. eval stays Arrow-batched.
+# ---------------------------------------------------------------------------
+_FIELDS_K = 3
+
+
+class _SplitFieldsUDTF:
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if k.value is None:
+            raise Exception("k must be a constant literal")
+        schema = StructType()
+        for i in range(int(k.value)):
+            schema = schema.add(f"c{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text: str, k: int):
+        toks = (text or "").split(" ")
+        yield tuple(
+            toks[i] if i < len(toks) else None for i in range(int(k))
+        )
+
+
+@register(
+    "udtf_analyze_polymorphic",
+    oracle=f"""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS c1,
+           string_split(text, ' ')[2] AS c2,
+           string_split(text, ' ')[3] AS c3
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+)
+def udtf_analyze_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("fbm_fields", udtf(_SplitFieldsUDTF, useArrow=True))
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    ).createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.c1, t.c2, t.c3
+        FROM udtf_poly_docs d, LATERAL fbm_fields(d.text, {_FIELDS_K}) t
+        """
+    )

@@ -113,3 +113,34 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     )
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_polymorphic_udtf_schema_tracks_k(spark):
+    """One registered function, two call sites, two schemas — and a
+    non-constant k is rejected at ANALYSIS time, not at run time."""
+    from pyspark.sql.functions import udtf
+
+    from fluent_bit_filter_math_spark.operators.python_udfs import (
+        _SplitFieldsUDTF,
+    )
+
+    spark.udtf.register(
+        "fbm_fields_t", udtf(_SplitFieldsUDTF, useArrow=True)
+    )
+    two = spark.sql(
+        "SELECT * FROM fbm_fields_t('alpha beta gamma', 2)"
+    )
+    assert two.columns == ["c1", "c2"]
+    assert two.collect()[0][:] == ("alpha", "beta")
+    five = spark.sql("SELECT * FROM fbm_fields_t('a b', 5)")
+    assert five.columns == ["c1", "c2", "c3", "c4", "c5"]
+    assert five.collect()[0][:] == ("a", "b", None, None, None)
+    import pytest as _pytest
+
+    spark.range(1).selectExpr("CAST(id + 2 AS INT) AS k")\
+        .createOrReplaceTempView("nonconst_k")
+    with _pytest.raises(Exception, match="constant"):
+        spark.sql(
+            "SELECT t.* FROM nonconst_k n,"
+            " LATERAL fbm_fields_t('a b c', n.k) t"
+        ).collect()
