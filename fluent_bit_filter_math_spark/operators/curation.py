@@ -495,3 +495,134 @@ def pipeline_split_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END CURATION SELECT — the late-r9 operators composed into the
+# pipeline shape a pre-training data team actually ships: published
+# quality rules → exact dedup → per-domain weighted budget cap.
+#   1. Gopher rules (text.py::_gopher_frame — Rae'21) gate documents;
+#   2. exact dedup keeps the smallest doc_id per md5(text);
+#   3. each source's survivors are capped at a budget of 8 by PRIORITY
+#      sampling (Duffield'07, the sampling.py machinery inline):
+#      weight = n_chars, key = hash/weight, smallest keys win — so
+#      long documents are kept with near-certainty and the cap is
+#      still an unbiased weighted sample.
+# Every stage reuses the registered operators' exact expressions, so
+# the composition is pinned by the same arithmetic the stage queries
+# already prove; the oracle replays all three stages in one SQL.
+#
+# Scale: stage 1 is map-side; stage 2 shuffles on the text hash
+# (dedup_exact's shape); stage 3 is the local-top-k-pruned stratum
+# rank (sample_priority_topk's shape). No stage widens the data —
+# each strictly shrinks it, the property that makes curation
+# pipelines cheap to chain.
+# ---------------------------------------------------------------------------
+_CUR_BUDGET = 8
+
+
+@register(
+    "pipeline_curate_select",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, text, source, n_chars,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lns,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, source, n_chars,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                 AS sum_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS alpha_words,
+             len(list_filter(toks,
+                 t -> t IN ('the','be','to','of','and','that','have','with')))
+                 AS n_stop,
+             len(lns) AS n_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '^[-*]')))
+                 AS bullet_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))
+                 AS ellipsis_lines,
+             n_symbols
+      FROM g
+    ), kept AS (
+      SELECT doc_id, text, source, n_chars, n_words
+      FROM m
+      WHERE n_words BETWEEN 50 AND 100000
+        AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+        AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+        AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+        AND CAST(bullet_lines AS DOUBLE) / n_lines < 0.9
+        AND CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3
+        AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+        AND n_stop >= 2
+    ), deduped AS (
+      SELECT doc_id, source, n_chars, n_words FROM (
+        SELECT doc_id, source, n_chars, n_words,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS dup_rn
+        FROM kept
+      ) WHERE dup_rn = 1
+    ), keyed AS (
+      SELECT doc_id, source, n_chars, n_words,
+             CAST({{h}} AS DOUBLE) / n_chars AS skey
+      FROM deduped
+    ), ranked AS (
+      SELECT source, doc_id, n_chars, n_words,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM ranked
+    WHERE rn <= {_CUR_BUDGET}
+    ORDER BY source, rn
+    """.replace(
+        "{h}",
+        "CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT)",
+    ),
+)
+def pipeline_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.operators.text import _gopher_frame
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    rules = _gopher_frame(docs).select("doc_id", "n_words", "keep")
+    kept = (
+        docs.join(rules, "doc_id")
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "source", "n_chars", "n_words")
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("dup_rn", F.row_number().over(wdup))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn", "text")
+    )
+    skey = (
+        hash60(
+            F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        / F.col("n_chars")
+    )
+    keyed = deduped.withColumn("skey", skey)
+    wrank = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _CUR_BUDGET)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rn"),
+            "doc_id",
+            "n_chars",
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+        .orderBy("source", "rn")
+    )

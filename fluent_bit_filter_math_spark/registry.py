@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "sample_temperature_mixture",
     "mm_png_histogram",
-    # tier 1b: the TWENTY-FOUR late-r9 operators — never
+    # tier 1b: the TWENTY-FIVE late-r9 operators — never
     # driver-checked (local dtype-exact green only). These take the
     # slots of the 4 tier-4 representatives and the last 15 tier-3
     # r1-era queries, which move to the FRONT of the r10 queue (r6
@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_k_anonymity",
     "stream_tws_state_inspect",
     "udtf_analyze_polymorphic",
+    "pipeline_curate_select",
     # tier 2: new or semantically touched in r9 — the C4-style span
     # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
     # ColBERT MaxSim; then the queries whose code changed this round:
@@ -132,7 +133,7 @@ _PRIORITY: tuple[str, ...] = (
     # tier 3: the r1-era stale greens — their ONLY driver row is
     # round 1, verified on long-regenerated fixtures (VERDICT r8 #1);
     # family-diverse order (dedup, text, sort, setop, agg, TPC-H).
-    # Only the first ~9 fit the 50-slot window this round; the rest
+    # Only the first ~4 fit the 50-slot window this round; the rest
     # head the r10 queue.
     "dedup_exact",
     "text_token_stats",
