@@ -2239,3 +2239,130 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# BOOTSTRAP confidence interval — uncertainty quantification for a
+# group statistic (Efron'79) with the repo's determinism discipline:
+# the B resamples draw indices from the portable hash instead of an
+# RNG (idx_b,i = hash60(type:b:i) mod n), so every engine and every
+# re-run sees the SAME resamples — reproducible bootstrap, the form a
+# regulated pipeline needs anyway. Each resample mean is an exact
+# integer sum with one final division; the interval is a DISCRETE
+# order statistic of the B means (2nd smallest / 2nd largest of
+# B = 32 ≈ a 94% percentile interval — no float interpolation).
+#
+# Scale: one row-index window per group (event_id order), then the
+# B-fold resample is ONE equi-join of a (type, b, idx) probe against
+# the (type, idx) value table — B×n rows through a hash join, no
+# nested loops; means are partial-aggregatable sums.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY event_id) - 1 AS idx,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), probe AS (
+      SELECT v.event_type, b.b, v.idx AS i, v.n,
+             CAST('0x' || substr(md5(v.event_type || ':'
+                  || CAST(b.b AS VARCHAR) || ':'
+                  || CAST(v.idx AS VARCHAR)), 1, 15) AS BIGINT) % v.n
+                 AS tgt
+      FROM v
+      CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ), means AS (
+      SELECT p.event_type, p.b,
+             CAST(SUM(v2.cents) AS DOUBLE) / p.n AS mean_b
+      FROM probe p
+      JOIN v v2 ON v2.event_type = p.event_type AND v2.idx = p.tgt
+      GROUP BY p.event_type, p.b, p.n
+    ), stats AS (
+      SELECT event_type, list_sort(list(mean_b)) AS ms
+      FROM means GROUP BY event_type
+    ), pt AS (
+      SELECT event_type, CAST(SUM(cents) AS DOUBLE) / MAX(n) AS point_mean
+      FROM v GROUP BY event_type
+    )
+    SELECT s.event_type,
+           pt.point_mean,
+           ms[2] AS ci_lo,
+           ms[{_BOOT_B} - 1] AS ci_hi,
+           (pt.point_mean >= ms[2] AND pt.point_mean <= ms[{_BOOT_B} - 1])
+               AS point_in_ci
+    FROM stats s JOIN pt USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import hash60
+
+    ev = table(spark, sf_dir, "events")
+    wi = Window.partitionBy("event_type").orderBy("event_id")
+    wn = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        exact_cents(F.col("value")).alias("cents"),
+        (F.row_number().over(wi) - 1).cast("long").alias("idx"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bs = F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b")
+    probe = v.select("event_type", "idx", "n", bs).select(
+        "event_type",
+        "b",
+        "n",
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("event_type"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("idx").cast("string"),
+                )
+            ),
+            F.col("n"),
+        ).alias("tgt"),
+    )
+    v2 = v.select(
+        F.col("event_type").alias("e2"),
+        F.col("idx").alias("tgt2"),
+        F.col("cents").alias("c2"),
+    )
+    means = (
+        probe.join(
+            v2,
+            (F.col("event_type") == F.col("e2"))
+            & (F.col("tgt") == F.col("tgt2")),
+        )
+        .groupBy("event_type", "b", "n")
+        .agg((F.sum("c2").cast("double") / F.col("n")).alias("mean_b"))
+    )
+    stats = means.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("mean_b")).alias("ms")
+    )
+    pt = v.groupBy("event_type").agg(
+        (F.sum("cents").cast("double") / F.max("n")).alias("point_mean")
+    )
+    lo = F.element_at("ms", 2)
+    hi = F.element_at("ms", _BOOT_B - 1)
+    return (
+        stats.join(pt, "event_type")
+        .select(
+            "event_type",
+            "point_mean",
+            lo.alias("ci_lo"),
+            hi.alias("ci_hi"),
+            (
+                (F.col("point_mean") >= lo) & (F.col("point_mean") <= hi)
+            ).alias("point_in_ci"),
+        )
+        .orderBy("event_type")
+    )
