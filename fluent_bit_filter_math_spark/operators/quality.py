@@ -563,3 +563,82 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment", "bal_sign")
     )
+
+
+# ---------------------------------------------------------------------------
+# TWO-SAMPLE KOLMOGOROV-SMIRNOV — the nonparametric drift test
+# (complements dq_distribution_drift's binned PSI with the EXACT
+# unbinned statistic): D = sup_x |F1(x) - F2(x)|. Over the merged
+# value sequence the empirical CDF difference at each point is the
+# rational (c1·n2 - c2·n1)/(n1·n2), so D is computed as an INTEGER
+# max of |c1·n2 - c2·n1| with one final division — no floats until
+# the last op, no binning error. Samples: 'click' vs 'view' event
+# values per the shared cents domain; ties are handled by evaluating
+# the CDFs after the last row of each distinct value (the standard
+# discrete-data convention, identical in both engines).
+#
+# Scale: one sort-window over the merged samples (two-level-able like
+# every rank here), counts as running sums — one shuffle total.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(event_type = 'click' AS BIGINT) AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ), tot AS (
+      SELECT SUM(is_a) AS n1, SUM(1 - is_a) AS n2 FROM s
+    ), cdf AS (
+      SELECT cents,
+             SUM(SUM(is_a)) OVER (ORDER BY cents) AS c1,
+             SUM(SUM(1 - is_a)) OVER (ORDER BY cents) AS c2
+      FROM s GROUP BY cents
+    )
+    SELECT CAST(tot.n1 AS BIGINT) AS n1,
+           CAST(tot.n2 AS BIGINT) AS n2,
+           CAST(MAX(abs(c1 * tot.n2 - c2 * tot.n1)) AS BIGINT) AS d_num,
+           CAST(tot.n1 * tot.n2 AS BIGINT) AS d_den,
+           CAST(MAX(abs(c1 * tot.n2 - c2 * tot.n1)) AS DOUBLE)
+               / (tot.n1 * tot.n2) AS ks_d
+    FROM cdf, tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        exact_cents(F.col("value")).alias("cents"),
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+    )
+    per_val = s.groupBy("cents").agg(
+        F.sum("is_a").alias("a"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("b"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = per_val.select(
+        "cents",
+        F.sum("a").over(wc).alias("c1"),
+        F.sum("b").over(wc).alias("c2"),
+    )
+    tot = s.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("n2"),
+    )
+    j = cdf.crossJoin(F.broadcast(tot))
+    dnum = F.max(
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    )
+    return j.groupBy("n1", "n2").agg(
+        dnum.cast("long").alias("d_num"),
+        (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
+        (dnum.cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
+    )

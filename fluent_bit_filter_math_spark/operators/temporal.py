@@ -1544,3 +1544,164 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection (Page 1954) — the classic sequential drift
+# detector: S_t = max(0, S_{t-1} + (x_t − k)), alarm when S_t ≥ h.
+# The recursion LOOKS stateful but has a closed window form: with
+# P_t the prefix sum of (x − k), S_t = P_t − min_{j≤t} P_j — a
+# running sum and a running min over the same frame, both exact
+# BIGINT in cents (the identity is exact in integers, so the whole
+# detector sits under the bitwise gate; no float ever appears).
+# Per user: slack k = 600 cents over the per-event values, threshold
+# h = 2000 cents; output the alarm events with their CUSUM value —
+# the monitoring primitive for "this user's values drifted high".
+#
+# Scale: one user-key shuffle, two frames over one sort — identical
+# cost to any running-total window; per-key state is the frame, not
+# history.
+# ---------------------------------------------------------------------------
+_CUSUM_K = 600  # cents of slack per observation
+_CUSUM_H = 2000  # alarm threshold, cents
+
+
+@register(
+    "ts_cusum_alarms",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT) - {_CUSUM_K})
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS pref
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id,
+             pref - LEAST(0, MIN(pref)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS s_cents
+      FROM p
+    )
+    SELECT user_id, event_id, CAST(s_cents AS BIGINT) AS s_cents
+    FROM s
+    WHERE s_cents >= {_CUSUM_H}
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = F.sum(exact_cents(F.col("value")) - F.lit(_CUSUM_K)).over(w)
+    p = ev.select("user_id", "event_id", "ts", pref.alias("pref"))
+    s_cents = F.col("pref") - F.least(
+        F.lit(0).cast("long"), F.min("pref").over(w)
+    )
+    return (
+        p.select(
+            "user_id",
+            "event_id",
+            s_cents.cast("long").alias("s_cents"),
+        )
+        .filter(F.col("s_cents") >= _CUSUM_H)
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SEASONAL DECOMPOSITION (classical additive, the moving-average STL
+# ancestor): hourly revenue y = trend + seasonal + residual, with
+#   trend_t    = centered ±12h moving average of y,
+#   seasonal_h = mean detrended value of hour-of-day h,
+#   residual   = what's left.
+# All three components are exact: y is integer cents per hour, the
+# two means are floor((num*1e6)/den) where num*1e6 < 2^53 (so the
+# double divide-then-floor is the mathematical floor — a q<=31
+# rational is never within an ulp of an integer), and every
+# subtraction is BIGINT. Spark `div` truncates toward zero while
+# DuckDB `//` floors, so NEITHER integer-division operator appears —
+# the shared floor(double) spelling sidesteps the negative-numerator
+# divergence entirely (detrended values go negative).
+#
+# Scale: the windowed table is |hours| rows — calendar-bounded, never
+# event-bounded (the window_period_over_period argument); the
+# seasonal join is 24 broadcast rows.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT bucket, hod, y,
+             CAST(floor(CAST(SUM(y) OVER w * 1000000 AS DOUBLE)
+                        / COUNT(*) OVER w) AS BIGINT) AS trend_fp
+      FROM hourly
+      WINDOW w AS (ORDER BY bucket
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), det AS (
+      SELECT bucket, hod, y, trend_fp,
+             y * 1000000 - trend_fp AS detr_fp
+      FROM tr
+    ), seas AS (
+      SELECT hod,
+             CAST(floor(CAST(SUM(detr_fp) AS DOUBLE) / COUNT(*))
+                  AS BIGINT) AS seasonal_fp
+      FROM det GROUP BY hod
+    )
+    SELECT strftime(d.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           d.y, d.trend_fp, s.seasonal_fp,
+           CAST(d.detr_fp - s.seasonal_fp AS BIGINT) AS resid_fp
+    FROM det d JOIN seas s USING (hod)
+    ORDER BY d.bucket
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.sum(exact_cents(F.col("value"))).cast("long").alias("y"))
+    )
+    wtr = Window.orderBy("bucket").rowsBetween(-12, 12)
+    tr = hourly.select(
+        "bucket",
+        "hod",
+        "y",
+        F.floor(
+            (F.sum("y").over(wtr) * 1000000).cast("double")
+            / F.count("*").over(wtr)
+        ).cast("long").alias("trend_fp"),
+    )
+    det = tr.withColumn(
+        "detr_fp", F.col("y") * 1000000 - F.col("trend_fp")
+    )
+    seas = det.groupBy("hod").agg(
+        F.floor(
+            F.sum("detr_fp").cast("double") / F.count("*")
+        ).cast("long").alias("seasonal_fp")
+    )
+    return (
+        det.join(F.broadcast(seas), "hod")
+        .select(
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "y",
+            "trend_fp",
+            "seasonal_fp",
+            (F.col("detr_fp") - F.col("seasonal_fp"))
+            .cast("long")
+            .alias("resid_fp"),
+        )
+        .orderBy("bucket")
+    )

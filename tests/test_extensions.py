@@ -912,3 +912,43 @@ def test_twap_differs_from_plain_avg_and_matches_twin(spark, sf_dir):
         if abs(avg - r["twap_cents"]) > 1e-9:
             diff_seen = True
     assert diff_seen
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """The window identity S_t = P_t - min(0, min P_j) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + x_t - k) on every user
+    sequence — including which rows alarm."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        _CUSUM_H,
+        _CUSUM_K,
+        ts_cusum_alarms,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc",
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in raw:
+        seqs[r["user_id"]].append((r["t"], r["event_id"], r["xc"]))
+    expect = {}
+    for uid, seq in seqs.items():
+        s = 0
+        for _, eid, x in sorted(seq):
+            s = max(0, s + x - _CUSUM_K)
+            if s >= _CUSUM_H:
+                expect[(uid, eid)] = s
+    got = {
+        (r["user_id"], r["event_id"]): r["s_cents"]
+        for r in ts_cusum_alarms(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
