@@ -35,6 +35,13 @@ QUERIES = [
     "sample_epoch_shuffle",
     "stream_tws_priority_sample",
     "dq_k_anonymity",
+    "stream_tws_state_inspect",
+    "udtf_analyze_polymorphic",
+    "pipeline_curate_select",
+    "agg_bootstrap_ci",
+    "dq_ks_two_sample",
+    "ts_cusum_alarms",
+    "ts_seasonal_decompose",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 REPS = 2
