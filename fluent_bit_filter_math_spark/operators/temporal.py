@@ -1705,3 +1705,97 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# HOLT double-exponential smoothing — level + TREND, the forecasting
+# step up from EWMA (ts_ewma_recursive above), as an ordered per-key
+# fold with a COMPOSITE (struct) accumulator:
+#   l_t = (x_t + 3·(l + b)) >> 2        (alpha = 1/4)
+#   b_t = ((l_t − l) + 3·b) >> 2        (beta  = 1/4)
+# Exactness hinges on one operator choice: deltas go NEGATIVE, and
+# Spark's `div`/DuckDB's `//` TRUNCATE negative quotients differently
+# than a shift — but `>>` is the arithmetic (floor) shift in BOTH
+# engines (measured: -7>>2 = -2 = floor, -7//4 = -1 in DuckDB), so
+# the whole coupled recursion is exact integer arithmetic. The
+# accumulator is a struct {l, b} folded through codegen HOFs in Spark
+# and list_reduce over struct elements in DuckDB.
+#
+# Scale: identical to ts_ewma_recursive — one user shuffle, per-key
+# history bounded by user activity, no window, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_holt_linear_fold",
+    # The oracle is a per-user RECURSIVE CTE rather than list_reduce
+    # with a struct accumulator: DuckDB 1.0's list_reduce rebinds the
+    # accumulator's struct fields PROGRESSIVELY (while computing field
+    # 'b', `a.l` already holds the new level — measured, the engine-
+    # semantics trap this round's adversarial review caught), whereas
+    # Spark's aggregate() evaluates the struct simultaneously. The CTE
+    # uses the old-values-only algebra ((a>>2) - l == (a - 4l) >> 2)
+    # so every step reads exclusively the previous row.
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             list_transform(
+                 list_sort(list((epoch_us(ts), event_id,
+                                 CAST(floor(value * 100.0 + 0.5)
+                                      AS BIGINT)))),
+                 s -> s[3] * 1000000
+             ) AS xs
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT user_id, len(xs) AS n, 1 AS i, xs[1] AS l,
+             CAST(0 AS BIGINT) AS b
+      FROM seq
+      UNION ALL
+      SELECT r.user_id, r.n, r.i + 1,
+             (seq.xs[r.i + 1] + 3 * (r.l + r.b)) >> 2,
+             (((seq.xs[r.i + 1] - r.l + 3 * r.b) >> 2) + 3 * r.b) >> 2
+      FROM r JOIN seq USING (user_id)
+      WHERE r.i < r.n
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_obs,
+           CAST(l AS BIGINT) AS level_ucents,
+           CAST(b AS BIGINT) AS trend_ucents,
+           CAST(l + b AS BIGINT) AS forecast_ucents
+    FROM r WHERE i = n
+    ORDER BY user_id
+    """,
+)
+def ts_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    grouped = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+                F.col("event_id").alias("e"),
+                exact_cents(F.col("value")).alias("x"),
+            )
+        ).alias("seq")
+    )
+    xs = F.transform(
+        F.array_sort(F.col("seq")),
+        lambda s: F.struct(
+            (s["x"] * F.lit(1000000)).alias("l"),
+            F.lit(0).cast("long").alias("b"),
+        ),
+    )
+
+    def step(a, x):
+        new_l = F.shiftright(x["l"] + F.lit(3) * (a["l"] + a["b"]), 2)
+        new_b = F.shiftright((new_l - a["l"]) + F.lit(3) * a["b"], 2)
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.lit(0), F.size(xs) - 1)),
+        F.element_at(xs, 1),
+        step,
+    )
+    return grouped.select(
+        "user_id",
+        F.size(xs).cast("long").alias("n_obs"),
+        st["l"].cast("long").alias("level_ucents"),
+        st["b"].cast("long").alias("trend_ucents"),
+        (st["l"] + st["b"]).cast("long").alias("forecast_ucents"),
+    ).orderBy("user_id")

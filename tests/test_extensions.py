@@ -952,3 +952,43 @@ def test_cusum_closed_form_equals_recursion(spark, sf_dir):
         for r in ts_cusum_alarms(spark, sf_dir).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_holt_fold_matches_textbook_recursion(spark, sf_dir):
+    """Third implementation of Holt's method: exact integer recursion
+    in pure Python over each user's sorted series — also documents the
+    DuckDB list_reduce progressive-field-rebinding trap that forced
+    the oracle onto a recursive CTE (a struct-accumulator fold there
+    computes b with the NEW level)."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_holt_linear_fold,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc",
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in raw:
+        seqs[r["user_id"]].append((r["t"], r["event_id"], r["xc"]))
+    rows = ts_holt_linear_fold(spark, sf_dir).collect()
+    assert len(rows) == len(seqs) > 0
+    for r in rows:
+        xs = [x * 1_000_000 for _, _, x in sorted(seqs[r["user_id"]])]
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            nl = (x + 3 * (l + b)) >> 2
+            nb = ((nl - l) + 3 * b) >> 2
+            l, b = nl, nb
+        assert (r["n_obs"], r["level_ucents"], r["trend_ucents"]) == (
+            len(xs), l, b,
+        )
+        assert r["forecast_ucents"] == l + b
