@@ -642,3 +642,99 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n1") * F.col("n2")).cast("long").alias("d_den"),
         (dnum.cast("double") / (F.col("n1") * F.col("n2"))).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MANN-WHITNEY U — the rank-sum two-sample test (pairs with
+# dq_ks_two_sample's CDF-sup statistic: U answers "is one sample
+# stochastically larger", KS answers "do the shapes differ"). Ties
+# take MIDRANKS, which are half-integers — so everything is computed
+# in DOUBLED rank units where they become exact integers: a tied
+# group of t values after c predecessors has 2·midrank = 2c + t + 1,
+# R1×2 = Σ t1·(2c + t + 1), and U1×2 = R1×2 − n1(n1+1). The common-
+# language effect size U1/(n1·n2) is the single final division.
+# Identity U1 + U2 = n1·n2 is emitted as the self-check column.
+#
+# Scale: like KS — per-distinct-value aggregation first (value-domain
+# -bounded), one cumulative window over that bounded frame.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(event_type = 'click' AS BIGINT) AS is_a
+      FROM events WHERE event_type IN ('click', 'view')
+    ), pv AS (
+      SELECT cents, SUM(is_a) AS t1, SUM(1 - is_a) AS t2,
+             COUNT(*) AS t
+      FROM s GROUP BY cents
+    ), cum AS (
+      SELECT cents, t1, t2, t,
+             COALESCE(SUM(t) OVER (ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS c
+      FROM pv
+    ), agg AS (
+      SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+             CAST(SUM(t2) AS BIGINT) AS n2,
+             CAST(SUM(t1 * (2 * c + t + 1)) AS BIGINT) AS r1_2x
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1_2x - n1 * (n1 + 1) AS BIGINT) AS u1_2x,
+           CAST(2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)) AS BIGINT) AS u2_2x,
+           CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2)
+               AS effect_size,
+           ((r1_2x - n1 * (n1 + 1))
+            + (2 * n1 * n2 - (r1_2x - n1 * (n1 + 1)))
+            = 2 * n1 * n2) AS identity_ok
+    FROM agg
+    """,
+)
+def dq_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.select(
+        exact_cents(F.col("value")).alias("cents"),
+        (F.col("event_type") == "click").cast("long").alias("is_a"),
+    )
+    pv = s.groupBy("cents").agg(
+        F.sum("is_a").alias("t1"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("t2"),
+        F.count("*").alias("t"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = pv.select(
+        "t1",
+        "t2",
+        "t",
+        F.coalesce(F.sum("t").over(wc), F.lit(0)).alias("c"),
+    )
+    agg = cum.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t2").cast("long").alias("n2"),
+        F.sum(
+            F.col("t1") * (F.lit(2) * F.col("c") + F.col("t") + 1)
+        ).cast("long").alias("r1_2x"),
+    )
+    u1 = F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+    u2 = F.lit(2) * F.col("n1") * F.col("n2") - u1
+    return agg.select(
+        "n1",
+        "n2",
+        u1.cast("long").alias("u1_2x"),
+        u2.cast("long").alias("u2_2x"),
+        (u1.cast("double") / (F.lit(2) * F.col("n1") * F.col("n2")))
+        .alias("effect_size"),
+        ((u1 + u2) == F.lit(2) * F.col("n1") * F.col("n2")).alias(
+            "identity_ok"
+        ),
+    )

@@ -992,3 +992,39 @@ def test_holt_fold_matches_textbook_recursion(spark, sf_dir):
             len(xs), l, b,
         )
         assert r["forecast_ucents"] == l + b
+
+
+def test_mann_whitney_matches_scipy_style_twin(spark, sf_dir):
+    """Pure-Python midrank U on the raw samples (the scipy
+    formulation) must equal the doubled-integer engine value."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_mann_whitney_u,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .filter("event_type IN ('click', 'view')")
+        .selectExpr(
+            "event_type", "CAST(floor(value * 100.0 + 0.5) AS BIGINT) xc"
+        )
+        .collect()
+    )
+    a = sorted(r["xc"] for r in raw if r["event_type"] == "click")
+    b = sorted(r["xc"] for r in raw if r["event_type"] == "view")
+    merged = sorted(a + b)
+    # midranks via per-value spans
+    from collections import Counter
+    cnt = Counter(merged)
+    rank2 = {}
+    c = 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * c + cnt[v] + 1  # doubled midrank
+        c += cnt[v]
+    r1_2x = sum(rank2[v] for v in a)
+    u1_2x = r1_2x - len(a) * (len(a) + 1)
+    row = dq_mann_whitney_u(spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (len(a), len(b))
+    assert row["u1_2x"] == u1_2x
+    assert row["identity_ok"]
+    assert abs(row["effect_size"] - u1_2x / (2 * len(a) * len(b))) < 1e-15
