@@ -738,3 +738,86 @@ def dq_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "identity_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CHI-SQUARE independence — the contingency-table test (is event mix
+# independent of weekday?), completing the testing trio (KS: shapes,
+# U: location, chi2: categorical independence). Per cell the term
+# (o·N − r·c)² / (r·c·N) is evaluated in a FIXED float order — the
+# difference is exact in BIGINT, squared in DOUBLE (exact IEEE
+# squaring of a correctly-rounded conversion, overflow-free at any
+# scale), then two divisions — and fixed-pointed to micro-units so
+# the cell sum is an order-free INTEGER aggregate. Output: the
+# statistic, degrees of freedom, and the per-cell maximum
+# contribution (which cell drives the dependence).
+#
+# Scale: one (type, weekday)-cell aggregate (≤ 35 cells), margins
+# broadcast back onto the cells — nothing bigger than the cell table
+# past the scan.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS wd,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type
+    ), cols AS (
+      SELECT wd, SUM(o) AS c FROM cells GROUP BY wd
+    ), tot AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT cells.event_type, cells.wd,
+             CAST(floor(
+                 CAST(cells.o * tot.n - margins.r * cols.c AS DOUBLE)
+                 * CAST(cells.o * tot.n - margins.r * cols.c AS DOUBLE)
+                 / CAST(margins.r * cols.c AS DOUBLE) / tot.n
+                 * 1000000.0 + 0.5) AS BIGINT) AS term_fp
+      FROM cells
+      JOIN margins USING (event_type)
+      JOIN cols USING (wd)
+      CROSS JOIN tot
+    )
+    SELECT CAST(SUM(term_fp) AS BIGINT) AS chi2_fp,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT wd) - 1) AS BIGINT) AS dof,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(term_fp) AS BIGINT) AS max_cell_fp
+    FROM terms
+    """,
+)
+def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("wd")
+    ).agg(F.count("*").alias("o"))
+    margins = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("wd").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = (
+        d * d / (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    )
+    terms = (
+        cells.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "wd")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "wd",
+            F.floor(term * 1000000.0 + F.lit(0.5)).cast("long").alias(
+                "term_fp"
+            ),
+        )
+    )
+    return terms.agg(
+        F.sum("term_fp").cast("long").alias("chi2_fp"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("wd") - 1)
+        ).cast("long").alias("dof"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("term_fp").cast("long").alias("max_cell_fp"),
+    )
