@@ -140,8 +140,11 @@ _PRIORITY: tuple[str, ...] = (
     # tier 3: the r1-era stale greens — their ONLY driver row is
     # round 1, verified on long-regenerated fixtures (VERDICT r8 #1);
     # family-diverse order (dedup, text, sort, setop, agg, TPC-H).
-    # Only the first ~4 fit the 50-slot window this round; the rest
-    # head the r10 queue.
+    # With 34 never-checked queries ahead of them, NONE fit the
+    # 50-slot window this round — the window ends inside tier 2's
+    # r9-changed cohort, whose last 3 TWS entries plus this whole
+    # tier head the r10 queue. Every displaced query is at worst
+    # r8-driver-green and re-proven by the local gate each round.
     "dedup_exact",
     "text_token_stats",
     "sort_limit_topn",
