@@ -977,16 +977,22 @@ def _gif_lzw_encode(mcs: int, data: bytes) -> bytes:
     next_code = eoi + 1
     emit(clear, width)
     w = b""
+    # Width sync mirrors giflib's encoder: the next_code >= 2^width
+    # check runs after EVERY emission — including the final phrase
+    # emission that assigns no table entry — so the EOI (and any
+    # trailing code) goes out at the width the read-counting decoder
+    # expects (see _gif_lzw_decode; the hypothesis roundtrip property
+    # caught the assignment-tied variant mis-framing EOI).
     for b in data:
         wc = w + bytes([b])
         if wc in table:
             w = wc
             continue
         emit(table[w], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
         if next_code <= 4095:
             table[wc] = next_code
-            if next_code == (1 << width) and width < 12:
-                width += 1
             next_code += 1
         else:
             emit(clear, width)
@@ -996,6 +1002,8 @@ def _gif_lzw_encode(mcs: int, data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -1022,6 +1030,13 @@ def _gif_lzw_decode(mcs: int, data: bytes, max_out: int) -> bytes:
     width = mcs + 1
     table = {i: bytes([i]) for i in range(clear)}
     next_code = eoi + 1
+    # Width sync counts CODES READ (giflib's RunningCode), NOT table
+    # assignments: the encoder's final phrase emission assigns no
+    # entry, so an assignment-counted decoder bumps one code early
+    # right before EOI and mis-frames it (found by the hypothesis
+    # roundtrip property, shrunk to a 12-symbol mcs=2 stream whose
+    # last data code lands exactly on 2^width assignments).
+    rc = eoi + 1
     out = bytearray()
     prev = None
     while True:
@@ -1030,10 +1045,14 @@ def _gif_lzw_decode(mcs: int, data: bytes, max_out: int) -> bytes:
             width = mcs + 1
             table = {i: bytes([i]) for i in range(clear)}
             next_code = eoi + 1
+            rc = eoi + 1
             prev = None
             continue
         if code == eoi:
             return bytes(out)
+        rc += 1
+        if rc > (1 << width) and width < 12:
+            width += 1
         if prev is None:
             if code not in table:
                 raise ValueError("first code after clear not a literal")
@@ -1047,8 +1066,6 @@ def _gif_lzw_decode(mcs: int, data: bytes, max_out: int) -> bytes:
                 raise ValueError(f"LZW code {code} out of range")
             if next_code <= 4095:
                 table[next_code] = prev + entry[:1]
-                if next_code == (1 << width) - 1 and width < 12:
-                    width += 1
                 next_code += 1
         out += entry
         if len(out) > max_out:

@@ -42,6 +42,9 @@ QUERIES = [
     "dq_ks_two_sample",
     "ts_cusum_alarms",
     "ts_seasonal_decompose",
+    "ts_holt_linear_fold",
+    "dq_mann_whitney_u",
+    "dq_chi_square_independence",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 REPS = 2
