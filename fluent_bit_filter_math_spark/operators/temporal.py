@@ -1799,3 +1799,81 @@ def ts_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         st["b"].cast("long").alias("trend_ucents"),
         (st["l"] + st["b"]).cast("long").alias("forecast_ucents"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# ROLLING z-BAND OUTLIERS (Bollinger-style) — flag events whose value
+# leaves the trailing-window mean ± 2σ band, with the entire test in
+# EXACT integers: over the trailing frame keep the power sums
+# (n, S1 = Σx, S2 = Σx²); the band test |x − μ| > 2σ cross-multiplies
+# to (n·x − S1)² > 4·(n·S2 − S1²) — every quantity BIGINT cents, no
+# division, no sqrt, no float anywhere (the usual rolling-stddev float
+# pipeline can flap on band-edge points; the integer form cannot).
+# Warm-up rows (frame < 5) are not judged, the standard Bollinger
+# convention, identical in both engines.
+#
+# Scale: one user shuffle, one 20-row trailing frame — running-total
+# cost; S2 ≈ n·x² stays < 2^63 for cents up to ~6e8 per observation.
+# ---------------------------------------------------------------------------
+_BB_WIN = 20  # trailing frame length (rows)
+_BB_MIN = 5  # minimum frame before judging
+_BB_K2 = 4  # k=2 sigmas, squared
+
+
+@register(
+    "ts_zband_outliers",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+             COUNT(*) OVER fr AS n,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER fr AS s1,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER fr
+                 AS s2
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {_BB_WIN - 1} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, x,
+           CAST(n AS BIGINT) AS n_window,
+           CAST(n * x - s1 AS BIGINT) AS dev_num,
+           CAST({_BB_K2} * (n * s2 - s1 * s1) AS BIGINT) AS band_num
+    FROM w
+    WHERE n >= {_BB_MIN}
+      AND (n * x - s1) * (n * x - s1) > {_BB_K2} * (n * s2 - s1 * s1)
+    ORDER BY user_id, event_id
+    """,
+)
+def ts_zband_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = exact_cents(F.col("value"))
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_BB_WIN - 1), -1)
+    )
+    w = ev.select(
+        "user_id",
+        "event_id",
+        x.alias("x"),
+        F.count("*").over(fr).alias("n"),
+        F.sum(x).over(fr).alias("s1"),
+        F.sum(x * x).over(fr).alias("s2"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s1")
+    band = F.lit(_BB_K2) * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return (
+        w.filter((F.col("n") >= _BB_MIN) & (dev * dev > band))
+        .select(
+            "user_id",
+            "event_id",
+            "x",
+            F.col("n").cast("long").alias("n_window"),
+            dev.cast("long").alias("dev_num"),
+            band.cast("long").alias("band_num"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -75,7 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_bpe_encode",
     "sample_temperature_mixture",
     "mm_png_histogram",
-    # tier 1b: the THIRTY-TWO late-r9 operators — never
+    # tier 1b: the THIRTY-THREE late-r9 operators — never
     # driver-checked (local dtype-exact green only). These take the
     # slots of the 4 tier-4 representatives and the last 15 tier-3
     # r1-era queries, which move to the FRONT of the r10 queue (r6
@@ -112,6 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "ts_holt_linear_fold",
     "dq_mann_whitney_u",
     "dq_chi_square_independence",
+    "ts_zband_outliers",
     # tier 2: new or semantically touched in r9 — the C4-style span
     # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
     # ColBERT MaxSim; then the queries whose code changed this round:

@@ -1028,3 +1028,45 @@ def test_mann_whitney_matches_scipy_style_twin(spark, sf_dir):
     assert row["u1_2x"] == u1_2x
     assert row["identity_ok"]
     assert abs(row["effect_size"] - u1_2x / (2 * len(a) * len(b))) < 1e-15
+
+
+def test_zband_outliers_match_float_reference(spark, sf_dir):
+    """The integer cross-multiplied band test must flag exactly the
+    rows a float mean/std implementation flags (no band-edge flaps on
+    this data), computed independently in pure Python."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        _BB_MIN,
+        _BB_WIN,
+        ts_zband_outliers,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    raw = (
+        table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id", "unix_micros(cast(ts as timestamp)) t", "event_id",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) xc",
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in raw:
+        seqs[r["user_id"]].append((r["t"], r["event_id"], r["xc"]))
+    expect = set()
+    for uid, seq in seqs.items():
+        xs = [x for _, _, x in sorted(seq)]
+        eids = [e for _, e, _ in sorted(seq)]
+        for i in range(len(xs)):
+            win = xs[max(0, i - (_BB_WIN - 1)):i]
+            if len(win) < _BB_MIN:
+                continue
+            n, s1, s2 = len(win), sum(win), sum(v * v for v in win)
+            if (n * xs[i] - s1) ** 2 > 4 * (n * s2 - s1 * s1):
+                expect.add((uid, eids[i]))
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in ts_zband_outliers(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
