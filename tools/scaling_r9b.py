@@ -45,6 +45,7 @@ QUERIES = [
     "ts_holt_linear_fold",
     "dq_mann_whitney_u",
     "dq_chi_square_independence",
+    "ts_zband_outliers",
 ]
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 REPS = 2
