@@ -1441,15 +1441,22 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(
                  list_sort(list((epoch_us(ts), event_id,
                                  CAST(floor(value * 100.0 + 0.5) AS BIGINT)))),
-                 s -> s[3] * 1000000
-             ) AS xs
+                 s -> s[3]
+             ) AS cs
       FROM events
       GROUP BY user_id
     )
+    -- The fold step is '>> 2', NOT '// 4': Spark's shiftright is an
+    -- arithmetic (floor) shift and DuckDB's '//' truncates toward
+    -- zero, so they diverge for any negative accumulator (-7 >> 2 =
+    -- -2 vs -7 // 4 = -1). '>>' floors in BOTH engines. last_cents
+    -- reads the sorted cents BEFORE the *1e6 scaling so no division
+    -- appears anywhere in this oracle.
     SELECT user_id,
-           CAST(len(xs) AS BIGINT) AS n_obs,
-           CAST(xs[len(xs)] // 1000000 AS BIGINT) AS last_cents,
-           CAST(list_reduce(xs, (a, x) -> (3 * a + x) // 4) AS BIGINT)
+           CAST(len(cs) AS BIGINT) AS n_obs,
+           CAST(cs[len(cs)] AS BIGINT) AS last_cents,
+           CAST(list_reduce(list_transform(cs, c -> c * 1000000),
+                            (a, x) -> (3 * a + x) >> 2) AS BIGINT)
                AS ewma_ucents
     FROM seq
     ORDER BY user_id
@@ -1813,7 +1820,17 @@ def ts_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convention, identical in both engines.
 #
 # Scale: one user shuffle, one 20-row trailing frame — running-total
-# cost; S2 ≈ n·x² stays < 2^63 for cents up to ~6e8 per observation.
+# cost. Overflow: the binding term is the SQUARED deviation
+# (n·x − S1)² ≈ (n·|x|)², which leaves int64 once |dev| > ~3.04e9,
+# i.e. cents beyond ~1.5e8 at n=20 (NOT the ~6e8 the S2 bound alone
+# would suggest); DuckDB promotes to HUGEINT while Spark wraps
+# silently in non-ANSI mode (r9 ADVICE). The band COMPARISON is
+# therefore computed in DECIMAL(38,0) on the Spark side — exact to
+# |dev| < 1e19, i.e. cents ≈ 5e17, matching DuckDB's int128 headroom.
+# The dev_num/band_num OUTPUT casts stay BIGINT; past ~1.5e8 cents
+# band_num's cast fails loudly on the DuckDB side (CAST overflow
+# errors, never wraps), so fixtures exceeding the bound surface as a
+# gate error rather than a silent flag flip.
 # ---------------------------------------------------------------------------
 _BB_WIN = 20  # trailing frame length (rows)
 _BB_MIN = 5  # minimum frame before judging
@@ -1865,8 +1882,18 @@ def ts_zband_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = F.lit(_BB_K2) * (
         F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     )
+    # The FLAG decision in decimal(38,0): dev² wraps int64 at cents
+    # ~1.5e8 (see header comment) while DuckDB promotes to HUGEINT.
+    dec = "decimal(38,0)"
+    devd = (
+        F.col("n").cast(dec) * F.col("x").cast(dec) - F.col("s1").cast(dec)
+    )
+    bandd = F.lit(_BB_K2).cast(dec) * (
+        F.col("n").cast(dec) * F.col("s2").cast(dec)
+        - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+    )
     return (
-        w.filter((F.col("n") >= _BB_MIN) & (dev * dev > band))
+        w.filter((F.col("n") >= _BB_MIN) & (devd * devd > bandd))
         .select(
             "user_id",
             "event_id",

@@ -655,7 +655,9 @@ def _idle_split_src(spark: SparkSession, sf_dir: str) -> str:
     cached = _IDLE_SPLITS.get(key)
     if cached is not None and glob.glob(cached + "/part-*.parquet"):
         return cached
-    base = scratch_dir(f"tws-idle-{key[1]:g}")
+    from fluent_bit_filter_math_spark.scratch import dir_key
+
+    base = scratch_dir(f"tws-idle-{key[1]:g}-{dir_key(sf_dir)}")
     src = os.path.join(base, "src")
     ev = table(spark, sf_dir, "events").select(
         "user_id",
@@ -914,7 +916,9 @@ def _kmv_split_src(spark: SparkSession, sf_dir: str) -> str:
     cached = _KMV_SPLITS.get(key)
     if cached is not None and glob.glob(cached + "/part-*.parquet"):
         return cached
-    base = scratch_dir("tws-kmv")
+    from fluent_bit_filter_math_spark.scratch import dir_key
+
+    base = scratch_dir(f"tws-kmv-{dir_key(sf_dir)}")
     src = os.path.join(base, "src")
     from fluent_bit_filter_math_spark.sources import table
 
@@ -1084,7 +1088,9 @@ def _pri_split_src(spark: SparkSession, sf_dir: str) -> str:
     cached = _PRI_SPLITS.get(key)
     if cached is not None and glob.glob(cached + "/part-*.parquet"):
         return cached
-    base = scratch_dir("tws-pri")
+    from fluent_bit_filter_math_spark.scratch import dir_key
+
+    base = scratch_dir(f"tws-pri-{dir_key(sf_dir)}")
     src = os.path.join(base, "src")
     from fluent_bit_filter_math_spark.sources import table
 

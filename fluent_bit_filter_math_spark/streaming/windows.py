@@ -848,7 +848,9 @@ def _late_split_src(spark: SparkSession, sf_dir: str) -> str:
     cached = _LATE_SPLITS.get(key)
     if cached is not None and glob.glob(cached + "/part-*.parquet"):
         return cached
-    base = scratch_dir("late-audit")
+    from fluent_bit_filter_math_spark.scratch import dir_key
+
+    base = scratch_dir(f"late-audit-{dir_key(sf_dir)}")
     src = os.path.join(base, "src")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")

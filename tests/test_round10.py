@@ -1,0 +1,216 @@
+"""Round-10 regression tests for the r9 ADVICE items.
+
+Each test pins a divergence class the sf fixtures cannot reach (all
+fixture values are positive and small), so the oracle gate alone would
+never catch a relapse:
+
+* negative accumulators in the recursive EWMA fold (DuckDB ``//``
+  truncates toward zero while ``>>`` floors — the oracle must use the
+  shift);
+* int64 wrap of the z-band squared deviation (Spark wraps silently in
+  non-ANSI mode; the flag decision must be computed wider);
+* split-builder scratch tags shared across sf_dirs (a second sf_dir's
+  cache miss must not delete the first sf_dir's cached split);
+* zero baseline rows in the perf regression guard.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+
+
+def _write_events(dirpath: str, rows: list[tuple[int, int, float]]) -> None:
+    """Write a minimal events.parquet: (event_id, user_id, value) with
+    a monotone µs timestamp per event_id and the full fixture schema."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [1704067200_000_000 + 60_000_000 * r[0] for r in rows],
+                unit="us",
+            ),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["synthetic"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(os.path.join(dirpath, "events.parquet"), index=False)
+
+
+def _oracle(name: str) -> str:
+    from fluent_bit_filter_math_spark.registry import all_oracles
+
+    return all_oracles()[name]
+
+
+def _duck(sql: str, sf_dir: str) -> pd.DataFrame:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}'"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def test_ewma_recursive_negative_values_oracle_parity(spark, tmp_path):
+    """r9 ADVICE (medium): the old oracle folded with '// 4', which
+    truncates toward zero in DuckDB (-7 // 4 = -1) while Spark's
+    shiftright floors (-7 >> 2 = -2). Any negative accumulator
+    diverged. Fixture: values chosen so the accumulator crosses zero
+    repeatedly; require bitwise Spark == DuckDB == pure-Python fold."""
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_ewma_recursive,
+    )
+
+    d = str(tmp_path)
+    vals = [-100.37, 250.11, -500.99, 3.01, -0.49, -12.00, 7.77]
+    rows = [(i, 1, v) for i, v in enumerate(vals)]
+    rows += [(100 + i, 2, -v) for i, v in enumerate(vals)]
+    _write_events(d, rows)
+
+    cents = [int(__import__("math").floor(v * 100.0 + 0.5)) for v in vals]
+    assert any(c < 0 for c in cents)
+
+    def fold(cs: list[int]) -> int:
+        acc = cs[0] * 1_000_000
+        for c in cs[1:]:
+            acc = (3 * acc + c * 1_000_000) >> 2
+        return acc
+
+    expect = {1: fold(cents), 2: fold([-c for c in cents])}
+    # the whole point: a truncating fold gives a DIFFERENT answer here
+    def fold_trunc(cs: list[int]) -> int:
+        acc = cs[0] * 1_000_000
+        for c in cs[1:]:
+            a = 3 * acc + c * 1_000_000
+            acc = a // 4 if a >= 0 else -((-a) // 4)
+        return acc
+
+    assert fold_trunc(cents) != expect[1]
+
+    got = {
+        r["user_id"]: (r["n_obs"], r["last_cents"], r["ewma_ucents"])
+        for r in ts_ewma_recursive(spark, d).collect()
+    }
+    assert got == {
+        1: (len(vals), cents[-1], expect[1]),
+        2: (len(vals), -cents[-1], expect[2]),
+    }
+    duck = _duck(_oracle("ts_ewma_recursive"), d)
+    for _, r in duck.iterrows():
+        assert got[r["user_id"]] == (
+            int(r["n_obs"]),
+            int(r["last_cents"]),
+            int(r["ewma_ucents"]),
+        )
+
+
+def test_zband_flag_decision_survives_int64_wrap(spark, tmp_path):
+    """r9 ADVICE (low): (n·x − S1)² leaves int64 once |dev| > ~3.04e9
+    (cents ~1.5e8 at n=20). Fixture: 19 zero-value rows then a single
+    $2M spike — dev = 19·2e8 = 3.8e9, dev² ≈ 1.44e19 wraps NEGATIVE in
+    int64, so the pre-fix filter silently dropped a true outlier. The
+    decimal(38,0) comparison must flag it, bit-identically to DuckDB
+    (whose window SUM promotes to HUGEINT)."""
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_zband_outliers,
+    )
+
+    d = str(tmp_path)
+    rows = [(i, 7, 0.0) for i in range(19)] + [(19, 7, 2_000_000.00)]
+    _write_events(d, rows)
+
+    dev = 19 * 200_000_000  # n=19 zero-rows in frame, s1=0
+    assert dev * dev > 2**63  # the wrap this test exists for
+
+    got = ts_zband_outliers(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["event_id"], r["n_window"], r["dev_num"], r["band_num"]) == (
+        19,
+        19,
+        dev,
+        0,
+    )
+    duck = _duck(_oracle("ts_zband_outliers"), d)
+    assert len(duck) == 1
+    assert int(duck.iloc[0]["event_id"]) == 19
+    assert int(duck.iloc[0]["dev_num"]) == dev
+
+
+def test_split_scratch_tags_keyed_by_sf_dir(spark, sf_dir, tmp_path):
+    """r9 ADVICE (low): the TWS split builders shared one scratch tag
+    across sf_dirs, so a second sf_dir's cache miss rotated the
+    generation and deleted the first sf_dir's cached split (the glob
+    guard rebuilt it — correctness held, memoization didn't). With the
+    dir_key()-suffixed tags, alternating sf_dirs must keep BOTH splits
+    alive and return cached paths without rebuilding."""
+    from fluent_bit_filter_math_spark.streaming.stateful import (
+        _kmv_split_src,
+    )
+
+    alt = tmp_path / "alt-sf"
+    alt.mkdir()
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), alt / "events.parquet"
+    )
+
+    p1 = _kmv_split_src(spark, sf_dir)
+    files1 = sorted(glob.glob(p1 + "/part-*.parquet"))
+    assert len(files1) == 2
+    p2 = _kmv_split_src(spark, str(alt))
+    assert p2 != p1
+    # the first sf_dir's split must have survived the second build
+    assert sorted(glob.glob(p1 + "/part-*.parquet")) == files1
+    # and a third call must be a pure cache hit on the same path
+    assert _kmv_split_src(spark, sf_dir) == p1
+    assert sorted(glob.glob(p1 + "/part-*.parquet")) == files1
+
+
+def test_dir_key_distinct_for_same_basename(tmp_path):
+    from fluent_bit_filter_math_spark.scratch import dir_key
+
+    a = tmp_path / "x" / "sf0.1"
+    b = tmp_path / "y" / "sf0.1"
+    a.mkdir(parents=True)
+    b.mkdir(parents=True)
+    assert dir_key(str(a)) != dir_key(str(b))
+    assert dir_key(str(a)) == dir_key(str(a))
+
+
+def test_regression_guard_zero_baseline(tmp_path, monkeypatch):
+    """r9 ADVICE (low): a 0.00 baseline row used to ZeroDivisionError
+    the whole gate; it must be skipped (reported) while real movers
+    still trip the exit code."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import regression_guard
+    finally:
+        sys.path.pop(0)
+
+    monkeypatch.chdir(tmp_path)
+    json.dump(
+        {"warm": {"fast_q": 1.0, "zero_q": 1.0, "ok_q": 0.5}},
+        open("BENCH_DETAIL.json", "w"),
+    )
+    with open("BASELINE.md", "w") as f:
+        f.write("| fast_q | 0.40 | 0.50 | 3 |\n")
+        f.write("| zero_q | 0.00 | 0.00 | 3 |\n")
+        f.write("| ok_q | 0.45 | 0.50 | 3 |\n")
+    rc = regression_guard.main([])  # must not raise
+    assert rc == 1  # fast_q is a 2.5x mover
+    json.dump(
+        {"warm": {"zero_q": 1.0, "ok_q": 0.5}},
+        open("BENCH_DETAIL.json", "w"),
+    )
+    assert regression_guard.main([]) == 0

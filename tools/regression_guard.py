@@ -26,11 +26,14 @@ def main(argv: list[str]) -> int:
         (
             (w / base[q], q, base[q], w)
             for q, w in warm.items()
-            if w is not None and q in base and w / base[q] > thresh
+            # base[q] > 0 guard: a 0.00 baseline row (sub-centisecond
+            # anchor rounded down) must not ZeroDivisionError the gate
+            if w is not None and base.get(q, 0) > 0 and w / base[q] > thresh
         ),
         reverse=True,
     )
     fresh = [q for q in warm if q not in base]
+    zeroed = [q for q in warm if base.get(q) == 0.0]
     print(
         f"{len(base)} baseline rows, {len(warm)} benched,"
         f" {len(fresh)} without baseline rows, {len(movers)} movers"
@@ -40,6 +43,8 @@ def main(argv: list[str]) -> int:
         print(f"  {q}: {b:.2f}s -> {w:.2f}s ({ratio:.2f}x)")
     for q in fresh:
         print(f"  (no baseline row: {q})")
+    for q in zeroed:
+        print(f"  (zero baseline row, ratio skipped: {q})")
     return 1 if movers else 0
 
 
