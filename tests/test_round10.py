@@ -214,3 +214,53 @@ def test_regression_guard_zero_baseline(tmp_path, monkeypatch):
         open("BENCH_DETAIL.json", "w"),
     )
     assert regression_guard.main([]) == 0
+
+
+def test_ordered_fold_hot_key_bound(spark, tmp_path):
+    """r9 VERDICT watch item: ts_ewma_recursive / ts_holt_linear_fold
+    materialize a full per-key history via array_sort(collect_list).
+    Pin the hot-key behavior: ONE user holding 200k rows (2,800x the
+    fixture's ~70-row norm, the sf0.1 corpus volume in a single key)
+    must still fold exactly (python-twin equality) in one task without
+    spilling or erroring. The documented bound (SCALING.md r10): the
+    per-key array is ~24 B/row heap — a 10M-row key is ~240 MB and the
+    practical ceiling; beyond that the streaming stateful path owns
+    the recursion."""
+    import math
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_ewma_recursive,
+        ts_holt_linear_fold,
+    )
+
+    n = 200_000
+    d = str(tmp_path)
+    spark.range(n).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(1704067200000000 + id * 1000000) AS ts",
+        "CAST(7 AS BIGINT) AS user_id",
+        "'synthetic' AS event_type",
+        "CAST((id * 37) % 1000 - 500 AS DOUBLE) / 100.0 AS value",
+        "'{}' AS props",
+    ).coalesce(4).write.parquet(f"{d}/events.parquet")
+
+    acc = lvl = tr = None
+    for i in range(n):
+        c = int(math.floor(((i * 37) % 1000 - 500) / 100.0 * 100.0 + 0.5))
+        x = c * 1_000_000
+        if acc is None:
+            acc, lvl, tr = x, x, 0
+        else:
+            acc = (3 * acc + x) >> 2
+            new_l = (x + 3 * (lvl + tr)) >> 2
+            tr = ((new_l - lvl) + 3 * tr) >> 2
+            lvl = new_l
+
+    [r] = ts_ewma_recursive(spark, d).collect()
+    assert (r["user_id"], r["n_obs"], r["ewma_ucents"]) == (7, n, acc)
+    [h] = ts_holt_linear_fold(spark, d).collect()
+    assert (h["n_obs"], h["level_ucents"], h["trend_ucents"]) == (
+        n,
+        lvl,
+        tr,
+    )
