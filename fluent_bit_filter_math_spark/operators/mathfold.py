@@ -458,3 +458,116 @@ def pysink_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id long, user_id long, cents long, fold_sum long"
     ).json(shard_paths)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING custom Python sink round-trip — the fourth and last Python
+# DataSource quadrant (batch reader = mem_input, batch writer =
+# jsonsink above, streaming reader = mem_input's
+# SimpleDataSourceStreamReader; this is DataSource.streamWriter). The
+# fold output leaves through a CHECKPOINTED writeStream into the
+# jsonsink format: two replay files under maxFilesPerTrigger=1 force
+# two micro-batches, so the per-epoch commit protocol (write →
+# per-task shard manifests → atomic _MANIFEST-<batchId> publish)
+# genuinely runs more than once; the committed shards are read back
+# manifest-only and oracle-gated. Integer cents cross the text
+# boundary, never doubles.
+#
+# Scale: the sink writes one shard per partition per epoch and the
+# driver sees only (path, rows) messages — the same bounded-commit
+# shape as a real distributed committer; replayed epochs supersede
+# their own manifest atomically (retry-idempotence pinned in
+# tests/test_round10.py).
+# ---------------------------------------------------------------------------
+_PYSINK_SPLITS: dict[str, str] = {}
+
+
+def _pysink_split_src(spark: SparkSession, sf_dir: str) -> str:
+    """Two event_id-parity replay files of the folded columns,
+    memoized per sf_dir (data prep, not the operator under test)."""
+    import glob as _glob
+    import os
+    import time
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import dir_key, scratch_dir
+
+    key = os.path.abspath(sf_dir)
+    cached = _PYSINK_SPLITS.get(key)
+    if cached is not None and _glob.glob(cached + "/part-*.parquet"):
+        return cached
+    base = scratch_dir(f"pysink-split-{dir_key(sf_dir)}")
+    src = os.path.join(base, "src")
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 10 == 5).select(
+        "event_id",
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+        (exact_cents(F.col("value")) + F.col("user_id")).alias("fold_sum"),
+    )
+    ev.filter(F.col("event_id") % 20 == 5).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    ev.filter(F.col("event_id") % 20 == 15).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    now = time.time()
+    files = sorted(_glob.glob(src + "/f*/part-*.parquet"))
+    if len(files) != 2:
+        raise RuntimeError(
+            f"two-file replay contract violated: {len(files)} data files"
+        )
+    for i, f in enumerate(files):
+        os.utime(f, (now + i, now + i))
+    src = src + "/f*"
+    _PYSINK_SPLITS[key] = src
+    return src
+
+
+@register(
+    "stream_pysink_roundtrip",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) + user_id AS fold_sum
+    FROM events
+    WHERE event_id % 10 = 5
+    """,
+)
+def stream_pysink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.json_sink import (
+        read_manifested,
+        register_json_sink,
+    )
+
+    register_json_sink(spark)
+    src = _pysink_split_src(spark, sf_dir)
+    schema = "event_id long, user_id long, cents long, fold_sum long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    base = scratch_dir("pysink-stream")
+    out_dir, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    os.makedirs(out_dir), os.makedirs(ckpt)
+    (
+        stream.writeStream.format("jsonsink")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    import glob as _glob
+
+    manifests = _glob.glob(os.path.join(out_dir, "_MANIFEST-*.json"))
+    if len(manifests) < 2:
+        raise RuntimeError(
+            f"expected >=2 per-epoch manifests, got {len(manifests)}"
+        )
+    return read_manifested(spark, out_dir, schema)

@@ -264,3 +264,86 @@ def test_ordered_fold_hot_key_bound(spark, tmp_path):
         lvl,
         tr,
     )
+
+
+def test_stream_pysink_commit_retry_idempotent(spark, tmp_path):
+    """The streaming jsonsink's per-epoch manifest must be atomic and
+    idempotent: a batch REPLAYED with the same batchId (crash between
+    sink commit and checkpoint commit) supersedes its own manifest, and
+    manifest-only read-back ignores both the superseded shards and any
+    orphan part files from failed tasks."""
+    from fluent_bit_filter_math_spark.sources.json_sink import (
+        JsonLinesStreamWriter,
+        _ShardCommit,
+        read_manifested,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    w = JsonLinesStreamWriter({"path": d})
+
+    def shard(name: str, rows: list[dict]) -> _ShardCommit:
+        p = os.path.join(d, name)
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return _ShardCommit(p, len(rows))
+
+    # epoch 0: first attempt commits 2 shards
+    a = shard("part-a.json", [{"v": 1}, {"v": 2}])
+    b = shard("part-b.json", [{"v": 3}])
+    w.commit([a, b], 0)
+    # epoch 0 REPLAY after a simulated crash: new shards, same batchId
+    c = shard("part-c.json", [{"v": 1}, {"v": 2}])
+    e = shard("part-d.json", [{"v": 3}])
+    w.commit([c, e], 0)
+    # epoch 1 commits one more shard; one task failed (None message)
+    f1 = shard("part-e.json", [{"v": 4}])
+    w.commit([f1, None], 1)
+    # an orphan from a speculative task that never reached commit
+    shard("part-orphan.json", [{"v": 99}, {"v": 98}])
+
+    got = sorted(
+        r["v"] for r in read_manifested(spark, d, "v long").collect()
+    )
+    assert got == [1, 2, 3, 4]  # replay not double-counted, orphan unseen
+
+    # abort removes its attempt's shards and leaves everything else
+    g = shard("part-f.json", [{"v": 7}])
+    w.abort([g, None], 2)
+    assert not os.path.exists(g.path)
+    got2 = sorted(
+        r["v"] for r in read_manifested(spark, d, "v long").collect()
+    )
+    assert got2 == [1, 2, 3, 4]
+
+
+def test_stream_pysink_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Drive the real writeStream twice over the same checkpoint: the
+    second start must replay nothing (source exhausted) and the
+    manifested row set must equal the input exactly once."""
+    from fluent_bit_filter_math_spark.sources.json_sink import (
+        read_manifested,
+        register_json_sink,
+    )
+
+    register_json_sink(spark)
+    src = str(tmp_path / "src")
+    spark.range(100).selectExpr("id AS v").coalesce(2).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        (
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(src)
+            .writeStream.format("jsonsink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    got = sorted(r["v"] for r in read_manifested(spark, out, "v long").collect())
+    assert got == list(range(100))
