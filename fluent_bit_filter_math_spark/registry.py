@@ -67,85 +67,22 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 9 rotation ---
-    # tier 1: the LAST 3 queries with no driver CORRECTNESS row in
-    # any round (queued at slots 51-53 of the r8 window; VERDICT r8
-    # 'Next round' #1). After this window every registered query has
-    # a driver hash-green row.
-    "text_bpe_encode",
-    "sample_temperature_mixture",
-    "mm_png_histogram",
-    # tier 1b: the THIRTY-THREE late-r9 operators — never
-    # driver-checked (local dtype-exact green only). These take the
-    # slots of the 4 tier-4 representatives and the last 15 tier-3
-    # r1-era queries, which move to the FRONT of the r10 queue (r6
-    # proved local-green != driver-green, so never-checked outranks
-    # stale).
-    "mm_gif_decode",
-    "sketch_theta_set_ops",
-    "sample_priority_topk",
-    "text_gopher_rules",
-    "sim_mips_transform",
-    "ts_ewma_fixedpoint",
-    "ts_ewma_recursive",
-    "agg_theilsen_slope",
-    "window_login_streaks",
-    "join_spatial_grid",
-    "io_orc_roundtrip",
-    "graph_label_propagation",
-    "stream_gopher_filter",
-    "sample_kcenter_coreset",
-    "dq_benford_anomaly",
-    "agg_mad_robust",
-    "ts_time_weighted_avg",
-    "agg_gini_concentration",
-    "sample_epoch_shuffle",
-    "stream_tws_priority_sample",
-    "dq_k_anonymity",
-    "stream_tws_state_inspect",
-    "udtf_analyze_polymorphic",
-    "pipeline_curate_select",
+    # --- round 10 rotation (composition from tools/green_age.py) ---
+    # tier 1: never driver-checked — the one new r10 operator (the
+    # streaming Python DataSource writer quadrant, VERDICT r9 #6).
+    "stream_pysink_roundtrip",
+    # tier 2: semantically touched in r10 — the bootstrap index went
+    # two-level (VERDICT #3), the EWMA oracle moved to the
+    # negative-safe '>> 2' fold and the z-band comparison to
+    # DECIMAL(38,0) (r9 ADVICE #1/#3). The TWS/late-audit split
+    # builders also changed, but only their scratch-dir TAGS (data
+    # prep naming, not semantics) — they stay r8/r9-green and are
+    # re-proven by the local gate, not re-queued here.
     "agg_bootstrap_ci",
-    "dq_ks_two_sample",
-    "ts_cusum_alarms",
-    "ts_seasonal_decompose",
-    "ts_holt_linear_fold",
-    "dq_mann_whitney_u",
-    "dq_chi_square_independence",
+    "ts_ewma_recursive",
     "ts_zband_outliers",
-    # tier 2: new or semantically touched in r9 — the C4-style span
-    # dedup, the G.711 μ-law decoder, the JPEG/JFIF metadata walk,
-    # ColBERT MaxSim; then the queries whose code changed this round:
-    # the PNG pair + WAV energy run the vectorized codec behind the
-    # new ASCII guard (r8 ADVICE #1), and the four TWS queries run
-    # under the shared _run_tws harness (conf trims + memoized split).
-    "dedup_span_corpus",
-    "mm_ulaw_energy",
-    "mm_jpeg_metadata",
-    "sim_maxsim_late_interaction",
-    "dedup_containment_pairs",
-    "stream_late_data_audit",
-    "sketch_heavy_hitters_mg",
-    "graph_triangle_participation",
-    "emb_matryoshka_recall",
-    "io_parquet_corrupt_quarantine",
-    "dedup_threshold_sweep",
-    "sketch_kmv_distinct",
-    "stream_tws_kmv_sketch",
-    "mm_png_decode",
-    "mm_wav_energy",
-    "stream_tws_user_totals",
-    "stream_tws_type_stats",
-    "stream_tws_idle_close",
-    "stream_tws_list_seeded",
-    # tier 3: the r1-era stale greens — their ONLY driver row is
-    # round 1, verified on long-regenerated fixtures (VERDICT r8 #1);
-    # family-diverse order (dedup, text, sort, setop, agg, TPC-H).
-    # With 34 never-checked queries ahead of them, NONE fit the
-    # 50-slot window this round — the window ends inside tier 2's
-    # r9-changed cohort, whose last 3 TWS entries plus this whole
-    # tier head the r10 queue. Every displaced query is at worst
-    # r8-driver-green and re-proven by the local gate each round.
+    # tier 3a: ALL 24 r1-era stale greens (VERDICT r9 #1) — their only
+    # driver row is round 1, verified on long-regenerated fixtures.
     "dedup_exact",
     "text_token_stats",
     "sort_limit_topn",
@@ -170,17 +107,46 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # Past slot 50 (not in this round's driver window): kept here so
-    # the r10 rotation queue is explicit — first the 6 displaced
-    # r1-era queries and the 4 r4-era representatives below, then the
-    # 27 remaining r4-era queries (win_tumbling_hour,
-    # stream_static_join_enrich, join_salted_skew, scd2_user_state,
-    # udtf_tokenize_docs, fn_json_suite, agg_grouping_sets, ...),
-    # then the r5/r6 cohorts by age.
-    "dedup_ngram_jaccard",
-    "graph_pagerank",
-    "emb_kmeans",
+    # tier 3b: 22 of the 33 r4-era stale greens, family-diverse
+    # (dedup, graph, embeddings, fn suites, joins, streaming windows,
+    # SCD, sampling, subqueries, text, UDTF, agg). The window cuts
+    # after these; after r10 no query's last driver green is older
+    # than r4.
     "decontam_ngram_overlap",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "emb_kmeans",
+    "graph_pagerank",
+    "fn_json_suite",
+    "fn_date_suite",
+    "fn_string_suite",
+    "join_salted_skew",
+    "join_range_ship_window",
+    "win_tumbling_hour",
+    "stream_static_join_enrich",
+    "scd2_user_state",
+    "sample_stratified",
+    "sample_domain_mixture",
+    "subq_above_avg_balance",
+    "subq_exists_late_ship",
+    "text_pii_redact",
+    "udtf_tokenize_docs",
+    "agg_grouping_sets",
+    # Past slot 50 — the explicit r11 queue head: the 11 remaining
+    # r4-era queries, then the r5 cohort (39) by age.
+    "agg_argmax_order",
+    "agg_pivot_status_priority",
+    "dq_table_audit",
+    "pipeline_curate_corpus",
+    "pipeline_pack_sequences",
+    "setop_except",
+    "sim_ann_gemm",
+    "sim_ann_ivf",
+    "subq_not_exists_customers",
+    "text_repetition_filter",
+    "udf_scalar_doc_stats",
 )
 
 
