@@ -858,3 +858,78 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("community"),
         F.count("*").over(wsz).cast("long").alias("community_size"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# DEGREE ASSORTATIVITY — Newman's r (PRL 89.208701, 2002): the Pearson
+# correlation of endpoint degrees over the edge list, THE one-number
+# summary of hub-to-hub vs hub-to-leaf wiring (negative for bipartite
+# part–supplier graphs: high-degree parts attach to low-degree
+# suppliers and vice versa). Over the BIDIRECTIONAL edge list the two
+# endpoint marginals coincide, so the sqrt-free form applies:
+#   r = (m·Σjk − (Σj)²) / (m·Σj² − (Σj)²),   j = deg(src), k = deg(dst).
+# The four sums are EXACT BIGINTs (m ~ 1.2M edges, deg ≤ ~1e3 at
+# sf0.1 → Σj² ≤ ~1.2e12); the assembled numerator/denominator are
+# computed in DOUBLE from those exact integers — every step a single
+# correctly-rounded IEEE op on identical operands, so the ratio is
+# bit-identical cross-engine. (At extreme hub degrees ~1e6 the int64
+# component sums would need the DECIMAL(38,0) treatment; stated bound,
+# same discipline as ts_zband_outliers.)
+#
+# Scale: reuses the cached edge index; deg joins back to edges on the
+# node key (broadcastable at node-table size, shuffle join beyond),
+# then ONE partial-aggregatable pass — no iteration, no window.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_D_EDGES},
+    jk AS (
+      SELECT e.src, e.dst, ds.d AS j, dd.d AS k
+      FROM edges e
+      JOIN deg ds ON ds.src = e.src
+      JOIN deg dd ON dd.src = e.dst
+    ),
+    s AS (
+      SELECT COUNT(*) AS m, SUM(j) AS sj, SUM(j * k) AS sjk,
+             SUM(j * j) AS sj2
+      FROM jk
+    )
+    SELECT CAST(m AS BIGINT) AS n_edges,
+           CAST(sj AS BIGINT) AS sum_deg,
+           CAST(sjk AS BIGINT) AS sum_jk,
+           CAST(sj2 AS BIGINT) AS sum_j2,
+           (CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+              - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(sj2 AS DOUBLE)
+                - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+               AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, deg = _edge_index(spark, sf_dir)
+    ds = deg.select(F.col("src").alias("ns"), F.col("d").alias("j"))
+    dd = deg.select(F.col("src").alias("nd"), F.col("d").alias("k"))
+    jk = (
+        edges.join(ds, edges.src == ds.ns)
+        .join(dd, edges.dst == dd.nd)
+        .select("j", "k")
+    )
+    s = jk.agg(
+        F.count("*").alias("m"),
+        F.sum("j").alias("sj"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sj2"),
+    )
+    md = F.col("m").cast("double")
+    sjd = F.col("sj").cast("double")
+    num = md * F.col("sjk").cast("double") - sjd * sjd
+    den = md * F.col("sj2").cast("double") - sjd * sjd
+    return s.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.col("sj").cast("long").alias("sum_deg"),
+        F.col("sjk").cast("long").alias("sum_jk"),
+        F.col("sj2").cast("long").alias("sum_j2"),
+        (num / den).alias("assortativity"),
+    )

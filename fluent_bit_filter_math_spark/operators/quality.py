@@ -821,3 +821,138 @@ def dq_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_cells"),
         F.max("term_fp").cast("long").alias("max_cell_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TUKEY-FENCE (IQR) OUTLIER AUDIT — the boxplot rule (Tukey, EDA 1977)
+# every data-quality stack ships (Deequ/GreatExpectations anomaly
+# checks): per event_type, flag values outside
+# [q1 − 1.5·IQR, q3 + 1.5·IQR]. Entirely EXACT: quartiles are DISCRETE
+# order statistics (rows at ⌈n/4⌉ and ⌈3n/4⌉ under the total (cents,
+# event_id) order — selected rows, never interpolation), and the
+# fences clear the 1.5 by cross-multiplying with 2:
+#   low outlier  ⟺ 2x < 5·q1 − 3·q3
+#   high outlier ⟺ 2x > 5·q3 − 3·q1.
+# Integer comparisons only; no float anywhere.
+#
+# Scale: ranks are assigned two-level (bucket on the cents high bits —
+# a prefix of the sort key — + exclusive prefix-sum of bucket counts,
+# the gini/epoch-shuffle discipline), so no task sorts a whole
+# event_type group; the quartile rows broadcast back for one
+# fence-count pass.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_iqr_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cents, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1,
+             MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3,
+             MAX(n) AS n
+      FROM r
+      GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(q.n AS BIGINT) AS n_events,
+           CAST(q.q1 AS BIGINT) AS q1_cents,
+           CAST(q.q3 AS BIGINT) AS q3_cents,
+           CAST(SUM(CASE WHEN 2 * c.cents < 5 * q.q1 - 3 * q.q3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * c.cents > 5 * q.q3 - 3 * q.q1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(MIN(CASE WHEN 2 * c.cents < 5 * q.q1 - 3 * q.q3
+                         THEN c.cents END) AS BIGINT) AS min_low_cents,
+           CAST(MAX(CASE WHEN 2 * c.cents > 5 * q.q3 - 3 * q.q1
+                         THEN c.cents END) AS BIGINT) AS max_high_cents
+    FROM c JOIN q USING (event_type)
+    GROUP BY c.event_type, q.n, q.q1, q.q3
+    ORDER BY c.event_type
+    """,
+)
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events")
+    cents = exact_cents(F.col("value"))
+    keyed = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        "event_id",
+        F.shiftright(cents, 6).alias("bucket"),
+    )
+    bcounts = keyed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("bn")
+    )
+    wpre = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("offset"),
+    )
+    wib = Window.partitionBy("event_type", "bucket").orderBy(
+        "cents", "event_id"
+    )
+    totals = keyed.groupBy("event_type").agg(F.count("*").alias("n"))
+    r = (
+        keyed.join(F.broadcast(offsets), ["event_type", "bucket"])
+        .select(
+            "event_type",
+            "cents",
+            (F.col("offset") + F.row_number().over(wib)).alias("rn"),
+        )
+        .join(F.broadcast(totals), "event_type")
+    )
+    q = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents")
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    c = keyed.select("event_type", "cents")
+    low = F.lit(2) * F.col("cents") < F.lit(5) * F.col("q1") - F.lit(3) * F.col("q3")
+    high = F.lit(2) * F.col("cents") > F.lit(5) * F.col("q3") - F.lit(3) * F.col("q1")
+    return (
+        c.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1", "q3")
+        .agg(
+            F.sum(low.cast("long")).alias("n_low"),
+            F.sum(high.cast("long")).alias("n_high"),
+            F.min(F.when(low, F.col("cents"))).alias("min_low_cents"),
+            F.max(F.when(high, F.col("cents"))).alias("max_high_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("q1").cast("long").alias("q1_cents"),
+            F.col("q3").cast("long").alias("q3_cents"),
+            F.col("n_low").cast("long").alias("n_low"),
+            F.col("n_high").cast("long").alias("n_high"),
+            F.col("min_low_cents").cast("long").alias("min_low_cents"),
+            F.col("max_high_cents").cast("long").alias("max_high_cents"),
+        )
+        .orderBy("event_type")
+    )

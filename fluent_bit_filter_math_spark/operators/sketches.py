@@ -617,3 +617,87 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inter_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F₂ SKETCH — the Alon-Matias-Szegedy second-frequency-moment
+# estimator (STOC'96, the result that started streaming sketches): R
+# independent ±1 hash projections; each replica keeps the single
+# counter Z_r = Σ_v f_v·sign_r(v), and E[Z_r²] = F₂ = Σ_v f_v². The
+# query ingests events ONCE with R = 17 sign-sums in one map-side-
+# combined aggregate (per-row work, constant 17-counter state — the
+# mergeable-sketch shape), takes the MEDIAN of the squared replicas
+# (odd R → an exact order statistic, no averaging), and certifies it
+# against the exact F₂ over user_id frequencies. sign_r comes from the
+# portable md5 hash60, so the oracle replays the sketch itself —
+# counters, median, error — bit-for-bit (the CMS/KMV discipline).
+#
+# Scale: the sketch side never shuffles rows — 17 BIGINTs per
+# partition merge associatively (this is what you'd broadcast/merge
+# across 100 TB shards); the exact side is one count-per-key aggregate
+# kept only to certify the estimate under the gate.
+# ---------------------------------------------------------------------------
+_AMS_R = 17
+
+
+def _ams_sign_sql(r: int) -> str:
+    h = duck_hash60(f"'ams{r}:' || CAST(user_id AS VARCHAR)")
+    return f"SUM(1 - 2 * ({h} % 2))"
+
+
+@register(
+    "sketch_ams_f2",
+    oracle=f"""
+    WITH z AS (
+      SELECT {", ".join(f"{_ams_sign_sql(r)} AS z{r}" for r in range(_AMS_R))},
+             COUNT(*) AS n
+      FROM events
+    ),
+    est AS (
+      SELECT n,
+             list_sort([{", ".join(f"z{r} * z{r}" for r in range(_AMS_R))}])
+               AS sq
+      FROM z
+    ),
+    exact AS (
+      SELECT SUM(f * f) AS f2
+      FROM (SELECT COUNT(*) AS f FROM events GROUP BY user_id)
+    )
+    SELECT CAST(e.n AS BIGINT) AS n_rows,
+           CAST(x.f2 AS BIGINT) AS f2_exact,
+           CAST(e.sq[{(_AMS_R + 1) // 2}] AS BIGINT) AS f2_est_median,
+           CAST(e.sq[{(_AMS_R + 1) // 2}] - x.f2 AS DOUBLE) / x.f2
+               AS rel_err
+    FROM est e CROSS JOIN exact x
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def sign(r: int):
+        h = hash60(
+            F.concat(F.lit(f"ams{r}:"), F.col("user_id").cast("string"))
+        )
+        return F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))
+
+    z = ev.agg(
+        *[F.sum(sign(r)).alias(f"z{r}") for r in range(_AMS_R)],
+        F.count("*").alias("n"),
+    )
+    sq = F.sort_array(
+        F.array(*[F.col(f"z{r}") * F.col(f"z{r}") for r in range(_AMS_R)])
+    )
+    est = z.select("n", F.element_at(sq, (_AMS_R + 1) // 2).alias("med"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.col("med").cast("long").alias("f2_est_median"),
+        ((F.col("med") - F.col("f2")).cast("double") / F.col("f2")).alias(
+            "rel_err"
+        ),
+    )

@@ -1904,3 +1904,103 @@ def ts_zband_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# LAG-1 AUTOCORRELATION per user — the first diagnostic of serial
+# dependence in a per-entity time series (Box-Jenkins identification;
+# TimescaleDB/kdb ship it as a hyperfunction). Entirely EXACT until
+# one final division: over the (ts, event_id)-ordered cents x_1..x_n,
+# keep the integer sums n, S = Σx, Q = Σx², C = Σ x_t·x_{t+1}; the
+# mean-centered lag-1 coefficient cross-multiplies to
+#   r1 = (n²·C − n·S·(2S − x_1 − x_n) + (n−1)·S²) / (n²·Q − n·S²)
+# (substitute μ = S/n into Σ(x_t−μ)(x_{t+1}−μ) / Σ(x−μ)² and clear
+# denominators). Bounds: n ≤ ~100 per user, |x| ≤ ~5e4 cents →
+# n²Q ≤ 1e4·100·2.5e9 = 2.5e15, comfortably BIGINT.
+#
+# Scale: ONE user-key shuffle; lead() and the aggregates share the
+# partitioning, x_1/x_n come from min_by/max_by on the same (ts,
+# event_id) order — no second exchange, no per-key array. Users are
+# numerous and small (the healthy partition shape); a hot key costs
+# one window pass, not a collect.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_autocorr_lag1",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+             LEAD(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x_next,
+             row_number()
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS nu
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             COUNT(*) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS q,
+             SUM(CASE WHEN x_next IS NOT NULL THEN x * x_next ELSE 0 END)
+                 AS c,
+             MAX(CASE WHEN rn = 1 THEN x END) AS x_first,
+             MAX(CASE WHEN rn = nu THEN x END) AS x_last
+      FROM o
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_obs,
+           CAST(n * n * c - n * sx * (2 * sx - x_first - x_last)
+                + (n - 1) * sx * sx AS BIGINT) AS acf_num,
+           CAST(n * n * q - n * sx * sx AS BIGINT) AS acf_den,
+           CAST(n * n * c - n * sx * (2 * sx - x_first - x_last)
+                + (n - 1) * sx * sx AS DOUBLE)
+             / (n * n * q - n * sx * sx) AS acf_lag1
+    FROM s
+    WHERE n >= 3 AND n * n * q - n * sx * sx > 0
+    ORDER BY user_id
+    """,
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = exact_cents(F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        x.alias("x"),
+        F.lead(x).over(w).alias("x_next"),
+        "ts",
+        "event_id",
+    )
+    key = F.struct("ts", "event_id")
+    s = o.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+        F.sum(
+            F.when(
+                F.col("x_next").isNotNull(), F.col("x") * F.col("x_next")
+            ).otherwise(F.lit(0))
+        ).alias("c"),
+        F.min_by("x", key).alias("x_first"),
+        F.max_by("x", key).alias("x_last"),
+    )
+    n, sx, q, c = F.col("n"), F.col("sx"), F.col("q"), F.col("c")
+    num = (
+        n * n * c
+        - n * sx * (F.lit(2) * sx - F.col("x_first") - F.col("x_last"))
+        + (n - 1) * sx * sx
+    )
+    den = n * n * q - n * sx * sx
+    return (
+        s.filter((n >= 3) & (den > 0))
+        .select(
+            "user_id",
+            n.cast("long").alias("n_obs"),
+            num.cast("long").alias("acf_num"),
+            den.cast("long").alias("acf_den"),
+            (num.cast("double") / den).alias("acf_lag1"),
+        )
+        .orderBy("user_id")
+    )
