@@ -1331,3 +1331,135 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t_pct")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_dup_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MINHASH ESTIMATOR ERROR AUDIT — the fuzzy-dedup quality control every
+# production pipeline owes its threshold choice to: for every LSH
+# candidate pair (whole-band agreement, the dedup_minhash_lsh
+# generator, NO threshold filter — false positives are exactly what
+# the audit must see), report the signature estimate ĵ = matches/K
+# side-by-side with the true n-gram Jaccard and the absolute error.
+# This is the MinHash twin of sim_recall_audit (which certifies the
+# ANN index the same way). All quantities are exact integers until two
+# final divisions: matches and K (=8), intersection and union sizes;
+# est − jac is one IEEE subtraction of two correctly-rounded divisions
+# on identical operands, so the error column is bit-identical
+# cross-engine.
+#
+# Scale: candidate volume is the banded-LSH Σ|bucket|² bound (measured
+# sub-linear, SCALING.md); verification touches candidate pairs only.
+# The audit is the sampling-free form; at 100 TB you'd run it on a
+# stratified pair sample (sample_stratified composes).
+# ---------------------------------------------------------------------------
+_MH_BANDS_SQL = "\n      UNION ALL\n".join(
+    f"""      SELECT doc_id, {i} AS band,
+             CAST(mh{2 * i} AS VARCHAR) || ',' ||
+             CAST(mh{2 * i + 1} AS VARCHAR) AS key FROM sigs"""
+    for i in range(MINHASH_K // LSH_ROWS_PER_BAND)
+)
+
+
+@register(
+    "dedup_minhash_error_audit",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id,
+             {", ".join(f"{_duck_minhash(j)} AS mh{j}" for j in range(MINHASH_K))},
+             {_D_SHINGLES} AS sh
+      FROM documents
+    ),
+    bands AS (
+{_MH_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             {" + ".join(f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K))}
+                 AS n_match,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))
+                 AS uni
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_match AS BIGINT) AS n_match,
+           CAST(inter AS BIGINT) AS inter_size,
+           CAST(uni AS BIGINT) AS union_size,
+           CAST(n_match AS DOUBLE) / {MINHASH_K} AS minhash_est,
+           CAST(inter AS DOUBLE) / uni AS jaccard,
+           abs(CAST(n_match AS DOUBLE) / {MINHASH_K}
+               - CAST(inter AS DOUBLE) / uni) AS abs_err
+    FROM scored
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arrays, _ = _shingle_index(spark, sf_dir)
+    sig = arrays.select(
+        "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
+    )
+    bands = _band_frame(sig, "doc_id")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    full = arrays.select("doc_id", "sh").join(sig, "doc_id")
+    fa = full.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    fb = full.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    n_match = sum(
+        (F.col("sig_a")[j] == F.col("sig_b")[j]).cast("long")
+        for j in range(MINHASH_K)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    est = F.col("n_match").cast("double") / F.lit(MINHASH_K)
+    jac = F.col("inter_size").cast("double") / F.col("union_size")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            inter.alias("inter_size"),
+            uni.alias("union_size"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            "inter_size",
+            "union_size",
+            est.alias("minhash_est"),
+            jac.alias("jaccard"),
+            F.abs(est - jac).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1232,3 +1232,143 @@ def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pix_sum long, pix_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP CODEC — Windows BITMAPINFOHEADER, 8-bit paletted, BI_RGB.
+# The format's actual quirks are the test surface: pixel rows are
+# stored BOTTOM-UP (positive biHeight), every row is padded to a
+# 4-byte stride, and the 256-entry BGRA palette sits between the
+# 54-byte header block and the pixel array (bfOffBits must be honored,
+# not assumed). The encoder synthesizes a spec-valid file whose
+# logical top-down plane is the document's bytes cycled row-major
+# (the PNG/GIF discipline, different dims so the shapes differ); the
+# decoder walks BITMAPFILEHEADER → BITMAPINFOHEADER → palette →
+# padded bottom-up rows and reconstructs the top-down plane, failing
+# loudly on any malformed field. Features (dims, exact pixel sum,
+# position-weighted checksum) sit under the bitwise gate; the oracle
+# recomputes them from the cycled text code points — padding or row
+# order mistakes shift every checksum term and cannot cancel.
+#
+# Scale: mapInPandas, Arrow-batched, embarrassingly parallel — no
+# shuffle, no driver involvement, O(pixels) per asset.
+# ---------------------------------------------------------------------------
+_BMP_W_MOD, _BMP_H_MOD = 13, 9
+
+
+def _bmp_build(payload: bytes) -> bytes:
+    import struct
+
+    n = len(payload)
+    w = 5 + n % _BMP_W_MOD
+    h = 3 + n % _BMP_H_MOD
+    src = payload if payload else b"\x00"
+    plane = (src * (w * h // len(src) + 1))[: w * h]
+    stride = (w + 3) & ~3
+    palette = b"".join(
+        struct.pack("<BBBB", g, g, g, 0) for g in range(256)
+    )
+    off_bits = 14 + 40 + len(palette)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row = plane[y * w : (y + 1) * w]
+        rows.append(row + b"\x00" * (stride - w))
+    pixels = b"".join(rows)
+    file_size = off_bits + len(pixels)
+    hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, off_bits)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixels), 2835, 2835, 256, 0
+    )
+    return hdr + info + palette + pixels
+
+
+def _bmp_parse(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(w, h, n_pixels, pix_sum, pix_checksum) from a real BMP walk."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    file_size, _, _, off_bits = struct.unpack("<IHHI", payload[2:14])
+    if file_size != len(payload):
+        raise ValueError("BMP size field mismatch")
+    (
+        hsz, w, h, planes, bpp, comp, img_size, _, _, n_colors, _,
+    ) = struct.unpack("<IiiHHIIiiII", payload[14:54])
+    if hsz != 40 or planes != 1 or bpp != 8 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or degenerate BMP not produced here")
+    n_colors = n_colors or 256
+    if off_bits != 14 + 40 + 4 * n_colors:
+        raise ValueError("unexpected pixel-array offset")
+    palette = payload[54:off_bits]
+    for g in range(n_colors):
+        b, gr, r, a = palette[4 * g : 4 * g + 4]
+        if not (b == gr == r == g and a == 0):
+            raise ValueError("non-grayscale palette entry")
+    stride = (w + 3) & ~3
+    if img_size != stride * h or off_bits + img_size != len(payload):
+        raise ValueError("pixel array size mismatch")
+    data = np.frombuffer(payload, dtype=np.uint8, count=img_size,
+                         offset=off_bits).reshape(h, stride)
+    plane = data[::-1, :w]  # bottom-up rows -> top-down plane
+    flat = plane.reshape(-1).astype(np.int64)
+    return (
+        w,
+        h,
+        w * h,
+        int(flat.sum()),
+        int(((np.arange(w * h, dtype=np.int64) + 1) * flat).sum()),
+    )
+
+
+def _bmp_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [_bmp_parse(_bmp_build(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": [p[0] for p in parsed],
+                "height": [p[1] for p in parsed],
+                "n_pixels": [p[2] for p in parsed],
+                "pix_sum": [p[3] for p in parsed],
+                "pix_checksum": [p[4] for p in parsed],
+            }
+        )
+
+
+@register(
+    "mm_bmp_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             5 + strlen(text) % {_BMP_W_MOD} AS w,
+             3 + strlen(text) % {_BMP_H_MOD} AS h
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               i -> CAST(ord(text[i % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               i -> (i + 1) * CAST(ord(text[i % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _bmp_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_pixels long,"
+            " pix_sum long, pix_checksum long"
+        ),
+    )

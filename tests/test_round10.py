@@ -347,3 +347,162 @@ def test_stream_pysink_checkpoint_restart_no_duplicates(spark, tmp_path):
         )
     got = sorted(r["v"] for r in read_manifested(spark, out, "v long").collect())
     assert got == list(range(100))
+
+
+def test_bmp_roundtrip_property():
+    """Real-BMP codec: build → parse must reproduce the cycled plane's
+    exact sum/checksum for widths across the whole stride-padding
+    range (w mod 4 ∈ {0,1,2,3}) and payloads with high bytes."""
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _BMP_H_MOD,
+        _BMP_W_MOD,
+        _bmp_build,
+        _bmp_parse,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    lens = list(range(1, 1 + _BMP_W_MOD * _BMP_H_MOD))  # all (w, h) shapes
+    for n in lens:
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        w = 5 + n % _BMP_W_MOD
+        h = 3 + n % _BMP_H_MOD
+        plane = (payload * (w * h // n + 1))[: w * h]
+        exp_sum = sum(plane)
+        exp_chk = sum((i + 1) * b for i, b in enumerate(plane))
+        assert _bmp_parse(_bmp_build(payload)) == (
+            w,
+            h,
+            w * h,
+            exp_sum,
+            exp_chk,
+        )
+
+
+def test_bmp_parse_rejects_malformed():
+    from fluent_bit_filter_math_spark.operators.multimodal import (
+        _bmp_build,
+        _bmp_parse,
+    )
+
+    good = _bmp_build(b"hello world")
+    for mutate, msg in [
+        (lambda b: b"XX" + b[2:], "magic"),
+        (lambda b: b[:-1], "size"),
+        (lambda b: b[:28] + b"\x04" + b[29:], "bpp"),  # 8 -> 1028
+        (lambda b: b[:60] + b"\xff" + b[61:], "palette"),
+    ]:
+        with pytest.raises(ValueError):
+            _bmp_parse(mutate(good))
+
+
+def test_autocorr_lag1_python_twin(spark, sf_dir):
+    """Third implementation: exact integer ACF fold per user in pure
+    Python over the collected sequence; bitwise num/den equality."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_autocorr_lag1,
+    )
+    from fluent_bit_filter_math_spark.sources import table as _table
+
+    raw = (
+        _table(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(cast(ts as timestamp)) AS t",
+            "event_id",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xc",
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in raw:
+        seqs[r["user_id"]].append((r["t"], r["event_id"], r["xc"]))
+    expect = {}
+    for uid, seq in seqs.items():
+        xs = [x for _, _, x in sorted(seq)]
+        n = len(xs)
+        if n < 3:
+            continue
+        s, q = sum(xs), sum(x * x for x in xs)
+        c = sum(a * b for a, b in zip(xs, xs[1:]))
+        num = n * n * c - n * s * (2 * s - xs[0] - xs[-1]) + (n - 1) * s * s
+        den = n * n * q - n * s * s
+        if den > 0:
+            expect[uid] = (n, num, den)
+    rows = ts_autocorr_lag1(spark, sf_dir).collect()
+    assert len(rows) == len(expect) > 0
+    for r in rows:
+        n, num, den = expect[r["user_id"]]
+        assert (r["n_obs"], r["acf_num"], r["acf_den"]) == (n, num, den)
+
+
+def test_ams_f2_sketch_properties(spark, sf_dir):
+    """AMS invariants: the median-of-squares estimate is positive, and
+    a python replay of the 17 sign-sums over the same hash reproduces
+    the sketch exactly (the oracle-replayability claim)."""
+    import hashlib
+
+    from fluent_bit_filter_math_spark.operators.sketches import (
+        _AMS_R,
+        sketch_ams_f2,
+    )
+    from fluent_bit_filter_math_spark.sources import table as _table
+
+    users = [
+        r["user_id"]
+        for r in _table(spark, sf_dir, "events").select("user_id").collect()
+    ]
+
+    def sign(r, u):
+        h = int(hashlib.md5(f"ams{r}:{u}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * (h % 2)
+
+    sq = sorted(
+        sum(sign(r, u) for u in users) ** 2 for r in range(_AMS_R)
+    )
+    med = sq[(_AMS_R + 1) // 2 - 1]
+    from collections import Counter
+
+    f2 = sum(c * c for c in Counter(users).values())
+    [row] = sketch_ams_f2(spark, sf_dir).collect()
+    assert (row["n_rows"], row["f2_exact"], row["f2_est_median"]) == (
+        len(users),
+        f2,
+        med,
+    )
+    assert row["f2_est_median"] > 0
+
+
+def test_rrf_fusion_rank_arithmetic(spark, sf_dir):
+    """RRF invariants: every fused score equals 1/(60+ra) + 1/(60+rb)
+    with absent ranks contributing zero, and a document ranked first
+    by BOTH pools tops the fusion."""
+    from fluent_bit_filter_math_spark.operators.retrieval import (
+        RRF_C,
+        retrieval_rrf_fusion,
+    )
+
+    rows = retrieval_rrf_fusion(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exp = 0.0
+        if r["rank_bm25"] is not None:
+            exp += 1.0 / (RRF_C + r["rank_bm25"])
+        if r["rank_ql"] is not None:
+            exp += 1.0 / (RRF_C + r["rank_ql"])
+        assert r["rrf_score"] == exp
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ndcg_bounds(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.retrieval import (
+        retrieval_ndcg_eval,
+    )
+
+    [row] = retrieval_ndcg_eval(spark, sf_dir).collect()
+    assert 0 < row["dcg_scaled"] <= row["idcg_scaled"]
+    assert 0.0 < row["ndcg"] <= 1.0
