@@ -558,6 +558,21 @@ _TRI_KEEP_MOD = 13
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg, tri = _tri_pipeline(spark, sf_dir)
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def _tri_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(undirected edge list, degree table, triangle rows) of the
+    sampled supplier co-occurrence graph — the degree-oriented
+    triangle machinery shared by graph_triangle_count and
+    graph_clustering_coefficient (expression tree unchanged from the
+    original single-query form)."""
     ps = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % _TRI_PART_MOD == 0)
@@ -621,10 +636,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # disjunction.
     closer = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
     tri = wedges.join(closer, ["v", "w"])
-    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
-    n_edges = und.agg(F.count("*").alias("n_edges"))
-    n_tri = tri.agg(F.count("*").alias("n_triangles"))
-    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+    return und, deg, tri
+
+
+# ---------------------------------------------------------------------------
+# GLOBAL CLUSTERING COEFFICIENT — transitivity C = 3·T / W (Watts &
+# Strogatz '98; Newman's "networks" textbook form): the fraction of
+# wedges (paths of length 2) that close into triangles, THE one-number
+# density diagnostic next to assortativity. Composes the cached
+# degree-oriented triangle machinery with one new aggregate:
+# W = Σ_v d_v·(d_v − 1)/2 over the degree table — integers throughout
+# (d·(d−1) is even, so the /2 is exact with `div`), and the
+# coefficient is one IEEE division of exact BIGINTs.
+#
+# Scale: identical to graph_triangle_count (orientation bounds the
+# wedge volume at O(m^1.5)); the wedge count itself is one
+# partial-aggregatable pass over |V| degree rows.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      ) GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS src,
+             CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS dst
+      FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b
+    ),
+    t AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst
+      JOIN und c ON c.a = w1.dst AND c.b = w2.dst
+    ),
+    w AS (
+      SELECT SUM(d * (d - 1) // 2) AS n_wedges FROM deg
+    )
+    SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           CAST(3 * t.n_triangles AS DOUBLE) / w.n_wedges
+               AS global_clustering
+    FROM t CROSS JOIN w
+    """,
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, deg, tri = _tri_pipeline(spark, sf_dir)
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    t = tri.agg(F.count("*").alias("n_triangles"))
+    return t.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges")
+        ).alias("global_clustering"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2410,3 +2410,101 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT WEIGHTED MEDIAN — the lower weighted median (smallest value v
+# with cumweight(v) ≥ W/2 under the total (cents, orderkey, linenumber)
+# order), per l_returnflag with l_quantity as integer weight: the
+# robust location estimate inventory systems use where a heavy line
+# item should count by its units (Postgres extensions / ClickHouse
+# quantileExactWeighted ship it; plain median ignores weights).
+# Deterministic and integer-exact: the ≥ test cross-multiplies to
+# 2·cumw ≥ W, and because cumweight increases along the value order
+# the qualifying rows form a suffix — MIN(cents) over them IS the
+# weighted median, no per-row selection.
+#
+# Scale: cumulative weights are assigned TWO-LEVEL (bucket on the
+# cents high bits + exclusive prefix-sum of per-bucket weight totals,
+# the gini/bootstrap discipline) so no task scans a whole returnflag
+# group in order; the suffix test is then one broadcast-totals filter
+# and a MIN aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey * 10 + l_linenumber AS k
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g, cents, w,
+             SUM(w) OVER (PARTITION BY g ORDER BY cents, k
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumw,
+             SUM(w) OVER (PARTITION BY g) AS tw
+      FROM c
+    )
+    SELECT g AS l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cumw >= tw THEN cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM r
+    GROUP BY g
+    ORDER BY g
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        exact_cents(F.col("l_extendedprice")).alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+    )
+    keyed = li.withColumn("bucket", F.shiftright(F.col("cents"), 8))
+    bw = keyed.groupBy("g", "bucket").agg(F.sum("w").alias("bw"))
+    wpre = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bw.select(
+        "g",
+        "bucket",
+        F.coalesce(F.sum("bw").over(wpre), F.lit(0)).alias("offset"),
+    )
+    wib = (
+        Window.partitionBy("g", "bucket")
+        .orderBy("cents", "k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = keyed.groupBy("g").agg(F.sum("w").alias("tw"))
+    r = (
+        keyed.join(F.broadcast(offsets), ["g", "bucket"])
+        .withColumn("cumw", F.col("offset") + F.sum("w").over(wib))
+        .join(F.broadcast(totals), "g")
+    )
+    return (
+        r.groupBy("g")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(
+                F.when(
+                    F.lit(2) * F.col("cumw") >= F.col("tw"), F.col("cents")
+                )
+            )
+            .cast("long")
+            .alias("wmedian_cents"),
+        )
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "total_weight",
+            "wmedian_cents",
+        )
+        .orderBy("l_returnflag")
+    )

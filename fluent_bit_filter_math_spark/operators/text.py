@@ -1226,3 +1226,102 @@ def stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_words", "n_gopher_stop")
     )
     return run_stream_to_memory(kept, "stream_gopher_filter")
+
+
+# ---------------------------------------------------------------------------
+# RAKE KEYWORD EXTRACTION — Rapid Automatic Keyword Extraction (Rose et
+# al., "Text Mining: Applications and Theory", 2010): split each
+# document into candidate phrases at stopword boundaries, then score
+# every content word by degree/frequency, where freq(w) = number of
+# occurrences and degree(w) = Σ over w's occurrences of its phrase's
+# length (a word that keeps company in long phrases scores high). The
+# stopword set is fixed and includes two high-frequency fixture tokens
+# so phrases genuinely split. Phrase segmentation is the gaps-and-
+# islands identity run_id = pos − dense-rank-of-kept-positions: both
+# engines compute it with one per-document window over token
+# positions. freq/degree are exact integers; score is one IEEE
+# division; the report is the top-15 words by (score, freq, word).
+#
+# Scale: one explode (corpus token volume), per-DOC windows (small,
+# numerous partitions — never a corpus-wide sort), two hash
+# aggregates, and a global top-15 via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+RAKE_STOPWORDS = ("the", "a", "and", "of", "join", "scan")
+RAKE_TOPK = 15
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, u['p'] AS p, u['w'] AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) + 1),
+                                     i -> {{'p': i, 'w': tk[i]}})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+      )
+    ),
+    kept AS (
+      SELECT doc_id, w,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                 AS run
+      FROM pos
+      WHERE w NOT IN {RAKE_STOPWORDS!r} AND w <> ''
+    ),
+    phrase AS (
+      SELECT doc_id, run, COUNT(*) AS plen
+      FROM kept GROUP BY doc_id, run
+    ),
+    stats AS (
+      SELECT k.w,
+             COUNT(*) AS freq,
+             SUM(ph.plen) AS degree
+      FROM kept k JOIN phrase ph USING (doc_id, run)
+      GROUP BY k.w
+    )
+    SELECT w AS word,
+           CAST(freq AS BIGINT) AS freq,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(degree AS DOUBLE) / freq AS rake_score
+    FROM stats
+    ORDER BY rake_score DESC, freq DESC, word
+    LIMIT {RAKE_TOPK}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    kept = pos.filter(
+        (~F.col("w").isin(*RAKE_STOPWORDS)) & (F.col("w") != "")
+    ).select(
+        "doc_id",
+        "w",
+        (
+            F.col("p")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("p")
+            )
+        ).alias("run"),
+    )
+    phrase = kept.groupBy("doc_id", "run").agg(F.count("*").alias("plen"))
+    stats = (
+        kept.join(phrase, ["doc_id", "run"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("degree"))
+    )
+    score = F.col("degree").cast("double") / F.col("freq")
+    return (
+        stats.select(
+            F.col("w").alias("word"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("degree").cast("long").alias("degree"),
+            score.alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.desc("freq"), F.asc("word"))
+        .limit(RAKE_TOPK)
+    )
