@@ -1824,3 +1824,154 @@ def sim_mips_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank_ip")
     )
+
+
+# ---------------------------------------------------------------------------
+# JOHNSON-LINDENSTRAUSS RANDOM PROJECTION AUDIT — compress the
+# embedding space with a ±1 projection (Achlioptas JCSS'03: Rademacher
+# entries satisfy the JL lemma with the same guarantees as Gaussian)
+# and CERTIFY the distance distortion pair-by-pair, the check a
+# pipeline runs before swapping full vectors for sketches in dedup/ANN
+# prefilters. Everything is EXACT: vectors are first int8-quantized
+# (the emb_quantize_int8 scheme, floor(x/s·127 + 0.5) — two correctly
+# rounded IEEE ops), the 16×64 sign matrix is PRECOMPUTED from the
+# portable md5 hash and inlined as ±1 literals in both plans (data-
+# independent, so no per-row hashing), and projections/distances are
+# integer sums: y_r = Σ_d S[r][d]·q_d, D² = Σ(q_a−q_b)²,
+# P² = Σ_r(y_a−y_b)². E[P²] = k·D², so the reported ratio
+# P²/(k·D²) concentrates near 1 — one final IEEE division.
+#
+# Scale: the projection is map-side (k integer dots per row, constants
+# broadcast in the plan itself); the audit pairs adjacent vec_ids via
+# an equi-join on vec_id div 2 — no all-pairs anywhere. At 100 TB the
+# same projection feeds the LSH/dedup prefilters; the audit runs on
+# any deterministic pair sample.
+# ---------------------------------------------------------------------------
+_JL_K = 16
+_JL_DIMS = 64  # fixture embedding width (TESTDATA.md)
+
+
+def _jl_signs() -> tuple[tuple[int, ...], ...]:
+    import hashlib
+
+    def sgn(r: int, d: int) -> int:
+        h = int(hashlib.md5(f"jl{r}:{d}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * (h % 2)
+
+    return tuple(
+        tuple(sgn(r, d) for d in range(_JL_DIMS)) for r in range(_JL_K)
+    )
+
+
+_JL_S = _jl_signs()
+
+_JL_Q_SQL = """
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE)
+                               / GREATEST(CAST(list_aggregate(
+                                     list_transform(embedding,
+                                                    v -> abs(v)),
+                                     'max') AS DOUBLE), 1e-300)
+                               * 127.0 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+"""
+
+_JL_Y_SQL = ", ".join(
+    "list_aggregate(list_transform(range(1, {n} + 1), i -> q[i] * ([{s}])[i]), 'sum')".format(
+        n=_JL_DIMS, s=", ".join(str(v) for v in row)
+    )
+    for row in _JL_S
+)
+
+
+@register(
+    "emb_random_projection_jl",
+    oracle=f"""
+    WITH qz AS (
+{_JL_Q_SQL}
+    ),
+    proj AS (
+      SELECT vec_id, q, [{_JL_Y_SQL}] AS y
+      FROM qz
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_aggregate(list_transform(range(1, {_JL_DIMS} + 1),
+               i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])), 'sum') AS d2_q,
+             list_aggregate(list_transform(range(1, {_JL_K} + 1),
+               i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i])), 'sum')
+                 AS d2_proj
+      FROM proj a JOIN proj b
+        ON b.vec_id = a.vec_id + 1 AND a.vec_id % 2 = 0
+    )
+    SELECT vec_a, vec_b,
+           CAST(d2_q AS BIGINT) AS d2_q,
+           CAST(d2_proj AS BIGINT) AS d2_proj,
+           CAST(d2_proj AS DOUBLE) / ({_JL_K} * d2_q) AS distortion
+    FROM pairs
+    WHERE d2_q > 0
+    ORDER BY vec_a
+    """,
+)
+def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scale = F.array_max(F.transform(F.col("embedding"), F.abs)).cast(
+        "double"
+    )
+    sden = F.greatest(scale, F.lit(1e-300))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / sden * 127.0 + 0.5),
+    )
+    zero = F.lit(0).cast("long")
+    ys = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(v) for v in _JL_S[r]]),
+                lambda a, b: a * b,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        for r in range(_JL_K)
+    ]
+    proj = emb.select("vec_id", q.alias("q")).select(
+        "vec_id", "q", F.array(*ys).alias("y")
+    )
+    a = proj.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("y").alias("ya"),
+    ).filter(F.col("vec_a") % 2 == 0)
+    b = proj.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("y").alias("yb"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: (x - y) * (x - y)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(b, F.col("vec_b") == F.col("vec_a") + 1).select(
+        "vec_a",
+        "vec_b",
+        sq(F.col("qa"), F.col("qb")).alias("d2_q"),
+        sq(F.col("ya"), F.col("yb")).alias("d2_proj"),
+    )
+    return (
+        pairs.filter(F.col("d2_q") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("d2_q").cast("long").alias("d2_q"),
+            F.col("d2_proj").cast("long").alias("d2_proj"),
+            (
+                F.col("d2_proj").cast("double")
+                / (F.lit(_JL_K) * F.col("d2_q"))
+            ).alias("distortion"),
+        )
+        .orderBy("vec_a")
+    )

@@ -506,3 +506,88 @@ def test_ndcg_bounds(spark, sf_dir):
     [row] = retrieval_ndcg_eval(spark, sf_dir).collect()
     assert 0 < row["dcg_scaled"] <= row["idcg_scaled"]
     assert 0.0 < row["ndcg"] <= 1.0
+
+
+def test_jl_distortion_concentrates(spark, sf_dir):
+    """JL lemma sanity: with k=16 the per-pair distortion P²/(kD²) has
+    mean 1; require the empirical median within ±35% and every ratio
+    positive (a sign-matrix or scaling bug lands far outside)."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        emb_random_projection_jl,
+    )
+
+    rows = emb_random_projection_jl(spark, sf_dir).collect()
+    assert rows
+    ds = sorted(r["distortion"] for r in rows)
+    assert all(d > 0 for d in ds)
+    med = ds[len(ds) // 2]
+    assert 0.65 < med < 1.35
+
+
+def test_weighted_median_python_twin(spark, sf_dir):
+    """Exact lower weighted median recomputed in pure Python."""
+    import math
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_weighted_median,
+    )
+    from fluent_bit_filter_math_spark.sources import table as _table
+
+    raw = (
+        _table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_returnflag AS g",
+            "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents",
+            "CAST(l_quantity AS BIGINT) AS w",
+            "l_orderkey * 10 + l_linenumber AS k",
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in raw:
+        groups[r["g"]].append((r["cents"], r["k"], r["w"]))
+    expect = {}
+    for g, rows_ in groups.items():
+        rows_.sort()
+        tw = sum(w for _, _, w in rows_)
+        cum = 0
+        for cents, _, w in rows_:
+            cum += w
+            if 2 * cum >= tw:
+                expect[g] = (tw, cents)
+                break
+    got = {
+        r["l_returnflag"]: (r["total_weight"], r["wmedian_cents"])
+        for r in agg_weighted_median(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_rake_scores_consistent(spark, sf_dir):
+    """RAKE invariants: degree ≥ freq (every phrase has length ≥ 1),
+    score = degree/freq exactly, stopwords never appear."""
+    from fluent_bit_filter_math_spark.operators.text import (
+        RAKE_STOPWORDS,
+        text_rake_keywords,
+    )
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["word"] not in RAKE_STOPWORDS
+        assert r["degree"] >= r["freq"] > 0
+        assert r["rake_score"] == r["degree"] / r["freq"]
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.graph import (
+        graph_clustering_coefficient,
+        graph_triangle_count,
+    )
+
+    [cc] = graph_clustering_coefficient(spark, sf_dir).collect()
+    [tc] = graph_triangle_count(spark, sf_dir).collect()
+    assert cc["n_triangles"] == tc["n_triangles"]
+    assert 0.0 <= cc["global_clustering"] <= 1.0
+    assert cc["n_wedges"] > 0
