@@ -68,9 +68,23 @@ _LOADED = False
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
     # --- round 10 rotation (composition from tools/green_age.py) ---
-    # tier 1: never driver-checked — the one new r10 operator (the
-    # streaming Python DataSource writer quadrant, VERDICT r9 #6).
+    # tier 1: never driver-checked — the 13 new r10 operators (the
+    # streaming Python DataSource writer quadrant, VERDICT r9 #6, plus
+    # the retrieval/eval/sketch/audit/codec additions). Never-checked
+    # outranks stale (the r6 lesson).
     "stream_pysink_roundtrip",
+    "retrieval_rrf_fusion",
+    "retrieval_ndcg_eval",
+    "ts_autocorr_lag1",
+    "graph_degree_assortativity",
+    "sketch_ams_f2",
+    "dq_iqr_outliers",
+    "dedup_minhash_error_audit",
+    "mm_bmp_decode",
+    "graph_clustering_coefficient",
+    "agg_weighted_median",
+    "text_rake_keywords",
+    "emb_random_projection_jl",
     # tier 2: semantically touched in r10 — the bootstrap index went
     # two-level (VERDICT #3), the EWMA oracle moved to the
     # negative-safe '>> 2' fold and the z-band comparison to
@@ -107,26 +121,29 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 3b: 22 of the 33 r4-era stale greens, family-diverse
+    # tier 3b: 10 of the 33 r4-era stale greens, family-diverse
     # (dedup, graph, embeddings, fn suites, joins, streaming windows,
-    # SCD, sampling, subqueries, text, UDTF, agg). The window cuts
-    # after these; after r10 no query's last driver green is older
-    # than r4.
+    # SCD, sampling). The 50-query window cuts after these; the 13
+    # tier-1 additions displaced 12 r4-era refreshes to the explicit
+    # r11 queue below. After r10 no query's last driver green is
+    # older than r4.
     "decontam_ngram_overlap",
     "dedup_ngram_jaccard",
     "dedup_cluster_cc",
     "dedup_embedding_cosine",
-    "dedup_incremental",
     "emb_kmeans",
     "graph_pagerank",
     "fn_json_suite",
+    "join_salted_skew",
+    "win_tumbling_hour",
+    "scd2_user_state",
+    # Past slot 50 — the explicit r11 queue head: the 23 remaining
+    # r4-era queries, then the r5 cohort (39) by age.
+    "dedup_incremental",
     "fn_date_suite",
     "fn_string_suite",
-    "join_salted_skew",
     "join_range_ship_window",
-    "win_tumbling_hour",
     "stream_static_join_enrich",
-    "scd2_user_state",
     "sample_stratified",
     "sample_domain_mixture",
     "subq_above_avg_balance",
@@ -134,8 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_pii_redact",
     "udtf_tokenize_docs",
     "agg_grouping_sets",
-    # Past slot 50 — the explicit r11 queue head: the 11 remaining
-    # r4-era queries, then the r5 cohort (39) by age.
     "agg_argmax_order",
     "agg_pivot_status_priority",
     "dq_table_audit",
