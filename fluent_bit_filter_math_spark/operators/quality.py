@@ -956,3 +956,125 @@ def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# WELCH'S t TEST (squared form) — the unequal-variance two-sample
+# location test (Welch, Biometrika 1947), the parametric complement
+# to dq_mann_whitney_u: compare 'purchase' vs 'click' values. The
+# statistic is emitted as t² = (μ₁−μ₂)² / (s₁²/n₁ + s₂²/n₂), which
+# needs no sqrt; with exact integer (n, S = Σx, Q = Σx²) per group
+# every intermediate is a single correctly-rounded IEEE op on
+# identical operands — bit-identical cross-engine without rounding
+# tricks. The Welch–Satterthwaite dof rides along the same way. The
+# exact components are in the output, so a reviewer can recompute the
+# statistic to full precision.
+#
+# Scale: ONE partial-aggregatable pass (two filtered aggregates over
+# the same scan); no window, no join, no per-group sort.
+# ---------------------------------------------------------------------------
+_WELCH_A, _WELCH_B = "purchase", "click"
+
+
+@register(
+    "dq_welch_t_squared",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS s,
+             SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS q
+      FROM events
+      WHERE event_type IN ('{_WELCH_A}', '{_WELCH_B}')
+      GROUP BY event_type
+    ),
+    ab AS (
+      SELECT
+        MAX(CASE WHEN event_type = '{_WELCH_A}' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = '{_WELCH_A}' THEN s END) AS s1,
+        MAX(CASE WHEN event_type = '{_WELCH_A}' THEN q END) AS q1,
+        MAX(CASE WHEN event_type = '{_WELCH_B}' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = '{_WELCH_B}' THEN s END) AS s2,
+        MAX(CASE WHEN event_type = '{_WELCH_B}' THEN q END) AS q2
+      FROM g
+    ),
+    c AS (
+      SELECT *,
+             (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                  * (CAST(n1 AS DOUBLE) - 1.0)) AS se1,
+             (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(n2 AS DOUBLE) - 1.0)) AS se2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dmean
+      FROM ab
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(s1 AS BIGINT) AS s1_cents,
+           CAST(q1 AS BIGINT) AS q1_cents2,
+           CAST(n2 AS BIGINT) AS n2, CAST(s2 AS BIGINT) AS s2_cents,
+           CAST(q2 AS BIGINT) AS q2_cents2,
+           (dmean * dmean) / (se1 + se2) AS t_squared,
+           ((se1 + se2) * (se1 + se2))
+             / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+                + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_dof
+    FROM c
+    """,
+)
+def dq_welch_t_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_WELCH_A, _WELCH_B)
+    )
+    x = exact_cents(F.col("value"))
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+
+    def pick(col: str, t: str):
+        return F.max(F.when(F.col("event_type") == t, F.col(col)))
+
+    ab = g.agg(
+        pick("n", _WELCH_A).alias("n1"),
+        pick("s", _WELCH_A).alias("s1"),
+        pick("q", _WELCH_A).alias("q1"),
+        pick("n", _WELCH_B).alias("n2"),
+        pick("s", _WELCH_B).alias("s2"),
+        pick("q", _WELCH_B).alias("q2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    se1 = (d("n1") * d("q1") - d("s1") * d("s1")) / (
+        d("n1") * d("n1") * (d("n1") - F.lit(1.0))
+    )
+    se2 = (d("n2") * d("q2") - d("s2") * d("s2")) / (
+        d("n2") * d("n2") * (d("n2") - F.lit(1.0))
+    )
+    dmean = d("s1") / d("n1") - d("s2") / d("n2")
+    c = ab.select(
+        "*", se1.alias("se1"), se2.alias("se2"), dmean.alias("dmean")
+    )
+    return c.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("s1").cast("long").alias("s1_cents"),
+        F.col("q1").cast("long").alias("q1_cents2"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("s2").cast("long").alias("s2_cents"),
+        F.col("q2").cast("long").alias("q2_cents2"),
+        (
+            (F.col("dmean") * F.col("dmean"))
+            / (F.col("se1") + F.col("se2"))
+        ).alias("t_squared"),
+        (
+            (F.col("se1") + F.col("se2")) * (F.col("se1") + F.col("se2"))
+            / (
+                F.col("se1") * F.col("se1") / (d("n1") - F.lit(1.0))
+                + F.col("se2") * F.col("se2") / (d("n2") - F.lit(1.0))
+            )
+        ).alias("welch_dof"),
+    )

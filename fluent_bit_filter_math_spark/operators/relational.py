@@ -2508,3 +2508,271 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# POISSON BOOTSTRAP — the bootstrap that survives 100 TB (Chamandy et
+# al., "Estimating Uncertainty for Massive Data Streams", Google
+# 2012; Kleiner'12 kin): instead of drawing n indices per resample
+# (agg_bootstrap_ci's index equi-join), each row independently carries
+# a Poisson(1) weight per replica — Binomial(n, 1/n) → Poisson(1) as
+# n → ∞ — so resampling is ONE map-side projection: no row index, no
+# window, no join; the only shuffle is the (type, replica) mean
+# aggregate. Replica means are SELF-NORMALIZED (Σw·x / Σw), the
+# standard Poisson-bootstrap estimator.
+#
+# Determinism: the weight is the portable hash mapped through the
+# exact Poisson(1) CDF — thresholds T_k = round(cdf(k)·2^60) are
+# precomputed integer literals shared by both engines, the draw is
+# w = #{k : h ≥ T_k} for the 60-bit h (tail mass beyond w = 8,
+# ~1e-5, is truncated identically on both sides). Every quantity is
+# an exact integer until each replica's one final division; the CI is
+# the same discrete 2nd/2nd-last order statistic as agg_bootstrap_ci,
+# so the two estimators are directly comparable under the gate.
+# ---------------------------------------------------------------------------
+# Poisson(1) CDF × 2^60 for k = 0..7 (python: round(cdf(k) * 2**60)).
+_POIS_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+)
+
+
+@register(
+    "agg_bootstrap_poisson",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             b.b,
+             {" + ".join(
+                 "(CASE WHEN CAST('0x' || substr(md5(event_type || ':' "
+                 "|| CAST(b.b AS VARCHAR) || ':' "
+                 "|| CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) "
+                 f">= {t} THEN 1 ELSE 0 END)"
+                 for t in _POIS_T
+             )} AS wt
+      FROM events
+      CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+    ),
+    means AS (
+      SELECT event_type, b,
+             CAST(SUM(wt * cents) AS DOUBLE) / SUM(wt) AS mean_b
+      FROM w
+      GROUP BY event_type, b
+      HAVING SUM(wt) > 0
+    ),
+    stats AS (
+      SELECT event_type, list_sort(list(mean_b)) AS ms,
+             COUNT(*) AS n_reps
+      FROM means GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) AS point_mean
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(s.n_reps AS BIGINT) AS n_replicas,
+           pt.point_mean,
+           ms[2] AS ci_lo,
+           ms[{_BOOT_B} - 1] AS ci_hi,
+           (pt.point_mean >= ms[2] AND pt.point_mean <= ms[{_BOOT_B} - 1])
+               AS point_in_ci
+    FROM stats s JOIN pt USING (event_type)
+    ORDER BY s.event_type
+    """,
+)
+def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents, hash60
+
+    ev = table(spark, sf_dir, "events")
+    bs = F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b")
+    h = hash60(
+        F.concat(
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+            F.lit(":"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    wt = sum((h >= F.lit(t)).cast("int") for t in _POIS_T)
+    w = (
+        ev.select(
+            "event_type",
+            exact_cents(F.col("value")).alias("cents"),
+            "event_id",
+        )
+        .select("event_type", "cents", "event_id", bs)
+        .select("event_type", "cents", "b", wt.alias("wt"))
+    )
+    means = (
+        w.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swx"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("swx").cast("double") / F.col("sw")).alias("mean_b"),
+        )
+    )
+    stats = means.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("mean_b")).alias("ms"),
+        F.count("*").alias("n_reps"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        (
+            F.sum(exact_cents(F.col("value"))).cast("double") / F.count("*")
+        ).alias("point_mean")
+    )
+    lo = F.element_at("ms", 2)
+    hi = F.element_at("ms", _BOOT_B - 1)
+    return (
+        stats.join(pt, "event_type")
+        .select(
+            "event_type",
+            F.col("n_reps").cast("long").alias("n_replicas"),
+            "point_mean",
+            lo.alias("ci_lo"),
+            hi.alias("ci_hi"),
+            (
+                (F.col("point_mean") >= lo) & (F.col("point_mean") <= hi)
+            ).alias("point_in_ci"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM SEGMENTATION — the classic customer-value matrix (Hughes 1994;
+# every CRM/martech stack ships it): per customer, Recency (days from
+# last order to the corpus's newest order), Frequency (order count),
+# Monetary (exact total cents), each mapped to a quartile score 1–4
+# and composed into the 3-digit RFM cell. Scores are DETERMINISTIC
+# rank arithmetic, not ntile(): score = (rank−1)·4 div n + 1 under
+# the total (metric, custkey) order — engines differ in how ntile
+# spreads remainders, integer rank math cannot. Ranks are assigned
+# two-level (bucket on the metric's high bits + exclusive prefix-sum,
+# the gini/bootstrap discipline) — the customer table is
+# dimension-scale today, but at 100 TB the same query runs on
+# billions of users and the no-single-task-sort shape is the one that
+# survives.
+#
+# Scale: one orders→customer aggregate, three two-level rank passes
+# over the customer table sharing its partitioning, map-side score
+# arithmetic. Output is the per-segment census (64 cells max), not
+# per-customer rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS custkey,
+             COUNT(*) AS freq,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS money,
+             MAX(o_orderdate) AS last_d
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(last_d) AS maxd FROM per),
+    m AS (
+      SELECT custkey, freq, money,
+             date_diff('day', last_d, mx.maxd) AS rec,
+             (SELECT COUNT(*) FROM per) AS n
+      FROM per CROSS JOIN mx
+    ),
+    r AS (
+      SELECT custkey, n,
+             row_number() OVER (ORDER BY rec, custkey) AS rr,
+             row_number() OVER (ORDER BY freq, custkey) AS fr,
+             row_number() OVER (ORDER BY money, custkey) AS mr
+      FROM m
+    ),
+    s AS (
+      SELECT custkey,
+             (rr - 1) * 4 // n + 1 AS r_score,
+             (fr - 1) * 4 // n + 1 AS f_score,
+             (mr - 1) * 4 // n + 1 AS m_score
+      FROM r
+    )
+    SELECT r_score * 100 + f_score * 10 + m_score AS rfm_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM s
+    GROUP BY rfm_cell
+    ORDER BY rfm_cell
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("freq"),
+        F.sum(exact_cents(F.col("o_totalprice"))).alias("money"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = per.agg(F.max("last_d").alias("maxd"))
+    n_tab = per.agg(F.count("*").alias("n"))
+    m = (
+        per.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(n_tab))
+        .select(
+            "custkey",
+            "freq",
+            "money",
+            F.datediff(F.col("maxd"), F.col("last_d")).alias("rec"),
+            "n",
+        )
+    )
+
+    def two_level_rank(df: DataFrame, metric: str, shift: int, out: str):
+        """offset + within-bucket row_number over (metric, custkey):
+        bucket = metric >> shift is a PREFIX of the sort key, so the
+        composition equals the global row_number bit-for-bit."""
+        keyed = df.withColumn("bucket", F.shiftright(F.col(metric), shift))
+        counts = keyed.groupBy("bucket").agg(F.count("*").alias("bn"))
+        wpre = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("off"),
+        )
+        wib = Window.partitionBy("bucket").orderBy(metric, "custkey")
+        return (
+            keyed.join(F.broadcast(offsets), "bucket")
+            .withColumn(out, F.col("off") + F.row_number().over(wib))
+            .drop("bucket", "off")
+        )
+
+    r = two_level_rank(m, "rec", 4, "rr")
+    r = two_level_rank(r, "freq", 2, "fr")
+    r = two_level_rank(r, "money", 16, "mr")
+    score = lambda rk: F.expr(f"({rk} - 1) * 4 div n + 1")  # noqa: E731
+    s = r.select(
+        score("rr").alias("r_score"),
+        score("fr").alias("f_score"),
+        score("mr").alias("m_score"),
+    )
+    return (
+        s.groupBy(
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("rfm_cell")
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("rfm_cell")
+    )

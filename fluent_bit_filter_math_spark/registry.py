@@ -85,6 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_weighted_median",
     "text_rake_keywords",
     "emb_random_projection_jl",
+    "agg_bootstrap_poisson",
+    "dq_welch_t_squared",
+    "q_rfm_segmentation",
     # tier 2: semantically touched in r10 — the bootstrap index went
     # two-level (VERDICT #3), the EWMA oracle moved to the
     # negative-safe '>> 2' fold and the z-band comparison to
@@ -121,24 +124,24 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 3b: 10 of the 33 r4-era stale greens, family-diverse
-    # (dedup, graph, embeddings, fn suites, joins, streaming windows,
-    # SCD, sampling). The 50-query window cuts after these; the 13
-    # tier-1 additions displaced 12 r4-era refreshes to the explicit
+    # tier 3b: 7 of the 33 r4-era stale greens, family-diverse
+    # (dedup, graph, embeddings, fn suites, joins, streaming
+    # windows). The 50-query window cuts after these; the 16 tier-1
+    # additions displaced the other r4-era refreshes to the explicit
     # r11 queue below. After r10 no query's last driver green is
     # older than r4.
     "decontam_ngram_overlap",
     "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "dedup_embedding_cosine",
     "emb_kmeans",
     "graph_pagerank",
     "fn_json_suite",
     "join_salted_skew",
     "win_tumbling_hour",
-    "scd2_user_state",
-    # Past slot 50 — the explicit r11 queue head: the 23 remaining
+    # Past slot 50 — the explicit r11 queue head: the 26 remaining
     # r4-era queries, then the r5 cohort (39) by age.
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "scd2_user_state",
     "dedup_incremental",
     "fn_date_suite",
     "fn_string_suite",

@@ -591,3 +591,93 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
     assert cc["n_triangles"] == tc["n_triangles"]
     assert 0.0 <= cc["global_clustering"] <= 1.0
     assert cc["n_wedges"] > 0
+
+
+def test_poisson_bootstrap_weights_distribution(spark, sf_dir):
+    """The hash→CDF weight draw must reproduce Poisson(1) closely:
+    over ~10k draws the zero-weight fraction sits near e⁻¹ and the
+    mean weight near 1 (hard bounds at ±6σ); the registered query's
+    replica count is full (no replica lost all its weight)."""
+    import hashlib
+    import math
+
+    from fluent_bit_filter_math_spark.operators.relational import (
+        _BOOT_B,
+        _POIS_T,
+        agg_bootstrap_poisson,
+    )
+
+    def draw(s: str) -> int:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return sum(h >= t for t in _POIS_T)
+
+    n = 10_000
+    ws = [draw(f"x:{i}") for i in range(n)]
+    zero_frac = sum(w == 0 for w in ws) / n
+    mean_w = sum(ws) / n
+    assert abs(zero_frac - math.exp(-1)) < 6 * 0.005
+    assert abs(mean_w - 1.0) < 6 * 0.01
+
+    rows = agg_bootstrap_poisson(spark, sf_dir).collect()
+    assert rows and all(r["n_replicas"] == _BOOT_B for r in rows)
+    for r in rows:
+        assert r["ci_lo"] <= r["ci_hi"]
+
+
+def test_welch_t_squared_python_twin(spark, sf_dir):
+    """Recompute t² and the Welch–Satterthwaite dof from the exact
+    integer components the query itself emits — the float chain must
+    agree bit-for-bit (all correctly-rounded IEEE ops)."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_welch_t_squared,
+    )
+
+    [r] = dq_welch_t_squared(spark, sf_dir).collect()
+    n1, s1, q1 = r["n1"], r["s1_cents"], r["q1_cents2"]
+    n2, s2, q2 = r["n2"], r["s2_cents"], r["q2_cents2"]
+    se1 = (n1 * q1 - s1 * s1 * 1.0) / (n1 * n1 * (n1 - 1.0))
+    se2 = (n2 * q2 - s2 * s2 * 1.0) / (n2 * n2 * (n2 - 1.0))
+    # mirror the engine chain: double casts before every op
+    se1 = (float(n1) * float(q1) - float(s1) * float(s1)) / (
+        float(n1) * float(n1) * (float(n1) - 1.0)
+    )
+    se2 = (float(n2) * float(q2) - float(s2) * float(s2)) / (
+        float(n2) * float(n2) * (float(n2) - 1.0)
+    )
+    dmean = float(s1) / float(n1) - float(s2) / float(n2)
+    assert r["t_squared"] == (dmean * dmean) / (se1 + se2)
+    assert r["welch_dof"] == ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (float(n1) - 1.0) + se2 * se2 / (float(n2) - 1.0)
+    )
+    assert r["welch_dof"] > 1.0 and r["t_squared"] >= 0.0
+
+
+def test_rfm_scores_partition_customers(spark, sf_dir):
+    """RFM invariants: cells cover every customer exactly once, every
+    digit is 1-4, and each dimension's quartiles are near-equal-sized
+    (rank arithmetic guarantees |bucket| within 1 of n/4)."""
+    from collections import Counter
+
+    from fluent_bit_filter_math_spark.operators.relational import (
+        q_rfm_segmentation,
+    )
+    from fluent_bit_filter_math_spark.sources import table as _table
+
+    rows = q_rfm_segmentation(spark, sf_dir).collect()
+    n_cust = (
+        _table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    digit_tot = Counter()
+    for r in rows:
+        cell = r["rfm_cell"]
+        rs, fs, ms = cell // 100, cell % 100 // 10, cell % 10
+        assert 1 <= rs <= 4 and 1 <= fs <= 4 and 1 <= ms <= 4
+        digit_tot[("r", rs)] += r["n_customers"]
+        digit_tot[("m", ms)] += r["n_customers"]
+    for dim in ("r", "m"):
+        sizes = [digit_tot[(dim, s)] for s in range(1, 5)]
+        assert max(sizes) - min(sizes) <= 1
