@@ -1016,3 +1016,120 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sj2").cast("long").alias("sum_j2"),
         (num / den).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JACCARD LINK PREDICTION — the classic neighborhood-overlap link
+# scorer (Liben-Nowell & Kleinberg CIKM'03): for node pairs NOT yet
+# connected, score J(u,v) = |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| and report the
+# top-20 predicted links. Candidate pairs and common-neighbor counts
+# come from ONE wedge self-join of the bidirectional adjacency on the
+# middle node — cn(u,v) = number of distinct middles — then an
+# anti-join removes existing edges and the degree table supplies the
+# union denominator (|Γu| + |Γv| − cn, exact integers; jaccard is one
+# IEEE division). Middles are degree-capped at {cap}: wedge volume is
+# Σ_m d(m)², and a hub middle is the quadratic bomb — the cap bounds
+# it exactly like dedup's df-cap; scores are EXACT whenever the graph's
+# max degree ≤ cap (true for the sampled fixture graph, asserted in
+# the unit test), and at 100 TB the capped score is the standard
+# production estimator (hub middles carry negligible Jaccard evidence
+# anyway: a hub is everyone's neighbor).
+#
+# Scale: adjacency reuses the cached, checkpointed sampled edge list;
+# one (middle)-keyed self-join bounded by Σ_{d(m)≤cap} d(m)², one
+# anti-join, one broadcastable degree join, TakeOrdered top-20.
+# ---------------------------------------------------------------------------
+_LP_DEG_CAP = 4096
+_LP_TOPK = 20
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    adj AS (
+      SELECT a AS node, b AS nbr FROM und
+      UNION ALL SELECT b AS node, a AS nbr FROM und
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY node),
+    mid AS (
+      SELECT adj.node, adj.nbr FROM adj
+      JOIN deg ON deg.node = adj.nbr
+      WHERE deg.d <= {_LP_DEG_CAP}
+    ),
+    cn AS (
+      SELECT x.node AS u, y.node AS v, COUNT(*) AS cn
+      FROM mid x JOIN mid y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY x.node, y.node
+    ),
+    cand AS (
+      SELECT cn.u, cn.v, cn.cn
+      FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM und
+                        WHERE und.a = cn.u AND und.b = cn.v)
+    )
+    SELECT u, v,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(du.d AS BIGINT) AS deg_u,
+           CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(cn AS DOUBLE) / (du.d + dv.d - cn) AS jaccard
+    FROM cand
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    ORDER BY jaccard DESC, u, v
+    LIMIT {_LP_TOPK}
+    """,
+)
+def graph_jaccard_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    und, _, _ = _tri_pipeline(spark, sf_dir)
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    mid = adj.join(
+        deg.select(F.col("node").alias("nbr"), "d"), "nbr"
+    ).filter(F.col("d") <= _LP_DEG_CAP).select("node", "nbr")
+    x = mid.select(F.col("node").alias("u"), "nbr")
+    y = mid.select(F.col("node").alias("v"), "nbr")
+    cn = (
+        x.join(y, "nbr")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = cn.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
+        .limit(_LP_TOPK)
+    )

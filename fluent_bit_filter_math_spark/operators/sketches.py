@@ -701,3 +701,116 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LOG-BUCKET QUANTILE SKETCH — the DDSketch idea (Masson et al.,
+# VLDB'19) at γ = 2: bucket every positive value by its binary
+# magnitude (bucket = ⌊log₂ x⌋ + 1 = length(bin(x)), an EXACT integer
+# via the shared bin() — no float log anywhere), keep one count per
+# (group, bucket), and answer any quantile with guaranteed ≤2×
+# relative error from the ~40-bucket histogram. This is the quantile
+# summary that actually ships at 100 TB: the state is tiny, exactly
+# mergeable (counts add), and insert is O(1) map-side — where exact
+# rank selection (agg_median_disc) costs a full shuffle+rank pass.
+# The query emits, per event_type and q ∈ {0.50, 0.95, 0.99}, the
+# covering bucket (first with 2·cumcount ≥ 2⌈q·n⌉ — integer rank
+# math) and its [2^(b−1), 2^b − 1] bounds; the ≤2× guarantee is
+# structural, and every number is an exact integer.
+#
+# Scale: one map-side-combined (type, bucket) aggregate over the
+# scan; the quantile walk runs on ≤~40 rows per type.
+# ---------------------------------------------------------------------------
+_DD_QS = (50, 95, 99)  # percentiles ×100 (integer rank arithmetic)
+
+
+@register(
+    "sketch_dd_quantiles",
+    oracle=f"""
+    WITH pos AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+      WHERE CAST(floor(value * 100.0 + 0.5) AS BIGINT) >= 1
+    ),
+    h AS (
+      SELECT event_type, length(bin(cents)) AS bucket,
+             COUNT(*) AS cnt
+      FROM pos GROUP BY event_type, bucket
+    ),
+    c AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket)
+                 AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    q AS (
+      SELECT c.*, qq.q,
+             (qq.q * n + 99) // 100 AS target_rank
+      FROM c CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in _DD_QS)}]) AS q) qq
+    )
+    SELECT event_type,
+           CAST(q AS BIGINT) AS pct,
+           CAST(MIN(CASE WHEN cum >= target_rank THEN bucket END)
+                AS BIGINT) AS bucket,
+           CAST(2 ** (MIN(CASE WHEN cum >= target_rank THEN bucket END)
+                      - 1) AS BIGINT) AS lo_cents,
+           CAST(2 ** MIN(CASE WHEN cum >= target_rank THEN bucket END)
+                - 1 AS BIGINT) AS hi_cents,
+           CAST(MAX(n) AS BIGINT) AS n_pos
+    FROM q
+    GROUP BY event_type, q
+    ORDER BY event_type, pct
+    """,
+)
+def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events")
+    cents = exact_cents(F.col("value"))
+    pos = ev.select("event_type", cents.alias("cents")).filter(
+        F.col("cents") >= 1
+    )
+    h = pos.select(
+        "event_type", F.length(F.bin(F.col("cents"))).alias("bucket")
+    ).groupBy("event_type", "bucket").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wn = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "bucket",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _DD_QS])).alias("q")
+    q = c.select("*", qs).withColumn(
+        "target_rank", F.expr("(q * n + 99) div 100")
+    )
+    hit = F.when(F.col("cum") >= F.col("target_rank"), F.col("bucket"))
+    return (
+        q.groupBy("event_type", "q")
+        .agg(
+            F.min(hit).alias("b"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("q").cast("long").alias("pct"),
+            F.col("b").cast("long").alias("bucket"),
+            # SQL shiftleft takes a column bit count; the PySpark
+            # wrapper insists on a literal int — go through expr.
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT) - 1)"
+                " AS BIGINT)"
+            ).alias("lo_cents"),
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) - 1"
+                " AS BIGINT)"
+            ).alias("hi_cents"),
+            F.col("n").cast("long").alias("n_pos"),
+        )
+        .orderBy("event_type", "pct")
+    )

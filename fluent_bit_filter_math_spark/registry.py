@@ -68,10 +68,10 @@ _LOADED = False
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
     # --- round 10 rotation (composition from tools/green_age.py) ---
-    # tier 1: never driver-checked — the 13 new r10 operators (the
+    # tier 1: never driver-checked — the 18 new r10 operators (the
     # streaming Python DataSource writer quadrant, VERDICT r9 #6, plus
-    # the retrieval/eval/sketch/audit/codec additions). Never-checked
-    # outranks stale (the r6 lesson).
+    # the retrieval/eval/sketch/audit/codec/stat additions).
+    # Never-checked outranks stale (the r6 lesson).
     "stream_pysink_roundtrip",
     "retrieval_rrf_fusion",
     "retrieval_ndcg_eval",
@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "agg_bootstrap_poisson",
     "dq_welch_t_squared",
     "q_rfm_segmentation",
+    "sketch_dd_quantiles",
+    "graph_jaccard_link_prediction",
     # tier 2: semantically touched in r10 — the bootstrap index went
     # two-level (VERDICT #3), the EWMA oracle moved to the
     # negative-safe '>> 2' fold and the z-band comparison to
@@ -124,21 +126,20 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 3b: 7 of the 33 r4-era stale greens, family-diverse
-    # (dedup, graph, embeddings, fn suites, joins, streaming
-    # windows). The 50-query window cuts after these; the 16 tier-1
-    # additions displaced the other r4-era refreshes to the explicit
-    # r11 queue below. After r10 no query's last driver green is
-    # older than r4.
+    # tier 3b: 5 of the 33 r4-era stale greens, family-diverse
+    # (dedup, graph, embeddings, fn suites, text). The 50-query
+    # window cuts after these; the 18 tier-1 additions displaced the
+    # other r4-era refreshes to the explicit r11 queue below. After
+    # r10 no query's last driver green is older than r4.
     "decontam_ngram_overlap",
     "dedup_ngram_jaccard",
     "emb_kmeans",
     "graph_pagerank",
     "fn_json_suite",
+    # Past slot 50 — the explicit r11 queue head: the 28 remaining
+    # r4-era queries, then the r5 cohort (39) by age.
     "join_salted_skew",
     "win_tumbling_hour",
-    # Past slot 50 — the explicit r11 queue head: the 26 remaining
-    # r4-era queries, then the r5 cohort (39) by age.
     "dedup_cluster_cc",
     "dedup_embedding_cosine",
     "scd2_user_state",

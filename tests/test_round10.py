@@ -681,3 +681,81 @@ def test_rfm_scores_partition_customers(spark, sf_dir):
     for dim in ("r", "m"):
         sizes = [digit_tot[(dim, s)] for s in range(1, 5)]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_dd_sketch_quantile_error_bound(spark, sf_dir):
+    """The log2-bucket sketch's structural guarantee: the TRUE discrete
+    q-quantile lies inside the reported [lo, hi] bucket — i.e. the
+    sketch answer is within 2x relative error of the exact order
+    statistic, per event_type and percentile."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.sketches import (
+        _DD_QS,
+        sketch_dd_quantiles,
+    )
+    from fluent_bit_filter_math_spark.sources import table as _table
+
+    vals = defaultdict(list)
+    for r in (
+        _table(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        if r["cents"] >= 1:
+            vals[r["event_type"]].append(r["cents"])
+    got = sketch_dd_quantiles(spark, sf_dir).collect()
+    assert len(got) == len(vals) * len(_DD_QS)
+    for r in got:
+        xs = sorted(vals[r["event_type"]])
+        assert r["n_pos"] == len(xs)
+        rank = (r["pct"] * len(xs) + 99) // 100  # ceil(q·n), 1-based
+        true_q = xs[rank - 1]
+        assert r["lo_cents"] <= true_q <= r["hi_cents"]
+        assert r["hi_cents"] < 2 * r["lo_cents"] + 1  # ≤2x bucket width
+
+
+def test_link_prediction_cap_not_binding_and_twin(spark, sf_dir):
+    """The degree cap must NOT bind on the fixture graph (scores are
+    exact Jaccard there), and a brute-force python twin over the
+    collected sampled graph must reproduce the top rows."""
+    from collections import defaultdict
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        _LP_DEG_CAP,
+        _tri_pipeline,
+        graph_jaccard_link_prediction,
+    )
+
+    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    assert deg.agg({"d": "max"}).collect()[0][0] <= _LP_DEG_CAP
+
+    edges = [(r["a"], r["b"]) for r in und.collect()]
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    eset = set(edges)
+    scores = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in eset:
+                continue
+            cn = len(nbrs[u] & nbrs[v])
+            if cn:
+                scores[(u, v)] = (
+                    cn,
+                    cn / (len(nbrs[u]) + len(nbrs[v]) - cn),
+                )
+    top = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:20]
+    got = graph_jaccard_link_prediction(spark, sf_dir).collect()
+    assert [
+        ((r["u"], r["v"]), (r["common_neighbors"], r["jaccard"]))
+        for r in got
+    ] == top
