@@ -1133,3 +1133,268 @@ def graph_jaccard_link_prediction(
         .orderBy(F.desc("jaccard"), F.asc("u"), F.asc("v"))
         .limit(_LP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS — hubs & authorities (Kleinberg, JACM'99) over the DIRECTED
+# part→supplier supply graph: parts are hubs (they "point at" the
+# suppliers stocking them), suppliers are authorities. Complements
+# PageRank with the other classic link-analysis fixpoint — the mutual
+# recursion auth = Aᵀ·hub, hub = A·auth.
+#
+# Determinism under the bitwise gate: scores live in 64-bit integer
+# fixed point, and each half-step L∞-normalizes by integer division
+# with the round's MAX (an exact integer, unlike an L2 norm):
+#   auth'(s) = (Σ hub(p)) · SCALE div max_s(Σ hub(p))
+# — sums of integers and integer division only, engine- and
+# order-exact. Overflow: normalized scores ≤ SCALE = 1e6, so a raw
+# sum is ≤ in-degree·1e6 and the ·SCALE product ≤ in-degree·1e12 —
+# int64-safe to in-degree ≈ 9.2e6 (document scale-out: DECIMAL(38)).
+#
+# Scale: each half-step is one broadcast-or-shuffle join (score table
+# is one row per node — the small side) plus one hash aggregate with
+# map-side partial sums; the max is a 1-row broadcast. Iterations are
+# unrolled (HITS_ITERS), the pagerank discipline; the edge list is
+# localCheckpoint-ed once, not re-derived per half-step.
+# ---------------------------------------------------------------------------
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+HITS_TOPK = 15
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+    a{i}r AS (
+      SELECT s, CAST(SUM(h) AS BIGINT) AS raw
+      FROM pairs JOIN {prev_h} USING (p) GROUP BY s
+    ),
+    a{i} AS (
+      SELECT s, CAST(raw * {HITS_SCALE}
+                     // (SELECT MAX(raw) FROM a{i}r) AS BIGINT) AS a
+      FROM a{i}r
+    ),
+    h{i}r AS (
+      SELECT p, CAST(SUM(a) AS BIGINT) AS raw
+      FROM pairs JOIN a{i} USING (s) GROUP BY p
+    ),
+    h{i} AS (
+      SELECT p, CAST(raw * {HITS_SCALE}
+                     // (SELECT MAX(raw) FROM h{i}r) AS BIGINT) AS h
+      FROM h{i}r
+    )""")
+        prev_h = f"h{i}"
+    last = HITS_ITERS
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    h0 AS (
+      SELECT DISTINCT p, CAST({HITS_SCALE} AS BIGINT) AS h FROM pairs
+    ),{",".join(steps)},
+    top_auth AS (
+      SELECT 'auth' AS role, s AS node, a AS score_fp,
+             CAST(row_number() OVER (ORDER BY a DESC, s) AS BIGINT) AS rank
+      FROM (SELECT * FROM a{last} ORDER BY a DESC, s LIMIT {HITS_TOPK})
+    ),
+    top_hub AS (
+      SELECT 'hub' AS role, p AS node, h AS score_fp,
+             CAST(row_number() OVER (ORDER BY h DESC, p) AS BIGINT) AS rank
+      FROM (SELECT * FROM h{last} ORDER BY h DESC, p LIMIT {HITS_TOPK})
+    )
+    SELECT role, node, score_fp, rank FROM top_auth
+    UNION ALL
+    SELECT role, node, score_fp, rank FROM top_hub
+    ORDER BY role, rank
+    """
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        # Materialized once — every half-step joins it (the
+        # recursive-CTE/_tri_pipeline discipline).
+        .localCheckpoint(eager=True)
+    )
+    h = pairs.select("p").distinct().select(
+        "p", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            pairs.join(h, "p")
+            .groupBy("s")
+            .agg(F.sum("h").cast("long").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("m"))
+        a = (
+            araw.crossJoin(F.broadcast(amax))
+            .select("s", F.expr(f"raw * {HITS_SCALE} div m").alias("a"))
+        )
+        hraw = (
+            pairs.join(a, "s")
+            .groupBy("p")
+            .agg(F.sum("a").cast("long").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("m"))
+        h = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select("p", F.expr(f"raw * {HITS_SCALE} div m").alias("h"))
+        )
+
+    def _top(df: DataFrame, key: str, score: str, role: str) -> DataFrame:
+        w = Window.orderBy(F.desc(score), F.asc(key))
+        return (
+            df.orderBy(F.desc(score), F.asc(key))
+            .limit(HITS_TOPK)
+            .select(
+                F.lit(role).alias("role"),
+                F.col(key).alias("node"),
+                F.col(score).alias("score_fp"),
+                F.row_number().over(w).cast("long").alias("rank"),
+            )
+        )
+
+    return (
+        _top(a, "s", "a", "auth")
+        .unionAll(_top(h, "p", "h", "hub"))
+        .orderBy("role", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# WEISFEILER–LEHMAN COLOR REFINEMENT — the 1-WL iteration behind WL
+# graph kernels (Shervashidze et al., JMLR'11) and graph-dedup
+# fingerprints: start from degree colors, then repeatedly re-color
+# every node with a hash of (own color, SORTED multiset of neighbor
+# colors). Emitted per round: the distinct-color count (the refinement
+# trajectory — how fast the graph's structure separates) and a
+# fingerprint hashing the sorted color multiset, the per-graph
+# signature a pipeline deduplicating a CORPUS OF GRAPHS (molecules,
+# ASTs, link graphs) would compare instead of quadratic isomorphism
+# checks. Runs on the hash-sparsified supplier co-occurrence graph
+# (the _tri_pipeline substrate, so the oracle rebuilds the identical
+# edge set).
+#
+# Determinism: colors are 60-bit portable md5 hashes (hash60 — the
+# COPY of DuckDB's spelling, not a JVM-private hash); neighbor
+# multisets serialize through NUMERIC sort + ','-join, identical in
+# both engines; no floats anywhere.
+#
+# Scale: each round is one join of the edge list against the one-row-
+# per-node color table plus one hash aggregate — PageRank's exact
+# shuffle shape, with the message being a sorted string instead of a
+# sum. The per-node collect is bounded by degree; the per-GRAPH
+# fingerprint fold is a single-row aggregate, which at corpus scale
+# runs per graph-id key (millions of small graphs), never globally.
+# ---------------------------------------------------------------------------
+WL_ROUNDS = 2
+
+
+def _wl_oracle() -> str:
+    und = f"""
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    e AS (
+      SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+    ),
+    c0 AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY v
+    )"""
+    rounds = []
+    for i in range(1, WL_ROUNDS + 1):
+        prev = f"c{i - 1}"
+        sig = (
+            f"CAST(o.c AS VARCHAR) || '|' || "
+            f"string_agg(CAST(n.c AS VARCHAR), ',' ORDER BY n.c)"
+        )
+        rounds.append(f"""
+    c{i} AS (
+      SELECT e.v, {duck_hash60(f"({sig})")} AS c
+      FROM e
+      JOIN {prev} o ON o.v = e.v
+      JOIN {prev} n ON n.v = e.nbr
+      GROUP BY e.v, o.c
+    )""")
+    summaries = " UNION ALL ".join(
+        f"""
+    SELECT CAST({i} AS BIGINT) AS wl_round,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_colors,
+           {duck_hash60("string_agg(CAST(c AS VARCHAR), ',' ORDER BY c)")}
+               AS fingerprint
+    FROM c{i}"""
+        for i in range(WL_ROUNDS + 1)
+    )
+    return (
+        "WITH " + und + "," + ",".join(rounds)
+        + summaries.join(["", "\n    ORDER BY wl_round"])
+    )
+
+
+@register("graph_wl_refinement", oracle=_wl_oracle())
+def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    colors = deg.select("v", F.col("d").cast("long").alias("c"))
+
+    def _summary(c: DataFrame, rnd: int) -> DataFrame:
+        return c.agg(
+            F.lit(rnd).cast("long").alias("wl_round"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.countDistinct("c").cast("long").alias("n_colors"),
+            hash60(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("c")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("fingerprint"),
+        )
+
+    out = _summary(colors, 0)
+    for rnd in range(1, WL_ROUNDS + 1):
+        own = colors.select("v", F.col("c").alias("oc"))
+        nbr = colors.select(F.col("v").alias("nbr"), F.col("c").alias("nc"))
+        msg = (
+            e.join(own, "v")
+            .join(nbr, "nbr")
+            .groupBy("v", "oc")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("nc")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("msg")
+            )
+        )
+        colors = msg.select(
+            "v",
+            hash60(
+                F.concat(F.col("oc").cast("string"), F.lit("|"), F.col("msg"))
+            ).alias("c"),
+        )
+        out = out.unionAll(_summary(colors, rnd))
+    return out.orderBy("wl_round")

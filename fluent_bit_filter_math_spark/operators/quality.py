@@ -1078,3 +1078,238 @@ def dq_welch_t_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CRAMÉR'S V — effect-size normalization of the chi-square statistic
+# (Cramér 1946), the standard "is this association actually LARGE?"
+# companion to dq_chi_square_independence: V = sqrt(χ²/(n·min(r−1,c−1)))
+# ∈ [0,1], comparable across tables of any shape. Audited pair here is
+# corpus COMPOSITION — documents' source × lang contingency — the
+# check a training-data pipeline runs to detect language mix drifting
+# per source before a mixture-weighted sample (sample_domain_mixture).
+#
+# Determinism: cell/margin/total counts are exact integers; each χ²
+# term is rounded to 1e-6 fixed point through the shared
+# floor(x·1e6 + 0.5) helper (the dq_chi_square_independence
+# discipline), so χ²_fp is an exact BIGINT; V is then one
+# identical-operand IEEE chain (two divisions + sqrt, both
+# correctly-rounded everywhere) on exact integers.
+#
+# Scale: one (source, lang) hash aggregate (cells ≪ rows), margins are
+# re-aggregates of the cell table, and the broadcast-joined term pass
+# never touches the fact table again — the chi-square shape exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2
+    ), margins AS (
+      SELECT source, SUM(o) AS r FROM cells GROUP BY source
+    ), cols AS (
+      SELECT lang, SUM(o) AS c FROM cells GROUP BY lang
+    ), tot AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT CAST(floor(
+                 CAST(cells.o * tot.n - margins.r * cols.c AS DOUBLE)
+                 * CAST(cells.o * tot.n - margins.r * cols.c AS DOUBLE)
+                 / CAST(margins.r * cols.c AS DOUBLE) / tot.n
+                 * 1000000.0 + 0.5) AS BIGINT) AS term_fp
+      FROM cells
+      JOIN margins USING (source)
+      JOIN cols USING (lang)
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(SUM(term_fp) AS BIGINT) AS chi2_fp FROM terms
+    ),
+    shape AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS r_cats,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS c_cats,
+             CAST(SUM(o) AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT chi2_fp, n, r_cats, c_cats,
+           sqrt(CAST(chi2_fp AS DOUBLE) / 1000000.0 / n
+                / least(r_cats - 1, c_cats - 1)) AS cramers_v
+    FROM agg CROSS JOIN shape
+    """,
+)
+def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    margins = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("lang").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    d = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = d * d / (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    terms = (
+        cells.join(F.broadcast(margins), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(term * 1000000.0 + F.lit(0.5)).cast("long").alias(
+                "term_fp"
+            )
+        )
+    )
+    agg = terms.agg(F.sum("term_fp").cast("long").alias("chi2_fp"))
+    shape = cells.agg(
+        F.countDistinct("source").cast("long").alias("r_cats"),
+        F.countDistinct("lang").cast("long").alias("c_cats"),
+        F.sum("o").cast("long").alias("n"),
+    )
+    return agg.crossJoin(F.broadcast(shape)).select(
+        "chi2_fp",
+        "n",
+        "r_cats",
+        "c_cats",
+        F.sqrt(
+            F.col("chi2_fp").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n")
+            / F.least(F.col("r_cats") - 1, F.col("c_cats") - 1)
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPEARMAN RANK TREND — per event_type rank correlation between value
+# and event time (Spearman 1904), the robust monotone-trend test a
+# quality pipeline runs where Pearson (udaf_group_ols' slope) would be
+# dragged by outliers. Tie-aware: each row gets its group's DOUBLED
+# centered average rank u = 2·rows_before + tie_count − n (an exact
+# integer; doubling clears the (cnt+1)/2 halves, centering by (n+1)
+# makes Σu = 0 exactly), and
+#   ρ = Σuv / (√Σu² · √Σv²)
+# — numerator/moments are exact BIGINTs, the final expression is an
+# identical-operand IEEE chain. |u| ≤ n bounds every moment by n³, so
+# int64 holds to n ≈ 2.09e6 rows per group (gate SFs are ≪; beyond
+# that the sums move to DECIMAL(38,0), the ts_zband discipline).
+#
+# Scale: ranks are assigned TWO-LEVEL (bucket on a key prefix +
+# exclusive prefix-sum of bucket counts — the dq_iqr/epoch-shuffle
+# discipline), with both window passes running over the DISTINCT-value
+# table, never a whole sorted group; the per-value u maps join back
+# broadcast-style and one hash aggregate emits the moments.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_spearman_trend",
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS xv,
+             epoch_us(ts) AS yv
+      FROM events
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n FROM r GROUP BY 1),
+    u AS (
+      SELECT event_type,
+             2 * (RANK() OVER (PARTITION BY event_type ORDER BY xv) - 1)
+               + COUNT(*) OVER (PARTITION BY event_type, xv) AS dx,
+             2 * (RANK() OVER (PARTITION BY event_type ORDER BY yv) - 1)
+               + COUNT(*) OVER (PARTITION BY event_type, yv) AS dy
+      FROM r
+    ),
+    s AS (
+      SELECT u.event_type,
+             CAST(MAX(n.n) AS BIGINT) AS n_events,
+             CAST(SUM((dx - n.n) * (dy - n.n)) AS BIGINT) AS suv,
+             CAST(SUM((dx - n.n) * (dx - n.n)) AS BIGINT) AS su2,
+             CAST(SUM((dy - n.n) * (dy - n.n)) AS BIGINT) AS sv2
+      FROM u JOIN n USING (event_type)
+      GROUP BY u.event_type
+    )
+    SELECT event_type, n_events, suv, su2, sv2,
+           CASE WHEN su2 = 0 OR sv2 = 0 THEN 0.0
+                ELSE CAST(suv AS DOUBLE)
+                     / sqrt(CAST(su2 AS DOUBLE))
+                     / sqrt(CAST(sv2 AS DOUBLE)) END AS spearman_rho
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def dq_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        exact_cents(F.col("value")).alias("xv"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("yv"),
+    )
+    totals = rows.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    def _dranks(col: str, shift: int) -> DataFrame:
+        """(event_type, <col>, dr) — dr = 2·rows_before + tie_count,
+        assigned two-level over the distinct-value table."""
+        vals = (
+            rows.groupBy("event_type", col)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("bucket", F.shiftright(F.col(col), shift))
+        )
+        bcounts = vals.groupBy("event_type", "bucket").agg(
+            F.sum("cnt").alias("bn")
+        )
+        wpre = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = bcounts.select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("offset"),
+        )
+        wib = (
+            Window.partitionBy("event_type", "bucket")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            vals.join(F.broadcast(offsets), ["event_type", "bucket"])
+            .select(
+                "event_type",
+                col,
+                (
+                    2
+                    * (
+                        F.col("offset")
+                        + F.coalesce(F.sum("cnt").over(wib), F.lit(0))
+                    )
+                    + F.col("cnt")
+                ).alias(f"dr_{col}"),
+            )
+        )
+
+    joined = (
+        rows.join(_dranks("xv", 6), ["event_type", "xv"])
+        .join(_dranks("yv", 32), ["event_type", "yv"])
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            (F.col("dr_xv") - F.col("n")).alias("ux"),
+            (F.col("dr_yv") - F.col("n")).alias("uy"),
+            "n",
+        )
+    )
+    s = joined.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum(F.col("ux") * F.col("uy")).cast("long").alias("suv"),
+        F.sum(F.col("ux") * F.col("ux")).cast("long").alias("su2"),
+        F.sum(F.col("uy") * F.col("uy")).cast("long").alias("sv2"),
+    )
+    rho = F.when(
+        (F.col("su2") == 0) | (F.col("sv2") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("suv").cast("double")
+        / F.sqrt(F.col("su2").cast("double"))
+        / F.sqrt(F.col("sv2").cast("double"))
+    )
+    return s.select(
+        "event_type", "n_events", "suv", "su2", "sv2",
+        rho.alias("spearman_rho"),
+    ).orderBy("event_type")
