@@ -1975,3 +1975,153 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# SILHOUETTE SCORE — clustering-quality evaluation (Rousseeuw, JCAM
+# 1987) in its centroid ("simplified") form, the variant every
+# large-scale eval uses because the exact form is an all-pairs
+# distance sum: per vector, a = dist to OWN label centroid, b = min
+# dist to any OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; the
+# per-label mean diagnoses which clusters are coherent vs smeared —
+# here over the fixtures' ground-truth labels, i.e. "how separable is
+# this embedding space labelwise", the check run before trusting
+# label-blocked SemDeDup pruning.
+#
+# Determinism: vectors and centroids are 1e6 fixed-point BIGINTs
+# (centroid = sum div n, the emb_centroid_by_label quantization), so
+# squared distances are EXACT integers; sqrt is correctly-rounded IEEE
+# in both engines, the s expression is an identical-operand chain, and
+# per-vector s pins through floor(s·1e9 + 0.5) BEFORE the label mean —
+# integer sums only across rows (never order-dependent float
+# accumulation).
+#
+# Scale: centroids are one posexplode aggregate (k·D rows) collected
+# to k broadcast rows; scoring is a map-side crossJoin against those k
+# centroid arrays (k ≪ corpus — the IVF/kmeans broadcast discipline);
+# one final k-group aggregate. No vector-vector pair is ever formed.
+# ---------------------------------------------------------------------------
+_SIL_S = 1_000_000_000
+
+
+@register(
+    "emb_silhouette",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding) AS e
+      FROM embeddings
+    ),
+    cm AS (
+      SELECT label, dim, COUNT(*) AS n,
+             SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                      AS BIGINT)) AS s
+      FROM ex GROUP BY 1, 2
+    ),
+    cents AS (
+      SELECT label AS clabel,
+             list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+      FROM cm GROUP BY label
+    ),
+    d AS (
+      SELECT q.vec_id, q.label, c.clabel,
+             CAST(list_aggregate(list_transform(
+                    range(1, len(q.xq) + 1),
+                    i -> (q.xq[i] - c.carr[i]) * (q.xq[i] - c.carr[i])),
+                  'sum') AS BIGINT) AS d2
+      FROM q CROSS JOIN cents c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d2 END) AS a2,
+             MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+      FROM d GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT label,
+             CAST(floor(
+               CASE WHEN GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                  sqrt(CAST(b2 AS DOUBLE))) = 0.0 THEN 0.0
+                    ELSE (sqrt(CAST(b2 AS DOUBLE))
+                          - sqrt(CAST(a2 AS DOUBLE)))
+                         / GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                    sqrt(CAST(b2 AS DOUBLE))) END
+               * {_SIL_S} + 0.5) AS BIGINT) AS s_fp
+      FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_fp) AS BIGINT) AS sum_s_fp,
+           CAST(SUM(s_fp) // COUNT(*) AS BIGINT) AS mean_s_fp
+    FROM s GROUP BY label ORDER BY label
+    """,
+)
+def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    micro = lambda e: F.floor(  # noqa: E731
+        e.cast("double") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    q = emb.select(
+        "vec_id", "label", F.transform("embedding", micro).alias("xq")
+    )
+    cm = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "e"))
+        .groupBy("label", "dim")
+        .agg(F.count("*").alias("n"), F.sum(micro(F.col("e"))).alias("s"))
+    )
+    cents = (
+        cm.select(
+            F.col("label").alias("clabel"),
+            F.struct("dim", F.expr("s div n").alias("c")).alias("dc"),
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dc")), lambda x: x["c"]
+            ).alias("carr")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("xq"), F.col("carr"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    sil = F.when(F.greatest(sa, sb) == 0.0, F.lit(0.0)).otherwise(
+        (sb - sa) / F.greatest(sa, sb)
+    )
+    s = ab.select(
+        "label",
+        F.floor(sil * F.lit(_SIL_S) + F.lit(0.5)).cast("long").alias("s_fp"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("s_fp").cast("long").alias("sum_s_fp"),
+            F.expr("sum(s_fp) div count(*)").cast("long").alias("mean_s_fp"),
+        )
+        .orderBy("label")
+    )

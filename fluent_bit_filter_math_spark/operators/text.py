@@ -1325,3 +1325,202 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.desc("freq"), F.asc("word"))
         .limit(RAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# FLESCH READING EASE — the classic readability score (Flesch 1948)
+# every text-quality stack reports next to Gopher rules:
+#   206.835 − 1.015·(words/sentences) − 84.6·(syllables/word).
+# Fixture documents are single-line with no sentence punctuation, so
+# each document IS one sentence (the same corpus adaptation
+# text_repetition_filter documents for Gopher's line rules).
+# Syllables use the standard dictionary-free heuristic: count vowel
+# GROUPS ([aeiouy]+ runs), subtract one silent trailing 'e' (kept for
+# '-le' endings: "table" = 2), floor at 1 per word.
+#
+# Determinism: word/syllable counts are exact integers; the score is
+# one fixed-order IEEE chain (literal·division products, two
+# subtracts) on exact ints — identical in both engines — then pinned
+# through the shared floor(x·1e6 + 0.5) fixed point. The difficulty
+# band is an integer comparison on the fixed-point score.
+#
+# Scale: pure map-side — per-document higher-order functions
+# (transform/aggregate over the token array, JVM codegen, no explode,
+# no shuffle except the final presentation sort).
+# ---------------------------------------------------------------------------
+_D_SYL = (
+    "list_aggregate(list_transform(string_split(text, ' '), "
+    "w -> GREATEST(1, CAST(len(regexp_extract_all(w, '[aeiouy]+')) "
+    "AS BIGINT) - CASE WHEN length(w) > 2 AND w LIKE '%e' "
+    "AND w NOT LIKE '%le' THEN 1 ELSE 0 END)), 'sum')"
+)
+
+
+@register(
+    "text_flesch_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST({_D_SYL} AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syllables,
+           CAST(floor((206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / 1.0)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                      * 1000000.0 + 0.5) AS BIGINT) AS flesch_fp,
+           CASE
+             WHEN floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / 1.0)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                        * 1000000.0 + 0.5) >= 70000000 THEN 'easy'
+             WHEN floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / 1.0)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                        * 1000000.0 + 0.5) >= 30000000 THEN 'standard'
+             WHEN floor((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / 1.0)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                        * 1000000.0 + 0.5) >= 0 THEN 'difficult'
+             ELSE 'very_confusing'
+           END AS band
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_flesch_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+
+    def _syl(w):
+        vg = F.regexp_count(w, F.lit("[aeiouy]+")).cast("long")
+        silent = (
+            F.when(
+                (F.length(w) > 2)
+                & w.endswith("e")
+                & ~w.endswith("le"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.greatest(F.lit(1).cast("long"), vg - silent)
+
+    m = df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(t, _syl),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.lit(1.0))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    fp = F.floor(flesch * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        m.select(
+            "doc_id",
+            "n_words",
+            "n_syllables",
+            fp.alias("flesch_fp"),
+            F.when(fp >= 70000000, "easy")
+            .when(fp >= 30000000, "standard")
+            .when(fp >= 0, "difficult")
+            .otherwise("very_confusing")
+            .alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI COLLOCATIONS — pointwise-mutual-information-ranked bigrams
+# (Church & Hanks, CL'90), the canonical collocation extractor next to
+# RAKE's degree scoring: PMI(x,y) = log(N·c(xy)/(c(x)·c(y))). log is
+# monotone, so the RANKING never needs it — the lift N·c(xy)/(c(x)c(y))
+# is ordered as an exact 1e6-scaled integer quotient instead
+# (c_xy·N·1e6 div c_x·c_y — int64-safe while c_xy·N < 9.2e12; the
+# 270k-token sf0.1 corpus sits 4 orders below, and a 100 TB corpus
+# shards this per domain before ranking). Bigrams below MIN_COUNT are
+# pruned before any join — the standard sparsity cut that also kills
+# the hapax-pair PMI pathology.
+#
+# Scale: one explode for bigram counts, one for unigram counts, both
+# partial-aggregatable; the unigram table is vocabulary-sized and
+# broadcast onto the pruned bigram table twice (w1, w2); top-k is
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOPK = 25
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n FROM tok),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w
+    ),
+    big AS (
+      SELECT u['w1'] AS w1, u['w2'] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS u
+        FROM tok
+      )
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT big.w1, big.w2, big.c_xy,
+           u1.c AS c_x, u2.c AS c_y,
+           CAST(big.c_xy * n.n * 1000000 // (u1.c * u2.c) AS BIGINT)
+               AS lift_fp
+    FROM big
+    JOIN uni u1 ON u1.w = big.w1
+    JOIN uni u2 ON u2.w = big.w2
+    CROSS JOIN n
+    ORDER BY lift_fp DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(tokens(F.col("text")).alias("t"))
+    n = toks.agg(F.sum(F.size("t")).cast("long").alias("n"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t = F.col("t")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        toks.select(F.explode(pairs).alias("u"))
+        .select(F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr("c_xy * n * 1000000 div (c_x * c_y)").alias("lift_fp"),
+        )
+        .orderBy(F.desc("lift_fp"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOPK)
+    )
