@@ -1,0 +1,262 @@
+"""Late-round-10 operator tests — invariants the sf-fixture oracle gate
+cannot pin on its own:
+
+* algebraic fixpoints (chi² ≡ 0 under exact independence, Spearman
+  ρ ≡ ±1 on monotone data, silhouette ≡ +1 on collapsed clusters);
+* unit semantics of the syllable heuristic and the PMI lift on
+  hand-computable corpora;
+* structural invariants of the iterative ops (HITS normalization hits
+  SCALE exactly; WL refinement never merges colors).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+
+def _write_documents(dirpath: str, texts: list[str]) -> None:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(os.path.join(dirpath, "documents.parquet"), index=False)
+
+
+def _write_documents_grid(dirpath: str) -> None:
+    """source ⟂ lang exactly: every (source, lang) cell has count 3."""
+    rows = []
+    for s in ("sA", "sB"):
+        for lg in ("en", "fr", "de"):
+            for i in range(3):
+                rows.append((len(rows), "w", lg, s, 1))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(os.path.join(dirpath, "documents.parquet"), index=False)
+
+
+def _write_events(dirpath: str, rows: list[tuple[int, float]]) -> None:
+    """(event_id, value) with ts strictly increasing in event_id."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(
+                [1704067200_000_000 + 60_000_000 * r[0] for r in rows],
+                unit="us",
+            ),
+            "user_id": [1] * len(rows),
+            "event_type": ["synthetic"] * len(rows),
+            "value": [r[1] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(os.path.join(dirpath, "events.parquet"), index=False)
+
+
+def _write_embeddings(
+    dirpath: str, vecs: list[tuple[int, list[float], int]]
+) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(dirpath, "embeddings.parquet"))
+
+
+def test_cramers_v_zero_under_exact_independence(spark, tmp_path):
+    """With a perfectly balanced source×lang grid, o·n = r·c in every
+    cell, so every fixed-point χ² term — and V itself — must be
+    EXACTLY zero (any engine round-off would show up here)."""
+    from fluent_bit_filter_math_spark.operators.quality import dq_cramers_v
+
+    d = str(tmp_path)
+    _write_documents_grid(d)
+    row = dq_cramers_v(spark, d).collect()[0]
+    assert row.chi2_fp == 0
+    assert row.cramers_v == 0.0
+    assert (row.r_cats, row.c_cats, row.n) == (2, 3, 18)
+
+
+def test_spearman_rho_exactly_one_on_monotone_data(spark, tmp_path):
+    """Strictly increasing values over strictly increasing time ⇒ the
+    doubled centered ranks coincide (u = v row-for-row) and
+    ρ = Σuv/(√Σu²·√Σv²) must be EXACTLY 1.0 — the identity only holds
+    if both rank assignments are exact."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_spearman_trend,
+    )
+
+    d = str(tmp_path)
+    _write_events(d, [(i, 10.0 + 3.5 * i) for i in range(40)])
+    row = dq_spearman_trend(spark, d).collect()[0]
+    assert row.suv == row.su2 == row.sv2 > 0
+    assert row.spearman_rho == 1.0
+
+
+def test_spearman_rho_minus_one_and_tie_centering(spark, tmp_path):
+    """Decreasing values ⇒ ρ = −1 exactly; and with ties the doubled
+    centered ranks must still sum to zero (Σu = 0 is the centering
+    invariant the two-level assignment has to preserve)."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_spearman_trend,
+    )
+
+    d = str(tmp_path)
+    _write_events(d, [(i, 1000.0 - 2.0 * i) for i in range(25)])
+    row = dq_spearman_trend(spark, d).collect()[0]
+    assert row.spearman_rho == -1.0
+    assert row.suv == -row.su2 == -row.sv2
+
+
+def test_hits_normalization_and_rank_shape(spark, sf_dir):
+    from fluent_bit_filter_math_spark.operators.graph import (
+        HITS_SCALE,
+        HITS_TOPK,
+        graph_hits,
+    )
+
+    rows = graph_hits(spark, sf_dir).collect()
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    assert set(by_role) == {"auth", "hub"}
+    for role, rs in by_role.items():
+        ranks = [r.rank for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= HITS_TOPK
+        scores = [r.score_fp for r in rs]
+        # L∞ normalization: the top node is exactly SCALE, the rest
+        # are ≤ and sorted non-increasing.
+        assert scores[0] == HITS_SCALE
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(0 <= s <= HITS_SCALE for s in scores)
+
+
+def test_wl_refinement_never_merges_colors(spark, sf_dir):
+    """1-WL refinement is a partition REFINEMENT: the distinct-color
+    count is non-decreasing round over round (hash collisions aside),
+    and the node count never changes."""
+    from fluent_bit_filter_math_spark.operators.graph import (
+        graph_wl_refinement,
+    )
+
+    rows = graph_wl_refinement(spark, sf_dir).collect()
+    assert [r.wl_round for r in rows] == [0, 1, 2]
+    assert len({r.n_nodes for r in rows}) == 1
+    assert rows[0].n_colors <= rows[1].n_colors <= rows[2].n_colors
+    # Degree-init gives few colors; one round must already separate.
+    assert rows[1].n_colors > rows[0].n_colors or rows[0].n_colors == rows[0].n_nodes
+
+
+def test_pr_at_k_internal_consistency(spark, sf_dir):
+    """hits is the running sum of rel; P@k and the AP numerator are
+    exact integer identities of it; rr_fp is 1e12 div first-rel rank."""
+    from fluent_bit_filter_math_spark.operators.retrieval import (
+        _PR_S,
+        retrieval_pr_at_k,
+    )
+
+    rows = retrieval_pr_at_k(spark, sf_dir).collect()
+    assert [r.k for r in rows] == list(range(1, len(rows) + 1))
+    run, ap = 0, 0
+    first_rel = None
+    for r in rows:
+        run += r.rel
+        assert r.hits == run
+        assert r.p_at_k_fp == r.hits * _PR_S // r.k
+        ap += r.rel * r.p_at_k_fp
+        assert r.ap_num_fp == ap
+        if first_rel is None and r.rel == 1:
+            first_rel = r.k
+    expect_rr = 0 if first_rel is None else _PR_S // first_rel
+    assert all(r.rr_fp == expect_rr for r in rows)
+
+
+def test_flesch_syllable_heuristic_units(spark, tmp_path):
+    """Hand-checked syllable counts: vowel groups, the silent trailing
+    'e', the '-le' exception, 'y' as a vowel, and the floor at 1."""
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_flesch_readability,
+    )
+
+    d = str(tmp_path)
+    cases = {
+        "table": 2,   # ta-ble: '-le' keeps its e
+        "make": 1,    # silent trailing e drops
+        "a": 1,       # floor at 1 (len ≤ 2 keeps its vowel)
+        "rhythm": 1,  # y counts as a vowel group
+        "queue": 1,   # 'ueue' is ONE vowel run
+        "banana": 3,
+        "grr": 1,     # no vowels still floors at 1
+    }
+    _write_documents(d, [w for w in cases])
+    rows = {r.doc_id: r for r in text_flesch_readability(spark, d).collect()}
+    for i, (w, syl) in enumerate(cases.items()):
+        assert rows[i].n_words == 1
+        assert rows[i].n_syllables == syl, w
+        # One-word doc: flesch = 206.835 − 1.015 − 84.6·syl, pinned.
+        expect = math.floor(
+            (206.835 - 1.015 * 1.0 - 84.6 * (syl / 1)) * 1e6 + 0.5
+        )
+        assert rows[i].flesch_fp == expect, w
+
+
+def test_pmi_lift_hand_computed(spark, tmp_path):
+    """Corpus of 6 docs 'xx yy zz' ⇒ N=18, c(xx)=c(yy)=c(zz)=6,
+    c(xx,yy)=c(yy,zz)=6: lift = 6·18·1e6 div 36 = 3e6 for both
+    bigrams; nothing below min-count leaks in."""
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_pmi_collocations,
+    )
+
+    d = str(tmp_path)
+    _write_documents(d, ["xx yy zz"] * 6)
+    rows = text_pmi_collocations(spark, d).collect()
+    got = {(r.w1, r.w2): r for r in rows}
+    assert set(got) == {("xx", "yy"), ("yy", "zz")}
+    for r in rows:
+        assert r.c_xy == 6 and r.c_x == 6 and r.c_y == 6
+        assert r.lift_fp == 6 * 18 * 1_000_000 // 36
+
+
+def test_silhouette_collapsed_clusters_score_one(spark, tmp_path):
+    """Vectors identical within each label and labels far apart:
+    a = 0 and b > 0 for every vector, so every per-vector s_fp is
+    EXACTLY 1e9 and so is each label mean."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        _SIL_S,
+        emb_silhouette,
+    )
+
+    d = str(tmp_path)
+    dim = 8
+    vecs = []
+    for vid in range(6):
+        label = vid % 2
+        base = [0.0] * dim
+        base[0] = 0.4 if label == 0 else -0.4
+        vecs.append((vid, base, label))
+    _write_embeddings(d, vecs)
+    rows = emb_silhouette(spark, d).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_vecs == 3
+        assert r.mean_s_fp == _SIL_S
+        assert r.sum_s_fp == 3 * _SIL_S
