@@ -70,8 +70,22 @@ _PRIORITY: tuple[str, ...] = (
     # --- round 10 rotation (composition from tools/green_age.py) ---
     # tier 1: never driver-checked — the 18 new r10 operators (the
     # streaming Python DataSource writer quadrant, VERDICT r9 #6, plus
-    # the retrieval/eval/sketch/audit/codec/stat additions).
-    # Never-checked outranks stale (the r6 lesson).
+    # the retrieval/eval/sketch/audit/codec/stat additions), and the
+    # 8 late-r10 additions (rank/effect-size stats, link analysis, WL
+    # fingerprints, retrieval eval, readability/PMI, silhouette).
+    # Never-checked outranks stale (the r6 lesson): a query with NO
+    # driver row ever is a coverage hole; a stale green still has
+    # current-fixture evidence in CORRECTNESS_LOCAL.json. The 8 slots
+    # they take come from the window's tail (3 r1-era + 5 r4-era
+    # refreshes, moved to the r11 queue head below).
+    "dq_cramers_v",
+    "dq_spearman_trend",
+    "graph_hits",
+    "graph_wl_refinement",
+    "retrieval_pr_at_k",
+    "text_flesch_readability",
+    "text_pmi_collocations",
+    "emb_silhouette",
     "stream_pysink_roundtrip",
     "retrieval_rrf_fusion",
     "retrieval_ndcg_eval",
@@ -123,21 +137,19 @@ _PRIORITY: tuple[str, ...] = (
     "sim_range_search",
     "sim_ann_bucketed",
     "text_lang_id",
+    # The 50-query window cuts after the 21st r1-era refresh: the 8
+    # late-r10 additions displaced the window's old tail (3 r1-era +
+    # the 5 family-diverse r4-era picks) to the r11 queue head below.
+    # Past slot 50 — the explicit r11 queue: displaced r1-era first
+    # (oldest greens), then the r4-era cohort, then r5 by age.
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",
-    # tier 3b: 5 of the 33 r4-era stale greens, family-diverse
-    # (dedup, graph, embeddings, fn suites, text). The 50-query
-    # window cuts after these; the 18 tier-1 additions displaced the
-    # other r4-era refreshes to the explicit r11 queue below. After
-    # r10 no query's last driver green is older than r4.
     "decontam_ngram_overlap",
     "dedup_ngram_jaccard",
     "emb_kmeans",
     "graph_pagerank",
     "fn_json_suite",
-    # Past slot 50 — the explicit r11 queue head: the 28 remaining
-    # r4-era queries, then the r5 cohort (39) by age.
     "join_salted_skew",
     "win_tumbling_hour",
     "dedup_cluster_cc",
