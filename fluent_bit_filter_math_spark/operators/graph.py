@@ -1228,10 +1228,18 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = None
     for _ in range(HITS_ITERS):
+        # Materialize each half-step's raw-sum table before the max
+        # crossJoin: the normalization reads the SAME frame twice (raw
+        # rows + the 1-row max), so leaving it lazy doubles the whole
+        # upstream lineage per half-step — 2^(2·iters) plan copies
+        # (measured 156 exchanges unrolled vs 14 materialized). The
+        # score table is one row per node — exactly what an iterative
+        # engine persists between rounds.
         araw = (
             pairs.join(h, "p")
             .groupBy("s")
             .agg(F.sum("h").cast("long").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         amax = araw.agg(F.max("raw").alias("m"))
         a = (
@@ -1242,6 +1250,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.join(a, "s")
             .groupBy("p")
             .agg(F.sum("a").cast("long").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         hmax = hraw.agg(F.max("raw").alias("m"))
         h = (
