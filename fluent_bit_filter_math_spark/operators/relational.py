@@ -2776,3 +2776,186 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("rfm_cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# HERFINDAHL–HIRSCHMAN CONCENTRATION — HHI = Σ share² of each lang's
+# character volume across sources, plus its reciprocal (the "effective
+# number of sources", Laakso-Taagepera'79). This is the corpus-
+# composition concentration check a training-data pipeline runs next
+# to dq_cramers_v's association test: a language whose data is one
+# crawl source away from disappearing shows up as eff_sources → 1
+# long before sampling weights (sample_domain_mixture) are chosen.
+#
+# Exactness: shares are never materialized — HHI = (Σ c_i²)/(Σ c_i)²
+# on exact BIGINT character counts, emitted as numerator/denominator
+# plus ONE IEEE division each for hhi and eff_sources. int64 holds
+# while per-(lang, source) chars < 3e9 and per-lang totals < 3e9
+# (gate SFs are ~1e5; a 100 TB corpus moves the two sums to
+# DECIMAL(38,0), the ts_zband discipline).
+#
+# Scale: one (lang, source) hash aggregate (cells ≪ rows), one
+# lang re-aggregate — both partial-aggregatable; nothing but the
+# lang-cardinality result ever shuffles twice.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_hhi_source_mix",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(c) AS BIGINT) AS sum_chars,
+           CAST(SUM(c * c) AS BIGINT) AS hhi_num,
+           CAST(SUM(c) * SUM(c) AS BIGINT) AS hhi_den,
+           CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)) AS hhi,
+           CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c) AS eff_sources
+    FROM cells
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def agg_hhi_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("long").alias("c")
+    )
+    return (
+        cells.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum("c").cast("long").alias("sum_chars"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("hhi_num"),
+            (F.sum("c") * F.sum("c")).cast("long").alias("hhi_den"),
+            (
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                / (F.sum("c") * F.sum("c"))
+            ).alias("hhi"),
+            (
+                (F.sum("c") * F.sum("c")).cast("double")
+                / F.sum(F.col("c") * F.col("c"))
+            ).alias("eff_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LORENZ DECILE CURVE — the cumulative-share-by-decile table behind
+# agg_gini_concentration's single number (Lorenz 1905): customers
+# sorted ASCENDING by exact-cents total spend; at each decile d the
+# cumulative share of revenue held by the bottom d·10% of customers.
+# The reporting artifact ("bottom half of customers hold 18% of
+# revenue") a revenue-concentration audit actually ships.
+#
+# Exactness: ranks and boundaries are pure integer arithmetic — row
+# rk's smallest containing decile is ceil(10·rk/n) = (10·rk+n−1) div n
+# and |decile d| = floor(d·n/10), consistent by construction; shares
+# are 1e12-scaled integer divisions of exact cents sums. No floats at
+# all.
+#
+# Scale: per-customer totals are one hash aggregate; ranks are
+# assigned TWO-LEVEL (cents-high-bits bucket + exclusive bucket
+# prefix — the dq_iqr discipline, no global customer sort); the
+# decile rollup aggregates to ≤10 rows before a 10-row window.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rk,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM cust
+    ),
+    d AS (
+      SELECT (10 * rk + n - 1) // n AS decile,
+             MAX(n) AS n, MAX(total) AS total,
+             CAST(SUM(cents) AS BIGINT) AS bucket_cents,
+             COUNT(*) AS bucket_n
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(bucket_n) OVER w AS BIGINT) AS n_cum,
+           CAST(SUM(bucket_cents) OVER w AS BIGINT) AS cum_cents,
+           CAST(MAX(total) OVER () AS BIGINT) AS total_cents,
+           -- widen through HUGEINT: cum_cents·1e12 exceeds int64 the
+           -- moment total cents pass ~9.2e6 (Spark side mirrors with
+           -- DECIMAL(38,0))
+           CAST(CAST(SUM(bucket_cents) OVER w AS HUGEINT)
+                * 1000000000000 // MAX(total) OVER () AS BIGINT)
+               AS share_fp
+    FROM d
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(exact_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    # Two-level rank over (cents, o_custkey): bucket on the cents high
+    # bits (a prefix of the sort key), exclusive prefix-sum of bucket
+    # counts, then a within-bucket window — no global customer sort.
+    keyed = cust.withColumn("bucket", F.shiftright(F.col("cents"), 16))
+    bcounts = keyed.groupBy("bucket").agg(F.count("*").alias("bn"))
+    wpre = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bcounts.select(
+        "bucket", F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("off")
+    )
+    wib = Window.partitionBy("bucket").orderBy("cents", "o_custkey")
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    r = (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "cents",
+            (F.col("off") + F.row_number().over(wib)).alias("rk"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    d = (
+        r.groupBy(F.expr("(10 * rk + n - 1) div n").alias("decile"))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("total").alias("total"),
+            F.sum("cents").cast("long").alias("bucket_cents"),
+            F.count("*").alias("bucket_n"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        d.select(
+            F.col("decile").cast("long").alias("decile"),
+            F.sum("bucket_n").over(w).cast("long").alias("n_cum"),
+            F.sum("bucket_cents").over(w).cast("long").alias("cum_cents"),
+            F.max("total").over(wall).cast("long").alias("total_cents"),
+            F.expr(
+                "cast(sum(bucket_cents) OVER (ORDER BY decile ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,0))"
+                " * 1000000000000"
+                " div max(total) OVER (ORDER BY decile ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            ).alias("share_fp"),
+        )
+        .orderBy("decile")
+    )

@@ -78,6 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     # current-fixture evidence in CORRECTNESS_LOCAL.json. The 8 slots
     # they take come from the window's tail (3 r1-era + 5 r4-era
     # refreshes, moved to the r11 queue head below).
+    "agg_hhi_source_mix",
+    "agg_lorenz_deciles",
     "dq_cramers_v",
     "dq_spearman_trend",
     "graph_hits",
@@ -135,13 +137,13 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_signatures",
     "dedup_simhash",
     "sim_range_search",
-    "sim_ann_bucketed",
-    "text_lang_id",
-    # The 50-query window cuts after the 21st r1-era refresh: the 8
-    # late-r10 additions displaced the window's old tail (3 r1-era +
+    # The 50-query window cuts after the 19th r1-era refresh: the 10
+    # late-r10 additions displaced the window's old tail (5 r1-era +
     # the 5 family-diverse r4-era picks) to the r11 queue head below.
     # Past slot 50 — the explicit r11 queue: displaced r1-era first
     # (oldest greens), then the r4-era cohort, then r5 by age.
+    "sim_ann_bucketed",
+    "text_lang_id",
     "text_token_count_regex",
     "text_fingerprint",
     "text_bigrams",

@@ -260,3 +260,86 @@ def test_silhouette_collapsed_clusters_score_one(spark, tmp_path):
         assert r.n_vecs == 3
         assert r.mean_s_fp == _SIL_S
         assert r.sum_s_fp == 3 * _SIL_S
+
+
+def _write_orders(dirpath: str, rows: list[tuple[int, int, float]]) -> None:
+    """(o_orderkey, o_custkey, o_totalprice) with full orders schema."""
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": pd.to_datetime(
+                [1704067200_000_000] * len(rows), unit="us"
+            ),
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    )
+    pdf.to_parquet(os.path.join(dirpath, "orders.parquet"), index=False)
+
+
+def test_hhi_monopoly_and_uniform_fixpoints(spark, tmp_path):
+    """One source ⇒ HHI exactly 1; k equal sources ⇒ hhi_num·k =
+    hhi_den exactly (HHI = 1/k) and eff_sources = k."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_hhi_source_mix,
+    )
+
+    d = str(tmp_path)
+    rows = []
+    # lang 'mono': all chars from one source; lang 'quad': 4 equal.
+    for i in range(6):
+        rows.append((len(rows), "w" * 10, "mono", "only", 10))
+    for s in ("s1", "s2", "s3", "s4"):
+        rows.append((len(rows), "w" * 25, "quad", s, 25))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    got = {r.lang: r for r in agg_hhi_source_mix(spark, d).collect()}
+    assert got["mono"].hhi == 1.0 and got["mono"].eff_sources == 1.0
+    q = got["quad"]
+    assert q.n_sources == 4
+    assert q.hhi_num * 4 == q.hhi_den
+    assert q.hhi == 0.25 and q.eff_sources == 4.0
+
+
+def test_lorenz_uniform_spend_is_diagonal(spark, tmp_path):
+    """Equal spend per customer ⇒ the Lorenz curve IS the diagonal:
+    at each decile share_fp = n_cum·1e12 div n, and the last decile
+    closes at exactly 1e12 with cum_cents = total_cents."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_lorenz_deciles,
+    )
+
+    d = str(tmp_path)
+    n = 40
+    _write_orders(d, [(i, i, 250.0) for i in range(n)])
+    rows = agg_lorenz_deciles(spark, d).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert r.share_fp == r.n_cum * 10**12 // n
+    last = rows[-1]
+    assert last.n_cum == n
+    assert last.cum_cents == last.total_cents
+    assert last.share_fp == 10**12
+
+
+def test_lorenz_concentrated_spend_is_convex(spark, tmp_path):
+    """One whale holds ~all revenue: bottom deciles' shares stay near
+    zero, the curve is non-decreasing and convex in the bucket sums,
+    and ranks are ascending by spend (the whale lands in decile 10)."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_lorenz_deciles,
+    )
+
+    d = str(tmp_path)
+    orders = [(i, i, 1.0) for i in range(19)] + [(19, 19, 981.0)]
+    _write_orders(d, orders)
+    rows = agg_lorenz_deciles(spark, d).collect()
+    shares = [r.share_fp for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    # bottom 90% of customers hold 19/1000 of revenue
+    assert rows[-2].cum_cents == 18 * 100
+    assert rows[-1].share_fp == 10**12
