@@ -343,3 +343,72 @@ def test_lorenz_concentrated_spend_is_convex(spark, tmp_path):
     # bottom 90% of customers hold 19/1000 of revenue
     assert rows[-2].cum_cents == 18 * 100
     assert rows[-1].share_fp == 10**12
+
+
+def test_spearman_two_level_ranks_match_naive_model(spark, tmp_path):
+    """12 seeded-random groups (ties in value AND time, negatives,
+    skewed magnitudes) through ONE Spark job vs a pure-Python
+    average-rank Spearman: the two-level bucket rank must reproduce
+    the naive doubled-centered ranks EXACTLY — suv/su2/sv2 integer-
+    equal and rho bitwise — including across shiftright bucket
+    boundaries of negative cents."""
+    import random as rnd
+
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_spearman_trend,
+    )
+
+    r = rnd.Random(0xC0FFEE)
+    rows = []
+    expected = {}
+    eid = 0
+    for g in range(12):
+        n = r.randint(3, 60)
+        # cents drawn from a small pool → many ties; mixed signs.
+        pool = [r.randint(-5000, 5000) for _ in range(max(2, n // 3))]
+        cents = [r.choice(pool) for _ in range(n)]
+        # timestamps: minute grid with duplicates (ties in y).
+        mins = sorted(r.choice(range(n)) for _ in range(n))
+        us = [1704067200_000_000 + 60_000_000 * m for m in mins]
+
+        def dranks(vals):
+            svals = sorted(vals)
+            first = {}
+            cnt = {}
+            for i, v in enumerate(svals):
+                first.setdefault(v, i)
+                cnt[v] = cnt.get(v, 0) + 1
+            return [2 * first[v] + cnt[v] for v in vals]
+
+        dx, dy = dranks(cents), dranks(us)
+        suv = sum((a - n) * (b - n) for a, b in zip(dx, dy))
+        su2 = sum((a - n) ** 2 for a in dx)
+        sv2 = sum((b - n) ** 2 for b in dy)
+        rho = (
+            0.0
+            if su2 == 0 or sv2 == 0
+            else suv / math.sqrt(su2) / math.sqrt(sv2)
+        )
+        expected[f"g{g:02d}"] = (n, suv, su2, sv2, rho)
+        for c, u in zip(cents, us):
+            rows.append((eid, f"g{g:02d}", c / 100.0, u))
+            eid += 1
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [x[0] for x in rows],
+            "ts": pd.to_datetime([x[3] for x in rows], unit="us"),
+            "user_id": [1] * len(rows),
+            "event_type": [x[1] for x in rows],
+            "value": [x[2] for x in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = str(tmp_path)
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    got = {r2.event_type: r2 for r2 in dq_spearman_trend(spark, d).collect()}
+    assert set(got) == set(expected)
+    for g, (n, suv, su2, sv2, rho) in expected.items():
+        row = got[g]
+        assert (row.n_events, row.suv, row.su2, row.sv2) == (n, suv, su2, sv2), g
+        assert row.spearman_rho == rho, g
