@@ -438,3 +438,76 @@ def test_zvalue_expression_matches_python_model(spark, sf_dir):
     )
     for r in df.collect():
         assert r.z == _py_zvalue(r.a, r.b), (r.a, r.b)
+
+
+def test_spearman_never_globally_sorts_raw_values(spark, sf_dir):
+    """Both rank maps are built from distinct-value aggregates; a naive
+    per-row RANK() would need a global value sort, which would surface
+    as a rangepartitioning exchange on xv/yv. Forbid it (the final
+    presentation orderBy on event_type is the only range exchange)."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_spearman_trend,
+    )
+
+    plan = plan_of(dq_spearman_trend(spark, sf_dir))
+    assert "rangepartitioning(xv" not in plan
+    assert "rangepartitioning(yv" not in plan
+
+
+def test_lorenz_never_globally_sorts_customers(spark, sf_dir):
+    """Customer ranks come from the two-level bucket scheme; a global
+    spend sort would appear as a rangepartitioning exchange on cents."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_lorenz_deciles,
+    )
+
+    plan = plan_of(agg_lorenz_deciles(spark, sf_dir))
+    assert "rangepartitioning(cents" not in plan
+
+
+def test_silhouette_centroids_broadcast_not_cartesian(spark, sf_dir):
+    """The k-row centroid table must reach every vector as a broadcast
+    (BroadcastNestedLoopJoin from the hinted crossJoin) — never a
+    CartesianProduct, which would shuffle the corpus."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        emb_silhouette,
+    )
+
+    plan = plan_of(emb_silhouette(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_unigram_joins_broadcast(spark, sf_dir):
+    """Both vocabulary joins onto the pruned bigram table broadcast;
+    a SortMergeJoin would mean the vocab shuffled the bigram table."""
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_pmi_collocations,
+    )
+
+    plan = plan_of(text_pmi_collocations(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_hits_lineage_stays_flat(spark, sf_dir):
+    """The half-step materialization keeps the unrolled HITS plan flat:
+    without it the max-normalization crossJoin doubles the upstream
+    lineage per half-step (measured 156 exchanges at 2 iterations).
+    Allow a small constant budget."""
+    from fluent_bit_filter_math_spark.operators.graph import graph_hits
+
+    plan = plan_of(graph_hits(spark, sf_dir))
+    assert plan.count("Exchange") <= 8, plan.count("Exchange")
+
+
+def test_pr_at_k_pool_is_take_ordered(spark, sf_dir):
+    """The top-PR_K pool cut executes as TakeOrderedAndProject — each
+    partition keeps its local k — so the eval windows only ever see
+    k rows."""
+    from fluent_bit_filter_math_spark.operators.retrieval import (
+        retrieval_pr_at_k,
+    )
+
+    plan = plan_of(retrieval_pr_at_k(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
