@@ -1407,3 +1407,109 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(_summary(colors, rnd))
     return out.orderBy("wl_round")
+
+
+# ---------------------------------------------------------------------------
+# PERSONALIZED PAGERANK — random walk with restart to a SEED set
+# (Jeh & Widom WWW'03; the recommendation/local-community primitive:
+# "rank everything by proximity to THESE nodes"): mass starts on the
+# seeds and teleports back only to them, so scores decay with graph
+# distance from the seed set instead of measuring global centrality.
+# Seeds are the parts with partkey % 100 = 0 (node % 200 = 0 in the
+# bipartite numbering — a pure predicate both engines share).
+#
+# Same engine-exact integer formulation as graph_pagerank:
+#   rank'(v) = 1[v∈S]·(15·SCALE) div 100 + (85·Σ contrib) div 100,
+#   r0(v)    = 1[v∈S]·SCALE
+# — integer sums and divisions only; non-seeds get mass exclusively
+# through propagation. Unrolled PR_ITERS rounds over the SAME cached
+# edge index; output is the top-PPR_TOPK nodes (a proximity ranking
+# is consumed top-k, unlike the global rank table).
+# ---------------------------------------------------------------------------
+PPR_TOPK = 20
+
+
+def _ppr_oracle() -> str:
+    seed = "CASE WHEN src % 200 = 0 THEN 1 ELSE 0 END"
+    steps = []
+    for i in range(1, PR_ITERS + 1):
+        steps.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r{i - 1}.rank_fp // deg.d) AS contrib
+      FROM edges e
+      JOIN r{i - 1} ON r{i - 1}.node = e.src AND r{i - 1}.rank_fp > 0
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT deg.src AS node,
+             CAST((CASE WHEN deg.src % 200 = 0
+                        THEN (15 * {PR_SCALE}) // 100 ELSE 0 END)
+                  + (85 * COALESCE(c{i}.contrib, 0)) // 100 AS BIGINT)
+                 AS rank_fp
+      FROM deg LEFT JOIN c{i} ON c{i}.node = deg.src
+    )""")
+    return f"""
+    WITH {_D_EDGES},
+    r0 AS (
+      SELECT src AS node,
+             CAST(({seed}) * {PR_SCALE} AS BIGINT) AS rank_fp
+      FROM deg
+    ),{",".join(steps)}
+    SELECT node, rank_fp,
+           CAST(row_number() OVER (ORDER BY rank_fp DESC, node) AS BIGINT)
+               AS rank
+    FROM (SELECT * FROM r{PR_ITERS}
+          ORDER BY rank_fp DESC, node LIMIT {PPR_TOPK})
+    ORDER BY rank
+    """
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges, deg = _edge_index(spark, sf_dir)
+    teleport = F.when(F.col("src") % 200 == 0, F.lit((15 * PR_SCALE) // 100)) \
+        .otherwise(F.lit(0))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        (
+            F.when(F.col("src") % 200 == 0, F.lit(PR_SCALE)).otherwise(0)
+        ).cast("long").alias("rank_fp"),
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            # rank_fp > 0 prunes the frontier: early PPR rounds touch
+            # only the seed neighborhood, exactly how a local-walk
+            # engine bounds work (and a no-op for correctness — zero
+            # mass contributes zero).
+            edges.join(
+                ranks.filter(F.col("rank_fp") > 0),
+                edges["src"] == F.col("node"),
+            )
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fp div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = deg.join(
+            contribs, deg["src"] == contribs["dst"], "left"
+        ).select(
+            F.col("src").alias("node"),
+            (
+                teleport + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).cast("long").alias("rank_fp"),
+        )
+    w = Window.orderBy(F.desc("rank_fp"), F.asc("node"))
+    return (
+        ranks.orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(PPR_TOPK)
+        .select(
+            "node", "rank_fp",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )

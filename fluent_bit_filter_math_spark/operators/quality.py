@@ -1313,3 +1313,97 @@ def dq_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "suv", "su2", "sv2",
         rho.alias("spearman_rho"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ℓ-DIVERSITY — the release-gate check k-anonymity alone
+# cannot give (Machanavajjhala et al., ICDE'06): a QI class can be
+# large (k-anonymous) yet have every member share one sensitive value,
+# so membership still discloses it (the homogeneity attack). Audited
+# here with dq_k_anonymity's QI pair (nation, market segment) and the
+# account-balance $2000 band as the sensitive attribute: per class,
+# ℓ = COUNT(DISTINCT band); classes below ℓ_min are emitted alongside
+# the global minimum and rows-at-risk totals.
+#
+# Determinism: the band is integer cents div 200000 (both engines
+# truncate toward zero, exercised on negative balances); everything
+# else is exact counting.
+#
+# Scale: one (QI, band) hash aggregate, one QI re-aggregate, one 1-row
+# broadcast-back — the k-anonymity shape with a distinct layer, all
+# partial-aggregatable, class count bounded by the QI domain.
+# ---------------------------------------------------------------------------
+_LDIV_MIN = 5
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH bands AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) // 200000
+                 AS band,
+             COUNT(*) AS n
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(SUM(n) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS l_distinct
+      FROM bands GROUP BY 1, 2
+    ),
+    summary AS (
+      SELECT CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+             CAST(SUM(CASE WHEN l_distinct < {_LDIV_MIN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS risky_classes,
+             CAST(SUM(CASE WHEN l_distinct < {_LDIV_MIN}
+                           THEN class_size ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk
+      FROM classes
+    )
+    SELECT c.c_nationkey, c.c_mktsegment, c.class_size, c.l_distinct,
+           s.l_diversity, s.risky_classes, s.rows_at_risk
+    FROM classes c, summary s
+    WHERE c.l_distinct < {_LDIV_MIN}
+    ORDER BY c.c_nationkey, c.c_mktsegment
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    cust = table(spark, sf_dir, "customer")
+    bands = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "cast(floor(c_acctbal * 100.0 + 0.5) as bigint) div 200000"
+        ).alias("band"),
+    ).groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").alias("n")
+    )
+    classes = bands.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("l_distinct"),
+    )
+    summary = classes.agg(
+        F.min("l_distinct").cast("long").alias("l_diversity"),
+        F.sum((F.col("l_distinct") < _LDIV_MIN).cast("long"))
+        .cast("long")
+        .alias("risky_classes"),
+        F.sum(
+            F.when(F.col("l_distinct") < _LDIV_MIN, F.col("class_size"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("rows_at_risk"),
+    )
+    return (
+        classes.filter(F.col("l_distinct") < _LDIV_MIN)
+        .crossJoin(F.broadcast(summary))
+        .select(
+            "c_nationkey", "c_mktsegment", "class_size", "l_distinct",
+            "l_diversity", "risky_classes", "rows_at_risk",
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

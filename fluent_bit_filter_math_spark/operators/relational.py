@@ -2959,3 +2959,89 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# REPEAT-PURCHASE INTERVALS — the inter-order gap distribution behind
+# every retention/replenishment model (the "natural purchase cycle"
+# next to q_cohort_retention's calendar grid): per customer, the
+# DISCRETE lower median of day gaps between consecutive orders, then
+# the customer census per median-gap WEEK bucket.
+#
+# Determinism: gaps are exact integer epoch-µs differences div
+# 86 400 000 000; the per-customer median is a selected element of the
+# sorted gap array (element_at((n+1) div 2) — 1-based in both
+# engines), never interpolation; buckets are integer div 7.
+#
+# Scale: the lag window partitions by customer — bounded, skew-free
+# groups (orders per customer ≈ 10, never a hot key); the per-customer
+# gap array is equally bounded, so collect_list is O(orders-per-
+# customer), not a whole-group materialization risk; the final census
+# is one small hash aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q_repeat_purchase_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             (epoch_us(o_orderdate)
+              - lag(epoch_us(o_orderdate)) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY epoch_us(o_orderdate), o_orderkey))
+             // 86400000000 AS gap_days
+      FROM orders
+    ),
+    med AS (
+      SELECT o_custkey, l[(len(l) + 1) // 2] AS median_gap_days
+      FROM (
+        SELECT o_custkey, list(gap_days ORDER BY gap_days) AS l
+        FROM seq WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+      )
+    )
+    SELECT CAST(median_gap_days // 7 AS BIGINT) AS gap_week,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(median_gap_days) AS BIGINT) AS min_gap_days,
+           CAST(MAX(median_gap_days) AS BIGINT) AS max_gap_days
+    FROM med
+    GROUP BY 1
+    ORDER BY gap_week
+    """,
+)
+def q_repeat_purchase_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("us"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("us", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.expr(
+            "(us - lag(us) OVER (PARTITION BY o_custkey"
+            " ORDER BY us, o_orderkey)) div 86400000000"
+        ).alias("gap_days"),
+    )
+    med = (
+        seq.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("gap_days")).alias("l"))
+        .select(
+            F.expr(
+                "element_at(l, cast((size(l) + 1) div 2 as int))"
+            ).alias("median_gap_days")
+        )
+    )
+    return (
+        med.groupBy(
+            F.expr("median_gap_days div 7").cast("long").alias("gap_week")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.min("median_gap_days").cast("long").alias("min_gap_days"),
+            F.max("median_gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("gap_week")
+    )

@@ -78,6 +78,9 @@ _PRIORITY: tuple[str, ...] = (
     # current-fixture evidence in CORRECTNESS_LOCAL.json. The 8 slots
     # they take come from the window's tail (3 r1-era + 5 r4-era
     # refreshes, moved to the r11 queue head below).
+    "dq_l_diversity",
+    "graph_personalized_pagerank",
+    "q_repeat_purchase_intervals",
     "agg_hhi_source_mix",
     "agg_lorenz_deciles",
     "dq_cramers_v",
@@ -134,14 +137,14 @@ _PRIORITY: tuple[str, ...] = (
     "join_anti",
     "join_full_outer",
     "agg_percentiles",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "sim_range_search",
-    # The 50-query window cuts after the 19th r1-era refresh: the 10
-    # late-r10 additions displaced the window's old tail (5 r1-era +
+    # The 50-query window cuts after the 16th r1-era refresh: the 13
+    # late-r10 additions displaced the window's old tail (8 r1-era +
     # the 5 family-diverse r4-era picks) to the r11 queue head below.
     # Past slot 50 — the explicit r11 queue: displaced r1-era first
     # (oldest greens), then the r4-era cohort, then r5 by age.
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "sim_range_search",
     "sim_ann_bucketed",
     "text_lang_id",
     "text_token_count_regex",

@@ -276,7 +276,12 @@ def _write_orders(dirpath: str, rows: list[tuple[int, int, float]]) -> None:
             "o_orderpriority": ["1-URGENT"] * len(rows),
         }
     )
-    pdf.to_parquet(os.path.join(dirpath, "orders.parquet"), index=False)
+    pdf.to_parquet(
+        os.path.join(dirpath, "orders.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
 
 
 def test_hhi_monopoly_and_uniform_fixpoints(spark, tmp_path):
@@ -412,3 +417,125 @@ def test_spearman_two_level_ranks_match_naive_model(spark, tmp_path):
         row = got[g]
         assert (row.n_events, row.suv, row.su2, row.sv2) == (n, suv, su2, sv2), g
         assert row.spearman_rho == rho, g
+
+
+def test_l_diversity_homogeneous_class_flagged(spark, tmp_path):
+    """A QI class whose members all share one balance band is the
+    homogeneity attack l-diversity exists to catch: l_distinct = 1,
+    flagged, counted in rows_at_risk; a diverse class stays silent."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        _LDIV_MIN,
+        dq_l_diversity,
+    )
+
+    d = str(tmp_path)
+    rows = []
+    # class (7, 'HOMOG'): 6 customers, all in band 0 (acctbal ≈ $500).
+    for i in range(6):
+        rows.append((len(rows), f"c{i}", 7, 500.0 + i, "HOMOG"))
+    # class (8, 'DIVERSE'): _LDIV_MIN distinct $2000 bands.
+    for i in range(_LDIV_MIN):
+        rows.append((len(rows), f"d{i}", 8, 2000.0 * i + 100.0, "DIVERSE"))
+    pdf = pd.DataFrame(
+        rows,
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    )
+    pdf.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+    out = dq_l_diversity(spark, d).collect()
+    assert [(r.c_nationkey, r.c_mktsegment) for r in out] == [(7, "HOMOG")]
+    r = out[0]
+    assert r.class_size == 6 and r.l_distinct == 1
+    assert r.l_diversity == 1 and r.risky_classes == 1
+    assert r.rows_at_risk == 6
+
+
+def test_personalized_pagerank_matches_python_fold(spark, tmp_path):
+    """Path graph p100—s1—p150—s2—p250 with the single seed p100: run
+    the exact integer recursion in pure Python and require the Spark
+    table to match VALUE-FOR-VALUE (seeds-only teleport, propagation
+    decay, zero mass beyond the unrolled horizon)."""
+    from fluent_bit_filter_math_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        graph_personalized_pagerank,
+    )
+
+    d = str(tmp_path)
+    pairs = [(100, 1), (150, 1), (150, 2), (250, 2)]
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in pairs],
+            "l_suppkey": [s for _, s in pairs],
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+
+    edges = {}
+    for p, s in pairs:
+        a, b = 2 * p, 2 * s + 1
+        edges.setdefault(a, set()).add(b)
+        edges.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in edges.items()}
+    rank = {v: PR_SCALE if v % 200 == 0 else 0 for v in deg}
+    for _ in range(PR_ITERS):
+        contrib = {v: 0 for v in deg}
+        for u, ns in edges.items():
+            for v in ns:
+                contrib[v] += rank[u] // deg[u]
+        rank = {
+            v: ((15 * PR_SCALE) // 100 if v % 200 == 0 else 0)
+            + 85 * contrib[v] // 100
+            for v in deg
+        }
+    got = {r.node: r.rank_fp for r in
+           graph_personalized_pagerank(spark, d).collect()}
+    assert got == rank
+    # mass reaches exactly the PR_ITERS-hop horizon: p250 sits 4 hops
+    # from the seed, so it must hold ZERO mass after 3 rounds (the
+    # locality property global PageRank does not have)
+    assert rank[2 * 250] == 0
+    assert rank[2 * 100] > 0 and rank[2 * 150] > 0
+
+
+def test_repeat_purchase_median_gap_buckets(spark, tmp_path):
+    """Hand-built order histories: gaps [7,7,21] → lower median 7 →
+    week 1; [30] → 30 → week 4; single-order customers excluded."""
+    from fluent_bit_filter_math_spark.operators.relational import (
+        q_repeat_purchase_intervals,
+    )
+
+    d = str(tmp_path)
+    day = 86_400_000_000
+    t0 = 1704067200_000_000
+    rows = []
+    # customer 1: orders at day 0, 7, 14, 35 → gaps 7,7,21
+    for k, off in enumerate((0, 7, 14, 35)):
+        rows.append((len(rows), 1, t0 + off * day))
+    # customer 2: orders at day 0, 30 → gap 30
+    for off in (0, 30):
+        rows.append((len(rows), 2, t0 + off * day))
+    # customer 3: single order — no gaps, excluded
+    rows.append((len(rows), 3, t0))
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [100.0] * len(rows),
+            "o_orderdate": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    )
+    pdf.to_parquet(
+        os.path.join(d, "orders.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    out = {r.gap_week: r for r in
+           q_repeat_purchase_intervals(spark, d).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_customers == 1
+    assert (out[1].min_gap_days, out[1].max_gap_days) == (7, 7)
+    assert out[4].n_customers == 1
+    assert (out[4].min_gap_days, out[4].max_gap_days) == (30, 30)
