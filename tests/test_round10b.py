@@ -539,3 +539,122 @@ def test_repeat_purchase_median_gap_buckets(spark, tmp_path):
     assert (out[1].min_gap_days, out[1].max_gap_days) == (7, 7)
     assert out[4].n_customers == 1
     assert (out[4].min_gap_days, out[4].max_gap_days) == (30, 30)
+
+
+def test_hits_matches_python_fold(spark, tmp_path):
+    """Tiny bipartite catalog (3 parts × 2 suppliers, uneven fan-out):
+    run the exact integer half-steps in pure Python and require the
+    Spark output to match value-for-value, ranks included."""
+    from fluent_bit_filter_math_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        graph_hits,
+    )
+
+    d = str(tmp_path)
+    pairs = [(1, 1), (2, 1), (3, 1), (3, 2)]
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in pairs],
+            "l_suppkey": [s for _, s in pairs],
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+
+    parts = sorted({p for p, _ in pairs})
+    supps = sorted({s for _, s in pairs})
+    h = {p: HITS_SCALE for p in parts}
+    a = {}
+    for _ in range(HITS_ITERS):
+        raw_a = {s: sum(h[p] for p, s2 in pairs if s2 == s) for s in supps}
+        m = max(raw_a.values())
+        a = {s: raw_a[s] * HITS_SCALE // m for s in supps}
+        raw_h = {p: sum(a[s] for p2, s in pairs if p2 == p) for p in parts}
+        m = max(raw_h.values())
+        h = {p: raw_h[p] * HITS_SCALE // m for p in parts}
+
+    rows = graph_hits(spark, d).collect()
+    got_a = {r.node: r.score_fp for r in rows if r.role == "auth"}
+    got_h = {r.node: r.score_fp for r in rows if r.role == "hub"}
+    assert got_a == a
+    assert got_h == h
+    # supplier 1 serves every part: must be the top authority at SCALE
+    assert got_a[1] == HITS_SCALE
+
+
+def test_wl_refinement_matches_python_model(spark, tmp_path):
+    """Path-plus-triangle co-supply graph through the full WL recursion
+    in pure Python (portable md5 colors, numeric-sorted multisets):
+    per-round color sets and fingerprints must match bitwise. Catches
+    sort-order, serialization, and hash-spelling drift the structural
+    invariants can't."""
+    import hashlib
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        _TRI_KEEP_MOD,
+        _TRI_PART_MOD,
+        WL_ROUNDS,
+        graph_wl_refinement,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    d = str(tmp_path)
+    # suppliers 1..5; co-supply pairs via shared parts (partkey % 50
+    # == 0 to survive the sample filter); keep only pairs the hash
+    # sparsifier keeps, mirroring the operator exactly.
+    # Chosen so the md5 sparsifier KEEPS a connected 6-node path plus
+    # a star — pre-searched pairs with h60("a:b") % 13 == 0.
+    cand = [
+        (1, 4), (4, 11), (7, 11), (7, 10), (2, 10),
+        (3, 8), (3, 9), (3, 22),
+        (1, 2), (5, 6),  # these two get dropped by the sparsifier
+    ]
+    pairs, rows, pk = [], [], 0
+    for aa, bb in cand:
+        if h60(f"{aa}:{bb}") % _TRI_KEEP_MOD == 0:
+            pass  # kept by the operator — no extra work here
+        pk += _TRI_PART_MOD
+        rows += [(pk, aa), (pk, bb)]
+        pairs.append((aa, bb))
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in rows],
+            "l_suppkey": [s for _, s in rows],
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+
+    kept = [
+        (aa, bb) for aa, bb in pairs
+        if h60(f"{aa}:{bb}") % _TRI_KEEP_MOD == 0
+    ]
+    if not kept:
+        pytest.skip("sparsifier kept no edges for this candidate set")
+    nbrs = {}
+    for aa, bb in kept:
+        nbrs.setdefault(aa, []).append(bb)
+        nbrs.setdefault(bb, []).append(aa)
+    colors = {v: len(ns) for v, ns in nbrs.items()}
+    expect = []
+
+    def summary(c, rnd):
+        ordered = sorted(c.values())
+        fp = h60(",".join(str(x) for x in ordered))
+        return (rnd, len(c), len(set(c.values())), fp)
+
+    expect.append(summary(colors, 0))
+    for rnd in range(1, WL_ROUNDS + 1):
+        colors = {
+            v: h60(
+                f"{colors[v]}|"
+                + ",".join(str(x) for x in sorted(colors[u] for u in ns))
+            )
+            for v, ns in nbrs.items()
+        }
+        expect.append(summary(colors, rnd))
+
+    got = [
+        (r.wl_round, r.n_nodes, r.n_colors, r.fingerprint)
+        for r in graph_wl_refinement(spark, d).collect()
+    ]
+    assert got == expect
