@@ -14,6 +14,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = [
+    "dq_l_diversity",
+    "graph_personalized_pagerank",
+    "q_repeat_purchase_intervals",
     "agg_hhi_source_mix",
     "agg_lorenz_deciles",
     "dq_cramers_v",
