@@ -1407,3 +1407,84 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# CALENDAR-GAP AUDIT — missing ingest days per order priority: the
+# completeness check a daily-partitioned warehouse runs before trusting
+# any trailing-window metric (dq_volume_anomaly_days assumes the days
+# EXIST; this finds the ones that don't). Expected domain is the
+# per-group [min_day, max_day] integer span; observed is the distinct
+# day set; also reported: the LONGEST consecutive missing run (the
+# outage, not just its total).
+#
+# Determinism: days are exact integer epoch-µs div 86.4e9; counting
+# only. Scale: one (group, day) aggregate, one group aggregate, and a
+# lag window over OBSERVED-day rows (≤ span-sized, never raw orders);
+# no day-domain explode is materialized — expected/missing come from
+# span arithmetic, so a 10-year × million-group audit stays
+# aggregate-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "dq_missing_dates",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS grp,
+             epoch_us(o_orderdate) // 86400000000 AS dd
+      FROM orders GROUP BY 1, 2
+    ),
+    gaps AS (
+      SELECT grp, dd,
+             dd - lag(dd) OVER (PARTITION BY grp ORDER BY dd) - 1 AS gap
+      FROM d
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MIN(dd) AS BIGINT) AS min_day,
+           CAST(MAX(dd) AS BIGINT) AS max_day,
+           CAST(MAX(dd) - MIN(dd) + 1 AS BIGINT) AS expected_days,
+           CAST(COUNT(*) AS BIGINT) AS observed_days,
+           CAST(MAX(dd) - MIN(dd) + 1 - COUNT(*) AS BIGINT)
+               AS missing_days,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap_days
+    FROM gaps
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def dq_missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("dd"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("dd")
+    gaps = d.select(
+        "grp", "dd", (F.col("dd") - F.lag("dd").over(w) - 1).alias("gap")
+    )
+    return (
+        gaps.groupBy("grp")
+        .agg(
+            F.min("dd").cast("long").alias("min_day"),
+            F.max("dd").cast("long").alias("max_day"),
+            (F.max("dd") - F.min("dd") + 1).cast("long").alias(
+                "expected_days"
+            ),
+            F.count("*").cast("long").alias("observed_days"),
+            (F.max("dd") - F.min("dd") + 1 - F.count("*"))
+            .cast("long")
+            .alias("missing_days"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias(
+                "longest_gap_days"
+            ),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "min_day", "max_day", "expected_days", "observed_days",
+            "missing_days", "longest_gap_days",
+        )
+        .orderBy("o_orderpriority")
+    )

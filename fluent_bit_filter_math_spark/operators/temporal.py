@@ -2004,3 +2004,99 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MASE — mean absolute scaled error (Hyndman & Koehler, IJF'06), the
+# scale-free forecast-accuracy metric: how much better is a
+# seasonal-naive forecast (same weekday last week, lag-7 over observed
+# days) than the one-step naive baseline (yesterday's value)? The
+# engine produces forecasts (ts_holt_linear_fold, ts_ewma_*); this is
+# the missing EVAL side a forecasting pipeline reports. mase < 1e6
+# (fixed point) ⟺ weekly seasonality carries real signal.
+#
+# Grain: exact integer daily cents totals per event_type over OBSERVED
+# day rows (lag-k of the ordered observed series — the LOCF-adjacent
+# convention, documented; calendar alignment belongs to
+# dq_missing_dates). Both error sums restrict to rows where the lag-7
+# reference exists, so numerator and denominator cover the SAME rows.
+# Everything is |BIGINT| sums; the ratio is 1e6-scaled integer
+# division. Day count per type is bounded (≤ a few thousand rows), so
+# the per-type ordered window runs over the DAILY aggregate, never raw
+# events.
+# ---------------------------------------------------------------------------
+@register(
+    "ts_mase_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS dd,
+             CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, c,
+             lag(c, 1) OVER (PARTITION BY event_type ORDER BY dd) AS c1,
+             lag(c, 7) OVER (PARTITION BY event_type ORDER BY dd) AS c7
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(abs(c - c7)) AS BIGINT) AS seasonal_abs_err,
+             CAST(SUM(abs(c - c1)) AS BIGINT) AS naive_abs_err
+      FROM lagged WHERE c7 IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_days, seasonal_abs_err, naive_abs_err,
+           CASE WHEN naive_abs_err = 0 THEN NULL
+                ELSE seasonal_abs_err * 1000000 // naive_abs_err END
+               AS mase_fp
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def ts_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("dd"),
+            exact_cents(F.col("value")).alias("cents"),
+        )
+        .groupBy("event_type", "dd")
+        .agg(F.sum("cents").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("dd")
+    lagged = daily.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+    s = (
+        lagged.filter(F.col("c7").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.abs(F.col("c") - F.col("c7")))
+            .cast("long")
+            .alias("seasonal_abs_err"),
+            F.sum(F.abs(F.col("c") - F.col("c1")))
+            .cast("long")
+            .alias("naive_abs_err"),
+        )
+    )
+    return s.select(
+        "event_type", "n_days", "seasonal_abs_err", "naive_abs_err",
+        F.when(F.col("naive_abs_err") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("seasonal_abs_err * 1000000 div naive_abs_err")
+        )
+        .alias("mase_fp"),
+    ).orderBy("event_type")

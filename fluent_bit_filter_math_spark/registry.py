@@ -71,13 +71,17 @@ _PRIORITY: tuple[str, ...] = (
     # tier 1: never driver-checked — the 18 new r10 operators (the
     # streaming Python DataSource writer quadrant, VERDICT r9 #6, plus
     # the retrieval/eval/sketch/audit/codec/stat additions), and the
-    # 8 late-r10 additions (rank/effect-size stats, link analysis, WL
-    # fingerprints, retrieval eval, readability/PMI, silhouette).
-    # Never-checked outranks stale (the r6 lesson): a query with NO
-    # driver row ever is a coverage hole; a stale green still has
-    # current-fixture evidence in CORRECTNESS_LOCAL.json. The 8 slots
-    # they take come from the window's tail (3 r1-era + 5 r4-era
-    # refreshes, moved to the r11 queue head below).
+    # 15 late-r10 additions (rank/effect-size stats, link analysis,
+    # WL fingerprints, retrieval eval, readability/PMI, silhouette,
+    # concentration/Lorenz, l-diversity, PPR, purchase cycles, MASE,
+    # calendar gaps). Never-checked outranks stale (the r6 lesson): a
+    # query with NO driver row ever is a coverage hole; a stale green
+    # still has current-fixture evidence in CORRECTNESS_LOCAL.json.
+    # Their slots come from the window's tail (10 r1-era + 5 r4-era
+    # refreshes, moved to the r11 queue head below);
+    # tools/window_audit.py asserts this composition.
+    "ts_mase_seasonal_naive",
+    "dq_missing_dates",
     "dq_l_diversity",
     "graph_personalized_pagerank",
     "q_repeat_purchase_intervals",
@@ -135,13 +139,13 @@ _PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "setop_intersect",
     "join_anti",
-    "join_full_outer",
-    "agg_percentiles",
-    # The 50-query window cuts after the 16th r1-era refresh: the 13
-    # late-r10 additions displaced the window's old tail (8 r1-era +
+    # The 50-query window cuts after the 14th r1-era refresh: the 15
+    # late-r10 additions displaced the window's old tail (10 r1-era +
     # the 5 family-diverse r4-era picks) to the r11 queue head below.
     # Past slot 50 — the explicit r11 queue: displaced r1-era first
     # (oldest greens), then the r4-era cohort, then r5 by age.
+    "join_full_outer",
+    "agg_percentiles",
     "dedup_minhash_signatures",
     "dedup_simhash",
     "sim_range_search",

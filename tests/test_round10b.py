@@ -658,3 +658,80 @@ def test_wl_refinement_matches_python_model(spark, tmp_path):
         for r in graph_wl_refinement(spark, d).collect()
     ]
     assert got == expect
+
+
+def test_mase_constant_and_seasonal_series(spark, tmp_path):
+    """A perfectly 7-periodic daily series has ZERO seasonal error but
+    nonzero naive error ⇒ mase_fp = 0; a linear-trend series has equal
+    |c−c7| = 7·|c−c1| per row ⇒ mase_fp exactly 7e6."""
+    from fluent_bit_filter_math_spark.operators.temporal import (
+        ts_mase_seasonal_naive,
+    )
+
+    d = str(tmp_path)
+    day = 86_400_000_000
+    t0 = 1704067200_000_000
+    rows = []
+    # 'periodic': value cycles with period 7 for 28 days
+    for k in range(28):
+        rows.append((len(rows), "periodic", float(10 + (k % 7)), t0 + k * day))
+    # 'trend': value = k (strictly linear) for 28 days
+    for k in range(28):
+        rows.append((len(rows), "trend", float(k), t0 + k * day))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[3] for r in rows], unit="us"),
+            "user_id": [1] * len(rows),
+            "event_type": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    got = {r.event_type: r for r in
+           ts_mase_seasonal_naive(spark, d).collect()}
+    assert got["periodic"].seasonal_abs_err == 0
+    assert got["periodic"].naive_abs_err > 0
+    assert got["periodic"].mase_fp == 0
+    assert got["trend"].n_days == 21
+    assert got["trend"].mase_fp == 7_000_000
+
+
+def test_missing_dates_finds_planted_gap(spark, tmp_path):
+    """Days 0..9 with {3,4,5,8} removed: expected 10, observed 6,
+    missing 4, longest gap 3 — and a gapless group reports zeros."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_missing_dates,
+    )
+
+    d = str(tmp_path)
+    day = 86_400_000_000
+    t0 = 1704067200_000_000
+    rows = []
+    for k in (0, 1, 2, 6, 7, 9):
+        rows.append((len(rows), "GAPPY", t0 + k * day))
+    for k in range(5):
+        rows.append((len(rows), "SOLID", t0 + k * day))
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": ["O"] * len(rows),
+            "o_totalprice": [100.0] * len(rows),
+            "o_orderdate": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "o_orderpriority": [r[1] for r in rows],
+        }
+    )
+    pdf.to_parquet(
+        os.path.join(d, "orders.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    got = {r.o_orderpriority: r for r in dq_missing_dates(spark, d).collect()}
+    g = got["GAPPY"]
+    assert (g.expected_days, g.observed_days, g.missing_days) == (10, 6, 4)
+    assert g.longest_gap_days == 3
+    s = got["SOLID"]
+    assert (s.expected_days, s.missing_days, s.longest_gap_days) == (5, 0, 0)
