@@ -735,3 +735,46 @@ def test_missing_dates_finds_planted_gap(spark, tmp_path):
     assert g.longest_gap_days == 3
     s = got["SOLID"]
     assert (s.expected_days, s.missing_days, s.longest_gap_days) == (5, 0, 0)
+
+
+def test_lorenz_two_level_ranks_match_naive_model(spark, tmp_path):
+    """Seeded-random customer spends with heavy ties and values that
+    straddle the >>16 bucket boundary: every decile row must match a
+    naive sorted-python model exactly (membership, cumulative cents,
+    and the HUGEINT/DECIMAL-widened share fixed point)."""
+    import random as rnd
+
+    from fluent_bit_filter_math_spark.operators.relational import (
+        agg_lorenz_deciles,
+    )
+
+    r = rnd.Random(0xD10E)
+    n = 137
+    # spends: tie-heavy pool spanning 2^16-cent bucket boundaries
+    pool = [655.35, 655.36, 1310.71, 1310.72, 12.5, 9999.99, 655.35]
+    spends = [r.choice(pool) + r.choice((0.0, 0.01)) for _ in range(n)]
+    d = str(tmp_path)
+    _write_orders(d, [(i, i, spends[i]) for i in range(n)])
+
+    cents = sorted(
+        (int(math.floor(v * 100.0 + 0.5)), k) for k, v in enumerate(spends)
+    )
+    total = sum(c for c, _ in cents)
+    model = {}
+    cum_n = cum_c = 0
+    rows_by_decile = {}
+    for rk, (c, _) in enumerate(cents, start=1):
+        dec = (10 * rk + n - 1) // n
+        rows_by_decile.setdefault(dec, []).append(c)
+    for dec in sorted(rows_by_decile):
+        cum_n += len(rows_by_decile[dec])
+        cum_c += sum(rows_by_decile[dec])
+        model[dec] = (cum_n, cum_c, cum_c * 10**12 // total)
+
+    got = {r2.decile: r2 for r2 in agg_lorenz_deciles(spark, d).collect()}
+    assert set(got) == set(model)
+    for dec, (n_cum, cum_cents, share) in model.items():
+        row = got[dec]
+        assert (row.n_cum, row.cum_cents) == (n_cum, cum_cents), dec
+        assert row.total_cents == total
+        assert row.share_fp == share, dec
