@@ -1463,3 +1463,112 @@ def dedup_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# CONTENT-DEFINED CHUNKING DEDUP — the rolling-window cut-point
+# primitive behind rsync/LBFS/venti-style storage dedup (Muthitacharoen
+# et al., SOSP'01), and the file-level near-identical dedup a training-
+# data pipeline runs on raw crawl payloads BEFORE tokenization: cut
+# points are chosen by CONTENT (hash of the trailing CDC_W-byte window
+# ≡ 0 mod CDC_D), so an insertion early in a document shifts only the
+# chunks it touches — unlike fixed-size blocking, where every
+# downstream block changes. Implemented in the STATELESS fixed-window
+# (winnowing) form: every position's window hash is independent, so
+# cut-point selection is one map-side array transform — no sequential
+# scan state, no recursion, embarrassingly parallel (production CDC
+# adds min/max chunk bounds, which need the sequential form; this
+# variant trades that for exact distributability).
+#
+# Output: the top duplicated chunk fingerprints (count ≥ 2) — the
+# dedup opportunity table a storage layer acts on.
+#
+# Determinism: cut points come from the portable md5 (hash60 — the
+# DuckDB-identical spelling); chunking is pure substring arithmetic on
+# 1-based offsets; counts are exact.
+# ---------------------------------------------------------------------------
+CDC_W = 8    # rolling window bytes
+CDC_D = 64   # cut when window-hash % CDC_D == 0 (expected chunk ~64B)
+CDC_TOPK = 15
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH cutlists AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_filter(range({CDC_W}, length(text)),
+                         p -> ({duck_hash60(f"substr(text, p - {CDC_W} + 1, {CDC_W})")})
+                              % {CDC_D} = 0) AS cuts
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(cuts) + 2),
+               i -> substr(text,
+                           (CASE WHEN i = 1 THEN 0 ELSE cuts[i - 1] END) + 1,
+                           (CASE WHEN i = len(cuts) + 1 THEN n
+                                 ELSE cuts[i] END)
+                           - (CASE WHEN i = 1 THEN 0
+                                   ELSE cuts[i - 1] END)))) AS chunk
+      FROM cutlists
+    )
+    SELECT {duck_hash60("chunk")} AS chunk_fp,
+           CAST(length(MIN(chunk)) AS BIGINT) AS chunk_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunked
+    WHERE length(chunk) > 0
+    GROUP BY 1
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occurrences DESC, chunk_fp
+    LIMIT {CDC_TOPK}
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    # Cut positions: 1-based offset p means "cut after byte p"; the
+    # window is text[p-W+1 .. p]. range is empty when the doc is
+    # shorter than the window (sequence would flip to DESCENDING for
+    # stop < start — guard with the when()).
+    cuts = F.when(
+        n > CDC_W,
+        F.filter(
+            F.sequence(F.lit(CDC_W), n - 1),
+            lambda p: F.pmod(
+                hash60(F.expr("text").substr(p - CDC_W + 1, F.lit(CDC_W))),
+                F.lit(CDC_D),
+            )
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cutlists = docs.select("doc_id", "text", n.alias("n"),
+                           cuts.alias("cuts"))
+    c = F.col("cuts")
+    prev = lambda i: F.when(i == 1, F.lit(0)).otherwise(  # noqa: E731
+        F.element_at(c, (i - 1).cast("int"))
+    )
+    upto = lambda i: F.when(  # noqa: E731
+        i == F.size(c) + 1, F.col("n")
+    ).otherwise(F.element_at(c, i.cast("int")))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(c) + 1),
+        lambda i: F.expr("text").substr(
+            prev(i) + 1, (upto(i) - prev(i)).cast("int")
+        ),
+    )
+    chunked = cutlists.select(
+        "doc_id", F.explode(chunks).alias("chunk")
+    ).filter(F.length("chunk") > 0)
+    return (
+        chunked.groupBy(hash60(F.col("chunk")).alias("chunk_fp"))
+        .agg(
+            F.length(F.min("chunk")).cast("long").alias("chunk_len"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_fp"))
+        .limit(CDC_TOPK)
+    )

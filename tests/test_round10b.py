@@ -778,3 +778,67 @@ def test_lorenz_two_level_ranks_match_naive_model(spark, tmp_path):
         assert (row.n_cum, row.cum_cents) == (n_cum, cum_cents), dec
         assert row.total_cents == total
         assert row.share_fp == share, dec
+
+
+def test_cdc_chunks_match_python_model_and_shift_resilience(
+    spark, tmp_path
+):
+    """Full python-twin parity for the stateless CDC chunker, plus THE
+    content-defined property: doc2 = junk-prefix + doc1 re-aligns to
+    the same cut points after the first post-insertion cut, so shared
+    suffix chunks dedup across the two docs (fixed-size blocking would
+    share nothing)."""
+    import hashlib
+    import random as rnd
+
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        CDC_D,
+        CDC_TOPK,
+        CDC_W,
+        dedup_cdc_chunks,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def chunks_of(text: str) -> list[str]:
+        n = len(text)
+        cuts = [
+            p for p in range(CDC_W, n)
+            if h60(text[p - CDC_W:p]) % CDC_D == 0
+        ]
+        bounds = [0] + cuts + [n]
+        return [
+            text[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+        ]
+
+    r = rnd.Random(0xCDC)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+    doc1 = " ".join(r.choice(words) for _ in range(120))
+    doc2 = "zq9 " + doc1
+    doc3 = " ".join(r.choice(words) for _ in range(40))
+    _write_documents(str(tmp_path), [doc1, doc2, doc3])
+
+    counts: dict[int, list] = {}
+    for i, t in enumerate((doc1, doc2, doc3)):
+        for ch in chunks_of(t):
+            e = counts.setdefault(h60(ch), [len(ch), 0, set()])
+            e[1] += 1
+            e[2].add(i)
+    dups = sorted(
+        (
+            (fp, ln, occ, len(docs))
+            for fp, (ln, occ, docs) in counts.items()
+            if occ >= 2
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )[:CDC_TOPK]
+    assert dups, "fixture must produce shared chunks"
+    # the shift-resilience claim itself: some dup spans BOTH docs
+    assert any(nd >= 2 for _, _, _, nd in dups)
+
+    got = [
+        (r2.chunk_fp, r2.chunk_len, r2.n_occurrences, r2.n_docs)
+        for r2 in dedup_cdc_chunks(spark, str(tmp_path)).collect()
+    ]
+    assert got == dups
