@@ -1513,3 +1513,165 @@ def graph_personalized_pagerank(
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperANF — the approximate neighborhood function (Boldi, Rosa &
+# Vigna, WWW'11): N(r) = Σ_v |{u : dist(u,v) ≤ r}|, THE big-graph
+# distance diagnostic (effective diameter, spid) computable without
+# all-pairs BFS. Per node keep an m=16-register HyperLogLog of its
+# ball; one round of register-wise MAX with the neighbors' sketches
+# advances every ball radius by 1 — the same shuffle shape as
+# PageRank, but the message is a mergeable sketch instead of a sum.
+# Composes this repo's two families (iterative graph × mergeable
+# sketch) on the shared sparsified co-supply graph.
+#
+# Portability: registers come from the portable md5 (j = h mod 16,
+# rho = trailing zeros of h div 16, via an exact CASE ladder — no
+# engine bit intrinsics); sketches are sparse (node, reg, val) rows,
+# absent ⇒ 0. The raw-HLL estimate is EXACT integer algebra: with
+# S = Σ_j 2^(56−M_j) (absent registers contribute 2^56; val ≤ 41 so
+# every power is one exact shift), est_milli = 673·256·2^56 div S —
+# the α₁₆ = 0.673 constant pre-scaled to milli-units, the numerator
+# widened through DECIMAL(38,0)/HUGEINT (the agg_lorenz idiom). No
+# low/high-range corrections (documented: raw estimator, identical in
+# both engines — the oracle checks the ALGORITHM, bias and all).
+#
+# Scale: each round shuffles (node, reg) rows — 16·|V| — with
+# map-side partial MAX; the estimate pass is one hash aggregate per
+# round. Rounds unrolled (ANF_ROUNDS), the PageRank discipline.
+# ---------------------------------------------------------------------------
+ANF_ROUNDS = 3
+_ANF_M = 16
+_ANF_P56 = 1 << 56
+
+
+def _rho_ladder_sql(w: str) -> str:
+    """Exact trailing-zeros+1 CASE ladder (no engine bit intrinsics)."""
+    cases = " ".join(
+        f"WHEN {w} % {1 << k} = {1 << (k - 1)} THEN {k}"
+        for k in range(1, 41)
+    )
+    return f"(CASE {cases} ELSE 41 END)"
+
+
+def _anf_oracle() -> str:
+    und = f"""
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    e AS (
+      SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+    ),
+    nodes AS (SELECT DISTINCT v FROM e),
+    h AS (
+      SELECT v, {duck_hash60("CAST(v AS VARCHAR)")} AS hv FROM nodes
+    ),
+    r0 AS (
+      SELECT v AS node,
+             CAST(hv % {_ANF_M} AS BIGINT) AS reg,
+             CAST({_rho_ladder_sql(f"(hv // {_ANF_M})")} AS BIGINT) AS val
+      FROM h
+    )"""
+    rounds = []
+    for i in range(1, ANF_ROUNDS + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+    r{i} AS (
+      SELECT node, reg, MAX(val) AS val FROM (
+        SELECT node, reg, val FROM {prev}
+        UNION ALL
+        SELECT e.v AS node, p.reg, p.val
+        FROM e JOIN {prev} p ON p.node = e.nbr
+      ) GROUP BY 1, 2
+    )""")
+    ests = " UNION ALL ".join(
+        f"""
+    SELECT CAST({i} AS BIGINT) AS radius,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(est_milli) AS BIGINT) AS nf_sum_milli
+    FROM (
+      SELECT node,
+             CAST(CAST(673 AS HUGEINT) * 256 * {_ANF_P56}
+                  // (({_ANF_M} - COUNT(*)) * {_ANF_P56}
+                      + SUM({_ANF_P56} >> CAST(val AS INTEGER)))
+                  AS BIGINT) AS est_milli
+      FROM r{i} GROUP BY node
+    )"""
+        for i in range(ANF_ROUNDS + 1)
+    )
+    return (
+        "WITH " + und + "," + ",".join(rounds) + ests
+        + "\n    ORDER BY radius"
+    )
+
+
+@register("graph_hyperanf_nf", oracle=_anf_oracle())
+def graph_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, _, _ = _tri_pipeline(spark, sf_dir)
+    e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    nodes = e.select("v").distinct()
+    hv = hash60(F.col("v").cast("string"))
+    # The rho ladder is plain integer SQL — one expression string
+    # shared verbatim with the oracle (Spark spells h60 via conv/md5,
+    # `%` as pmod-compatible % on non-negatives, and `div`).
+    rho_expr = _rho_ladder_sql(
+        f"(cast(conv(substring(md5(cast(v as string)), 1, 15),"
+        f" 16, 10) as bigint) div {_ANF_M})"
+    )
+    r = nodes.select(
+        F.col("v").alias("node"),
+        (hv % _ANF_M).cast("long").alias("reg"),
+        F.expr(rho_expr).cast("long").alias("val"),
+    )
+
+    def _est(frame: DataFrame, radius: int) -> DataFrame:
+        per_node = frame.groupBy("node").agg(
+            F.count("*").alias("nreg"),
+            F.sum(
+                F.expr(f"shiftright({_ANF_P56}L, cast(val as int))")
+            ).alias("spresent"),
+        )
+        est = per_node.select(
+            F.expr(
+                f"cast(673 as decimal(38,0)) * 256 * {_ANF_P56} div "
+                f"(({_ANF_M} - nreg) * {_ANF_P56} + spresent)"
+            ).alias("est_milli")
+        )
+        return est.agg(
+            F.lit(radius).cast("long").alias("radius"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("est_milli").cast("long").alias("nf_sum_milli"),
+        )
+
+    out = _est(r, 0)
+    for i in range(1, ANF_ROUNDS + 1):
+        nbr_rows = (
+            e.join(r.withColumnRenamed("node", "nbr"), "nbr")
+            .select(F.col("v").alias("node"), "reg", "val")
+        )
+        # Materialize the per-round register state: each round's table
+        # feeds TWO consumers (the next merge and this round's
+        # estimate), so lazy unrolling re-derives the whole prefix per
+        # consumer (measured 48 exchanges); one (node, reg) row per
+        # set register is exactly the state an iterative engine keeps.
+        r = (
+            r.select("node", "reg", "val")
+            .unionAll(nbr_rows)
+            .groupBy("node", "reg")
+            .agg(F.max("val").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(_est(r, i))
+    return out.orderBy("radius")
+

@@ -842,3 +842,93 @@ def test_cdc_chunks_match_python_model_and_shift_resilience(
         for r2 in dedup_cdc_chunks(spark, str(tmp_path)).collect()
     ]
     assert got == dups
+
+
+def test_hyperanf_matches_python_model(spark, tmp_path):
+    """Full python-twin HyperANF on the pre-searched sparsifier-
+    surviving graph: identical registers (md5 bucket + trailing-zero
+    rho), identical max-merge rounds, identical exact-integer raw-HLL
+    estimates — and the neighborhood function must be non-decreasing
+    in the radius (balls only grow)."""
+    import hashlib
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        ANF_ROUNDS,
+        _ANF_M,
+        _ANF_P56,
+        _TRI_KEEP_MOD,
+        _TRI_PART_MOD,
+        graph_hyperanf_nf,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    d = str(tmp_path)
+    cand = [
+        (1, 4), (4, 11), (7, 11), (7, 10), (2, 10),
+        (3, 8), (3, 9), (3, 22),
+    ]
+    rows, pk = [], 0
+    for aa, bb in cand:
+        pk += _TRI_PART_MOD
+        rows += [(pk, aa), (pk, bb)]
+    pd.DataFrame(
+        {
+            "l_partkey": [p for p, _ in rows],
+            "l_suppkey": [s for _, s in rows],
+        }
+    ).to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+
+    kept = [
+        (aa, bb) for aa, bb in cand
+        if h60(f"{aa}:{bb}") % _TRI_KEEP_MOD == 0
+    ]
+    assert kept
+    nbrs = {}
+    for aa, bb in kept:
+        nbrs.setdefault(aa, set()).add(bb)
+        nbrs.setdefault(bb, set()).add(aa)
+
+    def rho(w: int) -> int:
+        for k in range(1, 41):
+            if w % (1 << k) == (1 << (k - 1)):
+                return k
+        return 41
+
+    regs = {}
+    for v in nbrs:
+        h = h60(str(v))
+        regs[v] = {h % _ANF_M: rho(h // _ANF_M)}
+
+    def est_milli(m: dict) -> int:
+        s = (_ANF_M - len(m)) * _ANF_P56 + sum(
+            _ANF_P56 >> val for val in m.values()
+        )
+        return 673 * 256 * _ANF_P56 // s
+
+    expect = []
+    for radius in range(ANF_ROUNDS + 1):
+        if radius:
+            regs = {
+                v: {
+                    reg: max(
+                        src.get(reg, 0)
+                        for src in [regs[v]] + [regs[u] for u in ns]
+                    )
+                    for reg in set(regs[v])
+                    | {rg for u in ns for rg in regs[u]}
+                }
+                for v, ns in nbrs.items()
+            }
+        expect.append(
+            (radius, len(regs), sum(est_milli(m) for m in regs.values()))
+        )
+
+    got = [
+        (r.radius, r.n_nodes, r.nf_sum_milli)
+        for r in graph_hyperanf_nf(spark, d).collect()
+    ]
+    assert got == expect
+    nf = [x[2] for x in got]
+    assert all(a <= b for a, b in zip(nf, nf[1:]))
