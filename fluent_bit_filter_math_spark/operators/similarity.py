@@ -2125,3 +2125,165 @@ def emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR DIVERSIFICATION — maximal marginal relevance re-ranking
+# (Carbonell & Goldstein, SIGIR'98), the standard "relevant but not
+# redundant" greedy selector behind RAG context assembly and
+# diversity-aware sample curation: from the MMR_POOL nearest vectors
+# to a query, pick MMR_K greedily, each round maximizing
+#   score = min_dist²_to_selected − dist²_to_query     (λ = 1/2 form)
+# — relevance pulls toward the query, the min-distance term pushes
+# away from everything already chosen. The query is the label-0
+# centroid (deterministic, the emb_kmeans c0 idiom).
+#
+# Determinism: everything is exact micro-unit integer distance
+# algebra (the emb_silhouette quantization); ties break (score DESC,
+# vec_id). Greedy selection is inherently sequential — each round's
+# winner is ONE row collected to the driver and broadcast back, the
+# documented text_bpe_train_merges 1-row-argmax discipline (rounds
+# are unrolled to MMR_K, exactly how a production re-ranker bounds
+# its context budget).
+#
+# Scale: the pool cut is TakeOrderedAndProject over map-side
+# distances to a broadcast query; every greedy round scores
+# |pool| ≤ MMR_POOL rows against ≤ MMR_K broadcast selections — the
+# corpus is touched ONCE.
+# ---------------------------------------------------------------------------
+MMR_POOL = 50
+MMR_K = 8
+
+
+def _mmr_duck_d2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum') AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    base = f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT list(CAST(s // n AS BIGINT) ORDER BY dim) AS carr
+      FROM (
+        SELECT dim, COUNT(*) AS n,
+               SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS s
+        FROM (
+          SELECT unnest(range(0, len(embedding))) AS dim,
+                 unnest(embedding) AS e
+          FROM embeddings WHERE label = 0
+        ) GROUP BY dim
+      )
+    ),
+    pool AS MATERIALIZED (
+      SELECT q.vec_id, q.xq,
+             {_mmr_duck_d2("q.xq", "cent.carr")} AS dq
+      FROM q CROSS JOIN cent
+      ORDER BY dq, vec_id LIMIT {MMR_POOL}
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT 1 AS rank, vec_id, xq, dq, CAST(NULL AS BIGINT) AS score
+      FROM pool ORDER BY dq, vec_id LIMIT 1
+    )"""
+    steps = []
+    for r in range(2, MMR_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id, xq FROM sel{i}" for i in range(1, r)
+        )
+        steps.append(f"""
+    sel{r} AS MATERIALIZED (
+      SELECT {r} AS rank, c.vec_id, c.xq, c.dq,
+             CAST(MIN({_mmr_duck_d2("c.xq", "s.xq")}) - c.dq AS BIGINT)
+                 AS score
+      FROM pool c CROSS JOIN ({prev_union}) s
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev_union}))
+      GROUP BY c.vec_id, c.xq, c.dq
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    )""")
+    sel_union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, dq, score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH " + base + "," + ",".join(steps)
+        + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           dq AS dist_q, score AS mmr_score
+    FROM ({sel_union}) ORDER BY rank
+    """
+    )
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    micro = lambda e: F.floor(  # noqa: E731
+        e.cast("double") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    q = emb.select(
+        "vec_id", F.transform("embedding", micro).alias("xq")
+    )
+    cent = (
+        emb.filter(F.col("label") == 0)
+        .select(F.posexplode("embedding").alias("dim", "e"))
+        .groupBy("dim")
+        .agg(F.count("*").alias("n"), F.sum(micro(F.col("e"))).alias("s"))
+        .select(F.struct("dim", F.expr("s div n").alias("c")).alias("dc"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("dc")), lambda x: x["c"]
+            ).alias("carr")
+        )
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    pool = (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "xq", _d2(F.col("xq"), F.col("carr")).alias("dq"))
+        .orderBy("dq", "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)  # the greedy loop re-reads it K times
+    )
+    first = pool.orderBy("dq", "vec_id").limit(1).collect()[0]
+    selected = [(1, first.vec_id, first.xq, first.dq, None)]
+    for r in range(2, MMR_K + 1):
+        sel_df = spark.createDataFrame(
+            [(vid, xq) for _, vid, xq, _, _ in selected],
+            "svec_id long, sxq array<long>",
+        )
+        cand = (
+            pool.filter(
+                ~F.col("vec_id").isin([vid for _, vid, _, _, _ in selected])
+            )
+            .crossJoin(F.broadcast(sel_df))
+            .groupBy("vec_id", "xq", "dq")
+            .agg(
+                (
+                    F.min(_d2(F.col("xq"), F.col("sxq"))) - F.col("dq")
+                ).cast("long").alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(1)
+        )
+        # ONE row per round to the driver — the BPE argmax discipline.
+        w = cand.collect()[0]
+        selected.append((r, w.vec_id, w.xq, w.dq, w.score))
+    return spark.createDataFrame(
+        [(r, vid, dq, score) for r, vid, _, dq, score in selected],
+        "rank long, vec_id long, dist_q long, mmr_score long",
+    ).orderBy("rank")

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     # Their slots come from the window's tail (10 r1-era + 5 r4-era
     # refreshes, moved to the r11 queue head below);
     # tools/window_audit.py asserts this composition.
+    "sim_mmr_diversify",
     "graph_hyperanf_nf",
     "dedup_cdc_chunks",
     "ts_mase_seasonal_naive",
@@ -138,12 +139,12 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_lag",
     "window_running_total",
     "agg_rollup",
-    "agg_cube",
-    # The 50-query window cuts after the 12th r1-era refresh: the 17
-    # late-r10 additions displaced the window's old tail (12 r1-era +
+    # The 50-query window cuts after the 11th r1-era refresh: the 18
+    # late-r10 additions displaced the window's old tail (13 r1-era +
     # the 5 family-diverse r4-era picks) to the r11 queue head below.
     # Past slot 50 — the explicit r11 queue: displaced r1-era first
     # (oldest greens), then the r4-era cohort, then r5 by age.
+    "agg_cube",
     "setop_intersect",
     "join_anti",
     "join_full_outer",

@@ -932,3 +932,74 @@ def test_hyperanf_matches_python_model(spark, tmp_path):
     assert got == expect
     nf = [x[2] for x in got]
     assert all(a <= b for a, b in zip(nf, nf[1:]))
+
+
+def test_mmr_matches_python_greedy(spark, tmp_path):
+    """Hand-built embedding set through the exact greedy MMR in pure
+    Python: a near-duplicate of the best match must be SKIPPED in
+    favor of a farther-but-diverse vector (the whole point of MMR),
+    and every selected (rank, vec_id, score) must match exactly."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        MMR_K,
+        sim_mmr_diversify,
+    )
+
+    d = str(tmp_path)
+    dim = 4
+
+    def v(*xs):
+        return list(xs) + [0.0] * (dim - len(xs))
+
+    # label 0 = the query cluster (centroid ≈ origin); candidates:
+    # 1 at distance .1; 2 = near-dup of 1; 3 orthogonal at .12;
+    # plus spread fillers so the pool has MMR_K+ members.
+    vecs = [(0, v(0.001), 0), (1, v(-0.001), 0)]
+    vecs.append((10, v(0.1), 1))
+    vecs.append((11, v(0.1001), 1))       # near-dup of 10
+    vecs.append((12, v(0.0, 0.12), 1))    # diverse
+    for k in range(13, 13 + MMR_K + 3):
+        vecs.append((k, v(0.0, 0.0, 0.05 * (k - 12), 0.3), 1))
+    _write_embeddings(d, vecs)
+
+    def q6(x):
+        return int(math.floor(x * 1e6 + 0.5))
+
+    import itertools
+    xq = {vid: [q6(x) for x in e] for vid, e, _ in vecs}
+    csum = [0] * dim
+    lab0 = [e for _, e, l in vecs if l == 0]
+    cent = [
+        sum(q6(e[j]) for e in lab0) // len(lab0) for j in range(dim)
+    ]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    pool = sorted(
+        ((d2(xq[vid], cent), vid) for vid, _, _ in vecs),
+        )[:50]
+    pool = [(vid, dq) for dq, vid in pool]
+    sel = [pool[0]]
+    expect = [(1, pool[0][0], pool[0][1], None)]
+    for r in range(2, MMR_K + 1):
+        best = None
+        for vid, dq in pool:
+            if any(vid == s for s, _ in sel):
+                continue
+            score = min(d2(xq[vid], xq[s]) for s, _ in sel) - dq
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, dq, score)
+        sel.append((best[1], best[2]))
+        expect.append((r, best[1], best[2], best[3]))
+
+    got = [
+        (r2.rank, r2.vec_id, r2.dist_q, r2.mmr_score)
+        for r2 in sim_mmr_diversify(spark, d).collect()
+    ]
+    assert got == expect
+    picked = [vid for _, vid, _, _ in expect]
+    # 10 and its near-dup 11 must not BOTH be picked before the
+    # diverse 12 (redundancy is penalized)
+    if 10 in picked and 11 in picked:
+        assert picked.index(12) < max(picked.index(10), picked.index(11))
