@@ -1003,3 +1003,67 @@ def test_mmr_matches_python_greedy(spark, tmp_path):
     # diverse 12 (redundancy is penalized)
     if 10 in picked and 11 in picked:
         assert picked.index(12) < max(picked.index(10), picked.index(11))
+
+
+def test_cdc_short_docs_are_single_chunks(spark, tmp_path):
+    """Documents shorter than the rolling window can never cut: three
+    identical 5-byte docs produce ONE fingerprint with 3 occurrences
+    (and the sub-window sequence guard never flips to descending)."""
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        dedup_cdc_chunks,
+    )
+
+    d = str(tmp_path)
+    _write_documents(d, ["tiny!", "tiny!", "tiny!", "x"])
+    rows = dedup_cdc_chunks(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].n_occurrences == 3
+    assert rows[0].chunk_len == 5
+    assert rows[0].n_docs == 3
+
+
+def test_missing_dates_single_day_group(spark, tmp_path):
+    """A group whose whole history is one day: expected = observed =
+    1, zero missing, zero gap (the lag window yields no rows to MAX —
+    the COALESCE path)."""
+    from fluent_bit_filter_math_spark.operators.quality import (
+        dq_missing_dates,
+    )
+
+    d = str(tmp_path)
+    t0 = 1704067200_000_000
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [0, 1],
+            "o_custkey": [1, 2],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [1.0, 2.0],
+            "o_orderdate": pd.to_datetime([t0, t0 + 3600_000_000],
+                                          unit="us"),
+            "o_orderpriority": ["ONE-DAY", "ONE-DAY"],
+        }
+    )
+    pdf.to_parquet(
+        os.path.join(d, "orders.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    r = dq_missing_dates(spark, d).collect()[0]
+    assert (r.expected_days, r.observed_days) == (1, 1)
+    assert (r.missing_days, r.longest_gap_days) == (0, 0)
+
+
+def test_flesch_empty_text_floors(spark, tmp_path):
+    """Empty text tokenizes to one empty token: the word floor (1) and
+    syllable floor (1) keep the score finite and deterministic."""
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_flesch_readability,
+    )
+
+    d = str(tmp_path)
+    _write_documents(d, ["", "word"])
+    rows = {r.doc_id: r for r in
+            text_flesch_readability(spark, d).collect()}
+    assert rows[0].n_words == 1 and rows[0].n_syllables == 1
+    assert rows[0].flesch_fp == rows[1].flesch_fp  # both 1 word/1 syl
