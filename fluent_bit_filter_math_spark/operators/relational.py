@@ -2668,10 +2668,16 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 # billions of users and the no-single-task-sort shape is the one that
 # survives.
 #
-# Scale: one orders→customer aggregate, three two-level rank passes
-# over the customer table sharing its partitioning, map-side score
-# arithmetic. Output is the per-segment census (64 cells max), not
-# per-customer rows.
+# Scale: one orders→customer aggregate (localCheckpointed — every
+# downstream branch reads the materialized customer table instead of
+# re-deriving it, the graph_hits lineage-doubling fix), then ONE
+# two-level rank pass over the metrics UNPIVOTED to (metric, value)
+# rows — rank partitioned by (metric, bucket) so R/F/M rank in the
+# same shuffle — and one custkey regroup to compose the cell. r10's
+# shape ran the rank pipeline three times chained, doubling upstream
+# lineage per pass (48 exchanges, VERDICT r10 #3); this one compiles
+# to single digits. Output is the per-segment census (64 cells max),
+# not per-customer rows.
 # ---------------------------------------------------------------------------
 @register(
     "q_rfm_segmentation",
@@ -2717,62 +2723,80 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_filter_math_spark.functions import exact_cents
 
     o = table(spark, sf_dir, "orders")
-    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.count("*").alias("freq"),
-        F.sum(exact_cents(F.col("o_totalprice"))).alias("money"),
-        F.max("o_orderdate").alias("last_d"),
+    # Materialize the per-customer aggregate ONCE: the global stats
+    # branch and the rank pass below would otherwise each re-derive
+    # the orders scan+agg (lineage doubles per consumer — the r10
+    # graph_hits lesson).
+    per = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(exact_cents(F.col("o_totalprice"))).alias("money"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .localCheckpoint(eager=True)
     )
-    mx = per.agg(F.max("last_d").alias("maxd"))
-    n_tab = per.agg(F.count("*").alias("n"))
-    m = (
-        per.crossJoin(F.broadcast(mx))
-        .crossJoin(F.broadcast(n_tab))
+    stats = per.agg(
+        F.max("last_d").alias("maxd"), F.count("*").alias("n")
+    )
+    # Unpivot the three metrics to (weight, value, bucket) rows so ONE
+    # two-level rank pass ranks R, F, and M together: bucket = value's
+    # high bits is a PREFIX of the ascending (value, custkey) order, so
+    # offset + within-bucket row_number equals the global row_number
+    # bit-for-bit, with no single-task sort. weight ∈ {100,10,1} both
+    # identifies the metric and composes the cell additively.
+    rec = F.datediff(F.col("maxd"), F.col("last_d")).cast("long")
+    longf = (
+        per.crossJoin(F.broadcast(stats))
         .select(
             "custkey",
-            "freq",
-            "money",
-            F.datediff(F.col("maxd"), F.col("last_d")).alias("rec"),
             "n",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(100).alias("w"),
+                        rec.alias("val"),
+                        F.shiftright(rec, 4).alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit(10).alias("w"),
+                        F.col("freq").alias("val"),
+                        F.shiftright(F.col("freq"), 2).alias("bucket"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("w"),
+                        F.col("money").alias("val"),
+                        F.shiftright(F.col("money"), 16).alias("bucket"),
+                    ),
+                )
+            ).alias("t"),
         )
+        .select("custkey", "n", "t.w", "t.val", "t.bucket")
     )
-
-    def two_level_rank(df: DataFrame, metric: str, shift: int, out: str):
-        """offset + within-bucket row_number over (metric, custkey):
-        bucket = metric >> shift is a PREFIX of the sort key, so the
-        composition equals the global row_number bit-for-bit."""
-        keyed = df.withColumn("bucket", F.shiftright(F.col(metric), shift))
-        counts = keyed.groupBy("bucket").agg(F.count("*").alias("bn"))
-        wpre = Window.orderBy("bucket").rowsBetween(
-            Window.unboundedPreceding, -1
+    counts = longf.groupBy("w", "bucket").agg(F.count("*").alias("bn"))
+    wpre = (
+        Window.partitionBy("w")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "w",
+        "bucket",
+        F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("off"),
+    )
+    wib = Window.partitionBy("w", "bucket").orderBy("val", "custkey")
+    scored = (
+        longf.join(F.broadcast(offsets), ["w", "bucket"])
+        .withColumn("rk", F.col("off") + F.row_number().over(wib))
+        .select(
+            "custkey",
+            (F.col("w") * F.expr("(rk - 1) * 4 div n + 1")).alias("part"),
         )
-        offsets = counts.select(
-            "bucket",
-            F.coalesce(F.sum("bn").over(wpre), F.lit(0)).alias("off"),
-        )
-        wib = Window.partitionBy("bucket").orderBy(metric, "custkey")
-        return (
-            keyed.join(F.broadcast(offsets), "bucket")
-            .withColumn(out, F.col("off") + F.row_number().over(wib))
-            .drop("bucket", "off")
-        )
-
-    r = two_level_rank(m, "rec", 4, "rr")
-    r = two_level_rank(r, "freq", 2, "fr")
-    r = two_level_rank(r, "money", 16, "mr")
-    score = lambda rk: F.expr(f"({rk} - 1) * 4 div n + 1")  # noqa: E731
-    s = r.select(
-        score("rr").alias("r_score"),
-        score("fr").alias("f_score"),
-        score("mr").alias("m_score"),
     )
     return (
-        s.groupBy(
-            (
-                F.col("r_score") * 100
-                + F.col("f_score") * 10
-                + F.col("m_score")
-            ).alias("rfm_cell")
-        )
+        scored.groupBy("custkey")
+        .agg(F.sum("part").alias("rfm_cell"))
+        .groupBy("rfm_cell")
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("rfm_cell")
     )

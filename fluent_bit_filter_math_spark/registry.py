@@ -67,129 +67,78 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 10 rotation (composition from tools/green_age.py) ---
-    # tier 1: never driver-checked — the 18 new r10 operators (the
-    # streaming Python DataSource writer quadrant, VERDICT r9 #6, plus
-    # the retrieval/eval/sketch/audit/codec/stat additions), and the
-    # 15 late-r10 additions (rank/effect-size stats, link analysis,
-    # WL fingerprints, retrieval eval, readability/PMI, silhouette,
-    # concentration/Lorenz, l-diversity, PPR, purchase cycles, MASE,
-    # calendar gaps). Never-checked outranks stale (the r6 lesson): a
-    # query with NO driver row ever is a coverage hole; a stale green
-    # still has current-fixture evidence in CORRECTNESS_LOCAL.json.
-    # Their slots come from the window's tail (10 r1-era + 5 r4-era
-    # refreshes, moved to the r11 queue head below);
-    # tools/window_audit.py asserts this composition.
-    "sim_mmr_diversify",
-    "graph_hyperanf_nf",
-    "dedup_cdc_chunks",
-    "ts_mase_seasonal_naive",
-    "dq_missing_dates",
-    "dq_l_diversity",
-    "graph_personalized_pagerank",
-    "q_repeat_purchase_intervals",
-    "agg_hhi_source_mix",
-    "agg_lorenz_deciles",
-    "dq_cramers_v",
-    "dq_spearman_trend",
-    "graph_hits",
-    "graph_wl_refinement",
-    "retrieval_pr_at_k",
-    "text_flesch_readability",
-    "text_pmi_collocations",
-    "emb_silhouette",
-    "stream_pysink_roundtrip",
-    "retrieval_rrf_fusion",
-    "retrieval_ndcg_eval",
-    "ts_autocorr_lag1",
-    "graph_degree_assortativity",
-    "sketch_ams_f2",
-    "dq_iqr_outliers",
-    "dedup_minhash_error_audit",
-    "mm_bmp_decode",
-    "graph_clustering_coefficient",
-    "agg_weighted_median",
-    "text_rake_keywords",
-    "emb_random_projection_jl",
-    "agg_bootstrap_poisson",
-    "dq_welch_t_squared",
-    "q_rfm_segmentation",
-    "sketch_dd_quantiles",
-    "graph_jaccard_link_prediction",
-    # tier 2: semantically touched in r10 — the bootstrap index went
-    # two-level (VERDICT #3), the EWMA oracle moved to the
-    # negative-safe '>> 2' fold and the z-band comparison to
-    # DECIMAL(38,0) (r9 ADVICE #1/#3). The TWS/late-audit split
-    # builders also changed, but only their scratch-dir TAGS (data
-    # prep naming, not semantics) — they stay r8/r9-green and are
-    # re-proven by the local gate, not re-queued here.
-    "agg_bootstrap_ci",
-    "ts_ewma_recursive",
-    "ts_zband_outliers",
-    # tier 3a: ALL 24 r1-era stale greens (VERDICT r9 #1) — their only
-    # driver row is round 1, verified on long-regenerated fixtures.
-    "dedup_exact",
-    "text_token_stats",
-    "sort_limit_topn",
-    "setop_union",
-    "agg_count_distinct",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q5_local_supplier",
-    "window_rank_lag",
-    "window_running_total",
-    "agg_rollup",
-    # The 50-query window cuts after the 11th r1-era refresh: the 18
-    # late-r10 additions displaced the window's old tail (13 r1-era +
-    # the 5 family-diverse r4-era picks) to the r11 queue head below.
-    # Past slot 50 — the explicit r11 queue: displaced r1-era first
-    # (oldest greens), then the r4-era cohort, then r5 by age.
+    # --- round 11 rotation (composition from tools/green_age.py) ---
+    # r11 has ZERO never-checked backlog for the first time (all 317
+    # queries have a driver-green row; VERDICT r10 §coverage), so the
+    # entire 50-slot window is tier-3 staleness retirement, exactly as
+    # VERDICT r10 "Next round" #1 prescribes: the 13 r1-era greens,
+    # the full 33-query r4-era cohort, then the 4 oldest r5 queries
+    # (alphabetical within equal age, matching green_age.py order).
+    # Done-criterion: tools/green_age.py shows no query older than r5
+    # once CORRECTNESS_r11.json lands.
+    # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
+    # verified on long-regenerated fixtures).
     "agg_cube",
-    "setop_intersect",
-    "join_anti",
-    "join_full_outer",
     "agg_percentiles",
     "dedup_minhash_signatures",
     "dedup_simhash",
-    "sim_range_search",
+    "join_anti",
+    "join_full_outer",
+    "setop_intersect",
     "sim_ann_bucketed",
+    "sim_range_search",
+    "text_bigrams",
+    "text_fingerprint",
     "text_lang_id",
     "text_token_count_regex",
-    "text_fingerprint",
-    "text_bigrams",
+    # tier 3b: the complete r4-era cohort (33 queries).
+    "agg_argmax_order",
+    "agg_grouping_sets",
+    "agg_pivot_status_priority",
     "decontam_ngram_overlap",
-    "dedup_ngram_jaccard",
-    "emb_kmeans",
-    "graph_pagerank",
-    "fn_json_suite",
-    "join_salted_skew",
-    "win_tumbling_hour",
     "dedup_cluster_cc",
     "dedup_embedding_cosine",
-    "scd2_user_state",
     "dedup_incremental",
-    "fn_date_suite",
-    "fn_string_suite",
-    "join_range_ship_window",
-    "stream_static_join_enrich",
-    "sample_stratified",
-    "sample_domain_mixture",
-    "subq_above_avg_balance",
-    "subq_exists_late_ship",
-    "text_pii_redact",
-    "udtf_tokenize_docs",
-    "agg_grouping_sets",
-    "agg_argmax_order",
-    "agg_pivot_status_priority",
+    "dedup_ngram_jaccard",
     "dq_table_audit",
+    "emb_kmeans",
+    "fn_date_suite",
+    "fn_json_suite",
+    "fn_string_suite",
+    "graph_pagerank",
+    "join_range_ship_window",
+    "join_salted_skew",
     "pipeline_curate_corpus",
     "pipeline_pack_sequences",
+    "sample_domain_mixture",
+    "sample_stratified",
+    "scd2_user_state",
     "setop_except",
     "sim_ann_gemm",
     "sim_ann_ivf",
+    "stream_static_join_enrich",
+    "subq_above_avg_balance",
+    "subq_exists_late_ship",
     "subq_not_exists_customers",
+    "text_pii_redact",
     "text_repetition_filter",
     "udf_scalar_doc_stats",
+    "udtf_tokenize_docs",
+    "win_tumbling_hour",
+    # tier 3c: the 4 oldest r5-era greens fill the window to 50.
+    "agg_approx_distinct",
+    "agg_histogram",
+    "agg_string_agg",
+    "dedup_minhash_lsh",
+    # Past slot 50 — the explicit r12 queue: the remaining r5 cohort
+    # (35), then r6 by age; queries touched in r11 get promoted into
+    # next round's tier 2 ahead of these.
+    "emb_quantize_int8",
+    "fn_array_suite",
+    "fn_conditional_suite",
+    "fn_higher_order_suite",
+    "fn_map_suite",
+    "fn_null_semantics",
 )
 
 
