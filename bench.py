@@ -36,6 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+# The transformWithStateInPandas block is FLOOR-BOUND (~1.3 s query
+# planning + ~1.5 s state-server RPC per stream start, SCALING.md r9)
+# and rep spreads hit 4x on 3 samples (r10: stream_tws_list_seeded
+# 6.5/4.1/17.5 s — VERDICT r10 #5). These run in their own isolated
+# pass with more reps so the min actually converges, and the guard
+# reads this set for a wider noise band.
+FLOOR_BOUND_PREFIX = "stream_tws_"
+FLOOR_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_FLOOR_REPS", "5"))
 
 
 def _force(df) -> None:
@@ -71,13 +79,15 @@ def main() -> int:
     # failed query records null and its error; totals cover the rest.
     times: dict[str, list[float]] = {name: [] for name in qs}
     errors: dict[str, str] = {}
-    for _ in range(REPS):
-        for name, fn in qs.items():
+    floor_bound = [n for n in qs if n.startswith(FLOOR_BOUND_PREFIX)]
+
+    def _run_pass(names) -> None:
+        for name in names:
             if name in errors:
                 continue
             t0 = time.perf_counter()
             try:
-                _force(fn(spark, SF_DIR))
+                _force(qs[name](spark, SF_DIR))
             except Exception as exc:  # noqa: BLE001 — record and continue
                 # Keep any earlier successful rep timings (ADVICE r5): a
                 # flaky-once query still reports its measured min
@@ -85,6 +95,15 @@ def main() -> int:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 continue
             times[name].append(time.perf_counter() - t0)
+
+    main_names = [n for n in qs if n not in floor_bound]
+    for _ in range(REPS):
+        _run_pass(main_names)
+    # Isolated floor-bound block: no interleaving with the bulk surface
+    # (a co-scheduled heavy batch query perturbs the state-server RPC
+    # timing), and FLOOR_REPS samples instead of REPS.
+    for _ in range(FLOOR_REPS):
+        _run_pass(floor_bound)
     per_query: dict[str, float | None] = {
         name: (round(min(ts), 4) if ts else None) for name, ts in times.items()
     }
@@ -126,9 +145,17 @@ def main() -> int:
         n: (round(min(ts[1:]), 4) if len(ts) > 1 else None)
         for n, ts in times.items()
     }
+    # max/min rep ratio: the triage column for "is this mover noise?" —
+    # a query whose own samples spread 3x within one run can't support
+    # a 1.5x cross-run conclusion.
+    spread = {
+        n: (round(max(ts) / min(ts), 2) if ts and min(ts) > 0 else None)
+        for n, ts in times.items()
+    }
     with open(detail_path, "w") as fh:
         json.dump(
             {**summary, "reps": times, "cold": cold, "warm": warm,
+             "spread": spread, "floor_bound": floor_bound,
              "errors": errors},
             fh,
             indent=1,

@@ -358,12 +358,18 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every element_at re-evaluates split(text) (no CSE in lambda bodies).
     toks = df.select(tokens(F.col("text")).alias("t"))
     t = F.col("t")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1)
+    # size >= 2 guard: sequence(1, 0) DESCENDS ([1, 0]) on a 1-token
+    # document and element_at(t, 0) throws — DuckDB's range(1, len) is
+    # exclusive-upper so only the Spark side needs it (r11 audit).
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -1497,13 +1503,19 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
     )
     t = F.col("t")
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.struct(
-            F.element_at(t, i).alias("w1"),
-            F.element_at(t, i + 1).alias("w2"),
+    # size >= 2 guard (r11 audit): sequence(1, 0) descends on a 1-token
+    # document and element_at(t, 0) throws; DuckDB's range is
+    # exclusive-upper so only the Spark side can crash.
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     big = (
         toks.select(F.explode(pairs).alias("u"))
         .select(F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2"))

@@ -40,3 +40,39 @@ def test_rfm_single_rank_pass_exchange_budget(spark, sf_dir):
     assert "orders.parquet" not in plan
     # One within-bucket rank window, not three chained ones.
     assert len(re.findall(r"row_number", plan)) == 1
+
+
+def test_bigram_builders_survive_short_documents(spark, tmp_path):
+    """r11 audit fix: sequence(1, size-1) DESCENDS ([1, 0]) when a
+    document has one token, and element_at(t, 0) raises
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — the ungated bigram builders
+    (text_bigrams, text_pmi_collocations) crashed on any corpus with a
+    1-token document. Both now guard with when(size >= 2) like the
+    shingle/repetition/lm-score sites always did."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.operators.text import (
+        text_bigrams,
+        text_pmi_collocations,
+    )
+
+    rows = [
+        (1, "single", "en", "web", 6),
+        (2, "", "en", "web", 0),
+        (3, "two tokens here repeat repeat", "en", "web", 29),
+    ] * 6  # PMI_MIN_COUNT=5 needs repeated bigrams to emit rows
+    docs = spark.createDataFrame(
+        [(i * 10 + j, t, lg, s, n) for j, (i, t, lg, s, n) in
+         enumerate(rows)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d + "/documents.parquet")
+    out_b = text_bigrams(spark, d).collect()
+    assert any(r["bigram"] == "repeat repeat" for r in out_b)
+    out_p = text_pmi_collocations(spark, d).collect()
+    assert all(r["c_xy"] >= 5 for r in out_p)
+    # The 1-token and empty documents contribute no bigrams but also
+    # no crash — unigram totals still include their tokens.
+    assert not any("single" in (r["w1"], r["w2"]) for r in out_p)
