@@ -1363,7 +1363,14 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
-    colors = deg.select("v", F.col("d").cast("long").alias("c"))
+    # Each round's color table has THREE consumers (the own-color join,
+    # the neighbor-color join, and that round's summary), so a lazy
+    # unroll re-derives the whole prefix per consumer — the HITS/ANF
+    # lineage-doubling trap (r10 memory; 27 exchanges measured).
+    # Materialize the one-row-per-node state each round instead.
+    colors = deg.select(
+        "v", F.col("d").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
 
     def _summary(c: DataFrame, rnd: int) -> DataFrame:
         return c.agg(
@@ -1404,7 +1411,7 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash60(
                 F.concat(F.col("oc").cast("string"), F.lit("|"), F.col("msg"))
             ).alias("c"),
-        )
+        ).localCheckpoint(eager=True)
         out = out.unionAll(_summary(colors, rnd))
     return out.orderBy("wl_round")
 
