@@ -76,6 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     # (alphabetical within equal age, matching green_age.py order).
     # Done-criterion: tools/green_age.py shows no query older than r5
     # once CORRECTNESS_r11.json lands.
+    # tier 1: the one r11-new operator (never driver-checked — the
+    # Kafka wire-path closure, VERDICT r10 #6); its slot displaces the
+    # window's tail entry to the r12 queue head.
+    "kafka_wire_roundtrip",
     # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
     # verified on long-regenerated fixtures).
     "agg_cube",
@@ -125,14 +129,17 @@ _PRIORITY: tuple[str, ...] = (
     "udf_scalar_doc_stats",
     "udtf_tokenize_docs",
     "win_tumbling_hour",
-    # tier 3c: the 4 oldest r5-era greens fill the window to 50.
+    # tier 3c: the oldest r5-era greens fill the window to 50 (the
+    # 4th, dedup_minhash_lsh, was displaced to the r12 queue by the
+    # tier-1 insertion above).
     "agg_approx_distinct",
     "agg_histogram",
     "agg_string_agg",
-    "dedup_minhash_lsh",
     # Past slot 50 — the explicit r12 queue: the remaining r5 cohort
-    # (35), then r6 by age; queries touched in r11 get promoted into
-    # next round's tier 2 ahead of these.
+    # (36 incl. the displaced dedup_minhash_lsh), then r6 by age;
+    # queries touched in r11 get promoted into next round's tier 2
+    # ahead of these.
+    "dedup_minhash_lsh",
     "emb_quantize_int8",
     "fn_array_suite",
     "fn_conditional_suite",
@@ -169,6 +176,9 @@ def _ensure_loaded() -> None:
         tpch_extra,
         retrieval,
         sketches,
+    )
+    from fluent_bit_filter_math_spark.sources import (  # noqa: F401
+        kafka_wire,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

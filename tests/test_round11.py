@@ -76,3 +76,77 @@ def test_bigram_builders_survive_short_documents(spark, tmp_path):
     # The 1-token and empty documents contribute no bigrams but also
     # no crash — unigram totals still include their tokens.
     assert not any("single" in (r["w1"], r["w2"]) for r in out_p)
+
+
+def test_kafka_wire_retries_dropped_fetch_connections(spark):
+    """The kafkawire reader retries a dropped broker connection (the
+    connector-client discipline): with the broker told to drop the
+    first 2 fetch connections, the round-trip still returns every
+    produced row."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.sources.kafka_wire import roundtrip
+
+    payload = spark.range(40).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 3).alias("user_id"),
+    )
+    out = roundtrip(
+        spark,
+        payload,
+        key_col="event_id",
+        topic="retry-test",
+        n_partitions=3,
+        fail_first_fetches=2,
+    )
+    rows = out.collect()
+    assert len(rows) == 40
+    assert sorted(r["event_id"] for r in rows) == list(range(40))
+    # routing contract: partition = int(key) mod n
+    assert all(r["partition"] == r["event_id"] % 3 for r in rows)
+
+
+def test_kafka_wire_offsets_dense_per_partition(spark):
+    """Per-partition offsets are a dense 0..n-1 sequence regardless of
+    producer task arrival order — the log-append invariant the oracle
+    cannot check (arrival order is nondeterministic, as with a real
+    broker)."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.sources.kafka_wire import (
+        MiniBroker,
+        produce,
+        register_kafka_wire,
+    )
+    from fluent_bit_filter_math_spark.sources.io import encode_kafka_value
+
+    register_kafka_wire(spark)
+    payload = spark.range(60).repartition(6).select(
+        F.col("id").alias("event_id")
+    )
+    broker = MiniBroker()
+    try:
+        produce(
+            encode_kafka_value(payload, key_col="event_id"),
+            "dense-test",
+            broker.port,
+            4,
+        )
+        raw = (
+            spark.read.format("kafkawire")
+            .option("topic", "dense-test")
+            .option("port", str(broker.port))
+            .option("partitions", "4")
+            .load()
+        )
+        got = raw.groupBy("kpart").agg(
+            F.count("*").alias("n"),
+            F.min("koffset").alias("lo"),
+            F.max("koffset").alias("hi"),
+            F.countDistinct("koffset").alias("nd"),
+        ).collect()
+    finally:
+        broker.stop()
+    assert {r["kpart"] for r in got} == {0, 1, 2, 3}
+    for r in got:
+        assert (r["lo"], r["hi"], r["nd"]) == (0, r["n"] - 1, r["n"])
