@@ -1682,3 +1682,141 @@ def graph_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionAll(_est(r, i))
     return out.orderBy("radius")
 
+
+
+# ---------------------------------------------------------------------------
+# k-CORE PEEL — the degeneracy-ordering primitive (Seidman'83; Batagelj
+# & Zaveršnik's peel): repeatedly delete every node of degree < k until
+# the k-core (the maximal subgraph of min-degree ≥ k) remains. THE
+# graph-curation density filter — spam/bot subgraphs and weakly-attached
+# crawl noise fall out of the core — and the preprocessing step before
+# community/triangle work at scale. Emitted per peel round: surviving
+# node count, surviving edge count (among the pre-round survivor set),
+# and the survivor-set fingerprint (portable-md5 of the sorted id list,
+# the WL discipline), i.e. the peel trajectory. Rounds are UNROLLED
+# (KCORE_ROUNDS — the PageRank/WL discipline; a production run loops to
+# the fixpoint with the pagerank_converged stop-rule shape; the fixture
+# graph reaches its 3-core fixpoint inside the unrolled budget, pinned
+# in tests).
+#
+# Determinism: pure integer counting + the shared hash60 fingerprint —
+# no floats anywhere.
+#
+# Scale: each round is one survivors⋈edges semi-restriction (survivor
+# table is one row per LIVE node — shrinking every round) + one degree
+# hash aggregate; survivor state localCheckpoints per round (three
+# consumers: both edge-endpoint joins + the summary — the WL/HITS
+# lineage rule).
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    base = f"""
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    e AS MATERIALIZED (
+      SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+    ),
+    s0 AS MATERIALIZED (SELECT DISTINCT v FROM e)"""
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        prev = f"s{i - 1}"
+        # AS MATERIALIZED: each survivor set is referenced THREE times
+        # (both endpoint joins + its summary); DuckDB inlines CTEs by
+        # default, which re-evaluates the whole peel prefix per
+        # reference — exponential in rounds (the sim_mmr lesson).
+        rounds.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT e.v, COUNT(*) AS d
+      FROM e
+      JOIN {prev} pa ON pa.v = e.v
+      JOIN {prev} pb ON pb.v = e.nbr
+      GROUP BY e.v
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT v FROM d{i} WHERE d >= {KCORE_K}
+    )""")
+    summaries = " UNION ALL ".join(
+        f"""
+    SELECT CAST({i} AS BIGINT) AS peel_round,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST((SELECT COALESCE(SUM(d), 0) FROM d{i}) // 2 AS BIGINT)
+               AS n_edges_before,
+           {duck_hash60("string_agg(CAST(v AS VARCHAR), ',' ORDER BY v)")}
+               AS fingerprint
+    FROM s{i}"""
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    head = f"""
+    SELECT CAST(0 AS BIGINT) AS peel_round,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges_before,
+           {duck_hash60("string_agg(CAST(v AS VARCHAR), ',' ORDER BY v)")}
+               AS fingerprint
+    FROM s0 UNION ALL """
+    return (
+        "WITH " + base + "," + ",".join(rounds) + "\n    " + head
+        + summaries + "\n    ORDER BY peel_round"
+    )
+
+
+@register("graph_kcore_peel", oracle=_kcore_oracle())
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    surv = deg.select("v").localCheckpoint(eager=True)
+
+    def _summary(s: DataFrame, rnd: int, n_edges: int) -> DataFrame:
+        # Fingerprint is NULL for an empty survivor set — string_agg
+        # over zero rows is NULL on the oracle side.
+        return s.agg(
+            F.lit(rnd).cast("long").alias("peel_round"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.lit(n_edges).cast("long").alias("n_edges_before"),
+            F.when(
+                F.count("*") > 0,
+                hash60(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list("v")),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            ).alias("fingerprint"),
+        )
+
+    n_und = und.count()  # 1-row scalar over the checkpointed edge list
+    out = _summary(surv, 0, n_und)
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        alive = (
+            e.join(surv, "v")
+            .join(surv.withColumnRenamed("v", "nbr"), "nbr")
+        )
+        d = alive.groupBy("v").agg(F.count("*").alias("d"))
+        # Edges among the pre-round survivors = Σd/2 (each undirected
+        # edge counted from both endpoints) — collected as the round's
+        # 1-row scalar, the BPE/pagerank_converged discipline.
+        ec_row = d.agg(F.expr("sum(d) div 2").alias("ec")).collect()[0]
+        ec = int(ec_row["ec"] or 0)
+        surv = (
+            d.filter(F.col("d") >= KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(_summary(surv, rnd, ec))
+    return out.orderBy("peel_round")

@@ -3069,3 +3069,93 @@ def q_repeat_purchase_intervals(
         )
         .orderBy("gap_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# PARETO FRONTIER (SKYLINE) — the maxima-of-a-point-set operator
+# (Börzsönyi/Kossmann/Stocker ICDE'01 "The Skyline Operator"; the
+# SKYLINE OF clause): parts not dominated on (total units moved, total
+# revenue) — p is dominated iff some q has qty ≥ AND rev ≥ with one
+# strict. The two-criteria shortlist query every catalog/procurement
+# dashboard runs ("nothing beats these on both axes").
+#
+# Closed form instead of the naive O(n²) pair join: p survives iff
+#   rev_p > max{rev_q : qty_q > qty_p}   (nothing strictly wider beats
+#                                         its revenue)
+#   AND rev_p = max{rev_q : qty_q = qty_p} (best of its qty tie group).
+# Both maxima come from ONE ordered pass — no self-join ever forms.
+#
+# Determinism: exact integer (qty, cents) aggregates; domination is
+# pure integer comparison. Duplicate (qty, rev) points co-survive
+# (neither dominates — the standard skyline convention).
+#
+# Scale: the strict-suffix max is TWO-LEVEL (qty-high-bits bucket →
+# per-bucket max + exclusive DESC prefix over the tiny bucket table,
+# broadcast back; within-bucket RANGE window) — no global sort task;
+# the tie-group max rides the same bucket window as its RANGE(0,0)
+# peers frame. The oracle uses the plain global-window form — same
+# values, DuckDB-sized data.
+# ---------------------------------------------------------------------------
+@register(
+    "q_pareto_frontier",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty,
+             CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    m AS (
+      SELECT l_partkey, qty, rev,
+             MAX(rev) OVER (ORDER BY qty
+                            RANGE BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING) AS m1,
+             MAX(rev) OVER (PARTITION BY qty) AS m2
+      FROM per
+    )
+    SELECT l_partkey, qty, rev
+    FROM m
+    WHERE (m1 IS NULL OR m1 < rev) AND m2 <= rev
+    ORDER BY qty DESC, l_partkey
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    per = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.sum(exact_cents(F.col("l_extendedprice"))).alias("rev"),
+        )
+        .withColumn("bucket", F.shiftright(F.col("qty"), 4))
+    )
+    bmax = per.groupBy("bucket").agg(F.max("rev").alias("bm"))
+    # exclusive suffix max over STRICTLY GREATER buckets (bucket is a
+    # prefix of the qty order, so greater bucket => strictly greater
+    # qty)
+    wsfx = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sfx = bmax.select(
+        "bucket", F.max("bm").over(wsfx).alias("sfx")
+    )
+    win = Window.partitionBy("bucket").orderBy("qty")
+    m1w = F.max("rev").over(win.rangeBetween(1, Window.unboundedFollowing))
+    m2 = F.max("rev").over(win.rangeBetween(0, 0))  # qty tie peers
+    m = per.join(F.broadcast(sfx), "bucket").select(
+        "l_partkey",
+        "qty",
+        "rev",
+        F.greatest(
+            F.coalesce(m1w, F.lit(-1)), F.coalesce(F.col("sfx"), F.lit(-1))
+        ).alias("m1"),
+        m2.alias("m2"),
+    )
+    return (
+        m.filter((F.col("m1") < F.col("rev")) & (F.col("m2") <= F.col("rev")))
+        .select("l_partkey", "qty", "rev")
+        .orderBy(F.desc("qty"), F.asc("l_partkey"))
+    )

@@ -1536,3 +1536,153 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_fp"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# HEAPS'-LAW VOCABULARY GROWTH — the V(n) curve (Heaps 1978; Herdan):
+# distinct vocabulary size as a function of tokens ingested, THE
+# corpus-health diagnostic next to token counts — a crawl whose curve
+# goes flat is re-crawling itself (templates/dup content); one that
+# stays near-linear is unfiltered noise. Types here are word BIGRAMS
+# (n-gram Heaps): the fixture's unigram vocabulary saturates inside
+# the first decile (31 types), while the bigram vocabulary keeps
+# growing through the stream — the same reason production curves are
+# usually reported over n-grams. Emitted per decile of the bigram
+# stream (doc_id, position order): tokens seen, NEW types first
+# appearing in that decile, cumulative vocabulary, and the cumulative
+# type-token ratio as 1e6 fixed point. No logs anywhere — the curve
+# itself is exact integers, and downstream fitting of the Heaps
+# exponent happens on the emitted points.
+#
+# Determinism: global token positions are a pure function of
+# (doc_id, position); first-occurrence = MIN(gpos) per type; decile
+# membership is ceil(10·fp/n) = (10·fp + n − 1) div n (the lorenz
+# idiom); everything BIGINT until nothing.
+#
+# Scale: positions are assigned TWO-LEVEL (doc_id-bucket counts +
+# exclusive prefix over the bucket table, broadcast back — the
+# iqr/pack_sequences discipline; no global token sort); firsts is one
+# hash aggregate over the exploded stream; the decile table is ≤10
+# rows before its window. The oracle uses a plain global row_number —
+# same values, DuckDB-sized data.
+# ---------------------------------------------------------------------------
+@register(
+    "text_heaps_vocab_growth",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, u['p'] AS p,
+             t[u['p']] || ' ' || t[u['p'] + 1] AS w
+      FROM (
+        SELECT doc_id, t,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {'p': i})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      )
+    ),
+    g AS (
+      SELECT w, row_number() OVER (ORDER BY doc_id, p) AS gpos FROM tok
+    ),
+    n AS (SELECT COUNT(*) AS n FROM g),
+    firsts AS (SELECT w, MIN(gpos) AS fp FROM g GROUP BY w),
+    d AS (
+      SELECT (10 * fp + n.n - 1) // n.n AS decile, n.n AS n
+      FROM firsts CROSS JOIN n
+    ),
+    per AS (
+      SELECT decile, MAX(n) AS n, COUNT(*) AS new_types
+      FROM d GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST((decile * n) // 10 AS BIGINT) AS tokens_seen,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER w AS BIGINT) AS vocab_cum,
+           CAST(CAST(SUM(new_types) OVER w AS BIGINT) * 1000000
+                // ((decile * n) // 10) AS BIGINT) AS ttr_fp
+    FROM per
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY decile
+    """,
+)
+def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    # Positioned bigram stream, with the size >= 2 guard (sequence
+    # descends for 1-token docs — the r11 audit bug class).
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                i.alias("p"),
+                F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,w:string>>"))
+    toks = docs.select("doc_id", F.explode(pairs).alias("u")).select(
+        "doc_id", F.col("u.p").alias("p"), F.col("u.w").alias("w")
+    )
+    counts = toks.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+    bcounts = counts.select(
+        F.shiftright("doc_id", 8).alias("bucket"), "doc_id", "cnt"
+    )
+    bsum = bcounts.groupBy("bucket").agg(F.sum("cnt").alias("bn"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bsum.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("boff")
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bcounts.join(F.broadcast(boff), "bucket")
+        .select(
+            "doc_id",
+            (
+                F.col("boff")
+                + F.coalesce(F.sum("cnt").over(wd), F.lit(0))
+            ).alias("off"),
+        )
+    )
+    g = toks.join(F.broadcast(offsets), "doc_id").select(
+        "w", (F.col("off") + F.col("p")).alias("gpos")
+    )
+    n_tab = counts.agg(F.sum("cnt").alias("n"))
+    firsts = g.groupBy("w").agg(F.min("gpos").alias("fp"))
+    d = firsts.crossJoin(F.broadcast(n_tab)).select(
+        F.expr("(10 * fp + n - 1) div n").alias("decile"), "n"
+    )
+    per = d.groupBy("decile").agg(
+        F.max("n").alias("n"), F.count("*").alias("new_types")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.select(
+            F.col("decile").cast("long").alias("decile"),
+            F.expr("(decile * n) div 10").cast("long").alias(
+                "tokens_seen"
+            ),
+            F.col("new_types").cast("long").alias("new_types"),
+            F.sum("new_types").over(wcum).cast("long").alias("vocab_cum"),
+        )
+        .select(
+            "decile",
+            "tokens_seen",
+            "new_types",
+            "vocab_cum",
+            F.expr("vocab_cum * 1000000 div tokens_seen")
+            .cast("long")
+            .alias("ttr_fp"),
+        )
+        .orderBy("decile")
+    )

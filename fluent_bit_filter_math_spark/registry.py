@@ -76,10 +76,14 @@ _PRIORITY: tuple[str, ...] = (
     # (alphabetical within equal age, matching green_age.py order).
     # Done-criterion: tools/green_age.py shows no query older than r5
     # once CORRECTNESS_r11.json lands.
-    # tier 1: the one r11-new operator (never driver-checked — the
-    # Kafka wire-path closure, VERDICT r10 #6); its slot displaces the
-    # window's tail entry to the r12 queue head.
+    # tier 1: the four r11-new operators (never driver-checked — the
+    # Kafka wire-path closure per VERDICT r10 #6, plus the k-core
+    # peel, bigram Heaps'-law curve, and skyline additions); their
+    # slots displace the window's tail entries to the r12 queue head.
     "kafka_wire_roundtrip",
+    "graph_kcore_peel",
+    "text_heaps_vocab_growth",
+    "q_pareto_frontier",
     # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
     # verified on long-regenerated fixtures).
     "agg_cube",
@@ -129,16 +133,14 @@ _PRIORITY: tuple[str, ...] = (
     "udf_scalar_doc_stats",
     "udtf_tokenize_docs",
     "win_tumbling_hour",
-    # tier 3c: the oldest r5-era greens fill the window to 50 (the
-    # 4th, dedup_minhash_lsh, was displaced to the r12 queue by the
-    # tier-1 insertion above).
+    # Past slot 50 — the 4 tier-1 insertions displaced the r5-era
+    # tail (agg_approx_distinct, agg_histogram, agg_string_agg,
+    # dedup_minhash_lsh) to the r12 queue head; then the remaining r5
+    # cohort, then r6 by age. Queries touched in r11 get promoted into
+    # next round's tier 2 ahead of these.
     "agg_approx_distinct",
     "agg_histogram",
     "agg_string_agg",
-    # Past slot 50 — the explicit r12 queue: the remaining r5 cohort
-    # (36 incl. the displaced dedup_minhash_lsh), then r6 by age;
-    # queries touched in r11 get promoted into next round's tier 2
-    # ahead of these.
     "dedup_minhash_lsh",
     "emb_quantize_int8",
     "fn_array_suite",

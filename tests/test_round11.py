@@ -78,6 +78,69 @@ def test_bigram_builders_survive_short_documents(spark, tmp_path):
     assert not any("single" in (r["w1"], r["w2"]) for r in out_p)
 
 
+def test_kcore_peel_reaches_fixpoint_and_shrinks_monotonically(
+    spark, sf_dir
+):
+    """Peel-trajectory invariants the oracle can't express: survivor
+    counts never grow, the unrolled budget reaches the 3-core fixpoint
+    on the fixture graph (last two rounds identical — fingerprint
+    equality means the SET is stable, not just its size; at sf0.001
+    the sparsified graph's 3-core is EMPTY and both fingerprints are
+    NULL — the empty-set path is load-bearing), and the k-core edge
+    bound |E| >= k*n/2 holds."""
+    from fluent_bit_filter_math_spark.operators.graph import (
+        graph_kcore_peel,
+    )
+
+    rows = graph_kcore_peel(spark, sf_dir).collect()
+    ns = [r["n_nodes"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert rows[-1]["fingerprint"] == rows[-2]["fingerprint"]
+    assert rows[-1]["n_nodes"] == rows[-2]["n_nodes"]
+    # k-core edge bound on the stabilized set: the edges among the
+    # round-(R-1) survivors (= the fixpoint set) are >= k*n/2.
+    last = rows[-1]
+    assert rows[-1]["n_edges_before"] * 2 >= 3 * last["n_nodes"]
+
+
+def test_pareto_frontier_equals_bruteforce_domination(spark, sf_dir):
+    """The closed-form skyline (suffix-max + tie-group max) returns
+    exactly the naive O(n^2) domination filter's rows."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.operators.relational import (
+        q_pareto_frontier,
+    )
+    from fluent_bit_filter_math_spark.sources import table as _table
+
+    got = sorted(
+        (r["l_partkey"], r["qty"], r["rev"])
+        for r in q_pareto_frontier(spark, sf_dir).collect()
+    )
+    per = (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("qty"),
+            F.sum(exact_cents(F.col("l_extendedprice"))).alias("rev"),
+        )
+        .collect()
+    )
+    pts = [(r["l_partkey"], r["qty"], r["rev"]) for r in per]
+    want = sorted(
+        p
+        for p in pts
+        if not any(
+            q[1] >= p[1]
+            and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+        )
+    )
+    assert got == want and len(got) >= 1
+
+
 def test_kafka_wire_retries_dropped_fetch_connections(spark):
     """The kafkawire reader retries a dropped broker connection (the
     connector-client discipline): with the broker told to drop the
