@@ -1138,7 +1138,14 @@ def dq_welch_t_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    # Materialize the contingency table once: margins, cols, tot, the
+    # term pass, and the shape aggregate all read it (five consumers —
+    # left lazy each re-derives the documents scan+agg; r11 audit).
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=True)
+    )
     margins = cells.groupBy("source").agg(F.sum("o").alias("r"))
     cols = cells.groupBy("lang").agg(F.sum("o").alias("c"))
     tot = cells.agg(F.sum("o").alias("n"))

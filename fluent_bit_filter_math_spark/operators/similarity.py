@@ -1151,7 +1151,14 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("mij"),
-    )
+        # Materialize the D×D scatter ONCE: every unrolled matvec
+        # references m, and each round's w feeds two consumers (the
+        # norm and the next v) — left lazy, the corpus pair-explode
+        # re-derives per reference and the plan compiled 75 exchanges
+        # (r11 audit; the graph_hits lineage rule). m is 256 rows —
+        # exactly the "iterate on a summary" split this query's
+        # docstring promises.
+    ).localCheckpoint(eager=True)
     v = spark.range(PCA_DIMS).select(
         F.col("id").alias("i"), F.lit(_PCA_FP).cast("long").alias("v")
     )
@@ -1163,6 +1170,7 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("i")
             .agg(F.sum(F.col("mij") * F.col("v")).alias("w"))
+            .localCheckpoint(eager=True)
         )
         s = w.agg(
             F.sqrt(
