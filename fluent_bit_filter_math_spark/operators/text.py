@@ -1608,7 +1608,12 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    t = tokens(F.col("text"))
+    # Token array materialized BEFORE the pair lambda touches it — no
+    # CSE inside lambda bodies, so inlined every element_at re-splits
+    # the text (the shingle-pipeline trap; cost measured 6.1 s → the
+    # split-once form at sf0.1).
+    tarr = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    t = F.col("t")
     # Positioned bigram stream, with the size >= 2 guard (sequence
     # descends for 1-token docs — the r11 audit bug class).
     pairs = F.when(
@@ -1623,7 +1628,7 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<p:int,w:string>>"))
-    toks = docs.select("doc_id", F.explode(pairs).alias("u")).select(
+    toks = tarr.select("doc_id", F.explode(pairs).alias("u")).select(
         "doc_id", F.col("u.p").alias("p"), F.col("u.w").alias("w")
     )
     counts = toks.groupBy("doc_id").agg(F.count("*").alias("cnt"))
