@@ -381,10 +381,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.join(edges, dist.id == edges.src)
             .select(F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops"))
         )
+        # dist feeds TWO consumers per round (the expansion join and
+        # the min-union) — materialize the one-row-per-reached-node
+        # state each round, the HITS/WL/hyperanf lineage rule (r11:
+        # the lazy unroll compiled 17 exchanges, this form 3).
         dist = (
             dist.unionByName(expanded)
             .groupBy("id")
             .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
         )
     return (
         nodes.join(dist, "id", "left_outer")

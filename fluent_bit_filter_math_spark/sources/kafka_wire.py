@@ -113,17 +113,28 @@ class _Handler(socketserver.BaseRequestHandler):
         topic = payload[3 : 3 + tlen].decode("utf-8")
         pos = 3 + tlen
         if op == _OP_PRODUCE:
-            (part, count) = struct.unpack_from(">ii", payload, pos)
-            pos += 8
+            (pid, part, count) = struct.unpack_from(">qii", payload, pos)
+            pos += 16
             recs = []
             for _ in range(count):
                 key, pos = _unpack_bytes(payload, pos)
                 val, pos = _unpack_bytes(payload, pos)
                 recs.append((key, val))
             with broker.lock:
+                # Idempotent-producer semantics (Kafka's PID+sequence,
+                # collapsed to one batch per producer per partition):
+                # a RETRIED Spark task re-runs its whole partition and
+                # re-sends the identical batch — the dedupe key
+                # (topic, part, pid) makes the replay a no-op instead
+                # of a double-append.
+                seen = broker.producers.setdefault((topic, part), {})
                 log = broker.logs.setdefault((topic, part), [])
-                base = len(log)
-                log.extend(recs)
+                if pid in seen:
+                    base = seen[pid]
+                else:
+                    base = len(log)
+                    log.extend(recs)
+                    seen[pid] = base
             _send_frame(self.request, struct.pack(">q", base))
         elif op == _OP_FETCH:
             with broker.lock:
@@ -154,6 +165,7 @@ class MiniBroker:
 
     def __init__(self, fail_first_fetches: int = 0):
         self.logs: dict[tuple[str, int], list] = {}
+        self.producers: dict[tuple[str, int], dict] = {}
         self.lock = threading.Lock()
         self.fetches = 0
         self.fail_first = fail_first_fetches
@@ -178,6 +190,14 @@ def produce(
     deterministic stand-in for Kafka's key-hash partitioner)."""
 
     def _send(rows) -> None:
+        from pyspark import TaskContext
+
+        # producer id = the Spark input-partition id: stable across
+        # task RETRIES (attempt changes, partitionId doesn't), so a
+        # re-run task replays under the same pid and the broker's
+        # idempotence dedupe absorbs it.
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
         by_part: dict[int, list] = {}
         for r in rows:
             part = int(bytes(r["key"]).decode("ascii")) % n_partitions
@@ -189,7 +209,7 @@ def produce(
                 bytes([_OP_PRODUCE]),
                 struct.pack(">H", len(topic.encode())),
                 topic.encode(),
-                struct.pack(">ii", part, len(recs)),
+                struct.pack(">qii", pid, part, len(recs)),
             ]
             for key, val in recs:
                 body.append(_pack_bytes(key))

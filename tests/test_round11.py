@@ -169,6 +169,48 @@ def test_kafka_wire_retries_dropped_fetch_connections(spark):
     assert all(r["partition"] == r["event_id"] % 3 for r in rows)
 
 
+def test_kafka_wire_producer_idempotent_on_task_replay(spark):
+    """A retried Spark task re-runs its whole partition and re-sends
+    the identical produce batch under the same producer id (the Spark
+    partitionId, stable across attempts); the broker's (topic, part,
+    pid) dedupe absorbs the replay — Kafka's idempotent-producer
+    contract. Simulated by running the SAME produce twice: row counts
+    must not double."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.sources.io import encode_kafka_value
+    from fluent_bit_filter_math_spark.sources.kafka_wire import (
+        MiniBroker,
+        produce,
+        register_kafka_wire,
+    )
+
+    register_kafka_wire(spark)
+    payload = spark.range(30).repartition(3).select(
+        F.col("id").alias("event_id")
+    )
+    enc = encode_kafka_value(payload, key_col="event_id")
+    broker = MiniBroker()
+    try:
+        produce(enc, "idem-test", broker.port, 2)
+        produce(enc, "idem-test", broker.port, 2)  # the "replay"
+        raw = (
+            spark.read.format("kafkawire")
+            .option("topic", "idem-test")
+            .option("port", str(broker.port))
+            .option("partitions", "2")
+            .load()
+        )
+        rows = raw.collect()
+    finally:
+        broker.stop()
+    assert len(rows) == 30  # not 60
+    got = sorted(
+        int(bytes(r["key"]).decode("ascii")) for r in rows
+    )
+    assert got == list(range(30))
+
+
 def test_kafka_wire_offsets_dense_per_partition(spark):
     """Per-partition offsets are a dense 0..n-1 sequence regardless of
     producer task arrival order — the log-append invariant the oracle
