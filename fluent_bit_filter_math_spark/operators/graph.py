@@ -1825,3 +1825,217 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(_summary(surv, rnd, ec))
     return out.orderBy("peel_round")
+
+
+# ---------------------------------------------------------------------------
+# BORŮVKA MINIMUM SPANNING FOREST — the 1926 algorithm that IS
+# distributed MST (every MapReduce/Pregel MST paper is a Borůvka
+# variant): each round, every component selects its minimum-weight
+# outgoing edge; all selections join the forest simultaneously and
+# components merge — component count at least halves per round, so
+# O(log V) rounds span the graph. THE backbone-extraction primitive
+# (network design, single-linkage clustering's dual). Composes this
+# repo's families: per-round argmin selection (the rank discipline) ×
+# connected-components relabeling (dedup's alternating star rounds).
+#
+# Determinism: weights are portable-md5 hashes mod 1e6 (sum-safe in
+# int64: |forest| · 1e6 ≪ 2^63) and selection uses the (w, a, b)
+# TOTAL order — equivalent to distinct weights, so the classic
+# no-cycle guarantee holds and the forest is unique. Emitted per
+# round: component count, forest edge count, forest weight — the
+# Borůvka trajectory (rounds unrolled, the kcore/pagerank discipline;
+# production iterates to one component with the pagerank_converged
+# stop-rule shape).
+#
+# Scale: per round one edges⋈labels join (labels = one row per node),
+# one per-component min aggregate (map-side partial min of a packed
+# struct), and the star-contraction CC rounds — every piece the
+# PageRank/CC shuffle shapes. Forest and label state localCheckpoint
+# per round (multi-consumer; the HITS lineage rule).
+# ---------------------------------------------------------------------------
+BORUVKA_ROUNDS = 2
+_MST_W_MOD = 1_000_000
+
+
+def _boruvka_oracle() -> str:
+    base = f"""
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    ew AS MATERIALIZED (
+      SELECT a, b,
+             ({duck_hash60("CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)")})
+               % {_MST_W_MOD} AS w
+      FROM und
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT v FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+      )
+    ),
+    l0 AS (SELECT v, v AS c FROM nodes)"""
+    rounds = []
+    prev_f = None
+    for i in range(1, BORUVKA_ROUNDS + 1):
+        prev_l = f"l{i - 1}"
+        union_prev = (
+            f"SELECT w, a, b FROM f{i - 1} UNION " if prev_f else ""
+        )
+        rounds.append(f"""
+    el{i} AS (
+      SELECT ew.w, ew.a, ew.b, la.c AS ca, lb.c AS cb
+      FROM ew
+      JOIN {prev_l} la ON la.v = ew.a
+      JOIN {prev_l} lb ON lb.v = ew.b
+      WHERE la.c <> lb.c
+    ),
+    cand{i} AS (
+      SELECT ca AS c, w, a, b FROM el{i}
+      UNION ALL SELECT cb, w, a, b FROM el{i}
+    ),
+    pick{i} AS (
+      SELECT DISTINCT w, a, b FROM (
+        SELECT c, w, a, b,
+               row_number() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+        FROM cand{i}
+      ) WHERE rn = 1
+    ),
+    f{i} AS MATERIALIZED (
+      {union_prev}SELECT w, a, b FROM pick{i}
+    ),
+    fe{i} AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM f{i} UNION SELECT b, a FROM f{i}
+    ),
+    reach{i}(src, dst) AS (
+      SELECT u, v FROM fe{i}
+      UNION
+      SELECT r.src, e.v FROM reach{i} r JOIN fe{i} e ON r.dst = e.u
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT n.v, LEAST(n.v, COALESCE(MIN(r.dst), n.v)) AS c
+      FROM nodes n LEFT JOIN reach{i} r ON r.src = n.v
+      GROUP BY n.v
+    )""")
+        prev_f = f"f{i}"
+    summaries = ["""
+    SELECT CAST(0 AS BIGINT) AS mst_round,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(0 AS BIGINT) AS n_forest_edges,
+           CAST(0 AS BIGINT) AS forest_weight
+    FROM nodes"""]
+    for i in range(1, BORUVKA_ROUNDS + 1):
+        summaries.append(f"""
+    SELECT CAST({i} AS BIGINT) AS mst_round,
+           CAST((SELECT COUNT(DISTINCT c) FROM l{i}) AS BIGINT)
+               AS n_components,
+           CAST(COUNT(*) AS BIGINT) AS n_forest_edges,
+           CAST(COALESCE(SUM(w), 0) AS BIGINT) AS forest_weight
+    FROM f{i}""")
+    return (
+        "WITH RECURSIVE " + base + "," + ",".join(rounds)
+        + " UNION ALL ".join(summaries)
+        + "\n    ORDER BY mst_round"
+    )
+
+
+@register("graph_boruvka_msf", oracle=_boruvka_oracle())
+def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.operators.dedup import (
+        connected_components,
+    )
+
+    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    ew = und.select(
+        "a",
+        "b",
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("a").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            F.lit(_MST_W_MOD),
+        ).alias("w"),
+    ).localCheckpoint(eager=True)
+    nodes = deg.select("v")
+    lab = nodes.select("v", F.col("v").alias("c")).localCheckpoint(
+        eager=True
+    )
+
+    out = nodes.agg(
+        F.lit(0).cast("long").alias("mst_round"),
+        F.count("*").cast("long").alias("n_components"),
+        F.lit(0).cast("long").alias("n_forest_edges"),
+        F.lit(0).cast("long").alias("forest_weight"),
+    )
+    forest = None
+    for rnd in range(1, BORUVKA_ROUNDS + 1):
+        la = lab.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+        lb = lab.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+        el = (
+            ew.join(la, "a")
+            .join(lb, "b")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        e_struct = F.struct("w", "a", "b").alias("e")
+        cand = el.select(F.col("ca").alias("c"), e_struct).unionAll(
+            el.select(F.col("cb").alias("c"), e_struct)
+        )
+        # per-component argmin by the (w, a, b) total order: struct MIN
+        # is lexicographic in field order — exactly ORDER BY w, a, b
+        picks = (
+            cand.groupBy("c")
+            .agg(F.min("e").alias("e"))
+            .select("e.w", "e.a", "e.b")
+            .distinct()
+        )
+        forest = (
+            picks if forest is None else forest.unionByName(picks).distinct()
+        ).localCheckpoint(eager=True)
+        comp = connected_components(
+            forest.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+        lab = (
+            nodes.join(
+                comp.select(
+                    F.col("u").alias("v"), F.col("v").alias("root")
+                ),
+                "v",
+                "left",
+            )
+            .select(
+                "v", F.coalesce(F.col("root"), F.col("v")).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+        summary = (
+            lab.agg(F.countDistinct("c").cast("long").alias("n_components"))
+            .crossJoin(
+                F.broadcast(
+                    forest.agg(
+                        F.count("*").cast("long").alias("n_forest_edges"),
+                        F.coalesce(F.sum("w"), F.lit(0))
+                        .cast("long")
+                        .alias("forest_weight"),
+                    )
+                )
+            )
+            .select(
+                F.lit(rnd).cast("long").alias("mst_round"),
+                "n_components",
+                "n_forest_edges",
+                "forest_weight",
+            )
+        )
+        out = out.unionByName(summary)
+    return out.orderBy("mst_round")

@@ -76,14 +76,16 @@ _PRIORITY: tuple[str, ...] = (
     # (alphabetical within equal age, matching green_age.py order).
     # Done-criterion: tools/green_age.py shows no query older than r5
     # once CORRECTNESS_r11.json lands.
-    # tier 1: the four r11-new operators (never driver-checked — the
+    # tier 1: the five r11-new operators (never driver-checked — the
     # Kafka wire-path closure per VERDICT r10 #6, plus the k-core
-    # peel, bigram Heaps'-law curve, and skyline additions); their
-    # slots displace the window's tail entries to the r12 queue head.
+    # peel, bigram Heaps'-law curve, skyline, and Borůvka MSF
+    # additions); their slots displace the window's tail entries to
+    # the r12 queue head.
     "kafka_wire_roundtrip",
     "graph_kcore_peel",
     "text_heaps_vocab_growth",
     "q_pareto_frontier",
+    "graph_boruvka_msf",
     # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
     # verified on long-regenerated fixtures).
     "agg_cube",
@@ -133,11 +135,11 @@ _PRIORITY: tuple[str, ...] = (
     "udf_scalar_doc_stats",
     "udtf_tokenize_docs",
     "win_tumbling_hour",
-    # Past slot 50 — the 4 tier-1 insertions displaced the r5-era
-    # tail (agg_approx_distinct, agg_histogram, agg_string_agg,
-    # dedup_minhash_lsh) to the r12 queue head; then the remaining r5
-    # cohort, then r6 by age. Queries touched in r11 get promoted into
-    # next round's tier 2 ahead of these.
+    # Past slot 50 — the 5 tier-1 insertions displaced the r5-era
+    # tail (win_tumbling_hour plus agg_approx_distinct, agg_histogram,
+    # agg_string_agg, dedup_minhash_lsh) to the r12 queue head; then
+    # the remaining r5 cohort, then r6 by age. Queries touched in r11
+    # get promoted into next round's tier 2 ahead of these.
     "agg_approx_distinct",
     "agg_histogram",
     "agg_string_agg",

@@ -312,3 +312,114 @@ def test_heaps_duckdb_form_matches_python_twin(texts):
     if want:
         cums = [r[3] for r in want]
         assert cums == sorted(cums) and len(set(cums)) == len(cums)
+
+
+# --------------------------------------------------------------------------
+# Boruvka minimum spanning forest
+# --------------------------------------------------------------------------
+
+def _kruskal_msf(wedges):
+    """Unique MSF under the (w, a, b) total order — the reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for w, a, b in sorted(wedges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.append((w, a, b))
+    return sorted(forest)
+
+
+def _boruvka_rounds(wedges, rounds):
+    """graph_boruvka_msf's semantics: per round every component picks
+    its min (w, a, b) outgoing edge; all join the forest at once;
+    labels = connected components of the forest."""
+    nodes = {v for _, a, b in wedges for v in (a, b)}
+    label = {v: v for v in nodes}
+
+    def relabel(forest):
+        adj = {}
+        for _, a, b in forest:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {}
+        for v in nodes:
+            if v in lab:
+                continue
+            stack, comp = [v], []
+            seen = {v}
+            while stack:
+                x = stack.pop()
+                comp.append(x)
+                for y in adj.get(x, []):
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            root = min(comp)
+            for x in comp:
+                lab[x] = root
+        return lab
+
+    forest = set()
+    traj = [(len(set(label.values())), 0, 0)]
+    for _ in range(rounds):
+        best = {}
+        for w, a, b in wedges:
+            ca, cb = label[a], label[b]
+            if ca == cb:
+                continue
+            for c in (ca, cb):
+                if c not in best or (w, a, b) < best[c]:
+                    best[c] = (w, a, b)
+        forest |= set(best.values())
+        label = relabel(forest)
+        traj.append(
+            (len(set(label.values())), len(forest),
+             sum(w for w, _, _ in forest))
+        )
+    return sorted(forest), traj
+
+
+@st.composite
+def _weighted_graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=10))
+    edges = draw(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=n - 1),
+                st.integers(min_value=0, max_value=n - 1),
+            ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] != t[1]),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    # weights INTENTIONALLY collide a lot (0..3): the (w, a, b)
+    # total-order tie-break is what's under test
+    return sorted(
+        (draw(st.integers(min_value=0, max_value=3)), a, b)
+        for a, b in edges
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_weighted_graphs())
+def test_boruvka_converges_to_kruskal_msf(wedges):
+    want = _kruskal_msf(wedges)
+    # enough rounds to span any component (components at least halve)
+    forest, traj = _boruvka_rounds(wedges, rounds=6)
+    assert forest == want
+    # trajectory invariants: component count non-increasing, forest
+    # monotone growing, never a cycle (edges <= nodes - components)
+    comps = [t[0] for t in traj]
+    assert comps == sorted(comps, reverse=True)
+    n_nodes = len({v for _, a, b in wedges for v in (a, b)})
+    for n_comp, n_edges, _ in traj:
+        assert n_edges == n_nodes - n_comp  # forest exactly spans
