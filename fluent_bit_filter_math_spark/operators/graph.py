@@ -2039,3 +2039,145 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(summary)
     return out.orderBy("mst_round")
+
+
+# ---------------------------------------------------------------------------
+# DETERMINISTIC RANDOM WALKS — the DeepWalk/node2vec sampling primitive
+# (Perozzi KDD'14; Grover-Leskovec KDD'16): W walks of length L over
+# the graph, the corpus a graph-embedding trainer consumes ("sentences"
+# of node ids). The pipeline-relevant part is the SAMPLER, and at scale
+# it must be (a) a per-step equi-join, never a driver loop, and (b)
+# REPRODUCIBLE — so the "randomness" is the portable md5 of
+# (walk, step, position): next = adjacency[cur][hash mod degree], the
+# same derandomization as the Poisson bootstrap's CDF thresholds. Both
+# engines replay the identical walks bit-for-bit.
+#
+# Emitted per step: walk count, distinct occupied nodes, and the
+# portable fingerprint of the full sorted (walk, node) state — the WL
+# trajectory discipline, so the oracle pins every step's entire
+# configuration, not just counts.
+#
+# Scale: adjacency is the checkpointed edge list + one ranked window
+# (row_number per node — bounded by degree); each step is one
+# state⋈adjacency equi-join on (cur, pick) with state = one row per
+# walk, checkpointed per step (two consumers: the summary and the next
+# hop — the HITS lineage rule). L unrolled steps = L shuffles of a
+# walk-count-sized table.
+# ---------------------------------------------------------------------------
+WALK_LEN = 4
+_WALK_SEED_MOD = 10
+
+
+def _walks_oracle() -> str:
+    base = f"""
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey % {_TRI_PART_MOD} = 0
+    ),
+    und AS MATERIALIZED (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE ({duck_hash60("CAST(a.l_suppkey AS VARCHAR) || ':' || CAST(b.l_suppkey AS VARCHAR)")})
+            % {_TRI_KEEP_MOD} = 0
+    ),
+    e AS MATERIALIZED (
+      SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und
+    ),
+    adj AS MATERIALIZED (
+      SELECT v, nbr,
+             row_number() OVER (PARTITION BY v ORDER BY nbr) AS rn,
+             COUNT(*) OVER (PARTITION BY v) AS deg
+      FROM e
+    ),
+    s0 AS (
+      SELECT v AS walk_id, v AS cur FROM (SELECT DISTINCT v FROM e)
+      WHERE v % {_WALK_SEED_MOD} = 0
+    )"""
+    steps = []
+    for i in range(1, WALK_LEN + 1):
+        h = duck_hash60(
+            f"CAST(s.walk_id AS VARCHAR) || ':' || '{i}' || ':' || "
+            f"CAST(s.cur AS VARCHAR)"
+        )
+        steps.append(f"""
+    s{i} AS MATERIALIZED (
+      SELECT s.walk_id, adj.nbr AS cur
+      FROM s{i - 1} s
+      JOIN adj ON adj.v = s.cur
+              AND adj.rn = ({h}) % adj.deg + 1
+    )""")
+    summaries = " UNION ALL ".join(
+        f"""
+    SELECT CAST({i} AS BIGINT) AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_walks,
+           CAST(COUNT(DISTINCT cur) AS BIGINT) AS n_nodes,
+           {duck_hash60("string_agg(CAST(walk_id AS VARCHAR) || '@' || CAST(cur AS VARCHAR), ',' ORDER BY CAST(walk_id AS VARCHAR) || '@' || CAST(cur AS VARCHAR))")}
+               AS fingerprint
+    FROM s{i}"""
+        for i in range(WALK_LEN + 1)
+    )
+    return (
+        "WITH " + base + "," + ",".join(steps) + summaries
+        + "\n    ORDER BY step"
+    )
+
+
+@register("graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    und, _, _ = _tri_pipeline(spark, sf_dir)
+    e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    wadj = Window.partitionBy("v").orderBy("nbr")
+    adj = e.select(
+        "v",
+        "nbr",
+        F.row_number().over(wadj).alias("rn"),
+        F.count("*").over(Window.partitionBy("v")).alias("deg"),
+    ).localCheckpoint(eager=True)
+    state = (
+        e.select("v")
+        .distinct()
+        .filter(F.col("v") % _WALK_SEED_MOD == 0)
+        .select(F.col("v").alias("walk_id"), F.col("v").alias("cur"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _summary(s: DataFrame, step: int) -> DataFrame:
+        pair = F.concat(
+            F.col("walk_id").cast("string"),
+            F.lit("@"),
+            F.col("cur").cast("string"),
+        )
+        return s.agg(
+            F.lit(step).cast("long").alias("step"),
+            F.count("*").cast("long").alias("n_walks"),
+            F.countDistinct("cur").cast("long").alias("n_nodes"),
+            hash60(
+                F.array_join(
+                    F.array_sort(F.collect_list(pair.alias("p"))), ","
+                )
+            ).alias("fingerprint"),
+        )
+
+    out = _summary(state, 0)
+    for step in range(1, WALK_LEN + 1):
+        h = hash60(
+            F.concat(
+                F.col("walk_id").cast("string"),
+                F.lit(f":{step}:"),
+                F.col("cur").cast("string"),
+            )
+        )
+        nxt = (
+            state.join(adj, state.cur == adj.v)
+            .filter(F.col("rn") == F.pmod(h, F.col("deg")) + 1)
+            .select("walk_id", F.col("nbr").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        state = nxt
+        out = out.unionAll(_summary(state, step))
+    return out.orderBy("step")

@@ -255,3 +255,50 @@ def test_kafka_wire_offsets_dense_per_partition(spark):
     assert {r["kpart"] for r in got} == {0, 1, 2, 3}
     for r in got:
         assert (r["lo"], r["hi"], r["nd"]) == (0, r["n"] - 1, r["n"])
+
+
+def test_random_walks_follow_hash_selected_edges(spark, sf_dir):
+    """Python-twin replay: rebuild the adjacency in the driver and walk
+    every seed with the same md5-mod-degree rule — the per-step (walk,
+    node) states must match Spark's exactly (the fingerprint pins this
+    cross-engine; here the TWIN pins the semantics themselves)."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.operators.graph import (
+        WALK_LEN,
+        _WALK_SEED_MOD,
+        _tri_pipeline,
+        graph_random_walks,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    und, _, _ = _tri_pipeline(spark, sf_dir)
+    edges = [(r["a"], r["b"]) for r in und.collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for v in adj:
+        adj[v].sort()
+    states = [{(v, v) for v in adj if v % _WALK_SEED_MOD == 0}]
+    for step in range(1, WALK_LEN + 1):
+        nxt = set()
+        for wid, cur in states[-1]:
+            nbrs = adj[cur]
+            pick = h60(f"{wid}:{step}:{cur}") % len(nbrs)
+            nxt.add((wid, nbrs[pick]))
+        states.append(nxt)
+    rows = graph_random_walks(spark, sf_dir).collect()
+    assert len(rows) == WALK_LEN + 1
+    for r in rows:
+        step = r["step"]
+        assert r["n_walks"] == len(states[step])
+        assert r["n_nodes"] == len({c for _, c in states[step]})
+    # twin fingerprint of the final state
+    pairs = sorted(f"{w}@{c}" for w, c in states[-1])
+    want_fp = h60(",".join(pairs))
+    assert rows[-1]["fingerprint"] == want_fp
