@@ -1441,7 +1441,10 @@ def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPR_TOPK = 20
 
 
-def _ppr_oracle() -> str:
+def _ppr_rounds_ctes() -> str:
+    """The WITH body (edges/deg + r0..r{PR_ITERS}) of the personalized
+    PageRank unroll — shared verbatim by graph_personalized_pagerank's
+    oracle and the sweep-cut oracle built on its scores."""
     seed = "CASE WHEN src % 200 = 0 THEN 1 ELSE 0 END"
     steps = []
     for i in range(1, PR_ITERS + 1):
@@ -1461,13 +1464,17 @@ def _ppr_oracle() -> str:
                  AS rank_fp
       FROM deg LEFT JOIN c{i} ON c{i}.node = deg.src
     )""")
-    return f"""
-    WITH {_D_EDGES},
+    return f"""{_D_EDGES},
     r0 AS (
       SELECT src AS node,
              CAST(({seed}) * {PR_SCALE} AS BIGINT) AS rank_fp
       FROM deg
-    ),{",".join(steps)}
+    ),{",".join(steps)}"""
+
+
+def _ppr_oracle() -> str:
+    return f"""
+    WITH {_ppr_rounds_ctes()}
     SELECT node, rank_fp,
            CAST(row_number() OVER (ORDER BY rank_fp DESC, node) AS BIGINT)
                AS rank
@@ -2181,3 +2188,280 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = nxt
         out = out.unionAll(_summary(state, step))
     return out.orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# PPR SWEEP CUT — local clustering the Andersen–Chung–Lang way
+# (FOCS'06): order nodes by their personalized-PageRank score and
+# sweep prefixes S_k = top-k nodes, reporting each prefix's
+# conductance φ(S_k) = cut(S_k) / min(vol(S_k), vol(V)−vol(S_k)); the
+# argmin prefix is the seed set's local community. THE spectral
+# community-extraction primitive — and the reason a pipeline computes
+# PPR at all (dedup blocking by community, crawl-frontier scoping).
+#
+# The distributed trick is computing cut(S_k) for EVERY k without a
+# per-prefix join: an edge with endpoint ranks (lo < hi) crosses the
+# cut exactly for k ∈ [lo, hi−1], so cut(k) = A(k) − B(k) where
+# A/B = prefix counts of edges by lo/hi — an INTERVAL-DELTA prefix
+# sum, one pass. Volume is the degree prefix sum on the same rank
+# axis. Emitted: the 10 decile prefixes of the sweep curve plus the
+# argmin prefix (decile = 0); k = n's conductance is NULL (empty
+# complement).
+#
+# Determinism: PPR scores are the engine-exact integer unroll (shared
+# CTE text with graph_personalized_pagerank); ranks use the
+# (rank_fp DESC, node) total order; cut/vol are exact integers;
+# conductance is 1e9-scaled integer division.
+#
+# Scale: ranks and all three prefix sums are TWO-LEVEL (bucket on the
+# sort key's high bits / the dense rank, exclusive bucket prefixes
+# broadcast back — no global sort or single-partition window
+# anywhere); the per-edge delta pass is one map-side projection + two
+# small hash aggregates. The oracle uses plain global windows — same
+# values, DuckDB-sized data.
+# ---------------------------------------------------------------------------
+_SWEEP_SCALE = 1_000_000_000
+
+
+def _sweep_oracle() -> str:
+    return f"""
+    WITH {_ppr_rounds_ctes()},
+    ranked AS (
+      SELECT r.node, deg.d,
+             row_number() OVER (ORDER BY r.rank_fp DESC, r.node) AS rk
+      FROM r{PR_ITERS} r JOIN deg ON deg.src = r.node
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n, CAST(SUM(d) AS BIGINT) AS total_vol
+      FROM ranked
+    ),
+    ue AS (
+      SELECT src, dst FROM edges WHERE src < dst
+    ),
+    spans AS (
+      SELECT LEAST(ra.rk, rb.rk) AS lo, GREATEST(ra.rk, rb.rk) AS hi
+      FROM ue
+      JOIN ranked ra ON ra.node = ue.src
+      JOIN ranked rb ON rb.node = ue.dst
+    ),
+    perk AS (
+      SELECT ranked.rk AS k, ranked.d,
+             (SELECT COUNT(*) FROM spans WHERE lo = ranked.rk) AS a_k,
+             (SELECT COUNT(*) FROM spans WHERE hi = ranked.rk) AS b_k
+      FROM ranked
+    ),
+    sweep AS (
+      SELECT k,
+             CAST(SUM(a_k) OVER w - SUM(b_k) OVER w AS BIGINT)
+                 AS cut_edges,
+             CAST(SUM(d) OVER w AS BIGINT) AS volume
+      FROM perk
+      WINDOW w AS (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT k, cut_edges, volume,
+             CASE WHEN LEAST(volume, tot.total_vol - volume) = 0
+                  THEN NULL
+                  ELSE cut_edges * {_SWEEP_SCALE}
+                       // LEAST(volume, tot.total_vol - volume) END
+                 AS cond_fp
+      FROM sweep CROSS JOIN tot
+    ),
+    best AS (
+      SELECT MIN(cond_fp) AS mc FROM scored WHERE cond_fp IS NOT NULL
+    ),
+    argmin AS (
+      SELECT CAST(0 AS BIGINT) AS decile, k, cut_edges, volume, cond_fp
+      FROM scored, best
+      WHERE cond_fp = best.mc
+      ORDER BY k LIMIT 1
+    ),
+    deciles AS (
+      SELECT CAST(dd.d AS BIGINT) AS decile, s.k, s.cut_edges,
+             s.volume, s.cond_fp
+      FROM (SELECT unnest(range(1, 11)) AS d) dd
+      CROSS JOIN tot
+      JOIN scored s ON s.k = (dd.d * tot.n) // 10
+    )
+    SELECT * FROM argmin
+    UNION ALL
+    SELECT * FROM deciles
+    ORDER BY decile, k
+    """
+
+
+@register("graph_ppr_sweep_cut", oracle=_sweep_oracle())
+def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    edges, deg = _edge_index(spark, sf_dir)
+    teleport = F.when(
+        F.col("src") % 200 == 0, F.lit((15 * PR_SCALE) // 100)
+    ).otherwise(F.lit(0))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        (
+            F.when(F.col("src") % 200 == 0, F.lit(PR_SCALE)).otherwise(0)
+        ).cast("long").alias("rank_fp"),
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(
+                ranks.filter(F.col("rank_fp") > 0),
+                edges["src"] == F.col("node"),
+            )
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fp div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = deg.join(
+            contribs, deg["src"] == contribs["dst"], "left"
+        ).select(
+            F.col("src").alias("node"),
+            (
+                teleport + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).cast("long").alias("rank_fp"),
+        )
+
+    # two-level rank by (rank_fp DESC, node): bucket = high bits of
+    # rank_fp is a prefix of the DESC order
+    keyed = (
+        ranks.join(deg, ranks.node == deg.src)
+        .select("node", "rank_fp", "d")
+        .withColumn("bucket", F.shiftright(F.col("rank_fp"), 16))
+        .localCheckpoint(eager=True)
+    )
+    bc = keyed.groupBy("bucket").agg(F.count("*").alias("bn"))
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bc.select(
+        "bucket", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("off")
+    )
+    wib = Window.partitionBy("bucket").orderBy(
+        F.desc("rank_fp"), F.asc("node")
+    )
+    ranked = (
+        keyed.join(F.broadcast(boff), "bucket")
+        .select(
+            "node",
+            "d",
+            (F.col("off") + F.row_number().over(wib)).alias("rk"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = ranked.agg(
+        F.count("*").alias("n"), F.sum("d").cast("long").alias("total_vol")
+    )
+    ue = edges.filter(F.col("src") < F.col("dst"))
+    ra = ranked.select(F.col("node").alias("src"), F.col("rk").alias("rka"))
+    rb = ranked.select(F.col("node").alias("dst"), F.col("rk").alias("rkb"))
+    spans = (
+        ue.join(ra, "src")
+        .join(rb, "dst")
+        .select(
+            F.least("rka", "rkb").alias("lo"),
+            F.greatest("rka", "rkb").alias("hi"),
+        )
+    )
+    a = spans.groupBy(F.col("lo").alias("k")).agg(
+        F.count("*").alias("a_k")
+    )
+    b = spans.groupBy(F.col("hi").alias("k")).agg(
+        F.count("*").alias("b_k")
+    )
+    perk = (
+        ranked.select(F.col("rk").alias("k"), "d")
+        .join(a, "k", "left")
+        .join(b, "k", "left")
+        .select(
+            "k",
+            "d",
+            F.coalesce("a_k", F.lit(0)).alias("a_k"),
+            F.coalesce("b_k", F.lit(0)).alias("b_k"),
+        )
+        .withColumn("kb", F.shiftright(F.col("k"), 8))
+    )
+    kb_sums = perk.groupBy("kb").agg(
+        F.sum("a_k").alias("sa"),
+        F.sum("b_k").alias("sb"),
+        F.sum("d").alias("sd"),
+    )
+    wkb = Window.orderBy("kb").rowsBetween(Window.unboundedPreceding, -1)
+    kb_off = kb_sums.select(
+        "kb",
+        F.coalesce(F.sum("sa").over(wkb), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("sb").over(wkb), F.lit(0)).alias("ob"),
+        F.coalesce(F.sum("sd").over(wkb), F.lit(0)).alias("od"),
+    )
+    wk = (
+        Window.partitionBy("kb")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sweep = (
+        perk.join(F.broadcast(kb_off), "kb")
+        .select(
+            "k",
+            (
+                F.col("oa") + F.sum("a_k").over(wk)
+                - (F.col("ob") + F.sum("b_k").over(wk))
+            ).cast("long").alias("cut_edges"),
+            (F.col("od") + F.sum("d").over(wk)).cast("long").alias(
+                "volume"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "cut_edges",
+            "volume",
+            "n",
+            F.when(
+                F.least(
+                    F.col("volume"), F.col("total_vol") - F.col("volume")
+                )
+                == 0,
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.expr(
+                    f"cut_edges * {_SWEEP_SCALE}"
+                    " div least(volume, total_vol - volume)"
+                )
+            )
+            .alias("cond_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        sweep.filter(F.col("cond_fp").isNotNull())
+        .agg(F.min(F.struct("cond_fp", "k")).alias("m"))
+        .select(F.col("m.k").alias("k"))
+    )
+    argmin = (
+        sweep.join(F.broadcast(best), "k")
+        .select(
+            F.lit(0).cast("long").alias("decile"),
+            F.col("k").cast("long").alias("k"),
+            "cut_edges",
+            "volume",
+            "cond_fp",
+        )
+    )
+    dd = spark.range(1, 11).select(F.col("id").alias("decile"))
+    deciles = (
+        dd.crossJoin(F.broadcast(tot.select("n")))
+        .select("decile", F.expr("(decile * n) div 10").alias("k"))
+        .join(sweep, "k")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("k").cast("long").alias("k"),
+            "cut_edges",
+            "volume",
+            "cond_fp",
+        )
+    )
+    return argmin.unionByName(deciles).orderBy("decile", "k")

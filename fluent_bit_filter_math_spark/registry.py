@@ -76,10 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     # (alphabetical within equal age, matching green_age.py order).
     # Done-criterion: tools/green_age.py shows no query older than r5
     # once CORRECTNESS_r11.json lands.
-    # tier 1: the six r11-new operators (never driver-checked — the
+    # tier 1: the seven r11-new operators (never driver-checked — the
     # Kafka wire-path closure per VERDICT r10 #6, plus the k-core
     # peel, bigram Heaps'-law curve, skyline, Borůvka MSF, and
-    # deterministic random-walk additions); their slots displace the
+    # deterministic random-walk + PPR-sweep-cut additions); their slots displace the
     # window's tail entries to the r12 queue head.
     "kafka_wire_roundtrip",
     "graph_kcore_peel",
@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "q_pareto_frontier",
     "graph_boruvka_msf",
     "graph_random_walks",
+    "graph_ppr_sweep_cut",
     # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
     # verified on long-regenerated fixtures).
     "agg_cube",
@@ -133,14 +134,14 @@ _PRIORITY: tuple[str, ...] = (
     "subq_not_exists_customers",
     "text_pii_redact",
     "text_repetition_filter",
+    # Past slot 50 — the 7 tier-1 insertions displaced the r4/r5-era
+    # tail (udf_scalar_doc_stats, udtf_tokenize_docs, win_tumbling_hour,
+    # agg_approx_distinct, agg_histogram, agg_string_agg,
+    # dedup_minhash_lsh move to the r12 queue head); then the remaining
+    # r5 cohort, then r6 by age. Queries touched in r11 get promoted
+    # into next round's tier 2 ahead of these.
     "udf_scalar_doc_stats",
     "udtf_tokenize_docs",
-    # Past slot 50 — the 6 tier-1 insertions displaced the r4/r5-era
-    # tail (udtf_tokenize_docs stays as slot 50's last r4 row;
-    # win_tumbling_hour, agg_approx_distinct, agg_histogram,
-    # agg_string_agg, dedup_minhash_lsh move to the r12 queue head);
-    # then the remaining r5 cohort, then r6 by age. Queries touched in
-    # r11 get promoted into next round's tier 2 ahead of these.
     "win_tumbling_hour",
     "agg_approx_distinct",
     "agg_histogram",
