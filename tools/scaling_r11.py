@@ -51,7 +51,8 @@ def _gen(spark) -> None:
         shutil.rmtree(DST)
     os.makedirs(DST)
     li = table(spark, SRC, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice",
     )
     parts = [
         li.select(
@@ -59,6 +60,8 @@ def _gen(spark) -> None:
             (F.col("l_partkey") + i * P_STRIDE).alias("l_partkey"),
             (F.col("l_suppkey") + i * S_STRIDE).alias("l_suppkey"),
             "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
         )
         for i in range(COPIES)
     ]
