@@ -340,3 +340,29 @@ def test_ppr_sweep_cut_matches_bruteforce_prefixes(spark, sf_dir):
         assert r["cond_fp"] >= amin["cond_fp"]
     assert 0 < amin["volume"] < total_vol
     assert len(ue) >= amin["cut_edges"] >= 0
+
+
+def test_iterative_ops_exchange_budgets(spark, sf_dir):
+    """The r11 lineage-doubling fixes, pinned: every unrolled/iterative
+    operator that materializes its per-round state must stay inside its
+    measured exchange budget (pre-fix counts in parens) — a reverted
+    localCheckpoint re-doubles lineage and blows these immediately."""
+    import re
+
+    from fluent_bit_filter_math_spark import registry
+
+    budgets = {
+        "graph_wl_refinement": 10,       # was 27
+        "emb_pca_power_iteration": 8,    # was 75
+        "graph_bfs_hops": 6,             # was 17
+        "graph_kcore_peel": 9,
+        "graph_boruvka_msf": 14,
+        "graph_random_walks": 14,
+        "graph_ppr_sweep_cut": 10,
+    }
+    qs = registry.all_queries()
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
