@@ -76,10 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     # (alphabetical within equal age, matching green_age.py order).
     # Done-criterion: tools/green_age.py shows no query older than r5
     # once CORRECTNESS_r11.json lands.
-    # tier 1: the seven r11-new operators (never driver-checked — the
+    # tier 1: the eight r11-new operators (never driver-checked — the
     # Kafka wire-path closure per VERDICT r10 #6, plus the k-core
     # peel, bigram Heaps'-law curve, skyline, Borůvka MSF, and
-    # deterministic random-walk + PPR-sweep-cut additions); their slots displace the
+    # deterministic random-walk + PPR-sweep-cut + streaming-Kafka-wire additions); their slots displace the
     # window's tail entries to the r12 queue head.
     "kafka_wire_roundtrip",
     "graph_kcore_peel",
@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_boruvka_msf",
     "graph_random_walks",
     "graph_ppr_sweep_cut",
+    "stream_kafka_wire_fold",
     # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
     # verified on long-regenerated fixtures).
     "agg_cube",
@@ -133,13 +134,14 @@ _PRIORITY: tuple[str, ...] = (
     "subq_exists_late_ship",
     "subq_not_exists_customers",
     "text_pii_redact",
+    # Past slot 50 — the 8 tier-1 insertions displaced the r4/r5-era
+    # tail (text_repetition_filter, udf_scalar_doc_stats,
+    # udtf_tokenize_docs, win_tumbling_hour, agg_approx_distinct,
+    # agg_histogram, agg_string_agg, dedup_minhash_lsh move to the r12
+    # queue head); then the remaining r5 cohort, then r6 by age.
+    # Queries touched in r11 get promoted into next round's tier 2
+    # ahead of these.
     "text_repetition_filter",
-    # Past slot 50 — the 7 tier-1 insertions displaced the r4/r5-era
-    # tail (udf_scalar_doc_stats, udtf_tokenize_docs, win_tumbling_hour,
-    # agg_approx_distinct, agg_histogram, agg_string_agg,
-    # dedup_minhash_lsh move to the r12 queue head); then the remaining
-    # r5 cohort, then r6 by age. Queries touched in r11 get promoted
-    # into next round's tier 2 ahead of these.
     "udf_scalar_doc_stats",
     "udtf_tokenize_docs",
     "win_tumbling_hour",

@@ -55,6 +55,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from fluent_bit_filter_math_spark.registry import register
@@ -286,6 +287,9 @@ class KafkaWireDataSource(DataSource):
     def reader(self, schema) -> KafkaWireReader:
         return KafkaWireReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "KafkaWireStreamReader":
+        return KafkaWireStreamReader(self.options)
+
 
 def register_kafka_wire(spark: SparkSession) -> None:
     spark.dataSource.register(KafkaWireDataSource)
@@ -375,3 +379,174 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# STREAMING half — the readStream.format("kafka") contract against the
+# mini-broker: per-partition offsets tracked micro-batch by
+# micro-batch, any offset window replayable for checkpoint recovery.
+# --------------------------------------------------------------------------
+
+
+class KafkaWireStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are {partition: next_offset} dicts — exactly Kafka's
+    consumer-position model. ``read(start)`` fetches each partition
+    from its position (capped at ``batchrows`` per partition per
+    micro-batch — the maxOffsetsPerTrigger knob) and advances;
+    ``readBetweenOffsets`` re-serves any [start, end) window
+    identically, so a replayed batch after checkpoint recovery sees
+    the same records (the broker log is append-only). The simple
+    stream reader runs DRIVER-side, matching a consumer client."""
+
+    def __init__(self, options):
+        self.topic = options.get("topic")
+        self.port = int(options.get("port", 0))
+        self.n_parts = int(options.get("partitions", 1))
+        self.batch_rows = max(1, int(options.get("batchrows", 100)))
+        if not self.topic or not self.port:
+            raise ValueError("kafkawire stream requires 'topic' + 'port'")
+
+    def _fetch(self, part: int, frm: int) -> list:
+        body = (
+            bytes([_OP_FETCH])
+            + struct.pack(">H", len(self.topic.encode()))
+            + self.topic.encode()
+            + struct.pack(">i", part)
+            + struct.pack(">q", frm)
+        )
+        with socket.create_connection(("127.0.0.1", self.port), 10) as s:
+            _send_frame(s, body)
+            resp = _recv_frame(s)
+        (count,) = struct.unpack_from(">i", resp, 0)
+        pos = 4
+        out = []
+        for _ in range(count):
+            (off,) = struct.unpack_from(">q", resp, pos)
+            pos += 8
+            key, pos = _unpack_bytes(resp, pos)
+            val, pos = _unpack_bytes(resp, pos)
+            out.append((part, off, key, val))
+        return out
+
+    def initialOffset(self):
+        return {str(p): 0 for p in range(self.n_parts)}
+
+    def read(self, start):
+        rows: list = []
+        end = {}
+        for p in range(self.n_parts):
+            frm = int(start[str(p)])
+            recs = self._fetch(p, frm)[: self.batch_rows]
+            rows.extend(recs)
+            end[str(p)] = frm + len(recs)
+        # a LIST, not a generator (the engine's prefetch cache
+        # copy.copy()s the iterator — the mem_input lesson)
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start, end):
+        rows: list = []
+        for p in range(self.n_parts):
+            frm, to = int(start[str(p)]), int(end[str(p)])
+            rows.extend(
+                r for r in self._fetch(p, frm) if r[1] < to
+            )
+        return iter(rows)
+
+
+@register(
+    "stream_kafka_wire_fold",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) + user_id
+               AS fold_sum,
+           CAST(event_id % 3 AS BIGINT) AS kpart
+    FROM events
+    WHERE event_id % 9 = 4
+    ORDER BY event_id
+    """,
+)
+def stream_kafka_wire_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Kafka contract end-to-end: produce an events
+    subset to the mini-broker, consume it with readStream through the
+    kafkawire simple stream reader (per-partition offsets, batchrows
+    rate limit forcing ≥2 micro-batches), decode the wire format, run
+    a math fold, and land each epoch in its own overwrite-idempotent
+    parquet dir via foreachBatch (a replayed batch supersedes itself).
+    Bounded by processAllAvailable over the static log; the broker can
+    stop afterwards because the result re-reads the SINK's parquet,
+    not the socket."""
+    import glob as _glob
+    import os
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+
+    register_kafka_wire(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 4)
+    payload = ev.select(
+        "event_id",
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    schema_ddl = "event_id long, user_id long, cents long"
+    broker = MiniBroker()
+    try:
+        produce(
+            encode_kafka_value(payload, key_col="event_id"),
+            "events-stream-r11",
+            broker.port,
+            3,
+        )
+        stream = (
+            spark.readStream.format("kafkawire")
+            .option("topic", "events-stream-r11")
+            .option("port", str(broker.port))
+            .option("partitions", "3")
+            .option("batchrows", "150")
+            .load()
+        )
+        decoded = decode_kafka_value(
+            stream.withColumnRenamed("kpart", "partition"),
+            spark.createDataFrame([], schema_ddl).schema,
+        )
+        folded = decoded.select(
+            "event_id",
+            "user_id",
+            "cents",
+            (F.col("cents") + F.col("user_id")).alias("fold_sum"),
+            F.col("partition").cast("long").alias("kpart"),
+        )
+        base = scratch_dir("kafka-wire-stream")
+        out_dir = os.path.join(base, "sink")
+        ckpt = os.path.join(base, "ckpt")
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b{batch_id:05d}")
+            )
+
+        # default trigger + processAllAvailable drains through MULTIPLE
+        # rate-limited micro-batches (availableNow collapses a simple
+        # stream reader to one batch — the mem_input discipline)
+        query = (
+            folded.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        epochs = _glob.glob(os.path.join(out_dir, "b*"))
+        if len(epochs) < 2:
+            raise RuntimeError(
+                f"expected >=2 rate-limited micro-batches, got "
+                f"{len(epochs)}"
+            )
+        return spark.read.parquet(os.path.join(out_dir, "b*")).orderBy(
+            "event_id"
+        )
+    finally:
+        broker.stop()

@@ -366,3 +366,59 @@ def test_iterative_ops_exchange_budgets(spark, sf_dir):
         plan = plan_of(df)
         n = len(re.findall(r"\(\d+\) Exchange", plan))
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_kafka_wire_stream_reader_replays_offset_windows(spark):
+    """Checkpoint-recovery contract: readBetweenOffsets(start, end)
+    re-serves exactly the records the original read(start) -> end
+    advanced over — per partition, in offset order, no duplicates."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.sources.io import encode_kafka_value
+    from fluent_bit_filter_math_spark.sources.kafka_wire import (
+        KafkaWireStreamReader,
+        MiniBroker,
+        produce,
+    )
+
+    payload = spark.range(90).repartition(4).select(
+        F.col("id").alias("event_id")
+    )
+    broker = MiniBroker()
+    try:
+        produce(
+            encode_kafka_value(payload, key_col="event_id"),
+            "replay-test",
+            broker.port,
+            3,
+        )
+        rdr = KafkaWireStreamReader(
+            {
+                "topic": "replay-test",
+                "port": str(broker.port),
+                "partitions": "3",
+                "batchrows": "10",
+            }
+        )
+        start = rdr.initialOffset()
+        it1, end1 = rdr.read(start)
+        batch1 = sorted(it1)
+        # rate limit honored per partition
+        assert all(end1[str(p)] - start[str(p)] <= 10 for p in range(3))
+        replay = sorted(rdr.readBetweenOffsets(start, end1))
+        assert replay == batch1
+        # draining: repeated reads terminate at the log end with stable
+        # offsets and cover every record exactly once
+        seen = list(batch1)
+        cur = end1
+        for _ in range(20):
+            it, nxt = rdr.read(cur)
+            rows = list(it)
+            if not rows and nxt == cur:
+                break
+            seen.extend(rows)
+            cur = nxt
+        keys = sorted(int(bytes(k).decode()) for _, _, k, _ in seen)
+        assert keys == list(range(90))
+    finally:
+        broker.stop()
