@@ -41,8 +41,9 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # and rep spreads hit 4x on 3 samples (r10: stream_tws_list_seeded
 # 6.5/4.1/17.5 s — VERDICT r10 #5). These run in their own isolated
 # pass with more reps so the min actually converges, and the guard
-# reads this set for a wider noise band.
-FLOOR_BOUND_PREFIX = "stream_tws_"
+# reads this set for a wider noise band. The socket-loopback Kafka
+# stream shares the class (stream start + per-micro-batch floor).
+FLOOR_BOUND_PREFIXES = ("stream_tws_", "stream_kafka_wire")
 FLOOR_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_FLOOR_REPS", "5"))
 
 
@@ -79,7 +80,7 @@ def main() -> int:
     # failed query records null and its error; totals cover the rest.
     times: dict[str, list[float]] = {name: [] for name in qs}
     errors: dict[str, str] = {}
-    floor_bound = [n for n in qs if n.startswith(FLOOR_BOUND_PREFIX)]
+    floor_bound = [n for n in qs if n.startswith(FLOOR_BOUND_PREFIXES)]
 
     def _run_pass(names) -> None:
         for name in names:

@@ -499,12 +499,19 @@ def stream_kafka_wire_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             broker.port,
             3,
         )
+        # rate-limit to ~4 micro-batches at ANY sf (a fixed row cap
+        # means batch count — and per-batch scheduler overhead — grows
+        # linearly with data; the knob should bound epochs, like
+        # sizing maxOffsetsPerTrigger to the backlog). n is a 1-row
+        # build-time scalar.
+        n = payload.count()
+        batchrows = max(1, -(-n // (3 * 4)))
         stream = (
             spark.readStream.format("kafkawire")
             .option("topic", "events-stream-r11")
             .option("port", str(broker.port))
             .option("partitions", "3")
-            .option("batchrows", "150")
+            .option("batchrows", str(batchrows))
             .load()
         )
         decoded = decode_kafka_value(
