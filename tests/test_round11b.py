@@ -423,3 +423,37 @@ def test_boruvka_converges_to_kruskal_msf(wedges):
     n_nodes = len({v for _, a, b in wedges for v in (a, b)})
     for n_comp, n_edges, _ in traj:
         assert n_edges == n_nodes - n_comp  # forest exactly spans
+
+
+# --------------------------------------------------------------------------
+# sweep-cut interval-delta identity
+# --------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(_graphs())
+def test_sweep_cut_interval_deltas_equal_direct_counts(edges):
+    """cut(S_k) computed the operator's way — prefix(lo-deltas) −
+    prefix(hi-deltas) — equals the direct definition (#edges with
+    exactly one endpoint ranked ≤ k) for EVERY k, under an arbitrary
+    rank permutation of the nodes."""
+    nodes = sorted({v for e in edges for v in e})
+    # deterministic "score" permutation: rank by (v * 7919 mod 104729)
+    order = sorted(nodes, key=lambda v: (v * 7919 % 104729, v))
+    rk = {v: i + 1 for i, v in enumerate(order)}
+    n = len(nodes)
+    a = [0] * (n + 2)
+    b = [0] * (n + 2)
+    for u, v in edges:
+        lo, hi = min(rk[u], rk[v]), max(rk[u], rk[v])
+        a[lo] += 1
+        b[hi] += 1
+    pa = pb = 0
+    for k in range(1, n + 1):
+        pa += a[k]
+        pb += b[k]
+        direct = sum(
+            1
+            for u, v in edges
+            if (rk[u] <= k) != (rk[v] <= k)
+        )
+        assert pa - pb == direct, f"k={k}"
