@@ -67,84 +67,21 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 11 rotation (composition from tools/green_age.py) ---
-    # r11 has ZERO never-checked backlog for the first time (all 317
-    # queries have a driver-green row; VERDICT r10 §coverage), so the
-    # entire 50-slot window is tier-3 staleness retirement, exactly as
-    # VERDICT r10 "Next round" #1 prescribes: the 13 r1-era greens,
-    # the full 33-query r4-era cohort, then the 4 oldest r5 queries
-    # (alphabetical within equal age, matching green_age.py order).
-    # Done-criterion: tools/green_age.py shows no query older than r5
-    # once CORRECTNESS_r11.json lands.
-    # tier 1: the eight r11-new operators (never driver-checked — the
-    # Kafka wire-path closure per VERDICT r10 #6, plus the k-core
-    # peel, bigram Heaps'-law curve, skyline, Borůvka MSF, and
-    # deterministic random-walk + PPR-sweep-cut + streaming-Kafka-wire additions); their slots displace the
-    # window's tail entries to the r12 queue head.
-    "kafka_wire_roundtrip",
-    "graph_kcore_peel",
-    "text_heaps_vocab_growth",
-    "q_pareto_frontier",
-    "graph_boruvka_msf",
-    "graph_random_walks",
-    "graph_ppr_sweep_cut",
-    "stream_kafka_wire_fold",
-    # tier 3a: the 13 r1-era stale greens (only driver row is round 1,
-    # verified on long-regenerated fixtures).
-    "agg_cube",
-    "agg_percentiles",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
-    "join_anti",
-    "join_full_outer",
-    "setop_intersect",
-    "sim_ann_bucketed",
-    "sim_range_search",
-    "text_bigrams",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_token_count_regex",
-    # tier 3b: the complete r4-era cohort (33 queries).
-    "agg_argmax_order",
-    "agg_grouping_sets",
-    "agg_pivot_status_priority",
-    "decontam_ngram_overlap",
-    "dedup_cluster_cc",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_ngram_jaccard",
-    "dq_table_audit",
-    "emb_kmeans",
-    "fn_date_suite",
-    "fn_json_suite",
-    "fn_string_suite",
-    "graph_pagerank",
-    "join_range_ship_window",
-    "join_salted_skew",
-    "pipeline_curate_corpus",
-    "pipeline_pack_sequences",
-    "sample_domain_mixture",
-    "sample_stratified",
-    "scd2_user_state",
-    "setop_except",
-    "sim_ann_gemm",
-    "sim_ann_ivf",
-    "stream_static_join_enrich",
-    "subq_above_avg_balance",
-    "subq_exists_late_ship",
-    "subq_not_exists_customers",
-    "text_pii_redact",
-    # Past slot 50 — the 8 tier-1 insertions displaced the r4/r5-era
-    # tail (text_repetition_filter, udf_scalar_doc_stats,
-    # udtf_tokenize_docs, win_tumbling_hour, agg_approx_distinct,
-    # agg_histogram, agg_string_agg, dedup_minhash_lsh move to the r12
-    # queue head); then the remaining r5 cohort, then r6 by age.
-    # Queries touched in r11 get promoted into next round's tier 2
-    # ahead of these.
+    # --- round 12 rotation (composition from tools/green_age.py) ---
+    # Zero never-checked backlog again (all 325 queries driver-green by
+    # the r1-r11 union), so the whole 50-slot window is tier-3
+    # staleness retirement per VERDICT r11 "Next round" #1. Exact
+    # composition: the 4 r4-era greens, the complete 39-query r5-era
+    # cohort, then the 7 alphabetically-first r6-era queries — 50
+    # total, no tier-1/tier-2 insertions this round. Done-criterion:
+    # once CORRECTNESS_r12.json lands, tools/green_age.py shows no
+    # query whose newest driver green is older than r6.
+    # tier 3a: the 4 r4-era stale greens (oldest in the corpus).
     "text_repetition_filter",
     "udf_scalar_doc_stats",
     "udtf_tokenize_docs",
     "win_tumbling_hour",
+    # tier 3b: the complete r5-era cohort (39 queries, alphabetical).
     "agg_approx_distinct",
     "agg_histogram",
     "agg_string_agg",
@@ -155,6 +92,59 @@ _PRIORITY: tuple[str, ...] = (
     "fn_higher_order_suite",
     "fn_map_suite",
     "fn_null_semantics",
+    "fn_try_suite",
+    "join_asof_events",
+    "join_semi",
+    "math_chain",
+    "math_div_ieee",
+    "math_malformed_passthrough",
+    "math_sum",
+    "math_tag_route",
+    "mem_source_fold",
+    "q1_pricing_summary",
+    "reshape_unpivot",
+    "sample_per_stratum_topk",
+    "sample_split_assign",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sim_topk_bruteforce",
+    "stream_dedup_events",
+    "stream_dedup_within_watermark",
+    "stream_file_sink_roundtrip",
+    "stream_math_fold",
+    "stream_stream_join_attrib",
+    "subq_in_big_orders",
+    "subq_scalar_below_avg_qty",
+    "text_quality_score",
+    "topk_per_group",
+    "ts_resample_locf",
+    "win_session_user",
+    "win_sliding_hour_30m",
+    "window_distribution_fns",
+    # tier 3c: the 7 oldest r6-era queries (alphabetical; the other 30
+    # r6-era queries head the r13 queue below).
+    "agg_corr_stats",
+    "agg_regr_ols",
+    "fn_bitwise_suite",
+    "io_partitioned_prune",
+    "join_bucketed_colocated",
+    "math_case_insensitive",
+    "math_cast_int",
+    # Past slot 50 — the remaining r6-era cohort by age then name;
+    # queries touched in r12 get promoted into r13's tier 2 ahead of
+    # these.
+    "math_div",
+    "math_missing_field",
+    "math_mul",
+    "math_nonnumeric",
+    "math_sub",
+    "merge_upsert_orders",
+    "mm_metadata",
+    "mm_wav_decode",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
 )
 
 

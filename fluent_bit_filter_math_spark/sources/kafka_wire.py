@@ -88,6 +88,26 @@ def _recv_frame(sock: socket.socket) -> bytes:
     return _recv_exact(sock, n)
 
 
+def _rpc(port: int, body: bytes, attempts: int = 5) -> bytes:
+    """One request/response round-trip with the connector-client retry
+    discipline: a dropped or refused connection (MiniBroker's
+    ``fail_first`` knob models exactly this) is retried up to
+    ``attempts`` times with linear backoff before the error surfaces.
+    Shared by the batch reader, the stream reader's per-micro-batch
+    fetch, and the producer, so every wire path tolerates the same
+    transient faults."""
+    for attempt in range(attempts):
+        try:
+            with socket.create_connection(("127.0.0.1", port), 10) as s:
+                _send_frame(s, body)
+                return _recv_frame(s)
+        except (ConnectionError, OSError):
+            if attempt == attempts - 1:
+                raise
+            time.sleep(0.2 * (attempt + 1))
+    raise ConnectionError("unreachable")  # pragma: no cover
+
+
 def _pack_bytes(b: bytes | None) -> bytes:
     if b is None:
         return struct.pack(">i", -1)
@@ -188,7 +208,15 @@ def produce(
 ) -> None:
     """Ship a (key binary, value binary) frame to the broker from
     executor tasks; records route by int(key) mod n_partitions (the
-    deterministic stand-in for Kafka's key-hash partitioner)."""
+    deterministic stand-in for Kafka's key-hash partitioner).
+
+    ONE produce() per (topic, broker): the broker's idempotence dedupe
+    keys on (topic, part, producer-id) where producer-id is the Spark
+    input-partition id. That makes a task RETRY a no-op (the replayed
+    batch is identical), but it also means a SECOND produce() of
+    *different* data to the same topic from the same DataFrame shape
+    would be silently dropped — reuse of one topic requires a fresh
+    topic name (or a fresh broker), never a second produce call."""
 
     def _send(rows) -> None:
         from pyspark import TaskContext
@@ -215,9 +243,7 @@ def produce(
             for key, val in recs:
                 body.append(_pack_bytes(key))
                 body.append(_pack_bytes(val))
-            with socket.create_connection(("127.0.0.1", port), 10) as s:
-                _send_frame(s, b"".join(body))
-                _recv_frame(s)  # base offset ack
+            _rpc(port, b"".join(body))  # base offset ack discarded
 
     df.foreachPartition(_send)
 
@@ -250,19 +276,7 @@ class KafkaWireReader(DataSourceReader):
             + struct.pack(">i", partition.part)
             + struct.pack(">q", 0)
         )
-        resp = None
-        for attempt in range(5):
-            try:
-                with socket.create_connection(
-                    ("127.0.0.1", self.port), 10
-                ) as s:
-                    _send_frame(s, body)
-                    resp = _recv_frame(s)
-                break
-            except (ConnectionError, OSError):
-                if attempt == 4:
-                    raise
-                time.sleep(0.2 * (attempt + 1))
+        resp = _rpc(self.port, body)
         (count,) = struct.unpack_from(">i", resp, 0)
         pos = 4
         for _ in range(count):
@@ -414,9 +428,7 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
             + struct.pack(">i", part)
             + struct.pack(">q", frm)
         )
-        with socket.create_connection(("127.0.0.1", self.port), 10) as s:
-            _send_frame(s, body)
-            resp = _recv_frame(s)
+        resp = _rpc(self.port, body)
         (count,) = struct.unpack_from(">i", resp, 0)
         pos = 4
         out = []
