@@ -570,6 +570,84 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
 
 
+_TRI_UND_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_TRI_O_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tri_shared(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edge list, degree table) of the sampled supplier co-occurrence
+    graph, built ONCE per (session, sf_dir) and localCheckpointed
+    (VERDICT r11 #4: the triangle family rebuilt the same edge
+    pipeline independently — the build's join+distinct+hash-filter
+    chain is the dominant cost, so it gets the shingle-index/CC-map
+    session-shared lifecycle). Consumers: the triangle pair (via
+    :func:`_tri_orient`, which adds the memoized orientation) and
+    graph_boruvka_msf (which needs only edges + nodes — the
+    orientation is NOT built on its behalf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRI_UND_CACHE:
+        return _TRI_UND_CACHE[key]
+    und = _tri_und_build(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    _TRI_UND_CACHE[key] = (und, deg)
+    return und, deg
+
+
+def _tri_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented supplier co-occurrence edges, memoized
+    separately from the base build so non-wedge consumers never pay
+    for it. All frames are O(m) or O(|V|); the wedge join — the only
+    O(m^1.5) product — stays lazy per query so triangle rows are
+    never materialized (the one thing that would NOT scale to
+    100 TB)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _TRI_O_CACHE:
+        return _TRI_O_CACHE[key]
+    und, deg = _tri_shared(spark, sf_dir)
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # No broadcast hint on the degree table: it is |V|-cardinality and
+    # grows with the graph — let Catalyst choose (it broadcasts at
+    # fixture scale anyway, and shuffles when |V| demands it).
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        # checkpoint: o is referenced by BOTH wedge legs, and a lazy o
+        # re-inlines the degree aggregate + two rank joins into each
+        # reference (the lineage-doubling rule).
+        .localCheckpoint(eager=True)
+    )
+    _TRI_O_CACHE[key] = o
+    return o
+
+
+def release_tri_und(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Evict the session's checkpointed co-occurrence graph frames."""
+    app_id = spark.sparkContext.applicationId
+    for cache in (_TRI_UND_CACHE, _TRI_O_CACHE):
+        for key in [
+            k
+            for k in cache
+            if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
+        ]:
+            cache.pop(key)
+
+
 def _tri_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -577,7 +655,26 @@ def _tri_pipeline(
     sampled supplier co-occurrence graph — the degree-oriented
     triangle machinery shared by graph_triangle_count and
     graph_clustering_coefficient (expression tree unchanged from the
-    original single-query form)."""
+    original single-query form; build session-shared via
+    :func:`_tri_shared` / :func:`_tri_orient`)."""
+    und, deg = _tri_shared(spark, sf_dir)
+    o = _tri_orient(spark, sf_dir)
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    # Closure is an EQUI join against the id-ordered edge list: the
+    # wedge constrains v < w, und stores (a < b), so the closing edge
+    # is exactly (a=v, b=w) — hash join, never a nested-loop over a
+    # disjunction.
+    closer = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closer, ["v", "w"])
+    return und, deg, tri
+
+
+def _tri_und_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw co-occurrence edge derivation (lineitem scan →
+    part-shared pairs → canonical a<b → deterministic 1/_TRI_KEEP_MOD
+    hash sparsifier)."""
     ps = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey") % _TRI_PART_MOD == 0)
@@ -605,43 +702,7 @@ def _tri_pipeline(
             == 0
         )
     )
-    # Materialize the edge list ONCE (the recursive-CTE discipline
-    # above): und feeds the degree aggregate, the orientation, the
-    # wedge join, the closure join, and the edge count — recomputing
-    # its join+distinct chain five times was ~66 shuffle exchanges.
-    und = und.localCheckpoint(eager=True)
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    lower = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    # No broadcast hint on the degree table: it is |V|-cardinality and
-    # grows with the graph — let Catalyst choose (it broadcasts at
-    # fixture scale anyway, and shuffles when |V| demands it).
-    o = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lower, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lower, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
-    )
-    w1 = o.select(F.col("src"), F.col("dst").alias("v"))
-    w2 = o.select(F.col("src"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
-    # Closure is an EQUI join against the id-ordered edge list: the
-    # wedge constrains v < w, und stores (a < b), so the closing edge
-    # is exactly (a=v, b=w) — hash join, never a nested-loop over a
-    # disjunction.
-    closer = und.select(F.col("a").alias("v"), F.col("b").alias("w"))
-    tri = wedges.join(closer, ["v", "w"])
-    return und, deg, tri
+    return und
 
 
 # ---------------------------------------------------------------------------
@@ -769,7 +830,11 @@ def _tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("x.p") < F.col("y.p")))
         .select(F.col("x.p").alias("u"), F.col("y.p").alias("v"))
         .distinct()
-        .cache()
+        # eager checkpoint, not cache: e feeds the degree aggregate AND
+        # the rank joins, and a cached view re-inlines the basket
+        # self-join derive tree into every compiled reference (the
+        # repo-wide lineage-doubling rule); the checkpoint truncates it.
+        .localCheckpoint(eager=True)
     )
     # (degree, id) total order as one scalar rank; degree ≤ |V| keeps
     # the composition collision-free at any realistic id width.
@@ -796,7 +861,7 @@ def _tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rk_u") < F.col("rk_v"), F.col("v"))
         .otherwise(F.col("u")).alias("dst"),
         F.greatest("rk_u", "rk_v").alias("rk_dst"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     _TRI_ORIENTED_CACHE[key] = oriented
     return oriented
 
@@ -804,14 +869,14 @@ def _tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
 def release_tri_oriented(
     spark: SparkSession, sf_dir: str | None = None
 ) -> None:
-    """Unpersist and evict the session's cached oriented edge list."""
+    """Evict the session's checkpointed oriented edge list."""
     app_id = spark.sparkContext.applicationId
     for key in [
         k
         for k in _TRI_ORIENTED_CACHE
         if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
     ]:
-        _TRI_ORIENTED_CACHE.pop(key).unpersist()
+        _TRI_ORIENTED_CACHE.pop(key)
 
 
 @register(
@@ -1098,7 +1163,7 @@ _LP_TOPK = 20
 def graph_jaccard_link_prediction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    und, _, _ = _tri_pipeline(spark, sf_dir)
+    und, _ = _tri_shared(spark, sf_dir)
     adj = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
@@ -1364,7 +1429,7 @@ def _wl_oracle() -> str:
 
 @register("graph_wl_refinement", oracle=_wl_oracle())
 def graph_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    und, deg = _tri_shared(spark, sf_dir)
     e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
@@ -1635,7 +1700,7 @@ def _anf_oracle() -> str:
 
 @register("graph_hyperanf_nf", oracle=_anf_oracle())
 def graph_hyperanf_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und, _, _ = _tri_pipeline(spark, sf_dir)
+    und, _ = _tri_shared(spark, sf_dir)
     e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
@@ -1785,7 +1850,7 @@ def _kcore_oracle() -> str:
 
 @register("graph_kcore_peel", oracle=_kcore_oracle())
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    und, deg = _tri_shared(spark, sf_dir)
     e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
@@ -1959,7 +2024,7 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    und, deg, _ = _tri_pipeline(spark, sf_dir)
+    und, deg = _tri_shared(spark, sf_dir)
     ew = und.select(
         "a",
         "b",
@@ -1994,7 +2059,12 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(lb, "b")
             .filter(F.col("ca") != F.col("cb"))
         )
-        e_struct = F.struct("w", "a", "b").alias("e")
+        # ca/cb ride along in the struct: they are functionally
+        # determined by (a, b) under the current labelling, so the
+        # lexicographic MIN is still exactly ORDER BY w, a, b — but the
+        # picked edge keeps its component endpoints for the contracted
+        # CC below without a re-join against lab.
+        e_struct = F.struct("w", "a", "b", "ca", "cb").alias("e")
         cand = el.select(F.col("ca").alias("c"), e_struct).unionAll(
             el.select(F.col("cb").alias("c"), e_struct)
         )
@@ -2003,25 +2073,38 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks = (
             cand.groupBy("c")
             .agg(F.min("e").alias("e"))
-            .select("e.w", "e.a", "e.b")
+            .select("e.w", "e.a", "e.b", "e.ca", "e.cb")
             .distinct()
+            .localCheckpoint(eager=True)
         )
         forest = (
-            picks if forest is None else forest.unionByName(picks).distinct()
+            picks.select("w", "a", "b")
+            if forest is None
+            else forest.unionByName(picks.select("w", "a", "b")).distinct()
         ).localCheckpoint(eager=True)
+        # CC on the CONTRACTED graph, seeded by the previous round's
+        # labels (VERDICT r11 #5): the forest only grows and labels are
+        # monotone under merging, so running the alternating-star
+        # fixpoint over (component, component) pick edges — a graph
+        # that HALVES each round — yields the same partition structure
+        # as re-running it over the whole forest, at a fraction of the
+        # rounds and exchange volume. New label = CC root of the old
+        # label, composed onto lab with one join. (The summary only
+        # consumes COUNT(DISTINCT c), which is invariant to which
+        # representative the CC picks.)
         comp = connected_components(
-            forest.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            picks.select(F.col("ca").alias("u"), F.col("cb").alias("v"))
         )
         lab = (
-            nodes.join(
+            lab.join(
                 comp.select(
-                    F.col("u").alias("v"), F.col("v").alias("root")
+                    F.col("u").alias("c"), F.col("v").alias("root")
                 ),
-                "v",
+                "c",
                 "left",
             )
             .select(
-                "v", F.coalesce(F.col("root"), F.col("v")).alias("c")
+                "v", F.coalesce(F.col("root"), F.col("c")).alias("c")
             )
             .localCheckpoint(eager=True)
         )
@@ -2134,7 +2217,7 @@ def _walks_oracle() -> str:
 def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    und, _, _ = _tri_pipeline(spark, sf_dir)
+    und, _ = _tri_shared(spark, sf_dir)
     e = und.select(F.col("a").alias("v"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("nbr"))
     )
