@@ -2346,8 +2346,9 @@ def _sweep_oracle() -> str:
       SELECT k, cut_edges, volume,
              CASE WHEN LEAST(volume, tot.total_vol - volume) = 0
                   THEN NULL
-                  ELSE cut_edges * {_SWEEP_SCALE}
-                       // LEAST(volume, tot.total_vol - volume) END
+                  ELSE CAST(CAST(cut_edges AS HUGEINT) * {_SWEEP_SCALE}
+                       // LEAST(volume, tot.total_vol - volume)
+                       AS BIGINT) END
                  AS cond_fp
       FROM sweep CROSS JOIN tot
     ),
@@ -2510,8 +2511,14 @@ def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("long"),
             )
             .otherwise(
+                # DECIMAL(38,0) widening (the agg_lorenz idiom, r12
+                # audit): BIGINT cut_edges * 1e9 wraps SILENTLY in
+                # Spark past m ≈ 9.2e9 edges while DuckDB widens to
+                # HUGEINT — the one failure class the fixture-scale
+                # oracle gate can never see. `div` on DECIMAL(38,0)
+                # returns BIGINT, matching the oracle's CAST.
                 F.expr(
-                    f"cut_edges * {_SWEEP_SCALE}"
+                    f"cast(cut_edges as decimal(38,0)) * {_SWEEP_SCALE}"
                     " div least(volume, total_vol - volume)"
                 )
             )

@@ -1657,7 +1657,12 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("off"),
         )
     )
-    g = toks.join(F.broadcast(offsets), "doc_id").select(
+    # No broadcast hint on offsets (r12 audit): it is one row per DOC
+    # — |docs|-cardinality, which outgrows the broadcast budget at
+    # corpus scale. The bucket table above stays broadcast (|docs|/256
+    # rows); this join lets Catalyst/AQE pick (it broadcasts at
+    # fixture scale anyway, shuffles when |docs| demands it).
+    g = toks.join(offsets, "doc_id").select(
         "w", (F.col("off") + F.col("p")).alias("gpos")
     )
     n_tab = counts.agg(F.sum("cnt").alias("n"))
