@@ -121,6 +121,15 @@ def read_events_stream(
     return stream
 
 
+def stream_parts(default: int = 4) -> int:
+    """Streaming state-operator partition count: the per-query
+    fixture-sized default, overridable in one place via
+    SPARK_GRAFT_STREAM_PARTS (the batch shuffle-partitions sizing
+    rule's streaming twin — state-store count scales with state
+    cardinality)."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_PARTS", default))
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -149,7 +158,7 @@ def run_stream_to_memory(
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     if shuffle_partitions is not None:
-        spark.conf.set(key, str(shuffle_partitions))
+        spark.conf.set(key, str(stream_parts(shuffle_partitions)))
     try:
         with tempfile.TemporaryDirectory() as ckpt:
             query = (

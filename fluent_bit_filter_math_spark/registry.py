@@ -178,6 +178,7 @@ def _ensure_loaded() -> None:
     )
     from fluent_bit_filter_math_spark.sources import (  # noqa: F401
         kafka_wire,
+        table_format,
     )
     from fluent_bit_filter_math_spark.streaming import (  # noqa: F401
         dedup as stream_dedup,

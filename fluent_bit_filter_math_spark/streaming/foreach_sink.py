@@ -139,9 +139,11 @@ def stream_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Size the per-batch merge shuffle to the state cardinality, same
     # per-query knob rationale as run_stream_to_memory; restore after.
+    from fluent_bit_filter_math_spark.pipeline import stream_parts
+
     key = "spark.sql.shuffle.partitions"
     old_sp = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, str(stream_parts()))
     try:
         (
             spark.readStream.schema(schema)

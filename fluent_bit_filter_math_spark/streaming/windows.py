@@ -924,9 +924,11 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"))
         .count()
     )
+    from fluent_bit_filter_math_spark.pipeline import stream_parts
+
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, str(stream_parts()))
     try:
         with tempfile.TemporaryDirectory() as ckpt:
             q = (
