@@ -71,11 +71,16 @@ _PRIORITY: tuple[str, ...] = (
     # Zero never-checked backlog again (all 325 queries driver-green by
     # the r1-r11 union), so the whole 50-slot window is tier-3
     # staleness retirement per VERDICT r11 "Next round" #1. Exact
-    # composition: the 4 r4-era greens, the complete 39-query r5-era
-    # cohort, then the 7 alphabetically-first r6-era queries — 50
-    # total, no tier-1/tier-2 insertions this round. Done-criterion:
-    # once CORRECTNESS_r12.json lands, tools/green_age.py shows no
-    # query whose newest driver green is older than r6.
+    # composition: ONE tier-2 insertion (io_table_format_snapshot, the
+    # r12-new commit-log table format — never driver-checked), then
+    # the 4 r4-era greens, the complete 39-query r5-era cohort, and
+    # the 6 alphabetically-first r6-era queries — 50 total.
+    # Done-criterion: once CORRECTNESS_r12.json lands,
+    # tools/green_age.py shows no query whose newest driver green is
+    # older than r6 except the one displaced r6 pick (math_cast_int,
+    # r13 queue head).
+    # tier 2: new this round.
+    "io_table_format_snapshot",
     # tier 3a: the 4 r4-era stale greens (oldest in the corpus).
     "text_repetition_filter",
     "udf_scalar_doc_stats",
@@ -121,8 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "win_session_user",
     "win_sliding_hour_30m",
     "window_distribution_fns",
-    # tier 3c: the 7 oldest r6-era queries (alphabetical; the other 30
-    # r6-era queries head the r13 queue below).
+    # tier 3c: the 6 oldest r6-era queries (alphabetical; math_cast_int
+    # was displaced past slot 50 by the tier-2 insertion and heads the
+    # r13 queue with the other 30 r6-era queries below).
     "agg_corr_stats",
     "agg_regr_ols",
     "fn_bitwise_suite",
