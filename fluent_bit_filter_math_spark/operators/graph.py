@@ -1549,12 +1549,20 @@ def _ppr_oracle() -> str:
     """
 
 
-@register("graph_personalized_pagerank", oracle=_ppr_oracle())
-def graph_personalized_pagerank(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from pyspark.sql import Window
+_PPR_RANKS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+
+def _ppr_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final PPR fixed-point table (node, rank_fp) for the %200 seed
+    set — the identical unrolled recursion graph_personalized_pagerank
+    and graph_ppr_sweep_cut both need, built once per (session,
+    sf_dir) and localCheckpointed (r12: the sweep-cut floor profile
+    measured ~2.9 s of the query as the unrolled-iteration job floor;
+    sharing the ranks removes one whole PPR unroll per session — the
+    shingle-index/CC-map lifecycle)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PPR_RANKS_CACHE:
+        return _PPR_RANKS_CACHE[key]
     edges, deg = _edge_index(spark, sf_dir)
     teleport = F.when(F.col("src") % 200 == 0, F.lit((15 * PR_SCALE) // 100)) \
         .otherwise(F.lit(0))
@@ -1587,6 +1595,29 @@ def graph_personalized_pagerank(
                 teleport + F.expr("85 * coalesce(contrib, 0) div 100")
             ).cast("long").alias("rank_fp"),
         )
+    ranks = ranks.localCheckpoint(eager=True)
+    _PPR_RANKS_CACHE[key] = ranks
+    return ranks
+
+
+def release_ppr_ranks(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Evict the session's checkpointed PPR rank table."""
+    app_id = spark.sparkContext.applicationId
+    for key in [
+        k
+        for k in _PPR_RANKS_CACHE
+        if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        _PPR_RANKS_CACHE.pop(key)
+
+
+@register("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ranks = _ppr_ranks(spark, sf_dir)
     w = Window.orderBy(F.desc("rank_fp"), F.asc("node"))
     return (
         ranks.orderBy(F.desc("rank_fp"), F.asc("node"))
@@ -2380,34 +2411,9 @@ def graph_ppr_sweep_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     edges, deg = _edge_index(spark, sf_dir)
-    teleport = F.when(
-        F.col("src") % 200 == 0, F.lit((15 * PR_SCALE) // 100)
-    ).otherwise(F.lit(0))
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        (
-            F.when(F.col("src") % 200 == 0, F.lit(PR_SCALE)).otherwise(0)
-        ).cast("long").alias("rank_fp"),
-    )
-    for _ in range(PR_ITERS):
-        contribs = (
-            edges.join(
-                ranks.filter(F.col("rank_fp") > 0),
-                edges["src"] == F.col("node"),
-            )
-            .join(deg, "src")
-            .select("dst", F.expr("rank_fp div d").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = deg.join(
-            contribs, deg["src"] == contribs["dst"], "left"
-        ).select(
-            F.col("src").alias("node"),
-            (
-                teleport + F.expr("85 * coalesce(contrib, 0) div 100")
-            ).cast("long").alias("rank_fp"),
-        )
+    # the identical unrolled PPR fixed point graph_personalized_pagerank
+    # reads — session-shared and checkpointed (_ppr_ranks)
+    ranks = _ppr_ranks(spark, sf_dir)
 
     # two-level rank by (rank_fp DESC, node): bucket = high bits of
     # rank_fp is a prefix of the DESC order
