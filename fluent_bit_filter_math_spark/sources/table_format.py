@@ -244,3 +244,161 @@ def io_table_format_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _summary(snap1, 1).unionAll(_summary(snap2, 2)).orderBy("version")
     )
+
+
+def committed_batch_ids(table_path: str) -> set[int]:
+    """Streaming-sink replay guard: the set of foreachBatch epoch ids
+    already committed to the log."""
+    out: set[int] = set()
+    for v in range(latest_version(table_path) + 1):
+        with open(_log_path(table_path, v)) as f:
+            b = json.load(f).get("batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
+
+
+def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None:
+    """Exactly-once streaming append: one commit per micro-batch epoch,
+    idempotent under foreachBatch replay (Spark re-runs a failed epoch
+    with the SAME batch_id — if the log already holds that epoch, the
+    replay is a no-op instead of a duplicate append; the same contract
+    Delta's `txn` action gives idempotent writers). Returns the
+    committed version, or None when the epoch was already in the log."""
+    if batch_id in committed_batch_ids(table_path):
+        return None
+    add, schema = _stage(df, table_path)
+    version = latest_version(table_path) + 1
+    payload = {
+        "version": version,
+        "action": "append",
+        "add": add,
+        "remove": [],
+        "schema": schema,
+        "batch_id": int(batch_id),
+    }
+    os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
+    try:
+        with open(_log_path(table_path, version), "x") as f:
+            f.write(json.dumps(payload, sort_keys=True))
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} already committed"
+        ) from exc
+    return version
+
+
+def tf_compact(spark: SparkSession, table_path: str) -> int:
+    """Small-file compaction as ONE commit: read the live snapshot,
+    rewrite it as a single right-sized file set, publish add(compacted)
+    + remove(all prior live) atomically. Readers of the latest snapshot
+    flip file sets at the commit boundary; time travel still resolves
+    every older version (dead files stay on disk until vacuum) — the
+    OPTIMIZE/rewrite_data_files recipe."""
+    head = latest_version(table_path)
+    files, _ = _replay(table_path, head)
+    snap = spark.read.parquet(*files)
+    remove = [os.path.relpath(p, table_path) for p in files]
+    add, schema = _stage(snap.coalesce(1), table_path)
+    version = head + 1
+    _publish(table_path, version, add, remove, schema, "compact")
+    return version
+
+
+def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
+    """Physically delete data files not live in ANY snapshot >=
+    *keep_from_version* (retention cutoff). Time travel to vacuumed
+    versions then fails at scan time — exactly Delta/Iceberg VACUUM /
+    expire_snapshots semantics. Returns the deleted relative paths."""
+    head = latest_version(table_path)
+    keep: set[str] = set()
+    for v in range(max(0, keep_from_version), head + 1):
+        files, _ = _replay(table_path, v)
+        keep.update(os.path.relpath(p, table_path) for p in files)
+    ever: set[str] = set()
+    for v in range(head + 1):
+        with open(_log_path(table_path, v)) as f:
+            ever.update(json.load(f).get("add", []))
+    doomed = sorted(ever - keep)
+    for rel in doomed:
+        p = os.path.join(table_path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    return doomed
+
+
+@register(
+    "stream_table_format_sink",
+    oracle="""
+    SELECT CAST(event_id % 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT) + user_id)
+                AS BIGINT) AS fold_cents
+    FROM events
+    WHERE event_id % 4 = 1
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def stream_table_format_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the commit-log table: a bounded events
+    replay folds cents+user (the reference's SUM chain, math.c:197-200)
+    and lands EVERY micro-batch as one idempotent log commit via
+    foreachBatch + tf_append_batch — a replayed epoch is a no-op, so
+    the table holds each record exactly once; the result re-reads the
+    LATEST SNAPSHOT through the log (never a directory listing)."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.pipeline import read_events_stream
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    # build the bounded source from the fixture (nanos-safe via table())
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 1)
+    base = scratch_dir("tf-stream")
+    src = os.path.join(base, "src")
+    # multiple source files => multiple micro-batches with
+    # maxFilesPerTrigger=1 (the established replay recipe)
+    ev.select("event_id", "user_id", "value").repartition(3).write.parquet(
+        src
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    folded = stream.select(
+        "event_id",
+        "user_id",
+        (exact_cents(F.col("value")) + F.col("user_id")).alias("fold"),
+    )
+    tpath = os.path.join(base, "table")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tf_append_batch(batch_df, tpath, batch_id)
+        # replay the SAME epoch: must be a no-op (exactly-once pinning
+        # inside the query itself, not just the unit test)
+        assert tf_append_batch(batch_df, tpath, batch_id) is None
+
+    ckpt = os.path.join(base, "ckpt")
+    q = (
+        folded.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pyspark.sql.functions as F2
+
+    snap = tf_read(spark, tpath)
+    return (
+        snap.groupBy((F2.col("event_id") % 16).alias("shard"))
+        .agg(
+            F2.count("*").cast("long").alias("n_rows"),
+            F2.sum("fold").cast("long").alias("fold_cents"),
+        )
+        .select(F2.col("shard").cast("long"), "n_rows", "fold_cents")
+        .orderBy("shard")
+    )

@@ -187,3 +187,67 @@ class TestTableFormat:
         out = tf_read(spark, t)
         assert out.count() == 0
         assert "id" in out.columns
+
+
+class TestTableFormatMaintenance:
+    """Compaction + vacuum + streaming-epoch idempotence for the
+    commit-log table format."""
+
+    def test_compact_is_value_invisible_and_single_file(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            _replay,
+            tf_append,
+            tf_compact,
+            tf_read,
+        )
+
+        t = str(tmp_path / "t")
+        for lo in range(0, 40, 10):
+            tf_append(
+                spark.range(lo, lo + 10).repartition(4), t
+            )  # 16 small files
+        before = sorted(r["id"] for r in tf_read(spark, t).collect())
+        v = tf_compact(spark, t)
+        files, _ = _replay(t, v)
+        assert len(files) == 1  # coalesced
+        after = sorted(r["id"] for r in tf_read(spark, t).collect())
+        assert after == before == list(range(40))
+        # time travel across the compaction boundary still works
+        assert tf_read(spark, t, version=v - 1).count() == 40
+
+    def test_vacuum_deletes_only_unreachable_files(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_append,
+            tf_overwrite,
+            tf_read,
+            tf_vacuum,
+        )
+
+        t = str(tmp_path / "t")
+        tf_append(spark.range(5), t)           # v0
+        tf_overwrite(spark.range(100, 103), t)  # v1: v0's files go dead
+        doomed = tf_vacuum(t, keep_from_version=1)
+        assert doomed  # v0's files physically removed
+        assert sorted(
+            r["id"] for r in tf_read(spark, t).collect()
+        ) == [100, 101, 102]
+        # time travel to the vacuumed snapshot now fails at scan time
+        with _pytest.raises(Exception):
+            tf_read(spark, t, version=0).collect()
+
+    def test_stream_epoch_replay_is_noop(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            latest_version,
+            tf_append_batch,
+            tf_read,
+        )
+
+        t = str(tmp_path / "t")
+        assert tf_append_batch(spark.range(3), t, batch_id=0) == 0
+        assert tf_append_batch(spark.range(3, 6), t, batch_id=1) == 1
+        # replayed epoch: no new version, no duplicate rows
+        assert tf_append_batch(spark.range(3, 6), t, batch_id=1) is None
+        assert latest_version(t) == 1
+        assert tf_read(spark, t).count() == 6
