@@ -251,3 +251,28 @@ class TestTableFormatMaintenance:
         assert tf_append_batch(spark.range(3, 6), t, batch_id=1) is None
         assert latest_version(t) == 1
         assert tf_read(spark, t).count() == 6
+
+
+def test_table_format_read_keeps_parquet_pushdown(spark, tmp_path):
+    """The log-based snapshot read is `spark.read.parquet(*live)`, so
+    predicate pushdown and column pruning reach the scan unchanged —
+    the property that makes the format usable at 100 TB."""
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+        tf_read,
+    )
+
+    t = str(tmp_path / "t")
+    tf_append(
+        spark.range(1000).selectExpr("id", "id * 2 AS v", "id % 7 AS k"),
+        t,
+    )
+    df = tf_read(spark, t).filter("k = 3").select("id")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "IsNotNull(k)" in plan
+    assert "ReadSchema" in plan
+    # column pruning: v never read
+    import re
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "v:" not in rs.group(1)
