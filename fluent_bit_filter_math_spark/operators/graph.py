@@ -916,13 +916,12 @@ def graph_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = w1.join(w2, "src").filter(F.col("rk_x") < F.col("rk_y"))
     closing = oriented.select(F.col("src").alias("x"),
                               F.col("dst").alias("y"))
-    tri = wedges.join(closing, ["x", "y"]).select(
-        F.col("src").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
-    )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    tri = wedges.join(closing, ["x", "y"])
+    # ONE pass emits all three corners via explode — the union-of-three
+    # -projections form re-inlined the wedge+closure join tree per
+    # branch (3× the join work, 13 compiled exchanges; r12 plan audit).
+    corners = tri.select(
+        F.explode(F.array("src", "x", "y")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 

@@ -402,3 +402,200 @@ def stream_table_format_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F2.col("shard").cast("long"), "n_rows", "fold_cents")
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SOURCE half — the commit log as an incremental stream
+# (Delta's streaming source / Iceberg's incremental read): a consumer's
+# OFFSET is simply the last committed version it has processed; each
+# micro-batch reads the data files ADDED by versions (start, end].
+# Exact for append-only logs; an overwrite/compact commit rewrites
+# history and is REFUSED at read time (Delta errors the same way
+# unless ignoreChanges is set) — the log itself says which is which,
+# so the check is one JSON field per new version.
+#
+# Scale shape: this is the FULL DataSourceStreamReader (not Simple) —
+# `partitions(start, end)` emits one InputPartition per added file and
+# `read()` runs on EXECUTORS (pyarrow scans the one file it owns), so
+# a 100 TB backlog streams with the same per-file parallelism as the
+# batch scan; the driver only ever touches the tiny JSON log.
+# `maxversionspertrigger` (default 1) bounds versions per micro-batch
+# — maxFilesPerTrigger's log-structured twin — which also makes the
+# bounded fixture replay exercise real multi-batch consumption.
+# ---------------------------------------------------------------------------
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _TfFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class TableFormatStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.table_path = options.get("path")
+        if not self.table_path:
+            raise ValueError("tableformat stream requires 'path'")
+        self.max_versions = max(
+            1, int(options.get("maxversionspertrigger", 1))
+        )
+
+    def initialOffset(self):
+        self._cursor = -1
+        return {"version": -1}
+
+    def latestOffset(self):
+        # Rate limit IN the offset (the engine records whatever end we
+        # return, so clamping later in partitions() would silently skip
+        # versions): a cursor advances ≤ max_versions per trigger, and
+        # processAllAvailable keeps triggering while offsets still
+        # move, so a static log drains in ceil(head/max) micro-batches.
+        head = latest_version(self.table_path)
+        cur = getattr(self, "_cursor", -1)
+        self._cursor = min(head, cur + self.max_versions)
+        return {"version": self._cursor}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        # restart safety: never let the cursor sit behind an engine
+        # checkpoint offset
+        self._cursor = max(getattr(self, "_cursor", -1), hi)
+        parts: list[_TfFilePartition] = []
+        for v in range(lo + 1, hi + 1):
+            with open(_log_path(self.table_path, v)) as f:
+                commit = json.load(f)
+            if commit.get("action") not in ("append",):
+                raise ValueError(
+                    f"version {v} is a {commit.get('action')!r} commit: "
+                    "the incremental stream is exact only over "
+                    "append-only history (Delta's ignoreChanges trap)"
+                )
+            parts.extend(
+                _TfFilePartition(os.path.join(self.table_path, rel))
+                for rel in commit.get("add", [])
+            )
+        return parts
+
+    def read(self, partition: _TfFilePartition):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        for batch in tbl.to_batches():
+            yield from zip(*[c.to_pylist() for c in batch.columns])
+
+    def commit(self, end):
+        pass  # offsets live in the engine's checkpoint, not the log
+
+
+class TableFormatDataSource(DataSource):
+    """``spark.readStream.format("tableformat").option("path", t)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tableformat"
+
+    def schema(self):
+        files, ddl = _replay(self.options["path"], latest_version(self.options["path"]))
+        return ddl
+
+    def streamReader(self, schema):
+        return TableFormatStreamReader(self.options)
+
+
+def register_table_format(spark: SparkSession) -> None:
+    spark.dataSource.register(TableFormatDataSource)
+
+
+@register(
+    "stream_table_format_source",
+    oracle="""
+    SELECT CAST(user_id % 8 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT) * 2
+                    + user_id) AS BIGINT) AS fold_cents
+    FROM events
+    WHERE event_id % 5 = 2
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def stream_table_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log as a STREAM SOURCE: three appended commits are
+    consumed incrementally (one version per trigger — the engine's
+    offsets are log versions), each micro-batch folds MUL+SUM over the
+    wire columns (math.c:207-210,197-200) and lands in an idempotent
+    foreachBatch parquet sink; the result re-reads the sink. Pinned to
+    drain in ≥2 micro-batches — availableNow would collapse a Python
+    stream source to one batch (the mem_input discipline), so the run
+    uses the default trigger + processAllAvailable over the static
+    log."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_table_format(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 2)
+        .select(
+            "event_id",
+            "user_id",
+            exact_cents(F.col("value")).alias("cents"),
+        )
+    )
+    base = scratch_dir("tf-source")
+    tpath = os.path.join(base, "table")
+    # three append commits = three stream versions (deterministic split)
+    for r in range(3):
+        tf_append(ev.filter(F.col("event_id") % 3 == r), tpath)
+
+    stream = (
+        spark.readStream.format("tableformat")
+        .option("path", tpath)
+        .option("maxversionspertrigger", "1")
+        .load()
+    )
+    folded = stream.select(
+        "user_id",
+        (F.col("cents") * 2 + F.col("user_id")).alias("fold"),
+    )
+    out_dir = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+
+    q = (
+        folded.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = _glob.glob(os.path.join(out_dir, "b*"))
+    if len(epochs) < 2:
+        raise RuntimeError(
+            f"expected >=2 version-rate-limited micro-batches, got "
+            f"{len(epochs)}"
+        )
+    snap = spark.read.parquet(os.path.join(out_dir, "b*"))
+    return (
+        snap.groupBy((F.col("user_id") % 8).alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("fold").cast("long").alias("fold_cents"),
+        )
+        .select(F.col("shard").cast("long"), "n_rows", "fold_cents")
+        .orderBy("shard")
+    )

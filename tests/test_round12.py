@@ -276,3 +276,82 @@ def test_table_format_read_keeps_parquet_pushdown(spark, tmp_path):
 
     rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert rs and "v:" not in rs.group(1)
+
+
+class TestTableFormatStreamSource:
+    def test_incremental_drain_covers_each_record_exactly_once(
+        self, spark, tmp_path
+    ):
+        """Three append commits drained at one version per trigger:
+        union of all micro-batches = the table, no dups, ≥3 epochs."""
+        import glob as _glob
+
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            register_table_format,
+            tf_append,
+        )
+
+        register_table_format(spark)
+        t = str(tmp_path / "t")
+        for lo in (0, 10, 20):
+            tf_append(
+                spark.range(lo, lo + 10).selectExpr("id", "id * 3 AS v"),
+                t,
+            )
+        out_dir = str(tmp_path / "sink")
+
+        def _sink(bdf, bid):
+            bdf.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"b{bid:05d}")
+            )
+
+        q = (
+            spark.readStream.format("tableformat")
+            .option("path", t)
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(_glob.glob(os.path.join(out_dir, "b*"))) >= 3
+        got = sorted(
+            r["id"]
+            for r in spark.read.parquet(os.path.join(out_dir, "b*")).collect()
+        )
+        assert got == list(range(30))
+
+    def test_overwrite_commit_refused_by_stream(self, spark, tmp_path):
+        """An overwrite rewrites history — the incremental reader must
+        fail loudly rather than emit wrong deltas (Delta's
+        ignoreChanges trap, made an error)."""
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            register_table_format,
+            tf_append,
+            tf_overwrite,
+        )
+
+        register_table_format(spark)
+        t = str(tmp_path / "t")
+        tf_append(spark.range(5), t)
+        tf_overwrite(spark.range(100, 103), t)
+        q = (
+            spark.readStream.format("tableformat")
+            .option("path", t)
+            .option("maxversionspertrigger", "10")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(Exception, match="append-only|overwrite"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
