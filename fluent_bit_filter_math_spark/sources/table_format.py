@@ -70,9 +70,13 @@ def latest_version(table_path: str) -> int:
     return max(versions, default=-1)
 
 
-def _replay(table_path: str, version: int) -> tuple[list[str], str]:
-    """(live data files, schema DDL) of the snapshot at *version*."""
-    live: dict[str, None] = {}  # insertion-ordered set
+def _replay(
+    table_path: str, version: int
+) -> tuple[list[str], str, bool]:
+    """(live data files, newest schema DDL, evolved?) of the snapshot
+    at *version* — ``evolved`` is True when live files were written
+    under MORE THAN ONE schema (the reader must mergeSchema)."""
+    live: dict[str, str] = {}  # rel path -> writer schema
     schema = ""
     for v in range(version + 1):
         p = _log_path(table_path, v)
@@ -80,10 +84,12 @@ def _replay(table_path: str, version: int) -> tuple[list[str], str]:
             commit = json.load(f)
         for rel in commit.get("remove", []):
             live.pop(rel, None)
+        sch = commit.get("schema", schema)
         for rel in commit.get("add", []):
-            live[rel] = None
-        schema = commit.get("schema", schema)
-    return [os.path.join(table_path, rel) for rel in live], schema
+            live[rel] = sch
+        schema = sch
+    evolved = len(set(live.values())) > 1
+    return [os.path.join(table_path, rel) for rel in live], schema, evolved
 
 
 def _stage(df: DataFrame, table_path: str) -> tuple[list[str], str]:
@@ -148,7 +154,7 @@ def tf_overwrite(df: DataFrame, table_path: str) -> int:
     time travel free until a vacuum)."""
     version = latest_version(table_path) + 1
     if version > 0:
-        prior, _ = _replay(table_path, version - 1)
+        prior, _, _ = _replay(table_path, version - 1)
         remove = [os.path.relpath(p, table_path) for p in prior]
     else:
         remove = []
@@ -169,10 +175,16 @@ def tf_read(
     v = head if version is None else version
     if not 0 <= v <= head:
         raise ValueError(f"version {v} outside [0, {head}]")
-    files, schema = _replay(table_path, v)
+    files, schema, evolved = _replay(table_path, v)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if evolved:
+        # live files span >1 writer schema: union them by name with
+        # NULL-fill for columns a generation lacks (Delta/Iceberg
+        # schema evolution; same contract as io_schema_evolution)
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 @register(
@@ -298,8 +310,8 @@ def tf_compact(spark: SparkSession, table_path: str) -> int:
     every older version (dead files stay on disk until vacuum) — the
     OPTIMIZE/rewrite_data_files recipe."""
     head = latest_version(table_path)
-    files, _ = _replay(table_path, head)
-    snap = spark.read.parquet(*files)
+    files, _, evolved = _replay(table_path, head)
+    snap = spark.read.option("mergeSchema", str(evolved).lower()).parquet(*files)
     remove = [os.path.relpath(p, table_path) for p in files]
     add, schema = _stage(snap.coalesce(1), table_path)
     version = head + 1
@@ -315,7 +327,7 @@ def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
     head = latest_version(table_path)
     keep: set[str] = set()
     for v in range(max(0, keep_from_version), head + 1):
-        files, _ = _replay(table_path, v)
+        files, _, _ = _replay(table_path, v)
         keep.update(os.path.relpath(p, table_path) for p in files)
     ever: set[str] = set()
     for v in range(head + 1):
@@ -499,7 +511,9 @@ class TableFormatDataSource(DataSource):
         return "tableformat"
 
     def schema(self):
-        files, ddl = _replay(self.options["path"], latest_version(self.options["path"]))
+        _, ddl, _ = _replay(
+            self.options["path"], latest_version(self.options["path"])
+        )
         return ddl
 
     def streamReader(self, schema):

@@ -208,7 +208,7 @@ class TestTableFormatMaintenance:
             )  # 16 small files
         before = sorted(r["id"] for r in tf_read(spark, t).collect())
         v = tf_compact(spark, t)
-        files, _ = _replay(t, v)
+        files, _, _ = _replay(t, v)
         assert len(files) == 1  # coalesced
         after = sorted(r["id"] for r in tf_read(spark, t).collect())
         assert after == before == list(range(40))
@@ -355,3 +355,24 @@ class TestTableFormatStreamSource:
                 q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_table_format_schema_evolution_null_fills(spark, tmp_path):
+    """An appended generation adds a column: the snapshot read
+    mergeSchemas — old files NULL-fill the new column, both
+    generations' rows appear (the io_schema_evolution contract on the
+    log-based read path)."""
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+        tf_read,
+    )
+
+    t = str(tmp_path / "t")
+    tf_append(spark.range(3).selectExpr("id"), t)
+    tf_append(spark.range(3, 6).selectExpr("id", "id * 2 AS extra"), t)
+    out = tf_read(spark, t)
+    assert set(out.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in out.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 6, 4: 8, 5: 10}
+    # pre-evolution time travel keeps the narrow schema
+    assert tf_read(spark, t, version=0).columns == ["id"]
