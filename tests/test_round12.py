@@ -376,3 +376,71 @@ def test_table_format_schema_evolution_null_fills(spark, tmp_path):
     assert rows == {0: None, 1: None, 2: None, 3: 6, 4: 8, 5: 10}
     # pre-evolution time travel keeps the narrow schema
     assert tf_read(spark, t, version=0).columns == ["id"]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 3)),
+        st.tuples(st.just("overwrite"), st.integers(0, 3)),
+        st.tuples(st.just("compact"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_table_format_replay_matches_set_model(spark, tmp_path_factory, ops):
+    """Model-based check of the log replay: apply a random
+    append/overwrite/compact sequence to BOTH the table format and a
+    plain per-version row-multiset model; every version's snapshot
+    read must equal the model (the class of replay-order bugs the
+    fixed-sequence tests cannot enumerate). Compact must be a
+    value-invisible new version."""
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+        tf_compact,
+        tf_overwrite,
+        tf_read,
+    )
+
+    t = str(tmp_path_factory.mktemp("tf") / "t")
+    model: list[list[int]] = []  # rows per version
+    nxt = 0
+    for op, k in ops:
+        if op == "append":
+            rows = list(range(nxt, nxt + k))
+            nxt += k
+            tf_append(
+                spark.createDataFrame([(i,) for i in rows], "id long")
+                if rows
+                else spark.createDataFrame([], "id long"),
+                t,
+            )
+            model.append((model[-1] if model else []) + rows)
+        elif op == "overwrite":
+            rows = list(range(nxt, nxt + k))
+            nxt += k
+            tf_overwrite(
+                spark.createDataFrame([(i,) for i in rows], "id long")
+                if rows
+                else spark.createDataFrame([], "id long"),
+                t,
+            )
+            model.append(rows)
+        else:
+            if not model:
+                continue  # compact needs an existing table
+            tf_compact(spark, t)
+            model.append(model[-1])
+    for v, want in enumerate(model):
+        got = sorted(r["id"] for r in tf_read(spark, t, version=v).collect())
+        assert got == sorted(want), (v, ops)
