@@ -281,7 +281,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(PR_SCALE).cast("long").alias("rank_fp"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     n_rounds = PRC_MAX_ROUNDS
     for i in range(1, PRC_MAX_ROUNDS + 1):
         contribs = (
@@ -300,7 +300,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("85 * coalesce(contrib, 0) div 100")
                 ).cast("long").alias("rank_fp"),
             )
-            .cache()
+            # eager checkpoint, not cache: the round state feeds TWO
+            # consumers (the movement join and the next round), and a
+            # cached view re-inlines the whole prior-round tree into
+            # each compiled reference (the lineage-doubling rule) —
+            # the checkpoint truncates it; plans after the swap read
+            # one RDD scan instead of a 13-exchange rebuild.
+            .localCheckpoint(eager=True)
         )
         # ONE scalar to the driver per round — the stop rule.
         movement = (
@@ -312,7 +318,6 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]["mv"]
         )
-        ranks.unpersist()
         ranks = new_ranks
         if movement < PRC_TOL_FP * n_nodes:
             n_rounds = i
