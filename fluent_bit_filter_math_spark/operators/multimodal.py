@@ -1372,3 +1372,450 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pix_sum long, pix_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL BASELINE JPEG CODEC (grayscale) — the entropy-coded layer that
+# r9-r11 documented as out of scope is PURE MATH (ITU-T T.81): canonical
+# Huffman coding, zigzag run-length, dequantization, and the 8x8 type-II
+# DCT — all stdlib+numpy, the same from-scratch discipline as the GIF
+# LZW codec above. The encoder synthesizes a spec-valid JFIF file
+# (SOI/APP0/DQT/SOF0/DHT x2/SOS/entropy-coded segment with 0xFF00 byte
+# stuffing/EOI) and the decoder walks the real format: marker parse,
+# CANONICAL Huffman reconstruction from the DHT BITS/VALS lists (the
+# tables are file-defined, so the decoder must build them — ours are
+# flat 4-bit DC / 8-bit AC tables, legal by Kraft and simpler than
+# Annex K's, exactly because DHT exists), DC prediction, EOB/ZRL AC
+# run-lengths, amplitude "extend" (ones'-complement negatives),
+# dequant, inverse zigzag, IDCT, level shift, clamp.
+#
+# Exactness discipline: JPEG is lossy, so the ORACLE-GATED fixture
+# planes are BLOCK-CONSTANT (each 8x8 block one byte of the document,
+# cycled) — a constant block's DCT is a lone DC coefficient 8*(v-128),
+# exact in IEEE doubles, so encode->decode is bit-exact and the
+# closed-form SQL can pin every pixel. Arbitrary planes run the same
+# code path and are pinned by a hypothesis roundtrip bound instead
+# (quant=1 coefficient rounding => per-pixel error <= 3).
+#
+# Out of scope, documented: chroma subsampling (this is the 1-component
+# scan; 3-component YCbCr adds per-component DC predictors + the MCU
+# interleave loop to _jpeg_decode), progressive scans, restart markers
+# (DRI raises).
+# ---------------------------------------------------------------------------
+_JPEG_BW_MOD = 4  # blocks wide: 2 + n % 4
+_JPEG_BH_MOD = 3  # blocks high: 1 + n % 3
+
+
+def _jpeg_zigzag() -> list:
+    """The T.81 zigzag scan order as (row, col) pairs, generated by the
+    diagonal walk (no table to mistype)."""
+    order = []
+    r = c = 0
+    up = True
+    for _ in range(64):
+        order.append((r, c))
+        if up:
+            if c == 7:
+                r += 1
+                up = False
+            elif r == 0:
+                c += 1
+                up = False
+            else:
+                r -= 1
+                c += 1
+        else:
+            if r == 7:
+                c += 1
+                up = True
+            elif c == 0:
+                r += 1
+                up = True
+            else:
+                r += 1
+                c -= 1
+    return order
+
+
+def _jpeg_dct_c():
+    import numpy as np
+
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= np.sqrt(1 / 8)
+    c[1:] *= np.sqrt(2 / 8)
+    return c  # orthonormal: pixels = C.T @ coefs @ C
+
+
+# flat canonical Huffman tables (legal by Kraft: 12/2^4 <= 1, 162/2^8 <= 1)
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _jpeg_canonical(bits, vals) -> dict:
+    """DHT BITS/VALS -> {symbol: (length, code)} (T.81 Annex C)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (an emitted
+    0xFF is followed by 0x00 inside the entropy-coded segment); the
+    final partial byte pads with 1-bits."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over an entropy-coded segment, un-stuffing
+    0xFF00 and stopping at any other 0xFFxx (a marker)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("dangling 0xFF")
+                if self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("marker inside scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        # table: {(length, code): symbol}
+        length = 0
+        code = 0
+        while length < 17:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_size(v: int) -> int:
+    return int(v).bit_length() if v else 0
+
+
+def _jpeg_encode(plane) -> bytes:
+    """Grayscale baseline JFIF bytes for a uint8 numpy plane whose dims
+    are multiples of 8 (edge padding is the standard extension)."""
+    import struct
+
+    import numpy as np
+
+    h, w = plane.shape
+    if h % 8 or w % 8:
+        raise ValueError("plane dims must be multiples of 8")
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coefs = c @ (block.astype(np.float64) - 128.0) @ c.T
+            q = np.rint(coefs).astype(np.int64)  # quant table = ones
+            seq = [int(q[r, cc]) for r, cc in zz]
+            diff = seq[0] - prev_dc
+            prev_dc = seq[0]
+            s = _jpeg_size(abs(diff))
+            ln, code = dc_codes[s]
+            bw.put(code, ln)
+            if s:
+                amp = diff if diff > 0 else diff + (1 << s) - 1
+                bw.put(amp, s)
+            run = 0
+            for v in seq[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                s = _jpeg_size(abs(v))
+                ln, code = ac_codes[(run << 4) | s]
+                bw.put(code, ln)
+                amp = v if v > 0 else v + (1 << s) - 1
+                bw.put(amp, s)
+                run = 0
+            if run:
+                ln, code = ac_codes[0x00]
+                bw.put(code, ln)
+    ecs = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(
+        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + ecs
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_decode(data: bytes):
+    """Real baseline JPEG decode (grayscale scan): marker walk, DQT,
+    SOF0, canonical-Huffman DHT reconstruction, entropy decode with DC
+    prediction + EOB/ZRL + extend, dequant, inverse zigzag, IDCT,
+    level shift, clamp. Returns (w, h, numpy uint8 plane)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: no SOI")
+    pos = 2
+    qt = None
+    dims = None
+    huff: dict = {}
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker stream")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline")
+            if body[7] != 0x11:
+                raise ValueError("subsampled scans unsupported")
+            dims = (w, h)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                codes = _jpeg_canonical(bits, vals)
+                huff[(tc_th >> 4, tc_th & 15)] = {
+                    lc: sym for sym, lc in codes.items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if dims is None or qt is None:
+                raise ValueError("SOS before SOF0/DQT")
+            if body[0] != 1:
+                raise ValueError("only 1-component scans")
+            td, ta = body[2] >> 4, body[2] & 15
+            break
+        # APPn / COM / others: skipped
+    w, h = dims
+    if w % 8 or h % 8:
+        raise ValueError("dims must be multiples of 8 (no edge crop)")
+    dc_tab = huff.get((0, td))
+    ac_tab = huff.get((1, ta))
+    if dc_tab is None or ac_tab is None:
+        raise ValueError("scan references undefined Huffman table")
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    rd = _JpegBitReader(data, pos)
+    plane = np.zeros((h, w), dtype=np.uint8)
+    prev_dc = 0
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            seq = [0] * 64
+            s = rd.huff(dc_tab)
+            diff = extend(rd.bits(s), s) if s else 0
+            prev_dc += diff
+            seq[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = rd.huff(ac_tab)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 15
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                seq[k] = extend(rd.bits(s), s)
+                k += 1
+            coefs = np.zeros((8, 8), dtype=np.float64)
+            for i, (r, cc) in enumerate(zz):
+                coefs[r, cc] = seq[i] * qt[i]
+            block = c.T @ coefs @ c + 128.0
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    # drain padding bits, then require EOI
+    tail = data[rd.pos :]
+    if not tail.startswith(b"\xff\xd9"):
+        raise ValueError("missing EOI after scan")
+    return w, h, plane
+
+
+def _jpeg_build(payload: bytes):
+    """Block-constant plane from the document bytes (block bi's value =
+    payload[bi % n]) — the exactness-pinned fixture (see header)."""
+    import numpy as np
+
+    n = len(payload)
+    src = payload if payload else b"\x00"
+    wb = 2 + n % _JPEG_BW_MOD
+    hb = 1 + n % _JPEG_BH_MOD
+    vals = np.frombuffer(
+        (src * (wb * hb // len(src) + 1))[: wb * hb], dtype=np.uint8
+    ).reshape(hb, wb)
+    plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    return _jpeg_encode(plane)
+
+
+def _jpeg_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            w, h, plane = _jpeg_decode(_jpeg_build(p))
+            flat = plane.reshape(-1).astype(np.int64)
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    (w // 8) * (h // 8),
+                    int(flat.sum()),
+                    int(((np.arange(w * h, dtype=np.int64) + 1) * flat).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "width",
+                "height",
+                "n_blocks",
+                "pix_sum",
+                "pix_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_jpeg_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             2 + strlen(text) % {_JPEG_BW_MOD} AS wb,
+             1 + strlen(text) % {_JPEG_BH_MOD} AS hb
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(wb * hb AS BIGINT) AS n_blocks,
+           CAST(64 * list_aggregate(list_transform(range(0, wb * hb),
+               bi -> CAST(ord(text[bi % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, 64 * wb * hb),
+               i -> (i + 1) * CAST(ord(text[
+                   (((i // (8 * wb)) // 8) * wb
+                    + ((i % (8 * wb)) // 8)) % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG entropy layer end-to-end under the oracle gate:
+    every ASCII document becomes a spec-valid grayscale JFIF whose
+    8x8 blocks hold the document's bytes; the from-scratch decoder
+    (canonical Huffman, DC prediction, EOB/ZRL, extend, dequant, IDCT)
+    must reproduce every pixel exactly, pinned by the closed-form SQL.
+    Reference analogue: opaque-payload pass-through (math.c:343-352)
+    upgraded to full container+codec parsing. Scale: Arrow-batched
+    mapInPandas, no shuffle, no driver."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _jpeg_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_blocks long,"
+            " pix_sum long, pix_checksum long"
+        ),
+    )

@@ -444,3 +444,78 @@ def test_table_format_replay_matches_set_model(spark, tmp_path_factory, ops):
     for v, want in enumerate(model):
         got = sorted(r["id"] for r in tf_read(spark, t, version=v).collect())
         assert got == sorted(want), (v, ops)
+
+
+class TestJpegCodec:
+    """From-scratch baseline-JPEG codec (the entropy layer the earlier
+    rounds documented as out of scope): exactness on block-constant
+    planes, bounded loss on arbitrary planes, byte-stuffing round-trip,
+    malformed-input rejection."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(payload=st.binary(min_size=1, max_size=40))
+    def test_block_constant_roundtrip_is_exact(self, payload):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        w, h, plane = mm._jpeg_decode(mm._jpeg_build(payload))
+        n = len(payload)
+        wb, hb = 2 + n % mm._JPEG_BW_MOD, 1 + n % mm._JPEG_BH_MOD
+        vals = np.frombuffer(
+            (payload * (wb * hb // n + 1))[: wb * hb], dtype=np.uint8
+        ).reshape(hb, wb)
+        want = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        assert (w, h) == (8 * wb, 8 * hb)
+        assert (plane == want).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        wb=st.integers(1, 4),
+        hb=st.integers(1, 3),
+    )
+    def test_arbitrary_plane_error_bounded(self, seed, wb, hb):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        p = rng.integers(0, 256, size=(8 * hb, 8 * wb), dtype=np.uint8)
+        w, h, out = mm._jpeg_decode(mm._jpeg_encode(p))
+        assert (w, h) == (8 * wb, 8 * hb)
+        # quant=1: only coefficient rounding is lost
+        assert np.abs(out.astype(int) - p.astype(int)).max() <= 3
+
+    @settings(max_examples=50, deadline=None)
+    @given(bits=st.lists(st.integers(0, 1), min_size=1, max_size=64))
+    def test_bit_writer_reader_roundtrip_with_stuffing(self, bits):
+        from fluent_bit_filter_math_spark.operators.multimodal import (
+            _JpegBitReader,
+            _JpegBitWriter,
+        )
+
+        wr = _JpegBitWriter()
+        for b in bits:
+            wr.put(b, 1)
+        data = wr.flush() + b"\xff\xd9"
+        # all-ones prefixes force 0xFF bytes => stuffing exercised
+        rd = _JpegBitReader(data, 0)
+        assert [rd.bit() for _ in bits] == bits
+
+    def test_malformed_rejection(self):
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        good = mm._jpeg_build(b"xyz")
+        with _pytest.raises(ValueError, match="SOI"):
+            mm._jpeg_decode(b"\x00" + good)
+        with _pytest.raises(ValueError, match="EOI"):
+            mm._jpeg_decode(good[:-2])
+        # corrupt a DHT count: canonical build or entropy decode breaks
+        with _pytest.raises(Exception):
+            bad = bytearray(good)
+            i = bad.index(b"\xff\xc4")
+            bad[i + 5] = 0xFF
+            mm._jpeg_decode(bytes(bad))
