@@ -519,3 +519,88 @@ class TestJpegCodec:
             i = bad.index(b"\xff\xc4")
             bad[i + 5] = 0xFF
             mm._jpeg_decode(bytes(bad))
+
+
+class TestAvroOCF:
+    """From-scratch Avro OCF: zigzag varints, block/sync container,
+    raw-deflate codec, corruption detection."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(n=st.integers(-(2**62), 2**62))
+    def test_zigzag_varint_roundtrip(self, n):
+        from fluent_bit_filter_math_spark.sources.avro_ocf import (
+            _zigzag_decode,
+            _zigzag_encode,
+        )
+
+        v, pos = _zigzag_decode(_zigzag_encode(n), 0)
+        assert v == n and pos == len(_zigzag_encode(n))
+
+    def test_known_zigzag_vectors(self):
+        """The spec's published examples: 0->00, -1->01, 1->02,
+        -2->03, 2->04, -64->7f, 64->80 01."""
+        from fluent_bit_filter_math_spark.sources.avro_ocf import (
+            _zigzag_encode,
+        )
+
+        vecs = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+                2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+        for n, want in vecs.items():
+            assert _zigzag_encode(n) == want, n
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        nrows=st.integers(0, 300),
+        block=st.integers(1, 97),
+        codec=st.sampled_from(["null", "deflate"]),
+    )
+    def test_container_roundtrip(self, tmp_path_factory, nrows, block, codec):
+        import os
+
+        from fluent_bit_filter_math_spark.sources.avro_ocf import (
+            read_ocf_file,
+            write_ocf_shard,
+        )
+
+        rows = [
+            {
+                "event_id": i,
+                "user_id": -i * 3,
+                "event_type": f"type-{i % 5}",
+                "cents": i * 101 - 7,
+            }
+            for i in range(nrows)
+        ]
+        p = os.path.join(str(tmp_path_factory.mktemp("ocf")), "s.avro")
+        write_ocf_shard(p, rows, codec, rows_per_block=block)
+        got = list(read_ocf_file(p))
+        assert got == [
+            (r["event_id"], r["user_id"], r["event_type"], r["cents"])
+            for r in rows
+        ]
+
+    def test_corruption_detected(self, tmp_path):
+        import os
+
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.sources.avro_ocf import (
+            read_ocf_file,
+            write_ocf_shard,
+        )
+
+        p = os.path.join(str(tmp_path), "s.avro")
+        write_ocf_shard(
+            p,
+            [{"event_id": 1, "user_id": 2, "event_type": "x", "cents": 3}],
+            "deflate",
+        )
+        buf = bytearray(open(p, "rb").read())
+        buf[-1] ^= 0x55  # last sync byte
+        open(p, "wb").write(bytes(buf))
+        with _pytest.raises(ValueError, match="sync"):
+            list(read_ocf_file(p))
+        bad = os.path.join(str(tmp_path), "bad.avro")
+        open(bad, "wb").write(b"NOPE" + bytes(buf[4:]))
+        with _pytest.raises(ValueError, match="magic"):
+            list(read_ocf_file(bad))
