@@ -1819,3 +1819,328 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " pix_sum long, pix_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# COLOR (3-component YCbCr 4:4:4) extension of the baseline codec: the
+# SOF0/SOS carry three components (ids 1..3, sampling 0x11), the scan
+# interleaves one MCU = Y block, Cb block, Cr block with a DC PREDICTOR
+# PER COMPONENT (T.81 F.1.1.5.1 — the bug surface this exists to pin),
+# and the JFIF color transform (T.871) maps RGB <-> YCbCr around the
+# DCT. Exactness discipline: the oracle fixture is GRAY-valued RGB
+# (R=G=B=v), for which Y=v, Cb=Cr=128 exactly after rounding — so the
+# full color path (3x entropy streams, interleaved predictors, color
+# convert) round-trips bit-exact under the SQL gate; chromatic planes
+# are pinned by the hypothesis bound instead (color-matrix rounding
+# adds +/-2). Remaining extension, documented: subsampled (4:2:0)
+# MCUs — 4 Y blocks + Cb + Cr with chroma upsampling.
+# ---------------------------------------------------------------------------
+def _jpeg_rgb_to_ycbcr(rgb):
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return [
+        np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (y, cb, cr)
+    ]
+
+
+def _jpeg_ycbcr_to_rgb(y, cb, cr):
+    import numpy as np
+
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+    b = yf + 1.772 * cbf
+    import numpy as np
+
+    out = np.stack(
+        [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
+        axis=-1,
+    )
+    return out
+
+
+def _jpeg_encode_color(rgb) -> bytes:
+    """Baseline JFIF for an (H, W, 3) uint8 RGB array (dims multiples
+    of 8): YCbCr 4:4:4, interleaved MCUs, per-component DC
+    predictors."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    if h % 8 or w % 8:
+        raise ValueError("plane dims must be multiples of 8")
+    planes = _jpeg_rgb_to_ycbcr(rgb)
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+
+    def _block(plane, by, bx, comp):
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        q = np.rint(c @ (block.astype(np.float64) - 128.0) @ c.T).astype(
+            np.int64
+        )
+        seq = [int(q[r, cc]) for r, cc in zz]
+        diff = seq[0] - prev[comp]
+        prev[comp] = seq[0]
+        s = _jpeg_size(abs(diff))
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for v in seq[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _jpeg_size(abs(v))
+            ln, code = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_codes[0x00]
+            bw.put(code, ln)
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for comp in range(3):  # the MCU interleave
+                _block(planes[comp], by, bx, comp)
+    ecs = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(3))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comps)
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    scomps = b"".join(bytes([i + 1, 0x00]) for i in range(3))
+    sos = seg(0xDA, b"\x03" + scomps + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + ecs
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_decode_color(data: bytes):
+    """Decode a 3-component 4:4:4 baseline JPEG; returns (w, h, rgb
+    uint8 array). Shares the marker/Huffman machinery with the
+    grayscale decoder; the scan loop adds the MCU interleave and
+    per-component predictors."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: no SOI")
+    pos = 2
+    qt = None
+    dims = None
+    ncomp = None
+    huff: dict = {}
+    scan_tabs = None
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component baseline")
+            for i in range(ncomp):
+                if body[6 + 3 * i + 1] != 0x11:
+                    raise ValueError("subsampled scans unsupported")
+            dims = (w, h)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 15)] = {
+                    lc: sym
+                    for sym, lc in _jpeg_canonical(bits, vals).items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != ncomp:
+                raise ValueError("scan component count != frame")
+            scan_tabs = [
+                (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            break
+        elif marker == 0xD9:
+            raise ValueError("EOI before SOS")
+    w, h = dims
+    if w % 8 or h % 8:
+        raise ValueError("dims must be multiples of 8")
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    rd = _JpegBitReader(data, pos)
+    planes = [np.zeros((h, w), dtype=np.uint8) for _ in range(ncomp)]
+    prev = [0] * ncomp
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for comp in range(ncomp):
+                dc_tab = huff[(0, scan_tabs[comp][0])]
+                ac_tab = huff[(1, scan_tabs[comp][1])]
+                seq = [0] * 64
+                s = rd.huff(dc_tab)
+                prev[comp] += extend(rd.bits(s), s) if s else 0
+                seq[0] = prev[comp]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(ac_tab)
+                    if rs == 0x00:
+                        break
+                    if rs == 0xF0:
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 15
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    seq[k] = extend(rd.bits(s), s)
+                    k += 1
+                coefs = np.zeros((8, 8))
+                for i, (r, cc) in enumerate(zz):
+                    coefs[r, cc] = seq[i] * qt[i]
+                block = c.T @ coefs @ c + 128.0
+                planes[comp][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(np.rint(block), 0, 255).astype(np.uint8)
+                )
+    if not data[rd.pos :].startswith(b"\xff\xd9"):
+        raise ValueError("missing EOI after scan")
+    if ncomp == 1:
+        return w, h, planes[0]
+    return w, h, _jpeg_ycbcr_to_rgb(*planes)
+
+
+_JPEG_C_BW_MOD = 3  # blocks wide: 1 + n % 3
+_JPEG_C_BH_MOD = 4  # blocks high: 1 + n % 4
+
+
+def _jpeg_color_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            n = len(p)
+            src = p if p else b"\x00"
+            wb = 1 + n % _JPEG_C_BW_MOD
+            hb = 1 + n % _JPEG_C_BH_MOD
+            vals = np.frombuffer(
+                (src * (wb * hb // len(src) + 1))[: wb * hb], dtype=np.uint8
+            ).reshape(hb, wb)
+            gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            rgb = np.repeat(gray[:, :, None], 3, axis=2)
+            w, h, out = _jpeg_decode_color(_jpeg_encode_color(rgb))
+            flat = out.reshape(-1).astype(np.int64)  # RGB-interleaved
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    int(out[..., 0].astype(np.int64).sum()),
+                    int(out[..., 1].astype(np.int64).sum()),
+                    int(out[..., 2].astype(np.int64).sum()),
+                    int(
+                        (
+                            (np.arange(3 * w * h, dtype=np.int64) + 1) * flat
+                        ).sum()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "width",
+                "height",
+                "r_sum",
+                "g_sum",
+                "b_sum",
+                "rgb_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_jpeg_color_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             1 + strlen(text) % {_JPEG_C_BW_MOD} AS wb,
+             1 + strlen(text) % {_JPEG_C_BH_MOD} AS hb
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    ),
+    sums AS (
+      SELECT doc_id, wb, hb, n, text,
+             64 * list_aggregate(list_transform(range(0, wb * hb),
+                 bi -> CAST(ord(text[bi % n + 1]) AS BIGINT)),
+                 'sum') AS chan_sum
+      FROM d
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(chan_sum AS BIGINT) AS r_sum,
+           CAST(chan_sum AS BIGINT) AS g_sum,
+           CAST(chan_sum AS BIGINT) AS b_sum,
+           -- gray pixels: all 3 channels = v(p), so the interleaved
+           -- checksum collapses to sum_p v(p) * (9p + 6)
+           CAST(list_aggregate(list_transform(range(0, 64 * wb * hb),
+               p -> (9 * p + 6) * CAST(ord(text[
+                   (((p // (8 * wb)) // 8) * wb
+                    + ((p % (8 * wb)) // 8)) % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS rgb_checksum
+    FROM sums
+    """,
+)
+def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COLOR baseline-JPEG path under the oracle gate: gray-valued
+    RGB block-constant planes (exact through T.871 color convert +
+    3-stream MCU interleave + per-component DC prediction); any
+    predictor crossing, channel mix-up, or interleave slip breaks the
+    bitwise hash. See the codec header for the exactness argument."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _jpeg_color_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, r_sum long,"
+            " g_sum long, b_sum long, rgb_checksum long"
+        ),
+    )

@@ -604,3 +604,52 @@ class TestAvroOCF:
         open(bad, "wb").write(b"NOPE" + bytes(buf[4:]))
         with _pytest.raises(ValueError, match="magic"):
             list(read_ocf_file(bad))
+
+
+class TestJpegColor:
+    @settings(max_examples=25, deadline=None)
+    @given(payload=st.binary(min_size=1, max_size=30))
+    def test_gray_rgb_roundtrip_exact_through_color_path(self, payload):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        n = len(payload)
+        wb = 1 + n % mm._JPEG_C_BW_MOD
+        hb = 1 + n % mm._JPEG_C_BH_MOD
+        vals = np.frombuffer(
+            (payload * (wb * hb // n + 1))[: wb * hb], dtype=np.uint8
+        ).reshape(hb, wb)
+        gray = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        w, h, out = mm._jpeg_decode_color(mm._jpeg_encode_color(rgb))
+        assert (w, h) == (8 * wb, 8 * hb)
+        assert (out == rgb).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1))
+    def test_chromatic_roundtrip_bounded(self, seed):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        p = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+        _, _, out = mm._jpeg_decode_color(mm._jpeg_encode_color(p))
+        # DCT rounding (quant=1) + T.871 color-matrix rounding
+        assert np.abs(out.astype(int) - p.astype(int)).max() <= 4
+
+    def test_grayscale_decoder_rejects_color_file_and_vice_versa(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        color = mm._jpeg_encode_color(rgb)
+        with _pytest.raises(ValueError, match="grayscale"):
+            mm._jpeg_decode(color)
+        # the color decoder accepts 1-component files (superset)
+        gray_file = mm._jpeg_build(b"ab")
+        w, h, plane = mm._jpeg_decode_color(gray_file)
+        assert plane.ndim == 2
