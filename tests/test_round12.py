@@ -653,3 +653,52 @@ class TestJpegColor:
         gray_file = mm._jpeg_build(b"ab")
         w, h, plane = mm._jpeg_decode_color(gray_file)
         assert plane.ndim == 2
+
+
+def test_table_format_stream_restart_from_checkpoint(spark, tmp_path):
+    """Stop after draining 2 commits, append 2 more, restart from the
+    same checkpoint: the fresh reader's rate-limit cursor must catch
+    up to the engine's committed offset (partitions() bumps it) and
+    the union of both runs covers every record exactly once."""
+    import glob as _glob
+
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        register_table_format,
+        tf_append,
+    )
+
+    register_table_format(spark)
+    t = str(tmp_path / "t")
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _sink(bdf, bid):
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{bid:05d}")
+        )
+
+    def _run():
+        q = (
+            spark.readStream.format("tableformat")
+            .option("path", t)
+            .option("maxversionspertrigger", "1")
+            .load()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    for lo in (0, 10):
+        tf_append(spark.range(lo, lo + 10).selectExpr("id"), t)
+    _run()
+    for lo in (20, 30):
+        tf_append(spark.range(lo, lo + 10).selectExpr("id"), t)
+    _run()
+    rows = sorted(
+        r["id"]
+        for r in spark.read.parquet(os.path.join(out_dir, "b*")).collect()
+    )
+    assert rows == list(range(40))
+    assert len(_glob.glob(os.path.join(out_dir, "b*"))) >= 4
