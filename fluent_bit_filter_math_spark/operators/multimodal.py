@@ -2144,3 +2144,300 @@ def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " g_sum long, b_sum long, rgb_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4:2:0 CHROMA-SUBSAMPLED extension — the MCU shape virtually every
+# camera/web JPEG uses: luma sampled 2x2 (factors 0x22), chroma 1x1,
+# so one MCU = FOUR Y blocks (a 16x16 luma tile, raster order) + one
+# Cb + one Cr block covering the same tile at half resolution. The
+# encoder downsamples chroma by 2x2 box averaging; the decoder
+# upsamples by pixel replication (nearest) — both ends of the real
+# pipeline, plus the 6-block-per-MCU interleave and the image-size
+# rule (dims multiple of 16 here; partial MCUs are the padding
+# extension). Exactness: gray 16x16-TILE-constant planes give
+# Y = v (every sample), Cb = Cr = 128 (averaging a constant is the
+# constant) — bit-exact through subsample -> DCT -> entropy ->
+# upsample -> color convert, so the SQL gate pins the whole MCU
+# machinery; chromatic content is hypothesis-bounded (box-average
+# loss is content-dependent, so the bound is on GRAY random planes
+# where only rounding remains).
+# ---------------------------------------------------------------------------
+def _jpeg_encode_420(rgb) -> bytes:
+    """Baseline JFIF, YCbCr 4:2:0 (luma 0x22, chroma 0x11), dims
+    multiples of 16."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 plane dims must be multiples of 16")
+    y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
+    # 2x2 box-average chroma downsample (the standard decimation)
+    def down(p):
+        f = p.astype(np.float64)
+        q = (f[0::2, 0::2] + f[0::2, 1::2] + f[1::2, 0::2]
+             + f[1::2, 1::2]) / 4.0
+        return np.clip(np.rint(q), 0, 255).astype(np.uint8)
+
+    cbs, crs = down(cb), down(cr)
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+
+    def put_block(plane, by, bx, comp):
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        q = np.rint(c @ (block.astype(np.float64) - 128.0) @ c.T).astype(
+            np.int64
+        )
+        seq = [int(q[r, cc]) for r, cc in zz]
+        diff = seq[0] - prev[comp]
+        prev[comp] = seq[0]
+        s = _jpeg_size(abs(diff))
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for v in seq[1:]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _jpeg_size(abs(v))
+            ln, code = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_codes[0x00]
+            bw.put(code, ln)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            # the 4:2:0 MCU: 4 luma blocks raster order, then Cb, Cr
+            for dy in range(2):
+                for dx in range(2):
+                    put_block(y, 2 * my + dy, 2 * mx + dx, 0)
+            put_block(cbs, my, mx, 1)
+            put_block(crs, my, mx, 2)
+    ecs = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    comps = bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + comps)
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    scomps = b"".join(bytes([i + 1, 0x00]) for i in range(3))
+    sos = seg(0xDA, b"\x03" + scomps + b"\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + ecs
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_decode_420(data: bytes):
+    """Decode a 4:2:0 baseline JPEG (luma 0x22 + chroma 0x11); returns
+    (w, h, rgb). Nearest-neighbour chroma upsampling."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: no SOI")
+    pos = 2
+    qt = None
+    dims = None
+    samp = None
+    huff: dict = {}
+    scan_tabs = None
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+        elif marker == 0xC0:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 3:
+                raise ValueError("4:2:0 decoder: 3 components required")
+            samp = [body[6 + 3 * i + 1] for i in range(3)]
+            if samp != [0x22, 0x11, 0x11]:
+                raise ValueError("not a 4:2:0 scan")
+            dims = (w, h)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 15)] = {
+                    lc: sym
+                    for sym, lc in _jpeg_canonical(bits, vals).items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDA:
+            scan_tabs = [
+                (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                for i in range(body[0])
+            ]
+            break
+        elif marker == 0xD9:
+            raise ValueError("EOI before SOS")
+    w, h = dims
+    if w % 16 or h % 16:
+        raise ValueError("dims must be multiples of 16 (no partial MCU)")
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    rd = _JpegBitReader(data, pos)
+    y = np.zeros((h, w), dtype=np.uint8)
+    cbs = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    crs = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    prev = [0, 0, 0]
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def get_block(comp):
+        dc_tab = huff[(0, scan_tabs[comp][0])]
+        ac_tab = huff[(1, scan_tabs[comp][1])]
+        seq = [0] * 64
+        s = rd.huff(dc_tab)
+        prev[comp] += extend(rd.bits(s), s) if s else 0
+        seq[0] = prev[comp]
+        k = 1
+        while k < 64:
+            rs = rd.huff(ac_tab)
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 15
+            if k > 63:
+                raise ValueError("AC run past block end")
+            seq[k] = extend(rd.bits(s), s)
+            k += 1
+        coefs = np.zeros((8, 8))
+        for i, (r, cc) in enumerate(zz):
+            coefs[r, cc] = seq[i] * qt[i]
+        return np.clip(np.rint(c.T @ coefs @ c + 128.0), 0, 255).astype(
+            np.uint8
+        )
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for dy in range(2):
+                for dx in range(2):
+                    by, bx = 2 * my + dy, 2 * mx + dx
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = get_block(0)
+            cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = get_block(1)
+            crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = get_block(2)
+    if not data[rd.pos :].startswith(b"\xff\xd9"):
+        raise ValueError("missing EOI after scan")
+    cb = np.repeat(np.repeat(cbs, 2, axis=0), 2, axis=1)
+    cr = np.repeat(np.repeat(crs, 2, axis=0), 2, axis=1)
+    return w, h, _jpeg_ycbcr_to_rgb(y, cb, cr)
+
+
+_JPEG_S_TW_MOD = 2  # tiles wide: 1 + n % 2 (tile = 16x16)
+_JPEG_S_TH_MOD = 3  # tiles high: 1 + n % 3
+
+
+def _jpeg_420_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            n = len(p)
+            src = p if p else b"\x00"
+            tw = 1 + n % _JPEG_S_TW_MOD
+            th = 1 + n % _JPEG_S_TH_MOD
+            vals = np.frombuffer(
+                (src * (tw * th // len(src) + 1))[: tw * th], dtype=np.uint8
+            ).reshape(th, tw)
+            gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+            rgb = np.repeat(gray[:, :, None], 3, axis=2)
+            w, h, out = _jpeg_decode_420(_jpeg_encode_420(rgb))
+            flat = out.reshape(-1).astype(np.int64)
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    tw * th,
+                    int(out[..., 0].astype(np.int64).sum()),
+                    int(
+                        (
+                            (np.arange(3 * w * h, dtype=np.int64) + 1) * flat
+                        ).sum()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "width", "height", "n_mcus", "y_sum",
+                "rgb_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_jpeg_420_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             1 + strlen(text) % {_JPEG_S_TW_MOD} AS tw,
+             1 + strlen(text) % {_JPEG_S_TH_MOD} AS th
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(16 * tw AS BIGINT) AS width,
+           CAST(16 * th AS BIGINT) AS height,
+           CAST(tw * th AS BIGINT) AS n_mcus,
+           CAST(256 * list_aggregate(list_transform(range(0, tw * th),
+               ti -> CAST(ord(text[ti % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS y_sum,
+           CAST(list_aggregate(list_transform(range(0, 256 * tw * th),
+               p -> (9 * p + 6) * CAST(ord(text[
+                   (((p // (16 * tw)) // 16) * tw
+                    + ((p % (16 * tw)) // 16)) % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS rgb_checksum
+    FROM d
+    """,
+)
+def mm_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4:2:0 SUBSAMPLED baseline-JPEG path under the oracle gate:
+    gray 16x16-tile-constant planes are bit-exact through chroma
+    box-downsample -> 6-block MCU interleave -> entropy -> nearest
+    upsample -> color convert, so the closed-form SQL pins the whole
+    MCU machinery (a luma-block raster slip or chroma/luma predictor
+    mix-up breaks the hash)."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _jpeg_420_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_mcus long,"
+            " y_sum long, rgb_checksum long"
+        ),
+    )

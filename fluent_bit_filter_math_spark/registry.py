@@ -71,20 +71,20 @@ _PRIORITY: tuple[str, ...] = (
     # Zero never-checked backlog again (all 325 queries driver-green by
     # the r1-r11 union), so the whole 50-slot window is tier-3
     # staleness retirement per VERDICT r11 "Next round" #1. Exact
-    # composition: SIX tier-2 insertions (io_table_format_snapshot,
+    # composition: SEVEN tier-2 insertions (io_table_format_snapshot,
     # stream_table_format_sink, stream_table_format_source — the
     # r12-new commit-log table format — plus mm_jpeg_decode +
-    # mm_jpeg_color_decode, the baseline-JPEG entropy layer in both
-    # its grayscale and YCbCr-4:4:4 forms, and io_avro_roundtrip, the
-    # from-scratch Avro OCF connector; all never driver-checked), then
-    # the 4 r4-era greens, the complete 39-query r5-era cohort, and
-    # the 1 alphabetically-first r6-era query — 50 total.
+    # mm_jpeg_color_decode + mm_jpeg_420_decode, the baseline-JPEG
+    # entropy layer in grayscale, YCbCr-4:4:4 and 4:2:0-subsampled
+    # forms, and io_avro_roundtrip, the from-scratch Avro OCF
+    # connector; all never driver-checked), then the 4 r4-era greens
+    # and the complete 39-query r5-era cohort — 50 total.
     # Done-criterion: once CORRECTNESS_r12.json lands,
     # tools/green_age.py shows no query whose newest driver green is
-    # older than r6 except the six displaced r6 picks
-    # (agg_regr_ols, fn_bitwise_suite, io_partitioned_prune,
-    # join_bucketed_colocated, math_case_insensitive, math_cast_int —
-    # r13 queue head).
+    # older than r6 except the seven displaced r6 picks
+    # (agg_corr_stats, agg_regr_ols, fn_bitwise_suite,
+    # io_partitioned_prune, join_bucketed_colocated,
+    # math_case_insensitive, math_cast_int — r13 queue head).
     # tier 2: new this round (the commit-log table format's batch and
     # streaming halves).
     "io_table_format_snapshot",
@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_table_format_source",
     "mm_jpeg_decode",
     "mm_jpeg_color_decode",
+    "mm_jpeg_420_decode",
     "io_avro_roundtrip",
     # tier 3a: the 4 r4-era stale greens (oldest in the corpus).
     "text_repetition_filter",
@@ -138,9 +139,9 @@ _PRIORITY: tuple[str, ...] = (
     "win_session_user",
     "win_sliding_hour_30m",
     "window_distribution_fns",
-    # tier 3c: the 1 oldest r6-era query (alphabetical; the six
-    # displaced r6 picks named above head the r13 queue with the other
-    # 30 r6-era queries below).
+    # tier 3c: empty this round — the seven tier-2 insertions consumed
+    # the r6-era slots; the displaced picks named above head the r13
+    # queue with the other 30 r6-era queries below.
     "agg_corr_stats",
     "agg_regr_ols",
     "fn_bitwise_suite",

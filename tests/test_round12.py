@@ -702,3 +702,50 @@ def test_table_format_stream_restart_from_checkpoint(spark, tmp_path):
     )
     assert rows == list(range(40))
     assert len(_glob.glob(os.path.join(out_dir, "b*"))) >= 4
+
+
+class TestJpeg420:
+    @settings(max_examples=25, deadline=None)
+    @given(payload=st.binary(min_size=1, max_size=24))
+    def test_tile_constant_roundtrip_exact(self, payload):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        n = len(payload)
+        tw = 1 + n % mm._JPEG_S_TW_MOD
+        th = 1 + n % mm._JPEG_S_TH_MOD
+        vals = np.frombuffer(
+            (payload * (tw * th // n + 1))[: tw * th], dtype=np.uint8
+        ).reshape(th, tw)
+        gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        w, h, out = mm._jpeg_decode_420(mm._jpeg_encode_420(rgb))
+        assert (w, h) == (16 * tw, 16 * th)
+        assert (out == rgb).all()
+
+    @settings(max_examples=10, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1))
+    def test_gray_random_bounded(self, seed):
+        """Gray planes keep chroma flat (Cb=Cr=128) so only DCT
+        rounding remains — the MCU interleave is fully exercised with
+        non-constant luma."""
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        g = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+        p = np.repeat(g[:, :, None], 3, axis=2)
+        _, _, out = mm._jpeg_decode_420(mm._jpeg_encode_420(p))
+        assert np.abs(out.astype(int) - p.astype(int)).max() <= 3
+
+    def test_444_file_rejected_by_420_decoder(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="4:2:0"):
+            mm._jpeg_decode_420(mm._jpeg_encode_color(rgb))
