@@ -1448,7 +1448,14 @@ def _jpeg_dct_c():
     return c  # orthonormal: pixels = C.T @ coefs @ C
 
 
-# flat canonical Huffman tables (legal by Kraft: 12/2^4 <= 1, 162/2^8 <= 1)
+# flat canonical Huffman tables (legal by Kraft: 12/2^4 <= 1, 162/2^8 <= 1).
+# Symbol-range soundness with quant=1 (r12 self-audit): the largest
+# possible |AC| coefficient is the (4,4) basis, whose 64 weights are all
+# exactly 0.125, against the extreme level-shifted plane (+127/-128 by
+# basis sign) = 0.125*(32*127 + 32*128) = 1020 < 1023 -> AC size <= 10
+# always; |DC| <= 1024 and |DC diff| <= 2040 < 2047 -> DC size <= 11.
+# Both bounds are pinned by test_round12.TestJpegCodec's extreme-plane
+# test, so no input can fall outside the table alphabets.
 _JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
 _JPEG_DC_VALS = list(range(12))
 _JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8

@@ -749,3 +749,22 @@ class TestJpeg420:
         rgb = np.zeros((16, 16, 3), dtype=np.uint8)
         with _pytest.raises(ValueError, match="4:2:0"):
             mm._jpeg_decode_420(mm._jpeg_encode_color(rgb))
+
+
+def test_jpeg_extreme_plane_stays_inside_symbol_alphabet():
+    """The adversarial max-energy input (sign pattern of the (4,4)
+    basis at full amplitude) produces the largest possible AC
+    coefficient (=1020 < 1023 -> size 10): encoding must not fall
+    outside the AC table, and the roundtrip stays bounded."""
+    import numpy as np
+
+    from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+    c = mm._jpeg_dct_c()
+    sign = np.sign(np.outer(c[4], c[4]))
+    block = np.where(sign > 0, 255, 0).astype(np.uint8)
+    plane = np.tile(block, (2, 3))  # 16x24, every block extreme
+    coefs = c @ (block.astype(float) - 128.0) @ c.T
+    assert abs(coefs).max() <= 1020.0 + 1e-9
+    _, _, out = mm._jpeg_decode(mm._jpeg_encode(plane))
+    assert np.abs(out.astype(int) - plane.astype(int)).max() <= 3
