@@ -1736,9 +1736,11 @@ def _jpeg_decode(data: bytes):
     return w, h, plane
 
 
-def _jpeg_build(payload: bytes):
+def _jpeg_gray_plane_file(payload: bytes):
     """Block-constant plane from the document bytes (block bi's value =
-    payload[bi % n]) — the exactness-pinned fixture (see header)."""
+    payload[bi % n]) — the exactness-pinned fixture (see header).
+    (Named distinctly from the metadata twin's `_jpeg_build(doc_id,
+    payload)` above — the r12 name collision briefly shadowed it.)"""
     import numpy as np
 
     n = len(payload)
@@ -1760,7 +1762,7 @@ def _jpeg_roundtrip_batches(
     for pdf in batches:
         rows = []
         for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-            w, h, plane = _jpeg_decode(_jpeg_build(p))
+            w, h, plane = _jpeg_decode(_jpeg_gray_plane_file(p))
             flat = plane.reshape(-1).astype(np.int64)
             rows.append(
                 (

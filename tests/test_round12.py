@@ -459,7 +459,7 @@ class TestJpegCodec:
 
         from fluent_bit_filter_math_spark.operators import multimodal as mm
 
-        w, h, plane = mm._jpeg_decode(mm._jpeg_build(payload))
+        w, h, plane = mm._jpeg_decode(mm._jpeg_gray_plane_file(payload))
         n = len(payload)
         wb, hb = 2 + n % mm._JPEG_BW_MOD, 1 + n % mm._JPEG_BH_MOD
         vals = np.frombuffer(
@@ -508,7 +508,7 @@ class TestJpegCodec:
 
         from fluent_bit_filter_math_spark.operators import multimodal as mm
 
-        good = mm._jpeg_build(b"xyz")
+        good = mm._jpeg_gray_plane_file(b"xyz")
         with _pytest.raises(ValueError, match="SOI"):
             mm._jpeg_decode(b"\x00" + good)
         with _pytest.raises(ValueError, match="EOI"):
@@ -650,7 +650,7 @@ class TestJpegColor:
         with _pytest.raises(ValueError, match="grayscale"):
             mm._jpeg_decode(color)
         # the color decoder accepts 1-component files (superset)
-        gray_file = mm._jpeg_build(b"ab")
+        gray_file = mm._jpeg_gray_plane_file(b"ab")
         w, h, plane = mm._jpeg_decode_color(gray_file)
         assert plane.ndim == 2
 
