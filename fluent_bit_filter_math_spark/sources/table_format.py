@@ -51,6 +51,26 @@ class CommitConflict(Exception):
     concurrency loss) — re-read the latest snapshot and retry."""
 
 
+class ConcurrentOverwrite(CommitConflict):
+    """An overwrite lost the race to a commit that changed the live set
+    it intended to replace. Rebasing an overwrite would silently delete
+    data the writer never read (Delta raises ConcurrentAppendException
+    for the same reason under its serializable level), so this is NOT
+    retried automatically — the caller must re-read and re-decide."""
+
+
+def _add_path(entry) -> str:
+    """An ``add`` action is either a bare relative path (pre-r13 logs)
+    or ``{"path": rel, "stats": {...}}`` — accept both forever so old
+    tables stay readable (the same forward-compat contract Delta keeps
+    for stats-less add actions)."""
+    return entry if isinstance(entry, str) else entry["path"]
+
+
+def _add_stats(entry) -> dict:
+    return {} if isinstance(entry, str) else entry.get("stats") or {}
+
+
 def _log_path(table_path: str, version: int) -> str:
     return os.path.join(
         table_path, _LOG_DIR, f"{version:0{_WIDTH}d}.json"
@@ -70,13 +90,14 @@ def latest_version(table_path: str) -> int:
     return max(versions, default=-1)
 
 
-def _replay(
+def _resolve(
     table_path: str, version: int
-) -> tuple[list[str], str, bool]:
-    """(live data files, newest schema DDL, evolved?) of the snapshot
-    at *version* — ``evolved`` is True when live files were written
-    under MORE THAN ONE schema (the reader must mergeSchema)."""
-    live: dict[str, str] = {}  # rel path -> writer schema
+) -> tuple[list[tuple[str, dict]], str, bool]:
+    """Replay commits 0..version: ([(rel path, per-file column stats)],
+    newest schema DDL, evolved?) — ``evolved`` is True when live files
+    were written under MORE THAN ONE schema (the reader must
+    mergeSchema)."""
+    live: dict[str, tuple[str, dict]] = {}  # rel -> (writer schema, stats)
     schema = ""
     for v in range(version + 1):
         p = _log_path(table_path, v)
@@ -85,26 +106,99 @@ def _replay(
         for rel in commit.get("remove", []):
             live.pop(rel, None)
         sch = commit.get("schema", schema)
-        for rel in commit.get("add", []):
-            live[rel] = sch
+        for entry in commit.get("add", []):
+            live[_add_path(entry)] = (sch, _add_stats(entry))
         schema = sch
-    evolved = len(set(live.values())) > 1
-    return [os.path.join(table_path, rel) for rel in live], schema, evolved
+    evolved = len({s for s, _ in live.values()}) > 1
+    files = [(rel, stats) for rel, (_, stats) in live.items()]
+    return files, schema, evolved
 
 
-def _stage(df: DataFrame, table_path: str) -> tuple[list[str], str]:
+def _replay(
+    table_path: str, version: int
+) -> tuple[list[str], str, bool]:
+    """(live data files, newest schema DDL, evolved?) of the snapshot
+    at *version* (the stats-blind view of :func:`_resolve`)."""
+    files, schema, evolved = _resolve(table_path, version)
+    return [os.path.join(table_path, rel) for rel, _ in files], schema, evolved
+
+
+def _file_stats(path: str) -> dict:
+    """Per-file column min/max/null-count harvested from the parquet
+    FOOTER the writer already produced (no data pages are read) —
+    Delta's add-action stats, sourced the way Iceberg's manifests
+    source theirs. Only orderable primitives that survive JSON
+    round-tripping (int/float/str/bool) are kept; anything else simply
+    yields no stats for that column, and a stats-less column is never
+    pruned on (:func:`_file_survives` keeps unknown files).
+
+    Driver-side here because the staging write targets the local FS;
+    on a real cluster this harvest belongs in the writer tasks (each
+    task stats the one file it wrote and ships the tiny dict back with
+    its commit message — file count, not data size, bounds the cost).
+    """
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (top-level only)
+                continue
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                nulls[name] = None
+            elif nulls.get(name, 0) is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                mins[name] = maxs[name] = None
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str, bool)) or isinstance(
+                lo, bool
+            ):
+                mins[name] = maxs[name] = None
+                continue
+            if name in mins and mins[name] is None:
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    out: dict = {}
+    for name in mins:
+        if mins[name] is None:
+            continue
+        entry: dict = {"min": mins[name], "max": maxs[name]}
+        if nulls.get(name) is not None:
+            entry["nulls"] = nulls[name]
+        out[name] = entry
+    return out
+
+
+def _stage(df: DataFrame, table_path: str) -> tuple[list[dict], str]:
     """Write *df* as parquet under a fresh UUID subdir; return the
-    RELATIVE staged file paths and the schema DDL. Staged files are
-    invisible until a commit references them (readers never list)."""
+    staged ``add`` actions ({"path": rel, "stats": per-column min/max})
+    and the schema DDL. Staged files are invisible until a commit
+    references them (readers never list)."""
     sub = f"data-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table_path, sub)
     df.write.parquet(out)
-    rels = [
-        os.path.join(sub, f)
-        for f in sorted(os.listdir(out))
-        if f.endswith(".parquet")
-    ]
-    return rels, df.schema.simpleString()
+    adds = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join(sub, f)
+        adds.append(
+            {
+                "path": rel,
+                "stats": _file_stats(os.path.join(table_path, rel)),
+            }
+        )
+    return adds, df.schema.simpleString()
 
 
 def _publish(
@@ -140,27 +234,86 @@ def _publish(
         ) from exc
 
 
-def tf_append(df: DataFrame, table_path: str) -> int:
-    """Append *df* as a new commit; returns the committed version."""
+def _commit_with_rebase(
+    table_path: str,
+    add: list,
+    remove: list[str],
+    schema: str,
+    action: str,
+    read_version: int,
+    max_retries: int,
+) -> int:
+    """Optimistic-concurrency commit with bounded retry-with-rebase
+    (Delta's commitLoop): stage once, then try versions until one
+    lands. A BLIND APPEND conflicts with nothing — losing the race
+    just means re-publishing the same staged files at head+1. An
+    OVERWRITE's remove set is a function of the snapshot it READ
+    (*read_version*); any commit that landed after that changed the
+    live set it meant to replace, so rebasing would delete unseen data
+    — raise :class:`ConcurrentOverwrite` instead and let the caller
+    re-read."""
+    if action != "append":
+        # An overwrite must land at exactly read_version+1: a commit
+        # at that slot OR any later head means the live set changed
+        # after the writer resolved its remove list — even when the
+        # slot itself is still free (append landed between the read
+        # and the publish), proceeding would leave the interloper's
+        # files alive under a commit that claims to replace everything.
+        head = latest_version(table_path)
+        if head != read_version:
+            raise ConcurrentOverwrite(
+                f"overwrite read version {read_version} but head is "
+                f"{head}: the live set changed under the writer — "
+                "re-read and retry the overwrite itself"
+            )
+        try:
+            _publish(
+                table_path, read_version + 1, add, remove, schema, action
+            )
+        except CommitConflict as exc:
+            raise ConcurrentOverwrite(str(exc)) from exc
+        return read_version + 1
+    attempt = 0
+    version = max(latest_version(table_path), read_version) + 1
+    while True:
+        try:
+            _publish(table_path, version, add, remove, schema, action)
+            return version
+        except CommitConflict:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            version = latest_version(table_path) + 1
+
+
+def tf_append(df: DataFrame, table_path: str, max_retries: int = 5) -> int:
+    """Append *df* as a new commit; returns the committed version.
+    Losing an optimistic-concurrency race to another writer rebases
+    automatically (a blind append is order-independent) up to
+    *max_retries* times."""
     add, schema = _stage(df, table_path)
-    version = latest_version(table_path) + 1
-    _publish(table_path, version, add, [], schema, "append")
-    return version
+    read_version = latest_version(table_path)
+    return _commit_with_rebase(
+        table_path, add, [], schema, "append", read_version, max_retries
+    )
 
 
 def tf_overwrite(df: DataFrame, table_path: str) -> int:
     """Replace the table's contents with *df* (logical delete: prior
     files become dead in the log but stay on disk, which is what makes
-    time travel free until a vacuum)."""
-    version = latest_version(table_path) + 1
-    if version > 0:
-        prior, _, _ = _replay(table_path, version - 1)
+    time travel free until a vacuum). A concurrent commit raises
+    :class:`ConcurrentOverwrite` — never silently rebased, because the
+    remove set was computed against the snapshot this writer read."""
+    read_version = latest_version(table_path)
+    if read_version >= 0:
+        prior, _, _ = _replay(table_path, read_version)
         remove = [os.path.relpath(p, table_path) for p in prior]
     else:
         remove = []
     add, schema = _stage(df, table_path)
-    _publish(table_path, version, add, remove, schema, "overwrite")
-    return version
+    return _commit_with_rebase(
+        table_path, add, remove, schema, "overwrite", read_version, 0
+    )
 
 
 def tf_read(
@@ -185,6 +338,113 @@ def tf_read(
         # schema evolution; same contract as io_schema_evolution)
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*files)
+
+
+# ---------------------------------------------------------------------------
+# DATA SKIPPING — the log's per-file min/max stats prune files BEFORE
+# Spark ever plans a scan (Delta's dataSkippingNumIndexedCols /
+# Iceberg's manifest filtering). At 100 TB this is the single biggest
+# read-path lever the format has: a selective predicate over a
+# range-clustered column turns a full-table scan into a handful of
+# files, and it composes with (does not replace) parquet row-group
+# pushdown — the surviving files still carry PushedFilters.
+# ---------------------------------------------------------------------------
+
+_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_survives(stats: dict, predicates: list[tuple]) -> bool:
+    """Can a file with these column stats possibly hold a row matching
+    the CONJUNCTION of *predicates*? Unknown columns / missing stats
+    keep the file (skipping must never be wrong, only less effective).
+    NULLs never satisfy a comparison, so min/max bounds over the
+    non-null values are exactly the right interval."""
+    for col, op, val in predicates:
+        st = stats.get(col)
+        if not st or "min" not in st:
+            continue
+        lo, hi = st["min"], st["max"]
+        # cross-type guard: stats harvested as str can't bound numbers
+        if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+            continue
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op == "<" and not (lo < val):
+            return False
+        if op == "<=" and not (lo <= val):
+            return False
+        if op == ">" and not (hi > val):
+            return False
+        if op == ">=" and not (hi >= val):
+            return False
+    return True
+
+
+def tf_pruned_files(
+    table_path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(surviving absolute file paths, total live file count) for a
+    snapshot under *predicates* — the driver-side skipping decision,
+    O(live files) over the in-log stats, no file I/O."""
+    for col, op, _ in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported skipping op {op!r} on {col}")
+    head = latest_version(table_path)
+    v = head if version is None else version
+    files, _, _ = _resolve(table_path, v)
+    kept = [
+        os.path.join(table_path, rel)
+        for rel, stats in files
+        if _file_survives(stats, predicates)
+    ]
+    return kept, len(files)
+
+
+def tf_scan(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with data skipping: *predicates* — a conjunction
+    of ``(column, op, literal)`` with op in ``=, <, <=, >, >=`` — first
+    prune the file list via the log's per-file stats, then ALSO apply
+    as real Spark filters (skipping is a performance lever, the filter
+    is the truth; a file kept by conservative stats still drops its
+    non-matching rows in the scan)."""
+    import pyspark.sql.functions as F
+
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    v = head if version is None else version
+    files, schema, evolved = _resolve(table_path, v)
+    kept = [
+        os.path.join(table_path, rel)
+        for rel, stats in files
+        if _file_survives(stats, predicates)
+    ]
+    if not kept:
+        df = spark.createDataFrame([], schema)
+    else:
+        reader = spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*kept)
+    for col, op, val in predicates:
+        c = F.col(col)
+        df = df.filter(
+            {
+                "=": c == val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }[op]
+        )
+    return df
 
 
 @register(
@@ -258,16 +518,102 @@ def io_table_format_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "io_table_format_skipping",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders, m
+    WHERE o_orderkey > mx // 2 AND o_totalprice > 50000.0
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def io_table_format_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping through the commit log's per-file stats: orders
+    land as four range-clustered append commits (key quartiles, so the
+    in-log min/max intervals are disjoint), then a selective scan
+    ``o_orderkey > max/2 AND o_totalprice > 50000`` resolves its file
+    list from the STATS ALONE — the two low-quartile files are never
+    handed to Spark (pinned in-query: pruned count < live count, and a
+    pruned-out file's interval lies entirely below the cut). The kept
+    files still carry the predicate as a real pushed filter, so
+    skipping composes with row-group pruning instead of replacing it.
+    Reference analogue: none (the filter has no storage); this is the
+    engine's own lakehouse north star — Delta data skipping / Iceberg
+    manifest filtering over the productionized sink."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    # one 1-row collect: a driver-side layout decision (the same class
+    # as Delta OPTIMIZE planning), never data-sized
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = scratch_dir("table-format-skip")
+    tpath = os.path.join(base, "orders_ranged")
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    bounds = [(0, q1), (q1, q2), (q2, q3), (q3, mx)]
+    for lo, hi in bounds:
+        tf_append(
+            orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+            tpath,
+        )
+    preds = [("o_orderkey", ">", q2), ("o_totalprice", ">", 50000.0)]
+    kept, total = tf_pruned_files(tpath, preds)
+    if not (0 < len(kept) < total):
+        raise RuntimeError(
+            f"data skipping ineffective: kept {len(kept)} of {total} "
+            "files under a half-range predicate"
+        )
+    return (
+        tf_scan(spark, tpath, preds)
+        .groupBy((F.col("o_orderkey") % 4).alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(exact_cents(F.col("o_totalprice")))
+            .cast("long")
+            .alias("total_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select(F.col("shard").cast("long"), "n_rows", "total_cents",
+                "min_key", "max_key")
+        .orderBy("shard")
+    )
+
+
+# committed_batch_ids cache: table path -> (next unscanned version,
+# batch ids seen so far). Commits are immutable once published, so a
+# scanned prefix never changes — each call reads only NEW versions,
+# keeping the per-epoch cost O(new commits) instead of re-opening every
+# commit file every micro-batch (O(versions²) over a stream's life).
+_BATCH_ID_CACHE: dict[str, tuple[int, set[int]]] = {}
+
+
 def committed_batch_ids(table_path: str) -> set[int]:
     """Streaming-sink replay guard: the set of foreachBatch epoch ids
-    already committed to the log."""
-    out: set[int] = set()
-    for v in range(latest_version(table_path) + 1):
+    already committed to the log (incrementally maintained)."""
+    key = os.path.abspath(table_path)
+    start, seen = _BATCH_ID_CACHE.get(key, (0, set()))
+    head = latest_version(table_path)
+    for v in range(start, head + 1):
         with open(_log_path(table_path, v)) as f:
             b = json.load(f).get("batch_id")
         if b is not None:
-            out.add(int(b))
-    return out
+            seen.add(int(b))
+    _BATCH_ID_CACHE[key] = (head + 1, seen)
+    return set(seen)
 
 
 def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None:
@@ -332,7 +678,9 @@ def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
     ever: set[str] = set()
     for v in range(head + 1):
         with open(_log_path(table_path, v)) as f:
-            ever.update(json.load(f).get("add", []))
+            ever.update(
+                _add_path(e) for e in json.load(f).get("add", [])
+            )
     doomed = sorted(ever - keep)
     for rel in doomed:
         p = os.path.join(table_path, rel)
@@ -391,8 +739,13 @@ def stream_table_format_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         tf_append_batch(batch_df, tpath, batch_id)
         # replay the SAME epoch: must be a no-op (exactly-once pinning
-        # inside the query itself, not just the unit test)
-        assert tf_append_batch(batch_df, tpath, batch_id) is None
+        # inside the query itself, not just the unit test; an explicit
+        # raise, not assert, so `python -O` can't strip the pin)
+        if tf_append_batch(batch_df, tpath, batch_id) is not None:
+            raise RuntimeError(
+                f"epoch {batch_id} replay appended twice: "
+                "tf_append_batch idempotence broken"
+            )
 
     ckpt = os.path.join(base, "ckpt")
     q = (
@@ -466,16 +819,29 @@ class TableFormatStreamReader(DataSourceStreamReader):
         # versions): a cursor advances ≤ max_versions per trigger, and
         # processAllAvailable keeps triggering while offsets still
         # move, so a static log drains in ceil(head/max) micro-batches.
+        # Monotonic against recovery: _seen_end tracks the highest end
+        # the ENGINE has shown us (partitions()/commit() after a driver
+        # restart replays the checkpointed batch first), so a fresh
+        # reader instance can never hand back an offset behind the
+        # committed one regardless of which callback runs first.
         head = latest_version(self.table_path)
-        cur = getattr(self, "_cursor", -1)
-        self._cursor = min(head, cur + self.max_versions)
+        cur = max(
+            getattr(self, "_cursor", -1), getattr(self, "_seen_end", -1)
+        )
+        # max(cur, ...): the committed end wins even when the log looks
+        # shorter than it (recovery ordering) — never regress an offset.
+        self._cursor = max(cur, min(head, cur + self.max_versions))
         return {"version": self._cursor}
+
+    def _observe_end(self, version: int) -> None:
+        self._seen_end = max(getattr(self, "_seen_end", -1), version)
+        self._cursor = max(getattr(self, "_cursor", -1), version)
 
     def partitions(self, start, end):
         lo, hi = int(start["version"]), int(end["version"])
         # restart safety: never let the cursor sit behind an engine
         # checkpoint offset
-        self._cursor = max(getattr(self, "_cursor", -1), hi)
+        self._observe_end(hi)
         parts: list[_TfFilePartition] = []
         for v in range(lo + 1, hi + 1):
             with open(_log_path(self.table_path, v)) as f:
@@ -487,8 +853,10 @@ class TableFormatStreamReader(DataSourceStreamReader):
                     "append-only history (Delta's ignoreChanges trap)"
                 )
             parts.extend(
-                _TfFilePartition(os.path.join(self.table_path, rel))
-                for rel in commit.get("add", [])
+                _TfFilePartition(
+                    os.path.join(self.table_path, _add_path(e))
+                )
+                for e in commit.get("add", [])
             )
         return parts
 
@@ -500,7 +868,10 @@ class TableFormatStreamReader(DataSourceStreamReader):
             yield from zip(*[c.to_pylist() for c in batch.columns])
 
     def commit(self, end):
-        pass  # offsets live in the engine's checkpoint, not the log
+        # offsets live in the engine's checkpoint, not the log; still
+        # observe the committed end so latestOffset stays monotonic
+        # even if partitions() was never called on this instance.
+        self._observe_end(int(end["version"]))
 
 
 class TableFormatDataSource(DataSource):

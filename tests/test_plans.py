@@ -144,6 +144,37 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
     assert "Scan parquet" in plan
 
 
+def test_table_format_skipping_prunes_files_before_the_scan(spark, tmp_path):
+    """Data skipping happens ABOVE Spark: under a selective predicate
+    the scan's file index holds only the stats-surviving files (2 of
+    4 range-clustered commits), and the predicate still reaches the
+    parquet reader as a pushed filter — skipping composes with
+    row-group pruning (the io_partitioned_prune property, one level
+    up the stack)."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+        tf_scan,
+    )
+
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        tf_append(
+            spark.range(lo, lo + 100)
+            .select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+            .coalesce(1),
+            t,
+        )
+    pruned = tf_scan(spark, t, [("k", ">", 199)])
+    # the file index the scan plans over holds ONLY the survivors
+    assert len(pruned.inputFiles()) == 2
+    assert len(tf_scan(spark, t, []).inputFiles()) == 4
+    # and the residual predicate is still pushed into those files
+    plan = plan_of(pruned)
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,199)]" in plan
+
+
 def test_bucketed_join_query_is_exchange_free_until_agg(spark, sf_dir):
     from fluent_bit_filter_math_spark.operators.storage import (
         join_bucketed_colocated,

@@ -1,0 +1,212 @@
+"""Round-13 additions: data skipping + retry-with-rebase in the
+commit-log table format, the monotonic stream-reader offset, and the
+incremental batch-id cache.
+
+Reference analogue: none directly (the reference filter has no
+storage, /root/reference/test.sh:42 lands records on stdout); this is
+the productionized-sink north star VERDICT r12 ranked first."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from fluent_bit_filter_math_spark.sources.table_format import (
+    CommitConflict,
+    ConcurrentOverwrite,
+    _commit_with_rebase,
+    _file_survives,
+    _stage,
+    committed_batch_ids,
+    latest_version,
+    tf_append,
+    tf_append_batch,
+    tf_overwrite,
+    tf_pruned_files,
+    tf_read,
+    tf_scan,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+
+
+def _stale_latest_version(monkeypatch, stale_value, for_calls):
+    """Make the writer's view of the log head stale for its first
+    *for_calls* looks — the deterministic twin of 'another writer
+    published between my read and my open(log, "x")'."""
+    import fluent_bit_filter_math_spark.sources.table_format as tfmod
+
+    real = tfmod.latest_version
+    state = {"n": 0}
+
+    def stale(path):
+        state["n"] += 1
+        if state["n"] <= for_calls:
+            return stale_value
+        return real(path)
+
+    monkeypatch.setattr(tfmod, "latest_version", stale)
+
+
+def test_two_racing_appends_both_land(spark, tmp_path, monkeypatch):
+    """Two writers stage against the same head; writer B wins the slot
+    A targets, A's blind append hits the FileExistsError path, rebases
+    automatically, and BOTH commits land with all rows visible."""
+    t = str(tmp_path / "t")
+    tf_append(_mk(spark, 0, 10), t)  # version 0: common base
+    base = latest_version(t)
+    add_a, schema = _stage(_mk(spark, 10, 20), t)
+    add_b, _ = _stage(_mk(spark, 20, 30), t)
+    vb = _commit_with_rebase(t, add_b, [], schema, "append", base, 5)
+    # A still sees the pre-B head on its first look: its first publish
+    # targets B's version and must CONFLICT, then rebase over it.
+    _stale_latest_version(monkeypatch, base, for_calls=1)
+    va = _commit_with_rebase(t, add_a, [], schema, "append", base, 5)
+    assert vb == base + 1 and va == base + 2
+    assert tf_read(spark, t).count() == 30
+    assert (
+        tf_read(spark, t).agg(F.sum("k")).collect()[0][0]
+        == sum(range(30))
+    )
+
+
+def test_append_rebase_is_bounded(spark, tmp_path, monkeypatch):
+    """max_retries=0 still surfaces CommitConflict for a blind append
+    whose view of the head never catches up."""
+    t = str(tmp_path / "t")
+    tf_append(_mk(spark, 0, 5), t)
+    tf_append(_mk(spark, 10, 15), t)
+    add, schema = _stage(_mk(spark, 5, 10), t)
+    # permanently stale view: every look targets the occupied slot 1
+    _stale_latest_version(monkeypatch, 0, for_calls=10**9)
+    with pytest.raises(CommitConflict):
+        _commit_with_rebase(t, add, [], schema, "append", 0, 0)
+
+
+def test_concurrent_overwrite_still_raises(spark, tmp_path):
+    """An overwrite whose read snapshot went stale must raise, even
+    when its target version slot is still free (the
+    append-landed-between-read-and-publish window)."""
+    t = str(tmp_path / "t")
+    tf_append(_mk(spark, 0, 10), t)
+    base = latest_version(t)
+    add, schema = _stage(_mk(spark, 100, 105), t)
+    # interloper: a concurrent append changes the live set
+    tf_append(_mk(spark, 10, 20), t)
+    with pytest.raises(ConcurrentOverwrite):
+        _commit_with_rebase(t, add, ["gone.parquet"], schema,
+                            "overwrite", base, 5)
+    # and the public API against a racing writer raises the same way:
+    # simulate by publishing into the slot tf_overwrite will claim
+    with pytest.raises(ConcurrentOverwrite):
+        _commit_with_rebase(
+            t, add, [], schema, "overwrite", base, 5
+        )
+    # a clean (non-racing) overwrite still works
+    v = tf_overwrite(_mk(spark, 50, 55), t)
+    assert v == latest_version(t)
+    assert tf_read(spark, t).count() == 5
+
+
+def test_stats_land_in_add_actions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tf_append(_mk(spark, 5, 50).coalesce(1), t)
+    with open(os.path.join(t, "_log", "00000000.json")) as f:
+        commit = json.load(f)
+    (entry,) = commit["add"]
+    assert entry["stats"]["k"] == {"min": 5, "max": 49, "nulls": 0}
+    assert entry["stats"]["v"]["max"] == 147
+
+
+def test_skipping_prunes_disjoint_ranges(spark, tmp_path):
+    """Four range-clustered commits; a half-range predicate hands
+    Spark only the surviving files, and the scan is still exact."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200, 300):
+        tf_append(_mk(spark, lo, lo + 100).coalesce(1), t)
+    kept, total = tf_pruned_files(t, [("k", ">", 199)])
+    assert total == 4 and len(kept) == 2
+    df = tf_scan(spark, t, [("k", ">", 199)])
+    assert df.count() == 200
+    assert df.agg(F.min("k"), F.max("k")).collect()[0] == (200, 399)
+    # equality point-lookup prunes to ONE file
+    kept1, _ = tf_pruned_files(t, [("k", "=", 137)])
+    assert len(kept1) == 1
+    assert tf_scan(spark, t, [("k", "=", 137)]).count() == 1
+    # empty survivor set short-circuits to an empty frame, right schema
+    none = tf_scan(spark, t, [("k", ">", 10_000)])
+    assert none.count() == 0 and none.columns == ["k", "v"]
+
+
+def test_skipping_is_conservative_not_wrong():
+    """Missing stats, unknown columns, and cross-type literals all
+    KEEP the file — skipping may be ineffective, never incorrect."""
+    assert _file_survives({}, [("k", "=", 7)])
+    assert _file_survives({"k": {}}, [("k", ">", 7)])
+    assert _file_survives({"k": {"min": "a", "max": "z"}}, [("k", "=", 7)])
+    assert _file_survives({"k": {"min": 0, "max": 10}}, [("other", "=", 99)])
+    st = {"k": {"min": 10, "max": 20}}
+    assert not _file_survives(st, [("k", "<", 10)])
+    assert _file_survives(st, [("k", "<=", 10)])
+    assert not _file_survives(st, [("k", ">", 20)])
+    assert _file_survives(st, [("k", ">=", 20)])
+    assert not _file_survives(st, [("k", "=", 9)])
+    # conjunction: any refuted term kills the file
+    assert not _file_survives(st, [("k", ">=", 0), ("k", "<", 5)])
+
+
+def test_pre_r13_string_add_actions_still_readable(spark, tmp_path):
+    """Forward compat: logs whose add actions are bare path strings
+    (pre-stats format) read, stream, and vacuum unchanged."""
+    t = str(tmp_path / "t")
+    tf_append(_mk(spark, 0, 10).coalesce(1), t)
+    log = os.path.join(t, "_log", "00000000.json")
+    with open(log) as f:
+        commit = json.load(f)
+    commit["add"] = [e["path"] for e in commit["add"]]  # strip stats
+    os.remove(log)
+    with open(log, "w") as f:
+        json.dump(commit, f)
+    assert tf_read(spark, t).count() == 10
+    # stats-less files survive every predicate (conservative), and the
+    # residual Spark filter still makes the answer exact
+    kept, total = tf_pruned_files(t, [("k", ">", 1_000)])
+    assert (len(kept), total) == (1, 1)
+    assert tf_scan(spark, t, [("k", ">", 5)]).count() == 4
+
+
+def test_committed_batch_ids_incremental_cache(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _mk(spark, 0, 4)
+    assert tf_append_batch(df, t, 0) == 0
+    assert tf_append_batch(df, t, 0) is None  # replay no-op
+    assert committed_batch_ids(t) == {0}
+    assert tf_append_batch(df, t, 1) == 1
+    assert committed_batch_ids(t) == {0, 1}
+    # returned set is a copy: mutating it must not poison the cache
+    committed_batch_ids(t).add(99)
+    assert committed_batch_ids(t) == {0, 1}
+
+
+def test_stream_reader_offset_monotonic_after_restart():
+    """ADVICE r12: a fresh reader instance that learns the committed
+    end via commit()/partitions() never hands back an earlier
+    latestOffset, regardless of callback order."""
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        TableFormatStreamReader,
+    )
+
+    class _Opts(dict):
+        pass
+
+    r = TableFormatStreamReader(_Opts(path="/nonexistent-tf"))
+    r.initialOffset()
+    # recovery path: engine replays the checkpointed batch end FIRST
+    r.commit({"version": 7})
+    # with an empty log (head = -1), latestOffset must not regress
+    assert r.latestOffset()["version"] >= 7
