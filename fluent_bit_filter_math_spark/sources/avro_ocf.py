@@ -22,11 +22,17 @@ Writer: executor-side ``foreachPartition`` — each task writes one
 shard OCF; nothing but paths touches the driver. Reader: a Python
 DataSource with one InputPartition per shard.
 
-Limits, honestly: no schema-resolution/evolution (reader schema ==
-writer schema; the table-format module shows the evolution discipline),
-no snappy (not in the stdlib), and like every Python DataSource, no
-filter pushdown into the source — at scale you convert to parquet for
-queryable storage (the arrow_ipc note).
+Schema RESOLUTION (spec §"Schema Resolution") is implemented for flat
+records: reader≠writer schemas reconcile per file via name/alias
+matching, reader-field defaults, and the primitive promotion lattice
+(int→long/float/double, long→float/double, float→double,
+string↔bytes) — see :func:`resolve_schemas` and the
+``io_avro_schema_evolution`` query.
+
+Limits, honestly: no nested/union/enum/fixed types, no snappy (not in
+the stdlib), and like every Python DataSource, no filter pushdown into
+the source — at scale you convert to parquet for queryable storage
+(the arrow_ipc note).
 """
 
 from __future__ import annotations
@@ -101,34 +107,157 @@ def _enc_string(s: str) -> bytes:
     return _zigzag_encode(len(b)) + b
 
 
-def _enc_row(row) -> bytes:
+def _enc_value(typ: str, v) -> bytes:
+    if typ in ("long", "int"):
+        return _zigzag_encode(int(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "null":
+        return b""
+    if typ == "bytes":
+        b = bytes(v)
+        return _zigzag_encode(len(b)) + b
+    if typ == "string":
+        return _enc_string(str(v))
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def _dec_value(typ: str, buf: bytes, pos: int) -> tuple:
+    if typ in ("long", "int"):
+        return _zigzag_decode(buf, pos)
+    if typ == "double":
+        (v,) = struct.unpack_from("<d", buf, pos)
+        return v, pos + 8
+    if typ == "float":
+        (v,) = struct.unpack_from("<f", buf, pos)
+        return v, pos + 4
+    if typ == "boolean":
+        return buf[pos] == 1, pos + 1
+    if typ == "null":
+        return None, pos
+    if typ in ("bytes", "string"):
+        n, pos = _zigzag_decode(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("bad length prefix")
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if typ == "string" else bytes(raw)), pos + n
+    raise ValueError(f"unsupported Avro type {typ!r}")
+
+
+def _schema_fields(schema: dict) -> list[tuple[str, str]]:
+    return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+def _enc_row(row, fields=_FIELDS) -> bytes:
     out = bytearray()
-    for name, typ in _FIELDS:
-        v = row[name]
-        if typ == "long":
-            out += _zigzag_encode(int(v))
-        elif typ == "double":
-            out += struct.pack("<d", float(v))
-        else:
-            out += _enc_string(str(v))
+    for name, typ in fields:
+        out += _enc_value(typ, row[name])
     return bytes(out)
 
 
-def _dec_row(buf: bytes, pos: int) -> tuple[tuple, int]:
-    vals = []
-    for _, typ in _FIELDS:
-        if typ == "long":
-            v, pos = _zigzag_decode(buf, pos)
-        elif typ == "double":
-            (v,) = struct.unpack_from("<d", buf, pos)
-            pos += 8
+# ---------------------------------------------------------------------------
+# SCHEMA RESOLUTION (Avro 1.11 spec §"Schema Resolution"): a reader
+# whose schema differs from the file's writer schema still decodes —
+# fields match by NAME (or by a reader-declared alias of the writer's
+# old name), writer-only fields are decoded-and-discarded, reader-only
+# fields take their declared ``default``, and the spec's primitive
+# PROMOTIONS widen on the fly (int→long/float/double, long→float/
+# double, float→double, string↔bytes). Resolution happens PER FILE
+# against that file's own embedded writer schema — which is exactly the
+# evolution story: a directory holding shards from three generations of
+# a producer reads under today's schema in one scan.
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS: dict[tuple[str, str], object] = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _default_value(typ: str, d):
+    """Decode a reader field's JSON ``default`` per the spec's table —
+    the bytes rule (a JSON string whose code points ARE the bytes,
+    i.e. latin-1) is the interop trap worth pinning."""
+    if typ == "null":
+        return None
+    if typ == "boolean":
+        return bool(d)
+    if typ in ("int", "long"):
+        return int(d)
+    if typ in ("float", "double"):
+        return float(d)
+    if typ == "string":
+        return str(d)
+    if typ == "bytes":
+        return str(d).encode("iso-8859-1")
+    raise ValueError(f"unsupported default for type {typ!r}")
+
+
+def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
+    """Build a decode plan: (steps, template).
+
+    ``steps`` — one entry per WRITER field in wire order:
+    ``(writer type, reader slot | None, convert fn | None)``; a None
+    slot means decode-and-discard. ``template`` — the reader-ordered
+    row of defaults that each decoded record starts from (reader-only
+    fields keep their default; matched slots get overwritten)."""
+    rfields = reader["fields"]
+    by_name: dict[str, int] = {}
+    for i, f in enumerate(rfields):
+        by_name[f["name"]] = i
+        for alias in f.get("aliases", []):
+            by_name.setdefault(alias, i)
+    steps: list = []
+    matched: set[int] = set()
+    for wf in writer["fields"]:
+        wtyp = wf["type"]
+        slot = by_name.get(wf["name"])
+        if slot is None:
+            steps.append((wtyp, None, None))
+            continue
+        rtyp = rfields[slot]["type"]
+        if wtyp == rtyp:
+            conv = None
+        elif (wtyp, rtyp) in _PROMOTIONS:
+            conv = _PROMOTIONS[(wtyp, rtyp)]
         else:
-            n, pos = _zigzag_decode(buf, pos)
-            if n < 0 or pos + n > len(buf):
-                raise ValueError("bad string length")
-            v = buf[pos : pos + n].decode("utf-8")
-            pos += n
-        vals.append(v)
+            raise ValueError(
+                f"field {wf['name']!r}: writer {wtyp!r} does not "
+                f"resolve to reader {rtyp!r}"
+            )
+        matched.add(slot)
+        steps.append((wtyp, slot, conv))
+    template: list = [None] * len(rfields)
+    for i, f in enumerate(rfields):
+        if i in matched:
+            continue
+        if "default" not in f:
+            raise ValueError(
+                f"reader field {f['name']!r} absent from writer schema "
+                "and has no default"
+            )
+        template[i] = _default_value(f["type"], f["default"])
+    return steps, template
+
+
+def _dec_row_resolved(
+    buf: bytes, pos: int, steps: list, template: list
+) -> tuple[tuple, int]:
+    vals = list(template)
+    for wtyp, slot, conv in steps:
+        v, pos = _dec_value(wtyp, buf, pos)
+        if slot is not None:
+            vals[slot] = conv(v) if conv is not None else v
     return tuple(vals), pos
 
 
@@ -161,11 +290,17 @@ def _dec_meta_map(buf: bytes, pos: int) -> tuple[dict, int]:
 
 
 def write_ocf_shard(
-    path: str, rows: list, codec: str = "deflate", rows_per_block: int = 1000
+    path: str,
+    rows: list,
+    codec: str = "deflate",
+    rows_per_block: int = 1000,
+    schema_json: str = _SCHEMA_JSON,
 ) -> None:
-    """One spec-valid OCF file from already-encoded row dicts."""
+    """One spec-valid OCF file from already-encoded row dicts, written
+    under *schema_json* (the WRITER schema embedded in the header)."""
     import hashlib
 
+    fields = _schema_fields(json.loads(schema_json))
     # deterministic per path (re-runnable writes produce identical
     # bytes — task-retry friendly); the marker only needs to be
     # consistent within one file, the reader learns it from the header
@@ -175,7 +310,7 @@ def write_ocf_shard(
         f.write(
             _enc_meta_map(
                 {
-                    "avro.schema": _SCHEMA_JSON.encode(),
+                    "avro.schema": schema_json.encode(),
                     "avro.codec": codec.encode(),
                 }
             )
@@ -183,7 +318,7 @@ def write_ocf_shard(
         f.write(sync)
         for lo in range(0, len(rows), rows_per_block):
             chunk = rows[lo : lo + rows_per_block]
-            payload = b"".join(_enc_row(r) for r in chunk)
+            payload = b"".join(_enc_row(r, fields) for r in chunk)
             if codec == "deflate":
                 payload = zlib.compress(payload, 6)[2:-4]  # raw: strip
                 # zlib header+adler — the OCF deflate interop rule
@@ -193,9 +328,12 @@ def write_ocf_shard(
             f.write(sync)
 
 
-def read_ocf_file(path: str):
+def read_ocf_file(path: str, reader_schema: dict | None = None):
     """Yield decoded row tuples from one OCF file, verifying magic,
-    metadata, codec, and EVERY block's sync marker."""
+    metadata, codec, and EVERY block's sync marker. With a
+    *reader_schema*, the file's own writer schema is RESOLVED against
+    it (defaults, promotions, aliases) and rows come out in READER
+    field order; without one, the writer schema reads as-is."""
     buf = open(path, "rb").read()
     if buf[:4] != _MAGIC:
         raise ValueError("not an Avro OCF: bad magic")
@@ -203,10 +341,10 @@ def read_ocf_file(path: str):
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
-    schema = json.loads(meta["avro.schema"].decode())
-    names = [f["name"] for f in schema["fields"]]
-    if names != [n for n, _ in _FIELDS]:
-        raise ValueError("reader schema != writer schema")
+    writer = json.loads(meta["avro.schema"].decode())
+    steps, template = resolve_schemas(
+        writer, writer if reader_schema is None else reader_schema
+    )
     sync = buf[pos : pos + 16]
     pos += 16
     while pos < len(buf):
@@ -223,7 +361,7 @@ def read_ocf_file(path: str):
             payload = zlib.decompress(payload, -15)
         p = 0
         for _ in range(count):
-            row, p = _dec_row(payload, p)
+            row, p = _dec_row_resolved(payload, p, steps, template)
             yield row
         if p != len(payload):
             raise ValueError("block decoded to wrong byte count")
@@ -239,6 +377,8 @@ class AvroOCFReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_ocf requires option 'path'")
+        rs = options.get("readerschema")
+        self.reader_schema = json.loads(rs) if rs else None
 
     def partitions(self):
         files = sorted(glob.glob(os.path.join(self.path, "*.avro")))
@@ -247,18 +387,41 @@ class AvroOCFReader(DataSourceReader):
         return [_OcfShard(f) for f in files]
 
     def read(self, partition: _OcfShard):
-        yield from read_ocf_file(partition.path)
+        yield from read_ocf_file(partition.path, self.reader_schema)
+
+
+_AVRO_TO_SPARK = {
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "bytes": "binary",
+    "boolean": "boolean",
+}
 
 
 class AvroOCFDataSource(DataSource):
-    """``spark.read.format("avro_ocf").option("path", dir)``"""
+    """``spark.read.format("avro_ocf").option("path", dir)``; an
+    optional ``readerschema`` option (Avro record JSON) reads every
+    shard RESOLVED against that schema — shards written by older
+    producers fill defaults / widen promotions per file."""
 
     @classmethod
     def name(cls) -> str:
         return "avro_ocf"
 
     def schema(self):
-        return "event_id long, user_id long, event_type string, cents long"
+        rs = self.options.get("readerschema")
+        if not rs:
+            return (
+                "event_id long, user_id long, event_type string, "
+                "cents long"
+            )
+        fields = _schema_fields(json.loads(rs))
+        return ", ".join(
+            f"{n} {_AVRO_TO_SPARK[t]}" for n, t in fields
+        )
 
     def reader(self, schema):
         return AvroOCFReader(self.options)
@@ -268,7 +431,13 @@ def register_avro_ocf(spark: SparkSession) -> None:
     spark.dataSource.register(AvroOCFDataSource)
 
 
-def write_ocf(df: DataFrame, out_dir: str, codec: str = "deflate") -> None:
+def write_ocf(
+    df: DataFrame,
+    out_dir: str,
+    codec: str = "deflate",
+    schema_json: str = _SCHEMA_JSON,
+    prefix: str = "",
+) -> None:
     """Executor-side sharded OCF write: each partition streams its rows
     into one container file (foreachPartition — no data to the
     driver)."""
@@ -283,7 +452,10 @@ def write_ocf(df: DataFrame, out_dir: str, codec: str = "deflate") -> None:
         if not chunk:
             return
         write_ocf_shard(
-            os.path.join(out_dir, f"part-{pid:05d}.avro"), chunk, codec
+            os.path.join(out_dir, f"{prefix}part-{pid:05d}.avro"),
+            chunk,
+            codec,
+            schema_json=schema_json,
         )
 
     df.foreachPartition(_write)
@@ -338,6 +510,136 @@ def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents_sum"),
             F.sum("event_id").cast("long").alias("id_sum"),
             F.sum("user_id").cast("long").alias("uid_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "io_avro_schema_evolution",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0 THEN -1 ELSE user_id END
+               AS user_id,
+             event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             'unknown' AS region
+      FROM events WHERE event_id % 7 = 2
+    )
+    SELECT event_type, region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+           CAST(SUM(CASE WHEN user_id = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_defaulted
+    FROM src GROUP BY event_type, region ORDER BY event_type
+    """,
+)
+def io_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema RESOLUTION under the oracle gate: one directory holds
+    shards from two producer generations — gen-1 wrote
+    ``{event_id long, etype string, cents int}`` (old field name, no
+    user_id, narrow cents), gen-2 wrote the current schema plus a
+    ``debug`` field — and ONE scan under today's reader schema decodes
+    both: the alias maps ``etype``→``event_type``, gen-1's missing
+    ``user_id`` takes its default (-1), ``cents`` int→long promotes on
+    the wire, ``region`` defaults everywhere, and gen-2's ``debug`` is
+    decoded-and-discarded. The SQL twin reconstructs the same view from
+    the raw table, so any resolution bug breaks the hash.
+    Reference analogue: none (the filter is schemaless msgpack); this
+    is the Avro 1.11 §Schema Resolution spec, the documented r12 gap."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_avro_ocf(spark)
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 2)
+    gen1_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "etype", "type": "string"},
+                {"name": "cents", "type": "int"},
+            ],
+        }
+    )
+    gen2_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "cents", "type": "long"},
+                {"name": "debug", "type": "string"},
+            ],
+        }
+    )
+    reader_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long", "default": -1},
+                {
+                    "name": "event_type",
+                    "type": "string",
+                    "aliases": ["etype"],
+                },
+                {"name": "cents", "type": "long"},
+                {"name": "region", "type": "string", "default": "unknown"},
+            ],
+        }
+    )
+    out = os.path.join(scratch_dir("avro-evolve"), "shards")
+    write_ocf(
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id",
+            F.col("event_type").alias("etype"),
+            exact_cents(F.col("value")).alias("cents"),
+        )
+        .repartition(2),
+        out,
+        schema_json=gen1_schema,
+        prefix="gen1-",
+    )
+    write_ocf(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            exact_cents(F.col("value")).alias("cents"),
+            F.concat(F.lit("trace-"), F.col("event_id")).alias("debug"),
+        )
+        .repartition(2),
+        out,
+        schema_json=gen2_schema,
+        prefix="gen2-",
+    )
+    back = (
+        spark.read.format("avro_ocf")
+        .option("path", out)
+        .option("readerschema", reader_schema)
+        .load()
+    )
+    return (
+        back.groupBy("event_type", "region")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("user_id").cast("long").alias("uid_sum"),
+            F.sum((F.col("user_id") == -1).cast("long"))
+            .cast("long")
+            .alias("n_defaulted"),
         )
         .orderBy("event_type")
     )

@@ -210,3 +210,108 @@ def test_stream_reader_offset_monotonic_after_restart():
     r.commit({"version": 7})
     # with an empty log (head = -1), latestOffset must not regress
     assert r.latestOffset()["version"] >= 7
+
+
+# ---------------------------------------------------------------------------
+# Avro schema resolution (spec vectors, Avro 1.11 §Schema Resolution)
+# ---------------------------------------------------------------------------
+
+
+def _rec(*fields):
+    return {
+        "type": "record",
+        "name": "R",
+        "fields": [dict(f) for f in fields],
+    }
+
+
+def test_avro_resolution_spec_vectors(tmp_path):
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        read_ocf_file,
+        resolve_schemas,
+        write_ocf_shard,
+    )
+
+    writer = _rec(
+        {"name": "a", "type": "int"},
+        {"name": "old_name", "type": "string"},
+        {"name": "gone", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "s", "type": "string"},
+    )
+    reader = _rec(
+        {"name": "a", "type": "long"},              # int -> long
+        {"name": "new_name", "type": "string",
+         "aliases": ["old_name"]},                   # alias match
+        {"name": "f", "type": "double"},             # float -> double
+        {"name": "s", "type": "bytes"},              # string -> bytes
+        {"name": "extra", "type": "long", "default": 42},
+        # bytes default: JSON string code points ARE the bytes (latin-1)
+        {"name": "tag", "type": "bytes", "default": "\u00ff\u0000a"},
+    )
+    path = str(tmp_path / "v.avro")
+    rows = [
+        {"a": -7, "old_name": "héllo", "gone": 1.5, "f": 0.25,
+         "s": "xyz"},
+        {"a": 2**31 - 1, "old_name": "", "gone": -0.0, "f": 1e10,
+         "s": "ß"},
+    ]
+    write_ocf_shard(path, rows, codec="deflate",
+                    schema_json=json.dumps(writer))
+    out = list(read_ocf_file(path, reader))
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("<f", _struct.pack("<f", x))[0]
+
+    assert out[0] == (-7, "héllo", 0.25, b"xyz", 42, b"\xff\x00a")
+    assert out[1] == (
+        2**31 - 1, "", f32(1e10), "ß".encode(), 42, b"\xff\x00a"
+    )
+    # identity resolution: no reader schema reads writer order verbatim
+    ident = list(read_ocf_file(path))
+    assert ident[0] == (-7, "héllo", 1.5, 0.25, "xyz")
+    # missing field without default: spec says error
+    with pytest.raises(ValueError, match="no default"):
+        resolve_schemas(writer, _rec({"name": "nope", "type": "long"}))
+    # illegal narrowing: long writer -> int reader
+    with pytest.raises(ValueError, match="does not resolve"):
+        resolve_schemas(
+            _rec({"name": "a", "type": "long"}),
+            _rec({"name": "a", "type": "int"}),
+        )
+
+
+def test_avro_mixed_generation_scan(spark, tmp_path):
+    """One directory, two writer generations, one resolved scan."""
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        register_avro_ocf,
+        write_ocf,
+    )
+
+    register_avro_ocf(spark)
+    gen1 = json.dumps(_rec({"name": "k", "type": "int"}))
+    gen2 = json.dumps(
+        _rec({"name": "k", "type": "long"},
+             {"name": "w", "type": "long"})
+    )
+    reader = json.dumps(
+        _rec({"name": "k", "type": "long"},
+             {"name": "w", "type": "long", "default": -5})
+    )
+    out = str(tmp_path / "shards")
+    df1 = spark.range(0, 4).selectExpr("cast(id as int) k").coalesce(1)
+    df2 = spark.range(4, 8).selectExpr("id k", "id * 10 w").coalesce(1)
+    write_ocf(df1, out, schema_json=gen1, prefix="g1-")
+    write_ocf(df2, out, schema_json=gen2, prefix="g2-")
+    back = (
+        spark.read.format("avro_ocf")
+        .option("path", out)
+        .option("readerschema", reader)
+        .load()
+    )
+    got = {(r.k, r.w) for r in back.collect()}
+    assert got == {(i, -5) for i in range(4)} | {
+        (i, i * 10) for i in range(4, 8)
+    }
+    assert back.schema.simpleString() == "struct<k:bigint,w:bigint>"
