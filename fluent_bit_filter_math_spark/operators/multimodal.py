@@ -82,11 +82,22 @@ def _ascii_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition => every mapInPandas codec kernel downstream ran
         # SERIAL (measured: the whole 420-JPEG query was 32x its codec
         # time). Codec work is embarrassingly parallel, so spread the
-        # assets across the executor width — at 100 TB the scan has
-        # thousands of splits and this exchange disappears into AQE,
-        # locally it is one small shuffle that buys 32-way decode.
-        .repartition(32)
+        # assets across the executor width. The width SCALES with the
+        # session (defaultParallelism = total executor cores) and never
+        # shrinks a scan that is already wider (a hardcoded 32 would
+        # CAP parallelism at 1000 executors and force a full payload
+        # shuffle downward — ADVICE r12); when the scan is already at
+        # or above executor width, no repartition happens at all.
+        .transform(_widen_to_executors)
     )
+
+
+def _widen_to_executors(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    width = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    return df.repartition(width)
 
 
 # ---------------------------------------------------------------------------
@@ -1408,10 +1419,12 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # code path and are pinned by a hypothesis roundtrip bound instead
 # (quant=1 coefficient rounding => per-pixel error <= 3).
 #
-# Out of scope, documented: chroma subsampling (this is the 1-component
-# scan; 3-component YCbCr adds per-component DC predictors + the MCU
-# interleave loop to _jpeg_decode), progressive scans, restart markers
-# (DRI raises).
+# Restart markers (DRI + byte-aligned RST0..7 with predictor resets,
+# T.81 B.2.4.4/E.1.4) are implemented on this path — encode via
+# _jpeg_encode(restart_interval=), decode honors any DRI in the stream
+# (mm_jpeg_dri_decode pins the machinery). Out of scope, documented:
+# progressive scans; chroma subsampling lives in the 4:4:4/4:2:0
+# variants below.
 # ---------------------------------------------------------------------------
 _JPEG_BW_MOD = 4  # blocks wide: 2 + n % 4
 _JPEG_BH_MOD = 3  # blocks high: 1 + n % 3
@@ -1528,6 +1541,15 @@ class _JpegBitWriter:
             self.put((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-bit padding, stuffed if it lands on 0xFF) and
+        emit RSTm — marker bytes are written RAW, never stuffed
+        (T.81 B.2.1: markers are the one legal 0xFFxx inside a scan)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 class _JpegBitReader:
     """MSB-first reader over an entropy-coded segment, un-stuffing
@@ -1566,6 +1588,25 @@ class _JpegBitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def restart(self, idx: int) -> None:
+        """Consume an expected RSTm at a restart boundary: drop the
+        current byte's padding bits (at most 7 — loads are one byte at
+        a time), then require the byte-aligned 0xFFD0+m with the right
+        modulo-8 sequence number."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart boundary")
+        m = self.data[self.pos + 1]
+        if self.data[self.pos] != 0xFF or not 0xD0 <= m <= 0xD7:
+            raise ValueError("expected RSTn at restart boundary")
+        if m - 0xD0 != (idx & 7):
+            raise ValueError(
+                f"restart marker out of sequence: got {m - 0xD0}, "
+                f"expected {idx & 7}"
+            )
+        self.pos += 2
+
     def huff(self, table: dict) -> int:
         # table: {(length, code): symbol}. Fast path: a table whose
         # codes are all ONE length (our flat DC/AC tables) decodes as
@@ -1593,9 +1634,13 @@ def _jpeg_size(v: int) -> int:
     return int(v).bit_length() if v else 0
 
 
-def _jpeg_encode(plane) -> bytes:
+def _jpeg_encode(plane, restart_interval: int = 0) -> bytes:
     """Grayscale baseline JFIF bytes for a uint8 numpy plane whose dims
-    are multiples of 8 (edge padding is the standard extension)."""
+    are multiples of 8 (edge padding is the standard extension). With
+    *restart_interval* > 0, a DRI segment is emitted and the scan is
+    split every that-many MCUs by byte-aligned RST0..7 markers with DC
+    predictor resets (T.81 B.2.4.4 / E.1.4) — the error-resilience +
+    parallel-decode hooks every camera JPEG carries."""
     import struct
 
     import numpy as np
@@ -1609,8 +1654,15 @@ def _jpeg_encode(plane) -> bytes:
     ac_codes = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst += 1
+                prev_dc = 0  # predictors reset at every restart
+            mcu += 1
             block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             coefs = c @ (block.astype(np.float64) - 128.0) @ c.T
             q = np.rint(coefs).astype(np.int64)  # quant table = ones
@@ -1653,10 +1705,15 @@ def _jpeg_encode(plane) -> bytes:
     )
     dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
     return (
-        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + ecs
-        + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + dri + sos
+        + ecs + b"\xff\xd9"
     )
 
 
@@ -1675,6 +1732,7 @@ def _jpeg_decode(data: bytes):
     qt = None
     dims = None
     huff: dict = {}
+    restart_interval = 0
     while True:
         if pos + 4 > len(data):
             raise ValueError("truncated marker stream")
@@ -1712,7 +1770,9 @@ def _jpeg_decode(data: bytes):
                 )
                 off += 17 + nvals
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            restart_interval = int.from_bytes(body, "big")
         elif marker == 0xDA:
             if dims is None or qt is None:
                 raise ValueError("SOS before SOF0/DQT")
@@ -1737,8 +1797,15 @@ def _jpeg_decode(data: bytes):
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
+    mcu = 0
+    rst = 0
     for by in range(h // 8):
         for bx in range(w // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rd.restart(rst)
+                rst += 1
+                prev_dc = 0
+            mcu += 1
             seq = [0] * 64
             s = rd.huff(dc_tab)
             diff = extend(rd.bits(s), s) if s else 0
@@ -1861,6 +1928,107 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _jpeg_roundtrip_batches,
         schema=(
             "asset_id long, width long, height long, n_blocks long,"
+            " pix_sum long, pix_checksum long"
+        ),
+    )
+
+
+_JPEG_DRI_INTERVAL = 2  # MCUs per restart interval in the DRI fixture
+
+
+def _jpeg_dri_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            n = len(p)
+            src = p if p else b"\x00"
+            wb = 2 + n % _JPEG_BW_MOD
+            hb = 1 + n % _JPEG_BH_MOD
+            vals = np.frombuffer(
+                (src * (wb * hb // len(src) + 1))[: wb * hb],
+                dtype=np.uint8,
+            ).reshape(hb, wb)
+            plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            data = _jpeg_encode(
+                plane, restart_interval=_JPEG_DRI_INTERVAL
+            )
+            n_rst = data.count(b"\xff\xd0") + sum(
+                data.count(bytes([0xFF, 0xD0 + i])) for i in range(1, 8)
+            )
+            w, h, out = _jpeg_decode(data)
+            flat = out.reshape(-1).astype(np.int64)
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    n_rst,
+                    int(flat.sum()),
+                    int(
+                        (
+                            (np.arange(w * h, dtype=np.int64) + 1) * flat
+                        ).sum()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "width",
+                "height",
+                "n_restarts",
+                "pix_sum",
+                "pix_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_jpeg_dri_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             2 + strlen(text) % {_JPEG_BW_MOD} AS wb,
+             1 + strlen(text) % {_JPEG_BH_MOD} AS hb
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST((wb * hb - 1) // {_JPEG_DRI_INTERVAL} AS BIGINT)
+             AS n_restarts,
+           CAST(64 * list_aggregate(list_transform(range(0, wb * hb),
+               bi -> CAST(ord(text[bi % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, 64 * wb * hb),
+               i -> (i + 1) * CAST(ord(text[
+                   (((i // (8 * wb)) // 8) * wb
+                    + ((i % (8 * wb)) // 8)) % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_jpeg_dri_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-marker (DRI/RSTn) machinery under the oracle gate: the
+    same block-constant fixtures as mm_jpeg_decode, but encoded with a
+    2-MCU restart interval — byte-aligned RST0..7 split the scan, DC
+    predictors reset at every boundary, and the decoder must resync
+    (sequence-checked) to reproduce every pixel. The n_restarts column
+    pins that restarts were genuinely emitted: (blocks-1) // interval,
+    counted from the wire bytes, must match the closed form. Restart
+    markers are also WHY parallel decode of one big JPEG is possible —
+    each restart segment is independently decodable, the 100 TB note.
+    Reference analogue: none; T.81 B.2.4.4/E.1.4."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _jpeg_dri_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_restarts long,"
             " pix_sum long, pix_checksum long"
         ),
     )
@@ -2003,6 +2171,8 @@ def _jpeg_decode_color(data: bytes):
     huff: dict = {}
     scan_tabs = None
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError("marker sync lost")
         marker = data[pos + 1]
@@ -2010,6 +2180,8 @@ def _jpeg_decode_color(data: bytes):
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xDB:
+            if not body or body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
             qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -2019,6 +2191,13 @@ def _jpeg_decode_color(data: bytes):
                 if body[6 + 3 * i + 1] != 0x11:
                     raise ValueError("subsampled scans unsupported")
             dims = (w, h)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError(
+                "restart intervals unsupported on the 4:4:4 path "
+                "(the grayscale decoder implements DRI)"
+            )
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -2031,6 +2210,8 @@ def _jpeg_decode_color(data: bytes):
                 )
                 off += 17 + nvals
         elif marker == 0xDA:
+            if dims is None or qt is None:
+                raise ValueError("SOS before SOF0/DQT")
             ns = body[0]
             if ns != ncomp:
                 raise ValueError("scan component count != frame")
@@ -2197,9 +2378,10 @@ def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cb + one Cr block covering the same tile at half resolution. The
 # encoder downsamples chroma by 2x2 box averaging; the decoder
 # upsamples by pixel replication (nearest) — both ends of the real
-# pipeline, plus the 6-block-per-MCU interleave and the image-size
-# rule (dims multiple of 16 here; partial MCUs are the padding
-# extension). Exactness: gray 16x16-TILE-constant planes give
+# pipeline, plus the 6-block-per-MCU interleave and PARTIAL MCUs (any
+# image size: SOF records true dims, the encoder edge-replicates to
+# the 16-multiple grid, the decoder crops back — T.81 A.2.4).
+# Exactness: gray 16x16-TILE-constant planes give
 # Y = v (every sample), Cb = Cr = 128 (averaging a constant is the
 # constant) — bit-exact through subsample -> DCT -> entropy ->
 # upsample -> color convert, so the SQL gate pins the whole MCU
@@ -2208,15 +2390,22 @@ def mm_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where only rounding remains).
 # ---------------------------------------------------------------------------
 def _jpeg_encode_420(rgb) -> bytes:
-    """Baseline JFIF, YCbCr 4:2:0 (luma 0x22, chroma 0x11), dims
-    multiples of 16."""
+    """Baseline JFIF, YCbCr 4:2:0 (luma 0x22, chroma 0x11). Any dims:
+    the SOF records the TRUE size; planes pad to the 16-multiple MCU
+    grid by edge replication (what libjpeg does — replication keeps
+    the boundary DCT blocks smooth, and the decoder crops back)."""
     import struct
 
     import numpy as np
 
     h, w, _ = rgb.shape
-    if h % 16 or w % 16:
-        raise ValueError("4:2:0 plane dims must be multiples of 16")
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    if (ph, pw) != (h, w):
+        rgb = np.pad(
+            rgb, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+        )
     y, cb, cr = _jpeg_rgb_to_ycbcr(rgb)
     # 2x2 box-average chroma downsample (the standard decimation)
     def down(p):
@@ -2264,8 +2453,8 @@ def _jpeg_encode_420(rgb) -> bytes:
             ln, code = ac_codes[0x00]
             bw.put(code, ln)
 
-    for my in range(h // 16):
-        for mx in range(w // 16):
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
             # the 4:2:0 MCU: 4 luma blocks raster order, then Cb, Cr
             for dy in range(2):
                 for dx in range(2):
@@ -2293,7 +2482,10 @@ def _jpeg_encode_420(rgb) -> bytes:
 
 def _jpeg_decode_420(data: bytes):
     """Decode a 4:2:0 baseline JPEG (luma 0x22 + chroma 0x11); returns
-    (w, h, rgb). Nearest-neighbour chroma upsampling."""
+    (w, h, rgb). Nearest-neighbour chroma upsampling; dims that are not
+    16-multiples decode the full MCU grid then CROP to the SOF size
+    (the partial-MCU rule, T.81 A.2.4). Malformed streams raise
+    ValueError (same guard contract as the grayscale decoder)."""
     import struct
 
     import numpy as np
@@ -2307,6 +2499,8 @@ def _jpeg_decode_420(data: bytes):
     huff: dict = {}
     scan_tabs = None
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker stream")
         if data[pos] != 0xFF:
             raise ValueError("marker sync lost")
         marker = data[pos + 1]
@@ -2314,6 +2508,8 @@ def _jpeg_decode_420(data: bytes):
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xDB:
+            if not body or body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
             qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
         elif marker == 0xC0:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -2323,6 +2519,13 @@ def _jpeg_decode_420(data: bytes):
             if samp != [0x22, 0x11, 0x11]:
                 raise ValueError("not a 4:2:0 scan")
             dims = (w, h)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError(
+                "restart intervals unsupported on the 4:2:0 path "
+                "(the grayscale decoder implements DRI)"
+            )
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -2335,6 +2538,10 @@ def _jpeg_decode_420(data: bytes):
                 )
                 off += 17 + nvals
         elif marker == 0xDA:
+            if dims is None or qt is None:
+                raise ValueError("SOS before SOF0/DQT")
+            if body[0] != 3:
+                raise ValueError("scan component count != frame")
             scan_tabs = [
                 (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
                 for i in range(body[0])
@@ -2343,14 +2550,15 @@ def _jpeg_decode_420(data: bytes):
         elif marker == 0xD9:
             raise ValueError("EOI before SOS")
     w, h = dims
-    if w % 16 or h % 16:
-        raise ValueError("dims must be multiples of 16 (no partial MCU)")
+    if w < 1 or h < 1:
+        raise ValueError("empty frame")
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
     c = _jpeg_dct_c()
     zz = _jpeg_zigzag()
     rd = _JpegBitReader(data, pos)
-    y = np.zeros((h, w), dtype=np.uint8)
-    cbs = np.zeros((h // 2, w // 2), dtype=np.uint8)
-    crs = np.zeros((h // 2, w // 2), dtype=np.uint8)
+    y = np.zeros((ph, pw), dtype=np.uint8)
+    cbs = np.zeros((ph // 2, pw // 2), dtype=np.uint8)
+    crs = np.zeros((ph // 2, pw // 2), dtype=np.uint8)
     prev = [0, 0, 0]
 
     def extend(v: int, s: int) -> int:
@@ -2384,8 +2592,8 @@ def _jpeg_decode_420(data: bytes):
             np.uint8
         )
 
-    for my in range(h // 16):
-        for mx in range(w // 16):
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
             for dy in range(2):
                 for dx in range(2):
                     by, bx = 2 * my + dy, 2 * mx + dx
@@ -2396,11 +2604,14 @@ def _jpeg_decode_420(data: bytes):
         raise ValueError("missing EOI after scan")
     cb = np.repeat(np.repeat(cbs, 2, axis=0), 2, axis=1)
     cr = np.repeat(np.repeat(crs, 2, axis=0), 2, axis=1)
-    return w, h, _jpeg_ycbcr_to_rgb(y, cb, cr)
+    rgb = _jpeg_ycbcr_to_rgb(y, cb, cr)
+    return w, h, rgb[:h, :w]  # crop the partial-MCU padding
 
 
 _JPEG_S_TW_MOD = 2  # tiles wide: 1 + n % 2 (tile = 16x16)
 _JPEG_S_TH_MOD = 3  # tiles high: 1 + n % 3
+_JPEG_S_DX_MOD = 9  # right-edge crop: n % 9 columns (partial MCU)
+_JPEG_S_DY_MOD = 13  # bottom-edge crop: n % 13 rows (partial MCU)
 
 
 def _jpeg_420_roundtrip_batches(
@@ -2419,15 +2630,23 @@ def _jpeg_420_roundtrip_batches(
                 (src * (tw * th // len(src) + 1))[: tw * th], dtype=np.uint8
             ).reshape(th, tw)
             gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+            # crop to NON-16-multiple dims: the encoder pads the grid
+            # back by edge replication (same tile value, so blocks stay
+            # constant and the lossy path stays bit-exact) and the
+            # decoder must crop to the SOF size — partial-MCU pinning
+            gray = gray[: 16 * th - n % _JPEG_S_DY_MOD,
+                        : 16 * tw - n % _JPEG_S_DX_MOD]
             rgb = np.repeat(gray[:, :, None], 3, axis=2)
             w, h, out = _jpeg_decode_420(_jpeg_encode_420(rgb))
+            if (h, w) != gray.shape:
+                raise ValueError("decode returned uncropped dims")
             flat = out.reshape(-1).astype(np.int64)
             rows.append(
                 (
                     aid,
                     w,
                     h,
-                    tw * th,
+                    (-(-w // 16)) * (-(-h // 16)),
                     int(out[..., 0].astype(np.int64).sum()),
                     int(
                         (
@@ -2451,32 +2670,41 @@ def _jpeg_420_roundtrip_batches(
     WITH d AS (
       SELECT doc_id, text, strlen(text) AS n,
              1 + strlen(text) % {_JPEG_S_TW_MOD} AS tw,
-             1 + strlen(text) % {_JPEG_S_TH_MOD} AS th
+             1 + strlen(text) % {_JPEG_S_TH_MOD} AS th,
+             16 * (1 + strlen(text) % {_JPEG_S_TW_MOD})
+               - strlen(text) % {_JPEG_S_DX_MOD} AS w,
+             16 * (1 + strlen(text) % {_JPEG_S_TH_MOD})
+               - strlen(text) % {_JPEG_S_DY_MOD} AS h
       FROM documents
       WHERE {_ASCII_GUARD_SQL}
     )
     SELECT doc_id AS asset_id,
-           CAST(16 * tw AS BIGINT) AS width,
-           CAST(16 * th AS BIGINT) AS height,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
            CAST(tw * th AS BIGINT) AS n_mcus,
-           CAST(256 * list_aggregate(list_transform(range(0, tw * th),
-               ti -> CAST(ord(text[ti % n + 1]) AS BIGINT)),
+           CAST(list_aggregate(list_transform(range(0, w * h),
+               p -> CAST(ord(text[
+                   (((p // w) // 16) * tw + ((p % w) // 16)) % n + 1])
+                 AS BIGINT)),
                'sum') AS BIGINT) AS y_sum,
-           CAST(list_aggregate(list_transform(range(0, 256 * tw * th),
-               p -> (9 * p + 6) * CAST(ord(text[
-                   (((p // (16 * tw)) // 16) * tw
-                    + ((p % (16 * tw)) // 16)) % n + 1]) AS BIGINT)),
+           CAST(list_aggregate(list_transform(range(0, 3 * w * h),
+               q -> (q + 1) * CAST(ord(text[
+                   ((((q // 3) // w) // 16) * tw
+                    + (((q // 3) % w) // 16)) % n + 1]) AS BIGINT)),
                'sum') AS BIGINT) AS rgb_checksum
     FROM d
     """,
 )
 def mm_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 4:2:0 SUBSAMPLED baseline-JPEG path under the oracle gate:
-    gray 16x16-tile-constant planes are bit-exact through chroma
-    box-downsample -> 6-block MCU interleave -> entropy -> nearest
-    upsample -> color convert, so the closed-form SQL pins the whole
-    MCU machinery (a luma-block raster slip or chroma/luma predictor
-    mix-up breaks the hash)."""
+    """The 4:2:0 SUBSAMPLED baseline-JPEG path under the oracle gate,
+    now with PARTIAL MCUs: gray 16x16-tile-constant planes are CROPPED
+    to non-16-multiple dims (n%9 columns, n%13 rows off the edges), so
+    the encoder must pad the MCU grid by edge replication (which keeps
+    every block constant — the lossy path stays bit-exact) and the
+    decoder must crop back to the SOF size. Chroma box-downsample ->
+    6-block MCU interleave -> entropy -> nearest upsample -> color
+    convert all pinned by the closed-form SQL (a luma-block raster
+    slip, predictor mix-up, or off-by-one crop breaks the hash)."""
     return _ascii_assets(spark, sf_dir).mapInPandas(
         _jpeg_420_roundtrip_batches,
         schema=(

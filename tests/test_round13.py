@@ -315,3 +315,171 @@ def test_avro_mixed_generation_scan(spark, tmp_path):
         (i, i * 10) for i in range(4, 8)
     }
     assert back.schema.simpleString() == "struct<k:bigint,w:bigint>"
+
+
+# ---------------------------------------------------------------------------
+# JPEG round-13 extensions: DRI/RSTn restart markers (gray path),
+# partial MCUs on 4:2:0, and the malformed-stream guard parity the
+# color/420 decoders were missing (ADVICE r12).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestJpegDri:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        wb=st.integers(1, 4),
+        hb=st.integers(1, 3),
+        interval=st.integers(1, 5),
+    )
+    def test_dri_decode_equals_plain_decode_exactly(
+        self, seed, wb, hb, interval
+    ):
+        """The entropy layer is lossless: a restart-split scan must
+        decode to the IDENTICAL plane the unsplit scan decodes to —
+        any predictor-reset or resync slip shows up as a pixel diff."""
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        p = rng.integers(0, 256, size=(8 * hb, 8 * wb), dtype=np.uint8)
+        _, _, plain = mm._jpeg_decode(mm._jpeg_encode(p))
+        _, _, split = mm._jpeg_decode(
+            mm._jpeg_encode(p, restart_interval=interval)
+        )
+        assert (plain == split).all()
+
+    def test_restart_stream_contains_rst_markers(self):
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+        import numpy as np
+
+        p = np.arange(64 * 6, dtype=np.uint8).reshape(16, 24) % 256
+        data = mm._jpeg_encode(p, restart_interval=2)
+        # 6 MCUs, interval 2 -> restarts after MCU 2 and 4: RST0, RST1
+        assert b"\xff\xd0" in data and b"\xff\xd1" in data
+        assert b"\xff\xdd" in data  # the DRI segment itself
+
+    def test_out_of_sequence_restart_rejected(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        p = np.zeros((16, 24), dtype=np.uint8)
+        data = bytearray(mm._jpeg_encode(p, restart_interval=2))
+        i = data.index(b"\xff\xd0")
+        data[i + 1] = 0xD5  # wrong sequence number
+        with _pytest.raises(ValueError, match="out of sequence"):
+            mm._jpeg_decode(bytes(data))
+
+
+class TestJpeg420PartialMcu:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        payload=st.binary(min_size=1, max_size=24),
+        dx=st.integers(0, 15),
+        dy=st.integers(0, 15),
+    )
+    def test_cropped_tile_constant_exact(self, payload, dx, dy):
+        """Tile-constant planes cropped to arbitrary dims stay
+        bit-exact: edge replication re-extends the same tile value, so
+        every padded block is constant; the decoder must hand back
+        exactly the SOF-sized crop."""
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        n = len(payload)
+        tw = 1 + n % mm._JPEG_S_TW_MOD
+        th = 1 + n % mm._JPEG_S_TH_MOD
+        vals = np.frombuffer(
+            (payload * (tw * th // n + 1))[: tw * th], dtype=np.uint8
+        ).reshape(th, tw)
+        gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+        gray = gray[: max(1, 16 * th - dy), : max(1, 16 * tw - dx)]
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        w, h, out = mm._jpeg_decode_420(mm._jpeg_encode_420(rgb))
+        assert (h, w) == gray.shape
+        assert (out == rgb).all()
+
+    @settings(max_examples=10, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1))
+    def test_gray_random_partial_bounded(self, seed):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        hh = int(rng.integers(1, 40))
+        ww = int(rng.integers(1, 40))
+        g = rng.integers(0, 256, size=(hh, ww), dtype=np.uint8)
+        p = np.repeat(g[:, :, None], 3, axis=2)
+        w, h, out = mm._jpeg_decode_420(mm._jpeg_encode_420(p))
+        assert (h, w) == (hh, ww)
+        assert np.abs(out.astype(int) - p.astype(int)).max() <= 3
+
+
+class TestJpegGuardParity:
+    """ADVICE r12: the color/420 decoders must fail malformed streams
+    with the gray path's clean ValueError contract, never a raw
+    TypeError/IndexError."""
+
+    def _color_file(self):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+        return mm._jpeg_encode_color(rgb), mm._jpeg_encode_420(rgb)
+
+    def test_truncated_marker_stream(self):
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        color, sub = self._color_file()
+        with _pytest.raises(ValueError):
+            mm._jpeg_decode_color(color[:7])
+        with _pytest.raises(ValueError):
+            mm._jpeg_decode_420(sub[:7])
+
+    def test_sos_before_sof_or_dqt(self):
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        color, sub = self._color_file()
+
+        def drop_seg(data, marker):
+            i = data.index(bytes([0xFF, marker]))
+            ln = int.from_bytes(data[i + 2 : i + 4], "big")
+            return data[:i] + data[i + 2 + ln :]
+
+        with _pytest.raises(ValueError, match="SOS before"):
+            mm._jpeg_decode_color(drop_seg(color, 0xC0))
+        with _pytest.raises(ValueError, match="SOS before"):
+            mm._jpeg_decode_420(drop_seg(sub, 0xDB))
+
+    def test_dri_and_non_baseline_sof_rejected(self):
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        color, sub = self._color_file()
+        dri = b"\xff\xdd\x00\x04\x00\x02"
+        with _pytest.raises(ValueError, match="restart"):
+            mm._jpeg_decode_color(color[:2] + dri + color[2:])
+        with _pytest.raises(ValueError, match="restart"):
+            mm._jpeg_decode_420(sub[:2] + dri + sub[2:])
+
+        def swap_sof(data, to):
+            i = data.index(b"\xff\xc0")
+            return data[:i + 1] + bytes([to]) + data[i + 2 :]
+
+        with _pytest.raises(ValueError, match="non-baseline"):
+            mm._jpeg_decode_color(swap_sof(color, 0xC2))
+        with _pytest.raises(ValueError, match="non-baseline"):
+            mm._jpeg_decode_420(swap_sof(sub, 0xC2))
