@@ -852,13 +852,18 @@ _S_SEP = "char(31)"
 _S_SEP2 = "(char(31) || char(31))"
 
 
-def _bpe_oracle() -> str:
-    ctes = [f"""
+# the default (whitespace) pre-tokenizer's word-frequency CTE; the
+# byte-level variant swaps in the GPT-2-style regex one below
+_BPE_WF_SQL = """
     wf AS (
       SELECT word, COUNT(*) AS freq
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       WHERE word <> '' GROUP BY word
-    ),
+    )"""
+
+
+def _bpe_oracle(wf_sql: str = _BPE_WF_SQL) -> str:
+    ctes = [wf_sql + f""",
     t0 AS (
       SELECT word, freq,
              {_D_SEP2} || array_to_string(
@@ -924,6 +929,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    return _bpe_merge_loop(wf)
+
+
+def _bpe_merge_loop(wf: DataFrame):
+    """The chr(31)-separator merge loop over ANY (word, freq)
+    pre-token table — shared by the whitespace trainer above and the
+    byte-level (GPT-2-style) trainer below."""
     toks = wf.select(
         "word",
         "freq",
@@ -1042,6 +1054,118 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_words"),
             F.sum("n_tok").cast("long").alias("n_tokens"),
             F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BYTE-LEVEL BPE (GPT-2 style, Radford et al. 2019 §2.2): before any
+# merge learning, text is PRE-TOKENIZED by a regex whose signature
+# feature is that a single leading space ATTACHES to the following
+# token (" word" and "word" are different pre-tokens, which is why
+# GPT-2 vocabularies are full of Ġ-prefixed entries), and the base
+# alphabet is the 256 BYTES — no OOV is possible because every byte is
+# a token (the "byte fallback"). Merges then operate on byte symbols
+# inside each pre-token, never across pre-token boundaries.
+#
+# Cross-engine honesty: the verbatim GPT-2 pattern needs \p{L} classes
+# and a negative lookahead ((?!\S)), which RE2 (DuckDB) does not
+# support — so this implements the GPT-2-STYLE simplification below,
+# IDENTICAL in both engines (plain ASCII classes, leftmost-first
+# alternation in both Java regex and RE2): letters / digits / other
+# punctuation runs, each with one optional leading space, else a space
+# run. Divergence from GPT-2, documented: a run of 2+ spaces becomes a
+# standalone space token (GPT-2's lookahead would donate its last
+# space to the next word). On the ASCII-guarded corpus (the multimodal
+# guard: every char one byte) byte symbols ARE the chars, so the
+# bytes->printable remap GPT-2 applies for display purposes is the
+# identity here and the chr(31) merge discipline applies unchanged.
+# ---------------------------------------------------------------------------
+_BPE_BYTE_REGEX = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+_BPE_BYTE_GUARD_SQL = "strlen(text) > 0 AND length(text) = strlen(text)"
+_BPE_BYTE_WF_SQL = f"""
+    wf AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS word
+            FROM documents WHERE {_BPE_BYTE_GUARD_SQL})
+      WHERE word <> '' GROUP BY word
+    )"""
+
+
+def _bpe_byte_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) — one row per GPT-2-style pre-token occurrence,
+    ASCII-guarded so byte symbols are exactly the chars both engines
+    index."""
+    docs = _docs(spark, sf_dir).filter(
+        (F.octet_length("text") > 0)
+        & (F.length("text") == F.octet_length("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(text, '{_BPE_BYTE_REGEX}', 0)")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+
+
+def _bpe_byte_train(spark: SparkSession, sf_dir: str):
+    wf = (
+        _bpe_byte_pretokens(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return _bpe_merge_loop(wf)
+
+
+def _bpe_byte_encode_oracle() -> str:
+    base = _bpe_oracle(_BPE_BYTE_WF_SQL)
+    head = base[: base.rindex("\n    SELECT")]
+    return head + f"""
+    , dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS word
+      FROM documents WHERE {_BPE_BYTE_GUARD_SQL}
+    )
+    SELECT dw.doc_id,
+           COUNT(*) AS n_pretokens,
+           CAST(SUM(len(list_filter(string_split(t.toks, {_D_SEP2}),
+                                    x -> x <> ''))) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(strlen(dw.word)) AS BIGINT) AS n_bytes
+    FROM dw JOIN t{_BPE_ROUNDS} t ON t.word = dw.word
+    WHERE dw.word <> ''
+    GROUP BY dw.doc_id
+    """
+
+
+@register("text_bpe_byte_encode", oracle=_bpe_byte_encode_oracle())
+def text_bpe_byte_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE end-to-end: GPT-2-style regex pre-tokenization
+    (leading space attaches to the word — the Ġ convention), byte
+    alphabet with no OOV, the shared chr(31) merge loop for
+    _BPE_ROUNDS rounds, then the per-document token accounting that a
+    tokenizer release is judged by. The trained vocab is |pretokens|
+    rows and BROADCASTS into one map-side pass over the corpus — the
+    encode never shuffles document data, only the per-doc aggregate
+    does (the text_bpe_encode scale shape).
+    Reference analogue: none; Radford et al. 2019 §2.2 + the
+    Sennrich/Gage merge loop of text_bpe_train_merges."""
+    _, final_toks = _bpe_byte_train(spark, sf_dir)
+    vocab = final_toks.select(
+        "word",
+        F.expr(
+            f"size(filter(split(toks, {_S_SEP2}), x -> x <> ''))"
+        ).alias("n_tok"),
+    )
+    dw = _bpe_byte_pretokens(spark, sf_dir)
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pretokens"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.octet_length("word")).cast("long").alias("n_bytes"),
         )
     )
 

@@ -483,3 +483,46 @@ class TestJpegGuardParity:
             mm._jpeg_decode_color(swap_sof(color, 0xC2))
         with _pytest.raises(ValueError, match="non-baseline"):
             mm._jpeg_decode_420(swap_sof(sub, 0xC2))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE pre-tokenization (GPT-2 style)
+# ---------------------------------------------------------------------------
+class TestBpeBytePretokenizer:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        s=st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        )
+    )
+    def test_partition_property(self, s):
+        """Every ASCII char lands in exactly ONE pre-token, in order —
+        the regex alternation is a partition of the input (python re is
+        the third implementation against Spark's Java regex and
+        DuckDB's RE2; leftmost-first semantics agree across all
+        three)."""
+        import re
+
+        from fluent_bit_filter_math_spark.operators.text import (
+            _BPE_BYTE_REGEX,
+        )
+
+        toks = re.findall(_BPE_BYTE_REGEX, s)
+        assert "".join(toks) == s
+        assert all(toks)
+
+    def test_leading_space_attaches(self):
+        import re
+
+        from fluent_bit_filter_math_spark.operators.text import (
+            _BPE_BYTE_REGEX,
+        )
+
+        f = lambda s: re.findall(_BPE_BYTE_REGEX, s)
+        # the Ġ convention: one space attaches to the following run
+        assert f("the cat") == ["the", " cat"]
+        assert f("a1 2b!") == ["a", "1", " 2", "b", "!"]
+        # documented divergence from GPT-2: 2+ spaces stay standalone
+        assert f("a  b") == ["a", "  ", "b"]
+        assert f(" !? x") == [" !?", " x"]
