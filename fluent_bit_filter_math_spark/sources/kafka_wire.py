@@ -165,12 +165,24 @@ class _Handler(socketserver.BaseRequestHandler):
             (part,) = struct.unpack_from(">i", payload, pos)
             pos += 4
             (frm,) = struct.unpack_from(">q", payload, pos)
+            pos += 8
+            # optional max-records field (Kafka's max.poll.records /
+            # fetch.max.bytes collapsed to a count); absent or -1 =
+            # unbounded. Bounding HERE is what keeps a rate-limited
+            # stream from shipping the whole log tail every
+            # micro-batch (O(n·batches) bytes) just to throw most of
+            # it away client-side.
+            limit = -1
+            if pos + 4 <= len(payload):
+                (limit,) = struct.unpack_from(">i", payload, pos)
+            frm = max(0, frm)
             with broker.lock:
-                log = list(broker.logs.get((topic, part), []))
-            out = [struct.pack(">i", max(0, len(log) - frm))]
-            for off in range(frm, len(log)):
-                key, val = log[off]
-                out.append(struct.pack(">q", off))
+                log = broker.logs.get((topic, part), [])
+                hi = len(log) if limit < 0 else min(len(log), frm + limit)
+                window = log[frm:hi]  # copy only the served slice
+            out = [struct.pack(">i", len(window))]
+            for i, (key, val) in enumerate(window):
+                out.append(struct.pack(">q", frm + i))
                 out.append(_pack_bytes(key))
                 out.append(_pack_bytes(val))
             _send_frame(self.request, b"".join(out))
@@ -179,6 +191,11 @@ class _Handler(socketserver.BaseRequestHandler):
 class _Server(socketserver.ThreadingTCPServer):
     daemon_threads = True
     allow_reuse_address = True
+    # 32 executor threads + the driver can knock simultaneously; the
+    # stdlib default backlog of 5 made the overflow connections fail
+    # and sit in _rpc's 0.2-0.4 s retry sleeps — the real serialization
+    # the accept loop was blamed for.
+    request_queue_size = 128
 
 
 class MiniBroker:
@@ -420,13 +437,14 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         if not self.topic or not self.port:
             raise ValueError("kafkawire stream requires 'topic' + 'port'")
 
-    def _fetch(self, part: int, frm: int) -> list:
+    def _fetch(self, part: int, frm: int, limit: int = -1) -> list:
         body = (
             bytes([_OP_FETCH])
             + struct.pack(">H", len(self.topic.encode()))
             + self.topic.encode()
             + struct.pack(">i", part)
             + struct.pack(">q", frm)
+            + struct.pack(">i", limit)
         )
         resp = _rpc(self.port, body)
         (count,) = struct.unpack_from(">i", resp, 0)
@@ -448,7 +466,9 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         end = {}
         for p in range(self.n_parts):
             frm = int(start[str(p)])
-            recs = self._fetch(p, frm)[: self.batch_rows]
+            # the broker bounds the reply server-side; the slice stays
+            # as a belt-and-braces cap
+            recs = self._fetch(p, frm, self.batch_rows)[: self.batch_rows]
             rows.extend(recs)
             end[str(p)] = frm + len(recs)
         # a LIST, not a generator (the engine's prefetch cache
@@ -460,7 +480,9 @@ class KafkaWireStreamReader(SimpleDataSourceStreamReader):
         for p in range(self.n_parts):
             frm, to = int(start[str(p)]), int(end[str(p)])
             rows.extend(
-                r for r in self._fetch(p, frm) if r[1] < to
+                r
+                for r in self._fetch(p, frm, max(0, to - frm))
+                if r[1] < to
             )
         return iter(rows)
 
@@ -511,13 +533,19 @@ def stream_kafka_wire_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             broker.port,
             3,
         )
-        # rate-limit to ~4 micro-batches at ANY sf (a fixed row cap
+        # rate-limit to ≤4 micro-batches at ANY sf (a fixed row cap
         # means batch count — and per-batch scheduler overhead — grows
         # linearly with data; the knob should bound epochs, like
-        # sizing maxOffsetsPerTrigger to the backlog). n is a 1-row
-        # build-time scalar.
+        # sizing maxOffsetsPerTrigger to the backlog). The cap is per
+        # PARTITION, and this topic is maximally skewed (key =
+        # event_id ≡ 4 mod 9 ⇒ every record routes to partition 1), so
+        # size against the whole backlog in one partition: ceil(n/4)
+        # gives 4 epochs here and ≥2 under any distribution — sizing
+        # against n/(3·4) re-learned the r12 lesson as 12 epochs, 3×
+        # the intended scheduler overhead. n is a 1-row build-time
+        # scalar.
         n = payload.count()
-        batchrows = max(1, -(-n // (3 * 4)))
+        batchrows = max(1, -(-n // 4))
         stream = (
             spark.readStream.format("kafkawire")
             .option("topic", "events-stream-r11")
