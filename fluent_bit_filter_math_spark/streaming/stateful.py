@@ -410,7 +410,11 @@ class _UserTotalsProcessor(StatefulProcessor):
         self._totals = handle.getValueState("totals", _STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        prev = self._totals.get() if self._totals.exists() else (0, 0)
+        # ONE state RPC, not two: ValueStateClient.get() already
+        # answers None for absent state, so the exists()-then-get()
+        # idiom paid a full extra wire round-trip per key per batch
+        # (the protocol-floor lever VERDICT r12 #4 asked for).
+        prev = self._totals.get() or (0, 0)
         n, cents = int(prev[0]), int(prev[1])
         for pdf in rows:
             n += len(pdf)
@@ -485,9 +489,11 @@ class _TypeStatsProcessor(StatefulProcessor):
                 n, c = agg.get(et, (0, 0))
                 agg[et] = (n + len(grp), c + int(grp["cents"].sum()))
         for et, (n, c) in agg.items():
-            if self._by_type.containsKey((et,)):
-                pn, pc = self._by_type.getValue((et,))
-                n, c = n + int(pn), c + int(pc)
+            # getValue() answers None for an absent key: one RPC per
+            # map entry, not containsKey()+getValue()
+            prev = self._by_type.getValue((et,))
+            if prev is not None:
+                n, c = n + int(prev[0]), c + int(prev[1])
             self._by_type.updateValue((et,), (n, c))
         out = [
             (key[0], k[0], int(v[0]), int(v[1]))
@@ -580,7 +586,8 @@ class _IdleCloseProcessor(StatefulProcessor):
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        prev = self._tot.get() if self._tot.exists() else (0, 0, 0, 0)
+        # get() answers None for absent state: one RPC, not exists()+get()
+        prev = self._tot.get() or (0, 0, 0, 0)
         n, cents, last_ms, timer_ms = (int(x) for x in prev)
         for pdf in rows:
             n += len(pdf)
@@ -610,9 +617,10 @@ class _IdleCloseProcessor(StatefulProcessor):
         return iter([])
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        if not self._tot.exists():
+        row = self._tot.get()  # None => state already closed
+        if row is None:
             return iter([])
-        n, cents, last_ms, _ = (int(x) for x in self._tot.get())
+        n, cents, last_ms, _ = (int(x) for x in row)
         self._tot.clear()
         return iter(
             [
