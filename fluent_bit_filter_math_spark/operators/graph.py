@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.ckpt import release_local_checkpoint
 from fluent_bit_filter_math_spark.functions import duck_hash60, hash60
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
@@ -318,6 +319,11 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0]["mv"]
         )
+        # the movement join was the old snapshot's LAST reader: free
+        # its blocks now instead of pinning every round's full rank
+        # table in executor storage for the life of the query
+        # (ADVICE r12; df.unpersist() cannot do this — see ckpt.py)
+        release_local_checkpoint(ranks)
         ranks = new_ranks
         if movement < PRC_TOL_FP * n_nodes:
             n_rounds = i
@@ -642,7 +648,9 @@ def _tri_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def release_tri_und(spark: SparkSession, sf_dir: str | None = None) -> None:
-    """Evict the session's checkpointed co-occurrence graph frames."""
+    """Evict the session's checkpointed co-occurrence graph frames AND
+    free their storage blocks (popping the dict alone deferred reclaim
+    to GC — ADVICE r12)."""
     app_id = spark.sparkContext.applicationId
     for cache in (_TRI_UND_CACHE, _TRI_O_CACHE):
         for key in [
@@ -650,7 +658,11 @@ def release_tri_und(spark: SparkSession, sf_dir: str | None = None) -> None:
             for k in cache
             if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
         ]:
-            cache.pop(key)
+            frames = cache.pop(key)
+            for df in (
+                frames if isinstance(frames, tuple) else (frames,)
+            ):
+                release_local_checkpoint(df)
 
 
 def _tri_pipeline(
@@ -874,14 +886,17 @@ def _tri_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
 def release_tri_oriented(
     spark: SparkSession, sf_dir: str | None = None
 ) -> None:
-    """Evict the session's checkpointed oriented edge list."""
+    """Evict the session's checkpointed oriented edge list and free
+    its storage blocks."""
     app_id = spark.sparkContext.applicationId
     for key in [
         k
         for k in _TRI_ORIENTED_CACHE
         if k[0] == app_id and (sf_dir is None or k[1] == sf_dir)
     ]:
-        _TRI_ORIENTED_CACHE.pop(key)
+        frames = _TRI_ORIENTED_CACHE.pop(key)
+        for df in frames if isinstance(frames, tuple) else (frames,):
+            release_local_checkpoint(df)
 
 
 @register(
