@@ -67,81 +67,31 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
-    # --- round 12 rotation (composition from tools/green_age.py) ---
-    # Zero never-checked backlog again (all 325 queries driver-green by
-    # the r1-r11 union), so the whole 50-slot window is tier-3
-    # staleness retirement per VERDICT r11 "Next round" #1. Exact
-    # composition: SEVEN tier-2 insertions (io_table_format_snapshot,
-    # stream_table_format_sink, stream_table_format_source — the
-    # r12-new commit-log table format — plus mm_jpeg_decode +
-    # mm_jpeg_color_decode + mm_jpeg_420_decode, the baseline-JPEG
-    # entropy layer in grayscale, YCbCr-4:4:4 and 4:2:0-subsampled
-    # forms, and io_avro_roundtrip, the from-scratch Avro OCF
-    # connector; all never driver-checked), then the 4 r4-era greens
-    # and the complete 39-query r5-era cohort — 50 total.
-    # Done-criterion: once CORRECTNESS_r12.json lands,
-    # tools/green_age.py shows no query whose newest driver green is
-    # older than r6 except the seven displaced r6 picks
-    # (agg_corr_stats, agg_regr_ols, fn_bitwise_suite,
-    # io_partitioned_prune, join_bucketed_colocated,
-    # math_case_insensitive, math_cast_int — r13 queue head).
-    # tier 2: new this round (the commit-log table format's batch and
-    # streaming halves).
+    # --- round 13 rotation (composition from tools/green_age.py) ---
+    # 50-slot window = 13 tier-2 (4 never-checked r13 ops:
+    # table-format data skipping, Avro schema resolution, JPEG DRI,
+    # byte-level BPE; 1 changed-oracle: mm_jpeg_420_decode now crops
+    # to partial-MCU dims; 8 changed-path r12 greens: the table
+    # format stats/offset/sink changes, the schema-driven Avro codec,
+    # the bounded-fetch broker, and the RPC-halved TWS processors)
+    # + the COMPLETE 37-query r6-era cohort (the oldest greens in
+    # the corpus; VERDICT r12 #7: after r13 lands, no query's newest
+    # driver green is older than r7).
+    # tier 2: new or changed this round.
+    "io_table_format_skipping",
+    "io_avro_schema_evolution",
+    "mm_jpeg_dri_decode",
+    "text_bpe_byte_encode",
+    "mm_jpeg_420_decode",
     "io_table_format_snapshot",
     "stream_table_format_sink",
     "stream_table_format_source",
-    "mm_jpeg_decode",
-    "mm_jpeg_color_decode",
-    "mm_jpeg_420_decode",
     "io_avro_roundtrip",
-    # tier 3a: the 4 r4-era stale greens (oldest in the corpus).
-    "text_repetition_filter",
-    "udf_scalar_doc_stats",
-    "udtf_tokenize_docs",
-    "win_tumbling_hour",
-    # tier 3b: the complete r5-era cohort (39 queries, alphabetical).
-    "agg_approx_distinct",
-    "agg_histogram",
-    "agg_string_agg",
-    "dedup_minhash_lsh",
-    "emb_quantize_int8",
-    "fn_array_suite",
-    "fn_conditional_suite",
-    "fn_higher_order_suite",
-    "fn_map_suite",
-    "fn_null_semantics",
-    "fn_try_suite",
-    "join_asof_events",
-    "join_semi",
-    "math_chain",
-    "math_div_ieee",
-    "math_malformed_passthrough",
-    "math_sum",
-    "math_tag_route",
-    "mem_source_fold",
-    "q1_pricing_summary",
-    "reshape_unpivot",
-    "sample_per_stratum_topk",
-    "sample_split_assign",
-    "setop_except_all",
-    "setop_intersect_all",
-    "sim_topk_bruteforce",
-    "stream_dedup_events",
-    "stream_dedup_within_watermark",
-    "stream_file_sink_roundtrip",
-    "stream_math_fold",
-    "stream_stream_join_attrib",
-    "subq_in_big_orders",
-    "subq_scalar_below_avg_qty",
-    "text_quality_score",
-    "topk_per_group",
-    "ts_resample_locf",
-    "win_session_user",
-    "win_sliding_hour_30m",
-    "window_distribution_fns",
-    # tier 3c: empty this round — the seven tier-2 insertions consumed
-    # the r6-era slots; the displaced picks named above head the r13
-    # queue with the other 30 r6-era queries below.
+    "stream_kafka_wire_fold",
+    "stream_tws_user_totals",
+    "stream_tws_type_stats",
+    "stream_tws_idle_close",
+    # tier 3: the complete r6-era cohort (37, alphabetical).
     "agg_corr_stats",
     "agg_regr_ols",
     "fn_bitwise_suite",
@@ -149,9 +99,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     "math_case_insensitive",
     "math_cast_int",
-    # Past slot 50 — the remaining r6-era cohort by age then name;
-    # queries touched in r12 get promoted into r13's tier 2 ahead of
-    # these.
     "math_div",
     "math_missing_field",
     "math_mul",
@@ -164,6 +111,26 @@ _PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sessionize_events",
+    "stream_latest_state_per_user",
+    "text_doc_freq",
+    "text_lm_score",
+    "text_tfidf_topterms",
+    "ts_interpolate_linear",
+    "udaf_group_ols",
+    "window_value_fns",
+    # Past slot 50 — next-oldest (r7-era) greens; the full r7
+    # cohort is the r14 queue head per tools/green_age.py.
 )
 
 

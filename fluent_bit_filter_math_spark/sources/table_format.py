@@ -359,6 +359,8 @@ def _file_survives(stats: dict, predicates: list[tuple]) -> bool:
     keep the file (skipping must never be wrong, only less effective).
     NULLs never satisfy a comparison, so min/max bounds over the
     non-null values are exactly the right interval."""
+    import math as _math
+
     for col, op, val in predicates:
         st = stats.get(col)
         if not st or "min" not in st:
@@ -366,6 +368,11 @@ def _file_survives(stats: dict, predicates: list[tuple]) -> bool:
         lo, hi = st["min"], st["max"]
         # cross-type guard: stats harvested as str can't bound numbers
         if isinstance(val, (int, float)) != isinstance(lo, (int, float)):
+            continue
+        # NaN guard: Python comparisons with NaN are all-False (would
+        # prune every file) while Spark orders NaN ABOVE every double —
+        # a NaN literal is never prunable, keep the file
+        if isinstance(val, float) and _math.isnan(val):
             continue
         if op == "=" and not (lo <= val <= hi):
             return False

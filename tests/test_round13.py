@@ -526,3 +526,12 @@ class TestBpeBytePretokenizer:
         # documented divergence from GPT-2: 2+ spaces stay standalone
         assert f("a  b") == ["a", "  ", "b"]
         assert f(" !? x") == [" !?", " x"]
+
+
+def test_skipping_nan_literal_never_prunes():
+    """Spark orders NaN above every double; Python NaN comparisons are
+    all-False — without the guard a NaN literal would prune EVERY
+    file."""
+    assert _file_survives(
+        {"k": {"min": 0.0, "max": 1.0}}, [("k", ">", float("nan"))]
+    )
