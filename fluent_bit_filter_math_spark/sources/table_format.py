@@ -90,16 +90,91 @@ def latest_version(table_path: str) -> int:
     return max(versions, default=-1)
 
 
-def _resolve(
+# ---------------------------------------------------------------------------
+# LOG CHECKPOINTS — Delta's `_last_checkpoint` recipe: without them,
+# every snapshot read replays the WHOLE commit chain, so metadata cost
+# grows linearly with table age (a streaming sink committing every
+# minute = half a million commits a year). A checkpoint at version V
+# is one JSON file holding the fully-replayed live state at V; a
+# reader starts from the newest checkpoint ≤ its target version and
+# replays only the commits after it. Checkpoints are written with the
+# same `open(x)` atomic publish as commits and are PURELY an
+# accelerator: deleting every checkpoint file only makes reads slower,
+# never wrong (pinned in tests).
+# ---------------------------------------------------------------------------
+_CKPT_EVERY = 10  # write a checkpoint every N commits (Delta's default)
+
+
+def _ckpt_path(table_path: str, version: int) -> str:
+    return os.path.join(
+        table_path, _LOG_DIR, f"{version:0{_WIDTH}d}.checkpoint.json"
+    )
+
+
+def latest_checkpoint(
+    table_path: str, max_version: int
+) -> tuple[int, dict] | None:
+    """(version, {rel: [schema, stats]}) of the newest checkpoint at or
+    below *max_version*, or None."""
+    log = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log):
+        return None
+    suffix = ".checkpoint.json"
+    best = -1
+    for f in os.listdir(log):
+        if not f.endswith(suffix):
+            continue
+        stem = f[: -len(suffix)]
+        if stem.isdigit() and best < int(stem) <= max_version:
+            best = int(stem)
+    if best < 0:
+        return None
+    with open(_ckpt_path(table_path, best)) as f:
+        return best, json.load(f)
+
+
+def write_checkpoint(table_path: str, version: int | None = None) -> int:
+    """Materialize the replayed state at *version* (default: head) as a
+    checkpoint file. Idempotent: an existing checkpoint at that
+    version is left in place (its content is a pure function of the
+    immutable commit prefix)."""
+    v = latest_version(table_path) if version is None else version
+    schema, live = _resolve_live(table_path, v)
+    payload = json.dumps(
+        {
+            "version": v,
+            "live": {rel: [sch, stats] for rel, (sch, stats) in live.items()},
+            "schema": schema,
+        },
+        sort_keys=True,
+    )
+    try:
+        with open(_ckpt_path(table_path, v), "x") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError:
+        pass  # same prefix => same content; first writer wins
+    return v
+
+
+def _resolve_live(
     table_path: str, version: int
-) -> tuple[list[tuple[str, dict]], str, bool]:
-    """Replay commits 0..version: ([(rel path, per-file column stats)],
-    newest schema DDL, evolved?) — ``evolved`` is True when live files
-    were written under MORE THAN ONE schema (the reader must
-    mergeSchema)."""
-    live: dict[str, tuple[str, dict]] = {}  # rel -> (writer schema, stats)
+) -> tuple[str, dict[str, tuple[str, dict]]]:
+    """(newest schema DDL, {rel: (writer schema, stats)}) at *version*,
+    starting from the newest checkpoint ≤ version when one exists."""
+    live: dict[str, tuple[str, dict]] = {}
     schema = ""
-    for v in range(version + 1):
+    start = 0
+    ckpt = latest_checkpoint(table_path, version)
+    if ckpt is not None:
+        cv, state = ckpt
+        live = {
+            rel: (sch, stats) for rel, (sch, stats) in state["live"].items()
+        }
+        schema = state.get("schema", "")
+        start = cv + 1
+    for v in range(start, version + 1):
         p = _log_path(table_path, v)
         with open(p) as f:
             commit = json.load(f)
@@ -109,6 +184,17 @@ def _resolve(
         for entry in commit.get("add", []):
             live[_add_path(entry)] = (sch, _add_stats(entry))
         schema = sch
+    return schema, live
+
+
+def _resolve(
+    table_path: str, version: int
+) -> tuple[list[tuple[str, dict]], str, bool]:
+    """Replay commits 0..version (checkpoint-accelerated): ([(rel path,
+    per-file column stats)], newest schema DDL, evolved?) — ``evolved``
+    is True when live files were written under MORE THAN ONE schema
+    (the reader must mergeSchema)."""
+    schema, live = _resolve_live(table_path, version)
     evolved = len({s for s, _ in live.values()}) > 1
     files = [(rel, stats) for rel, (_, stats) in live.items()]
     return files, schema, evolved
@@ -232,6 +318,20 @@ def _publish(
         raise CommitConflict(
             f"version {version} already committed at {path}"
         ) from exc
+    _maybe_checkpoint(table_path, version)
+
+
+def _maybe_checkpoint(table_path: str, version: int) -> None:
+    """Every _CKPT_EVERY-th commit materializes a checkpoint so replay
+    cost stays O(_CKPT_EVERY), not O(table age). Best-effort: a failed
+    checkpoint write never fails the commit that triggered it (the
+    commit is already durable; the next trigger retries)."""
+    if (version + 1) % _CKPT_EVERY:
+        return
+    try:
+        write_checkpoint(table_path, version)
+    except Exception:
+        pass
 
 
 def _commit_with_rebase(
@@ -652,6 +752,7 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
         raise CommitConflict(
             f"version {version} already committed"
         ) from exc
+    _maybe_checkpoint(table_path, version)
     return version
 
 

@@ -535,3 +535,59 @@ def test_skipping_nan_literal_never_prunes():
     assert _file_survives(
         {"k": {"min": 0.0, "max": 1.0}}, [("k", ">", float("nan"))]
     )
+
+
+# ---------------------------------------------------------------------------
+# Log checkpoints (Delta's _last_checkpoint recipe)
+# ---------------------------------------------------------------------------
+class TestLogCheckpoints:
+    def test_checkpoint_written_every_n_commits(self, spark, tmp_path):
+        import glob
+
+        from fluent_bit_filter_math_spark.sources import table_format as tf
+
+        t = str(tmp_path / "t")
+        for i in range(tf._CKPT_EVERY + 2):
+            tf.tf_append(_mk(spark, i * 10, i * 10 + 10).coalesce(1), t)
+        cps = glob.glob(os.path.join(t, "_log", "*.checkpoint.json"))
+        assert len(cps) == 1
+        got = tf.latest_checkpoint(t, tf.latest_version(t))
+        assert got is not None and got[0] == tf._CKPT_EVERY - 1
+        # full correctness through the checkpointed replay path
+        df = tf.tf_read(spark, t)
+        assert df.count() == (tf._CKPT_EVERY + 2) * 10
+        # time travel BELOW the checkpoint still replays from zero
+        assert tf.tf_read(spark, t, version=2).count() == 30
+
+    def test_checkpoints_are_pure_accelerators(self, spark, tmp_path):
+        """Deleting every checkpoint only makes reads slower, never
+        wrong — and replay-from-checkpoint equals replay-from-zero
+        bit-for-bit, including stats-based skipping and overwrites."""
+        import glob
+
+        from fluent_bit_filter_math_spark.sources import table_format as tf
+
+        t = str(tmp_path / "t")
+        for i in range(tf._CKPT_EVERY):
+            tf.tf_append(_mk(spark, i * 100, i * 100 + 100).coalesce(1), t)
+        tf.tf_overwrite(_mk(spark, 0, 50), t)
+        with_ckpt = sorted(
+            r.k for r in tf.tf_read(spark, t).collect()
+        )
+        kept_c, total_c = tf.tf_pruned_files(t, [("k", ">", 10)])
+        for p in glob.glob(os.path.join(t, "_log", "*.checkpoint.json")):
+            os.remove(p)
+        without = sorted(r.k for r in tf.tf_read(spark, t).collect())
+        kept_n, total_n = tf.tf_pruned_files(t, [("k", ">", 10)])
+        assert with_ckpt == without == list(range(50))
+        assert (sorted(kept_c), total_c) == (sorted(kept_n), total_n)
+
+    def test_write_checkpoint_idempotent(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources import table_format as tf
+
+        t = str(tmp_path / "t")
+        tf.tf_append(_mk(spark, 0, 10), t)
+        v1 = tf.write_checkpoint(t)
+        v2 = tf.write_checkpoint(t)  # second write: first wins, no error
+        assert v1 == v2 == tf.latest_version(t)
+        assert tf.tf_read(spark, t).count() == 10
