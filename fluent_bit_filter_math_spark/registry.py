@@ -68,7 +68,8 @@ _LOADED = False
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
     # --- round 13 rotation (composition from tools/green_age.py) ---
-    # 50-slot window = 13 tier-2 (4 never-checked r13 ops:
+    # 50-slot window = 14 tier-2 (5 never-checked r13 ops incl. the
+    # late io_table_format_merge:
     # table-format data skipping, Avro schema resolution, JPEG DRI,
     # byte-level BPE; 1 changed-oracle: mm_jpeg_420_decode now crops
     # to partial-MCU dims; 8 changed-path r12 greens: the table
@@ -79,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     # driver green is older than r7).
     # tier 2: new or changed this round.
     "io_table_format_skipping",
+    "io_table_format_merge",
     "io_avro_schema_evolution",
     "mm_jpeg_dri_decode",
     "text_bpe_byte_encode",
@@ -128,8 +130,12 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_topterms",
     "ts_interpolate_linear",
     "udaf_group_ols",
+    # Past slot 50 — window_value_fns (r6-era, displaced by the
+    # late-r13 io_table_format_merge insertion) heads the overflow,
+    # then the next-oldest (r7-era) greens; the full r7 cohort is the
+    # r14 queue head per tools/green_age.py.
     "window_value_fns",
-    # Past slot 50 — next-oldest (r7-era) greens; the full r7
+    # (r7 cohort follows in import order) next-oldest (r7-era) greens; the full r7
     # cohort is the r14 queue head per tools/green_age.py.
 )
 

@@ -591,3 +591,82 @@ class TestLogCheckpoints:
         v2 = tf.write_checkpoint(t)  # second write: first wins, no error
         assert v1 == v2 == tf.latest_version(t)
         assert tf.tf_read(spark, t).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO through the log (stats-pruned rewrite)
+# ---------------------------------------------------------------------------
+class TestTfMerge:
+    def _table(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        for lo in (0, 100, 200, 300):
+            tf_append(_mk(spark, lo, lo + 100).coalesce(1), t)
+        return t
+
+    def _changes(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, v long, _delete boolean"
+        )
+
+    def test_merge_rewrites_only_overlapping_files(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_merge,
+        )
+
+        t = self._table(spark, tmp_path)
+        # updates + deletes + inserts all confined to the last file's
+        # key range (and beyond): exactly 1 of 4 files rewritten
+        ch = self._changes(
+            spark,
+            [(350, 9999, False), (399, 0, True), (450, 4500, False)],
+        )
+        v, rewritten, untouched = tf_merge(spark, t, ch, "k")
+        assert (rewritten, untouched) == (1, 3)
+        snap = {r.k: r.v for r in tf_read(spark, t, version=v).collect()}
+        assert len(snap) == 400  # 400 - 1 delete + 1 insert
+        assert snap[350] == 9999 and snap[450] == 4500
+        assert 399 not in snap
+        assert snap[10] == 30  # untouched file intact
+        # time travel to the pre-merge snapshot still works
+        assert tf_read(spark, t, version=v - 1).count() == 400
+
+    def test_merge_empty_batch_is_noop(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            latest_version,
+            tf_merge,
+        )
+
+        t = self._table(spark, tmp_path)
+        head = latest_version(t)
+        v, rewritten, untouched = tf_merge(
+            spark, t, self._changes(spark, []), "k"
+        )
+        assert (v, rewritten, untouched) == (head, 0, 4)
+
+    def test_merge_conflict_raises(self, spark, tmp_path, monkeypatch):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            latest_version,
+            tf_merge,
+        )
+
+        t = self._table(spark, tmp_path)
+        # another writer already landed, but the merge's FIRST look at
+        # the head (its snapshot read) still sees the old version —
+        # the deterministic twin of a commit racing into the window
+        # between the merge's read and its publish
+        head0 = latest_version(t)
+        tf_append(_mk(spark, 400, 410), t)
+        _stale_latest_version(monkeypatch, head0, 1)
+        with pytest.raises(ConcurrentOverwrite):
+            tf_merge(spark, t, self._changes(
+                spark, [(5, 1, False)]), "k")
+
+    def test_merge_full_range_touches_everything(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_merge,
+        )
+
+        t = self._table(spark, tmp_path)
+        ch = self._changes(spark, [(0, -1, False), (399, -1, False)])
+        _, rewritten, untouched = tf_merge(spark, t, ch, "k")
+        assert (rewritten, untouched) == (4, 0)
