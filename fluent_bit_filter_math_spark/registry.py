@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     # tier 2: new or changed this round.
     "io_table_format_skipping",
     "io_table_format_merge",
+    "io_table_format_zorder_compact",
     "io_avro_schema_evolution",
     "mm_jpeg_dri_decode",
     "text_bpe_byte_encode",
@@ -129,6 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_lm_score",
     "text_tfidf_topterms",
     "ts_interpolate_linear",
+    # Past slot 50 — udaf_group_ols + window_value_fns (r6-era,
+    # displaced by the late-r13 merge/zorder insertions) head the
+    # overflow queue.
     "udaf_group_ols",
     # Past slot 50 — window_value_fns (r6-era, displaced by the
     # late-r13 io_table_format_merge insertion) heads the overflow,

@@ -951,18 +951,62 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
     return version
 
 
-def tf_compact(spark: SparkSession, table_path: str) -> int:
+def tf_compact(
+    spark: SparkSession,
+    table_path: str,
+    zorder_by: tuple[str, str] | None = None,
+    n_files: int = 1,
+) -> int:
     """Small-file compaction as ONE commit: read the live snapshot,
-    rewrite it as a single right-sized file set, publish add(compacted)
-    + remove(all prior live) atomically. Readers of the latest snapshot
+    rewrite it as a right-sized file set, publish add(compacted) +
+    remove(all prior live) atomically. Readers of the latest snapshot
     flip file sets at the commit boundary; time travel still resolves
     every older version (dead files stay on disk until vacuum) — the
-    OPTIMIZE/rewrite_data_files recipe."""
+    OPTIMIZE/rewrite_data_files recipe.
+
+    With *zorder_by* = (colA, colB), the rewrite range-partitions on
+    the min/max-normalized Morton interleave of the two columns
+    (Delta's OPTIMIZE ZORDER, reusing the layout engine of
+    operators/storage.py): every compacted file then covers a NARROW
+    rectangle of BOTH dimensions, so the stats recorded in its add
+    action let :func:`tf_scan` skip files for predicates on either
+    column — compaction and data skipping composed."""
+    import pyspark.sql.functions as F
+
     head = latest_version(table_path)
     files, _, evolved = _replay(table_path, head)
     snap = spark.read.option("mergeSchema", str(evolved).lower()).parquet(*files)
     remove = [os.path.relpath(p, table_path) for p in files]
-    add, schema = _stage(snap.coalesce(1), table_path)
+    if zorder_by is not None:
+        from fluent_bit_filter_math_spark.operators.storage import (
+            _znorm,
+            _zvalue,
+        )
+
+        ca, cb = zorder_by
+        bounds = snap.agg(
+            F.min(ca).alias("_alo"),
+            F.max(ca).alias("_ahi"),
+            F.min(cb).alias("_blo"),
+            F.max(cb).alias("_bhi"),
+        )
+        rewritten = (
+            snap.join(F.broadcast(bounds))
+            .withColumn(
+                "_z",
+                _zvalue(
+                    _znorm(F.col(ca), F.col("_alo"), F.col("_ahi")),
+                    _znorm(F.col(cb), F.col("_blo"), F.col("_bhi")),
+                ),
+            )
+            .drop("_alo", "_ahi", "_blo", "_bhi")
+            .repartitionByRange(max(1, n_files), "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    else:
+        rewritten = snap.coalesce(max(1, n_files))
+    add, schema = _stage(rewritten, table_path)
     version = head + 1
     _publish(table_path, version, add, remove, schema, "compact")
     try:
@@ -972,6 +1016,102 @@ def tf_compact(spark: SparkSession, table_path: str) -> int:
     except Exception:
         pass
     return version
+
+
+@register(
+    "io_table_format_zorder_compact",
+    oracle="""
+    WITH m AS (SELECT MAX(event_id) AS mx FROM events)
+    SELECT 'event_band' AS probe,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+           CAST(MIN(event_id) AS BIGINT) AS min_eid,
+           CAST(MAX(event_id) AS BIGINT) AS max_eid
+    FROM events, m WHERE event_id <= mx // 4
+    UNION ALL
+    SELECT 'user_band',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT),
+           CAST(SUM(user_id) AS BIGINT),
+           CAST(MIN(event_id) AS BIGINT),
+           CAST(MAX(event_id) AS BIGINT)
+    FROM events WHERE user_id BETWEEN 40 AND 55
+    ORDER BY probe
+    """,
+)
+def io_table_format_zorder_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ZORDER through the commit log: events land as three
+    modulo-split appends (every file spans the FULL user and event-id
+    ranges, so the stats can prune NOTHING — pinned in-query), then
+    one z-ordered compaction commit rewrites the table into 16 files
+    range-partitioned on the (user_id, event_id) Morton interleave.
+    Each compacted file's add action now carries a narrow rectangle of
+    BOTH dimensions, so tf_scan skips files for a predicate on EITHER
+    column (both probes pinned < 16 files in-query) — compaction,
+    per-file stats, and data skipping composed, exactly Delta's
+    OPTIMIZE ZORDER + dataSkippingNumIndexedCols read path. Values
+    must match the layout-free closed form bitwise.
+    Reference analogue: none; the engine's lakehouse north star."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    base = scratch_dir("table-format-zorder")
+    tpath = os.path.join(base, "events_z")
+    for r in range(3):
+        tf_append(ev.filter(F.col("event_id") % 3 == r), tpath)
+    user_preds = [("user_id", ">=", 40), ("user_id", "<=", 55)]
+    event_preds = [("event_id", "<=", mx // 4)]
+    kept0, total0 = tf_pruned_files(tpath, user_preds)
+    if len(kept0) != total0:
+        raise RuntimeError(
+            "modulo-split files should span the full user range "
+            f"(no pruning possible): kept {len(kept0)}/{total0}"
+        )
+    tf_compact(
+        spark, tpath, zorder_by=("user_id", "event_id"), n_files=16
+    )
+    kept_u, total = tf_pruned_files(tpath, user_preds)
+    kept_e, _ = tf_pruned_files(tpath, event_preds)
+    if not (len(kept_u) < total and len(kept_e) < total):
+        raise RuntimeError(
+            f"z-order skipping ineffective: user probe {len(kept_u)}"
+            f"/{total}, event probe {len(kept_e)}/{total}"
+        )
+
+    def _probe(name: str, preds: list) -> DataFrame:
+        return (
+            tf_scan(spark, tpath, preds)
+            .agg(
+                F.lit(name).alias("probe"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(exact_cents(F.col("value")))
+                .cast("long")
+                .alias("total_cents"),
+                F.sum("user_id").cast("long").alias("uid_sum"),
+                F.min("event_id").cast("long").alias("min_eid"),
+                F.max("event_id").cast("long").alias("max_eid"),
+            )
+            .select("probe", "n_rows", "total_cents", "uid_sum",
+                    "min_eid", "max_eid")
+        )
+
+    return (
+        _probe("event_band", event_preds)
+        .unionAll(_probe("user_band", user_preds))
+        .orderBy("probe")
+    )
 
 
 def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:

@@ -670,3 +670,32 @@ class TestTfMerge:
         ch = self._changes(spark, [(0, -1, False), (399, -1, False)])
         _, rewritten, untouched = tf_merge(spark, t, ch, "k")
         assert (rewritten, untouched) == (4, 0)
+
+
+def test_zorder_compact_preserves_values_and_time_travel(spark, tmp_path):
+    """Z-ordered compaction is value-invisible, its add actions carry
+    narrow rectangles of BOTH dimensions, and time travel across the
+    compact boundary still resolves the pre-compact snapshot."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.sources import table_format as tf
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("a"), F.col("id").alias("b")
+    )
+    for r in range(2):
+        tf.tf_append(df.filter(F.col("b") % 2 == r), t)
+    v = tf.tf_compact(spark, t, zorder_by=("a", "b"), n_files=8)
+    snap = tf.tf_read(spark, t)
+    assert snap.count() == 1024
+    assert snap.agg(F.sum("b")).collect()[0][0] == 1024 * 1023 // 2
+    # pre-compact time travel intact
+    assert tf.tf_read(spark, t, version=v - 1).count() == 1024
+    # either-dimension skipping works on the compacted stats
+    kept_a, total = tf.tf_pruned_files(t, [("a", "<=", 3)])
+    kept_b, _ = tf.tf_pruned_files(t, [("b", "<=", 100)])
+    assert total == 8 and len(kept_a) < 8 and len(kept_b) < 8
+    # and scans stay exact
+    assert tf.tf_scan(spark, t, [("a", "<=", 3)]).count() == 128
+    assert tf.tf_scan(spark, t, [("b", "<=", 100)]).count() == 101
