@@ -1933,6 +1933,397 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG (SOF2, spectral selection — T.81 Annex G): the
+# image transmits as MULTIPLE SCANS over one persistent coefficient
+# array — first all DC coefficients (a recognizable 1/64-resolution
+# preview), then AC bands (Ss..Se) that sharpen it. The AC band scans
+# use progressive-specific entropy coding (G.1.2.2): the RRRRSSSS
+# alphabet is baseline's EXCEPT that SSSS=0 with RRRR<15 is EOBn — an
+# END-OF-BAND RUN of 2^RRRR + (RRRR extra bits) consecutive blocks
+# whose remaining band is all zero, carried ACROSS blocks (the state
+# baseline never has). Successive approximation (Ah/Al bit planes) is
+# the documented remaining extension; spectral selection alone is a
+# legal, widely-emitted progressive subset (Ah=Al=0 scans).
+#
+# Exactness: the entropy layer is lossless, so progressive decode of a
+# progressive encode must reproduce EXACTLY the pixels of the baseline
+# roundtrip of the same plane — pinned by hypothesis on random planes;
+# the oracle-gated query uses the block-constant fixture closed form
+# (where the AC scans are pure EOB-run streams, exercising exactly the
+# cross-block state machine).
+# ---------------------------------------------------------------------------
+_JPEG_PROG_BANDS = ((1, 5), (6, 63))  # libjpeg's default-ish split
+
+# The progressive AC alphabet = baseline's 162 symbols + EOB1..EOB14
+# (0x10..0xE0 — SSSS=0, RRRR<15), still one flat 8-bit-code table:
+# 176/2^8 ≤ 1 keeps it Kraft-legal, and every file carries its own
+# DHT so the two table families never mix.
+_JPEG_PAC_BITS = [0] * 7 + [176] + [0] * 8
+_JPEG_PAC_VALS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _jpeg_coef_blocks(plane):
+    """Quantized zigzag coefficient sequences for every 8x8 block
+    (quant table = ones), raster order — the shared front half of the
+    baseline and progressive encoders."""
+    import numpy as np
+
+    h, w = plane.shape
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    out = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            q = np.rint(
+                c @ (block.astype(np.float64) - 128.0) @ c.T
+            ).astype(np.int64)
+            out.append([int(q[r, cc]) for r, cc in zz])
+    return out
+
+
+def _jpeg_encode_progressive(plane, bands=_JPEG_PROG_BANDS) -> bytes:
+    """Grayscale PROGRESSIVE (SOF2) JFIF: one DC scan then one AC scan
+    per (Ss, Se) band in *bands*, spectral selection only (Ah=Al=0)."""
+    import struct
+
+    import numpy as np  # noqa: F401  (parity with the baseline encoder)
+
+    h, w = plane.shape
+    if h % 8 or w % 8:
+        raise ValueError("plane dims must be multiples of 8")
+    blocks = _jpeg_coef_blocks(plane)
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_PAC_BITS, _JPEG_PAC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(ss: int, se: int) -> bytes:
+        return seg(0xDA, b"\x01" + bytes([1, 0x00]) + bytes([ss, se, 0]))
+
+    # scan 1 — DC coefficients (identical coding to baseline DC)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for seq in blocks:
+        diff = seq[0] - prev_dc
+        prev_dc = seq[0]
+        s = _jpeg_size(abs(diff))
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans = [sos_header(0, 0) + bw.flush()]
+
+    # AC band scans — G.1.2.2 with the cross-block EOB run
+    for ss, se in bands:
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            # EOBn codes runs in [2^r, 2^(r+1)-1] via r extra bits, so
+            # one code covers any run ≤ 32767 (r ≤ 14) — the 0x7FFF cap
+            # below keeps eobrun inside that envelope.
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            ln, code = ac_codes[r << 4]
+            bw.put(code, ln)
+            if r:
+                bw.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for seq in blocks:
+            band = seq[ss : se + 1]
+            # index of the last nonzero in the band, or -1
+            last = max(
+                (i for i, v in enumerate(band) if v), default=-1
+            )
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # spec max EOB run
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for v in band[: last + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                s = _jpeg_size(abs(v))
+                ln, code = ac_codes[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < len(band) - 1:
+                eobrun += 1  # trailing zeros: this block starts a run
+        flush_eobrun()
+        scans.append(sos_header(ss, se) + bw.flush())
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof2 = seg(
+        0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_PAC_BITS) + bytes(_JPEG_PAC_VALS))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof2 + dht_dc + dht_ac
+        + b"".join(scans) + b"\xff\xd9"
+    )
+
+
+def _jpeg_decode_progressive(data: bytes):
+    """Decode a spectral-selection progressive (SOF2) grayscale JPEG:
+    a persistent per-block coefficient array accumulates across scans
+    (DC scan + AC band scans with cross-block EOB runs), then one
+    dequant + IDCT pass renders the final plane. Returns (w, h,
+    uint8 plane)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: no SOI")
+    pos = 2
+    qt = None
+    dims = None
+    huff: dict = {}
+    coefs: list | None = None
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker stream")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI: all scans consumed
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated marker stream")
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            if not body or body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            qt = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale progressive")
+            if body[7] != 0x11:
+                raise ValueError("subsampled scans unsupported")
+            dims = (w, h)
+            if w % 8 or h % 8:
+                raise ValueError("dims must be multiples of 8")
+            coefs = [[0] * 64 for _ in range((h // 8) * (w // 8))]
+        elif marker == 0xC0:
+            raise ValueError("baseline SOF in progressive decoder")
+        elif marker in (0xC1, 0xC3):
+            raise ValueError("non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError(
+                "restart intervals unsupported on the progressive path"
+            )
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                huff[(tc_th >> 4, tc_th & 15)] = _jpeg_decode_table(
+                    _jpeg_canonical(bits, vals)
+                )
+                off += 17 + nvals
+        elif marker == 0xDA:
+            if dims is None or qt is None or coefs is None:
+                raise ValueError("SOS before SOF2/DQT")
+            if body[0] != 1:
+                raise ValueError("only 1-component scans")
+            td, ta = body[2] >> 4, body[2] & 15
+            ss, se, ahl = body[3], body[4], body[5]
+            if ahl:
+                raise ValueError(
+                    "successive approximation unsupported (spectral "
+                    "selection only)"
+                )
+            if ss > se or se > 63:
+                raise ValueError("bad spectral band")
+            rd = _JpegBitReader(data, pos)
+            pos = _jpeg_prog_scan(rd, coefs, huff, td, ta, ss, se)
+    if coefs is None:
+        raise ValueError("EOI before SOF2")
+    w, h = dims
+    c = _jpeg_dct_c()
+    zz = _jpeg_zigzag()
+    plane = np.zeros((h, w), dtype=np.uint8)
+    wb = w // 8
+    for bi, seq in enumerate(coefs):
+        grid = np.zeros((8, 8), dtype=np.float64)
+        for i, (r, cc) in enumerate(zz):
+            grid[r, cc] = seq[i] * qt[i]
+        block = c.T @ grid @ c + 128.0
+        by, bx = divmod(bi, wb)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.rint(block), 0, 255
+        ).astype(np.uint8)
+    return w, h, plane
+
+
+def _jpeg_prog_scan(rd, coefs, huff, td, ta, ss: int, se: int) -> int:
+    """Entropy-decode ONE spectral-selection scan (Ah=Al=0) into the
+    persistent coefficient array; returns the stream position after
+    the scan's entropy data (byte-aligned, at the next marker)."""
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0 (G.1.1.1.1)")
+        dc_tab = huff.get((0, td))
+        if dc_tab is None:
+            raise ValueError("scan references undefined DC table")
+        prev_dc = 0
+        for seq in coefs:
+            s = rd.huff(dc_tab)
+            prev_dc += extend(rd.bits(s), s) if s else 0
+            seq[0] = prev_dc
+        return rd.pos
+    ac_tab = huff.get((1, ta))
+    if ac_tab is None:
+        raise ValueError("scan references undefined AC table")
+    eobrun = 0
+    for seq in coefs:
+        if eobrun:
+            eobrun -= 1  # this block's band is entirely zero
+            continue
+        k = ss
+        while k <= se:
+            rs = rd.huff(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                # EOBn: run of 2^r + r extra bits, INCLUDING this block
+                eobrun = (1 << r) + (rd.bits(r) if r else 0) - 1
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            seq[k] = extend(rd.bits(s), s)
+            k += 1
+    if eobrun:
+        raise ValueError("EOB run past the last block of the scan")
+    return rd.pos
+
+
+def _jpeg_progressive_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            n = len(p)
+            src = p if p else b"\x00"
+            wb = 2 + n % _JPEG_BW_MOD
+            hb = 1 + n % _JPEG_BH_MOD
+            vals = np.frombuffer(
+                (src * (wb * hb // len(src) + 1))[: wb * hb],
+                dtype=np.uint8,
+            ).reshape(hb, wb)
+            plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            data = _jpeg_encode_progressive(plane)
+            n_scans = data.count(b"\xff\xda")  # SOS cannot occur in ECS
+            w, h, out = _jpeg_decode_progressive(data)
+            flat = out.reshape(-1).astype(np.int64)
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    n_scans,
+                    int(flat.sum()),
+                    int(
+                        (
+                            (np.arange(w * h, dtype=np.int64) + 1) * flat
+                        ).sum()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "width",
+                "height",
+                "n_scans",
+                "pix_sum",
+                "pix_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_jpeg_progressive_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             2 + strlen(text) % {_JPEG_BW_MOD} AS wb,
+             1 + strlen(text) % {_JPEG_BH_MOD} AS hb
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST({1 + len(_JPEG_PROG_BANDS)} AS BIGINT) AS n_scans,
+           CAST(64 * list_aggregate(list_transform(range(0, wb * hb),
+               bi -> CAST(ord(text[bi % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, 64 * wb * hb),
+               i -> (i + 1) * CAST(ord(text[
+                   (((i // (8 * wb)) // 8) * wb
+                    + ((i % (8 * wb)) // 8)) % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2, spectral selection) JPEG under the oracle
+    gate: the block-constant fixtures encode as THREE SCANS (DC, then
+    AC bands 1-5 and 6-63 — counted from the wire's SOS markers and
+    pinned against the closed form), and because every AC coefficient
+    of a constant block is zero, the band scans are PURE EOB-RUN
+    streams — the cross-block state machine baseline JPEG doesn't
+    have, exercised on every asset. The decoder accumulates a
+    persistent coefficient array across scans and must reproduce every
+    pixel exactly. Progressive decode ≡ baseline decode on random
+    planes is pinned by hypothesis (the entropy layer is lossless).
+    Reference analogue: none; T.81 Annex G (G.1.2.2 EOBn coding)."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _jpeg_progressive_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_scans long,"
+            " pix_sum long, pix_checksum long"
+        ),
+    )
+
+
 _JPEG_DRI_INTERVAL = 2  # MCUs per restart interval in the DRI fixture
 
 

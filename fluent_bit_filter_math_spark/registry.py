@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_table_format_zorder_compact",
     "io_avro_schema_evolution",
     "mm_jpeg_dri_decode",
+    "mm_jpeg_progressive_decode",
     "text_bpe_byte_encode",
     "mm_jpeg_420_decode",
     "io_table_format_snapshot",
@@ -128,11 +129,14 @@ _PRIORITY: tuple[str, ...] = (
     "stream_latest_state_per_user",
     "text_doc_freq",
     "text_lm_score",
-    "text_tfidf_topterms",
+    # (text_tfidf_topterms displaced past slot 50 by the late-r13
+    # mm_jpeg_progressive_decode insertion)
     "ts_interpolate_linear",
-    # Past slot 50 — udaf_group_ols + window_value_fns (r6-era,
+    # Past slot 50 — text_tfidf_topterms + udaf_group_ols +
+    # window_value_fns (r6-era,
     # displaced by the late-r13 merge/zorder insertions) head the
     # overflow queue.
+    "text_tfidf_topterms",
     "udaf_group_ols",
     # Past slot 50 — window_value_fns (r6-era, displaced by the
     # late-r13 io_table_format_merge insertion) heads the overflow,

@@ -699,3 +699,80 @@ def test_zorder_compact_preserves_values_and_time_travel(spark, tmp_path):
     # and scans stay exact
     assert tf.tf_scan(spark, t, [("a", "<=", 3)]).count() == 128
     assert tf.tf_scan(spark, t, [("b", "<=", 100)]).count() == 101
+
+
+class TestJpegProgressive:
+    """SOF2 spectral-selection progressive (T.81 Annex G): the entropy
+    layer is lossless, so progressive decode must equal BASELINE
+    decode of the same plane exactly — quant and IDCT are shared."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        wb=st.integers(1, 5),
+        hb=st.integers(1, 3),
+    )
+    def test_progressive_equals_baseline_decode(self, seed, wb, hb):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        p = rng.integers(0, 256, size=(8 * hb, 8 * wb), dtype=np.uint8)
+        _, _, base = mm._jpeg_decode(mm._jpeg_encode(p))
+        w, h, prog = mm._jpeg_decode_progressive(
+            mm._jpeg_encode_progressive(p)
+        )
+        assert (w, h) == (8 * wb, 8 * hb)
+        assert (base == prog).all()
+
+    def test_eob_run_spans_many_blocks(self):
+        """A flat plane makes every AC band scan ONE long EOB run —
+        the cross-block state the baseline decoder never has."""
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        p = np.full((24, 8 * 40), 5, dtype=np.uint8)  # 120 blocks
+        data = mm._jpeg_encode_progressive(p)
+        assert data.count(b"\xff\xda") == 3  # DC + two AC band scans
+        _, _, out = mm._jpeg_decode_progressive(data)
+        assert (out == p).all()
+
+    def test_band_structure_is_respected(self):
+        """Custom band splits roundtrip too (scan count follows)."""
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(3)
+        p = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+        data = mm._jpeg_encode_progressive(
+            p, bands=((1, 2), (3, 20), (21, 63))
+        )
+        assert data.count(b"\xff\xda") == 4
+        _, _, base = mm._jpeg_decode(mm._jpeg_encode(p))
+        _, _, prog = mm._jpeg_decode_progressive(data)
+        assert (base == prog).all()
+
+    def test_malformed_rejection(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        p = np.zeros((8, 8), dtype=np.uint8)
+        good = mm._jpeg_encode_progressive(p)
+        # the baseline decoder refuses SOF2 and vice versa
+        with _pytest.raises(ValueError, match="non-baseline"):
+            mm._jpeg_decode(good)
+        with _pytest.raises(ValueError, match="progressive"):
+            mm._jpeg_decode_progressive(mm._jpeg_encode(p))
+        with _pytest.raises(ValueError):
+            mm._jpeg_decode_progressive(good[:9])
+        # successive approximation declared, not silently misdecoded
+        i = good.rindex(b"\xff\xda")
+        bad = bytearray(good)
+        bad[i + 2 + 2 + 5] = 0x01  # Ah/Al byte of the last SOS
+        with _pytest.raises(ValueError, match="successive"):
+            mm._jpeg_decode_progressive(bytes(bad))
