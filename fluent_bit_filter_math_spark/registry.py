@@ -83,6 +83,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_table_format_merge",
     "io_table_format_zorder_compact",
     "io_avro_schema_evolution",
+    "io_avro_logical_types",
     "mm_jpeg_dri_decode",
     "mm_jpeg_progressive_decode",
     "text_bpe_byte_encode",
@@ -131,11 +132,13 @@ _PRIORITY: tuple[str, ...] = (
     "text_lm_score",
     # (text_tfidf_topterms displaced past slot 50 by the late-r13
     # mm_jpeg_progressive_decode insertion)
-    "ts_interpolate_linear",
+    # (ts_interpolate_linear displaced past slot 50 by the late-r13
+    # io_avro_logical_types insertion)
     # Past slot 50 — text_tfidf_topterms + udaf_group_ols +
     # window_value_fns (r6-era,
     # displaced by the late-r13 merge/zorder insertions) head the
     # overflow queue.
+    "ts_interpolate_linear",
     "text_tfidf_topterms",
     "udaf_group_ols",
     # Past slot 50 — window_value_fns (r6-era, displaced by the

@@ -29,6 +29,11 @@ matching, reader-field defaults, and the primitive promotion lattice
 string↔bytes) — see :func:`resolve_schemas` and the
 ``io_avro_schema_evolution`` query.
 
+LOGICAL TYPES (spec §Logical Types) ride the base wire format: date
+(int days), timestamp-millis/micros (long), decimal over bytes
+(big-endian two's-complement unscaled int) — see ``io_avro_logical_
+types``; resolution matches on BASE types per spec.
+
 Limits, honestly: no nested/union/enum/fixed types, no snappy (not in
 the stdlib), and like every Python DataSource, no filter pushdown into
 the source — at scale you convert to parquet for queryable storage
@@ -152,10 +157,89 @@ def _schema_fields(schema: dict) -> list[tuple[str, str]]:
     return [(f["name"], f["type"]) for f in schema["fields"]]
 
 
+# ---------------------------------------------------------------------------
+# LOGICAL TYPES (Avro spec §Logical Types): annotations over a base
+# type — the WIRE format is always the base type's; the logical layer
+# converts to/from richer Python values. Implemented: ``date`` (int =
+# days since epoch), ``timestamp-millis``/``timestamp-micros`` (long),
+# and ``decimal`` over bytes (big-endian two's-complement unscaled
+# integer, minimal length — the interop-trap encoding). Schema
+# RESOLUTION matches/promotes on the BASE types per spec (an unknown
+# logicalType must be ignored, not an error); the reader's logical
+# annotation decides the decoded Python type.
+# ---------------------------------------------------------------------------
+def _base_type(typ) -> str:
+    return typ["type"] if isinstance(typ, dict) else typ
+
+
+def _logical(typ):
+    return typ.get("logicalType") if isinstance(typ, dict) else None
+
+
+def _enc_logical(typ, v) -> int | bytes:
+    """Convert a rich Python value to the base-type wire value.
+    Plain ints/bytes pass through (writers may carry pre-converted
+    columns), so the logical layer never blocks a raw pipeline."""
+    import datetime
+    import decimal
+
+    lt = _logical(typ)
+    if lt == "date" and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if lt in ("timestamp-millis", "timestamp-micros") and isinstance(
+        v, datetime.datetime
+    ):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        # exact integer composition, never float total_seconds()
+        delta = v - datetime.datetime(1970, 1, 1)
+        us = (
+            delta.days * 86_400_000_000
+            + delta.seconds * 1_000_000
+            + delta.microseconds
+        )
+        return us // 1000 if lt == "timestamp-millis" else us
+    if lt == "decimal":
+        scale = typ.get("scale", 0)
+        if isinstance(v, decimal.Decimal):
+            unscaled = int(
+                v.scaleb(scale).to_integral_value(
+                    rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        else:
+            unscaled = int(v)
+        n = max(1, (unscaled.bit_length() + 8) // 8)  # sign bit room
+        return unscaled.to_bytes(n, "big", signed=True)
+    return v
+
+
+def _dec_logical(typ, v):
+    """Convert a decoded base-type value to the logical Python type."""
+    import datetime
+    import decimal
+
+    lt = _logical(typ)
+    if lt == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
+    if lt == "timestamp-millis":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            milliseconds=v
+        )
+    if lt == "timestamp-micros":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=v
+        )
+    if lt == "decimal":
+        unscaled = int.from_bytes(v, "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-typ.get("scale", 0))
+    return v
+
+
 def _enc_row(row, fields=_FIELDS) -> bytes:
     out = bytearray()
     for name, typ in fields:
-        out += _enc_value(typ, row[name])
+        out += _enc_value(_base_type(typ), _enc_logical(typ, row[name]))
     return bytes(out)
 
 
@@ -221,22 +305,27 @@ def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
     matched: set[int] = set()
     for wf in writer["fields"]:
         wtyp = wf["type"]
+        wbase = _base_type(wtyp)
         slot = by_name.get(wf["name"])
         if slot is None:
-            steps.append((wtyp, None, None))
+            steps.append((wbase, None, None, None))
             continue
         rtyp = rfields[slot]["type"]
-        if wtyp == rtyp:
+        rbase = _base_type(rtyp)
+        # resolution matches/promotes on BASE types (spec: unknown or
+        # differing logical annotations are ignored, never an error);
+        # the READER's logical annotation decides the decoded value
+        if wbase == rbase:
             conv = None
-        elif (wtyp, rtyp) in _PROMOTIONS:
-            conv = _PROMOTIONS[(wtyp, rtyp)]
+        elif (wbase, rbase) in _PROMOTIONS:
+            conv = _PROMOTIONS[(wbase, rbase)]
         else:
             raise ValueError(
-                f"field {wf['name']!r}: writer {wtyp!r} does not "
-                f"resolve to reader {rtyp!r}"
+                f"field {wf['name']!r}: writer {wbase!r} does not "
+                f"resolve to reader {rbase!r}"
             )
         matched.add(slot)
-        steps.append((wtyp, slot, conv))
+        steps.append((wbase, slot, conv, rtyp))
     template: list = [None] * len(rfields)
     for i, f in enumerate(rfields):
         if i in matched:
@@ -246,7 +335,11 @@ def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
                 f"reader field {f['name']!r} absent from writer schema "
                 "and has no default"
             )
-        template[i] = _default_value(f["type"], f["default"])
+        # logical defaults are declared in BASE representation
+        template[i] = _dec_logical(
+            f["type"],
+            _default_value(_base_type(f["type"]), f["default"]),
+        )
     return steps, template
 
 
@@ -254,10 +347,12 @@ def _dec_row_resolved(
     buf: bytes, pos: int, steps: list, template: list
 ) -> tuple[tuple, int]:
     vals = list(template)
-    for wtyp, slot, conv in steps:
-        v, pos = _dec_value(wtyp, buf, pos)
+    for wbase, slot, conv, rtyp in steps:
+        v, pos = _dec_value(wbase, buf, pos)
         if slot is not None:
-            vals[slot] = conv(v) if conv is not None else v
+            if conv is not None:
+                v = conv(v)
+            vals[slot] = _dec_logical(rtyp, v)
     return tuple(vals), pos
 
 
@@ -401,6 +496,21 @@ _AVRO_TO_SPARK = {
 }
 
 
+def _avro_to_spark_type(typ) -> str:
+    lt = _logical(typ)
+    if lt == "date":
+        return "date"
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        # decoded values are NAIVE datetimes (epoch arithmetic, no tz):
+        # timestamp_ntz keeps collect() free of session-timezone shifts
+        return "timestamp_ntz"
+    if lt == "decimal":
+        return (
+            f"decimal({typ.get('precision', 38)},{typ.get('scale', 0)})"
+        )
+    return _AVRO_TO_SPARK[_base_type(typ)]
+
+
 class AvroOCFDataSource(DataSource):
     """``spark.read.format("avro_ocf").option("path", dir)``; an
     optional ``readerschema`` option (Avro record JSON) reads every
@@ -420,7 +530,7 @@ class AvroOCFDataSource(DataSource):
             )
         fields = _schema_fields(json.loads(rs))
         return ", ".join(
-            f"{n} {_AVRO_TO_SPARK[t]}" for n, t in fields
+            f"{n} {_avro_to_spark_type(t)}" for n, t in fields
         )
 
     def reader(self, schema):
@@ -642,4 +752,97 @@ def io_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_defaulted"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "io_avro_logical_types",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS amount_cents,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+    FROM events
+    WHERE event_id % 8 = 5
+    GROUP BY day ORDER BY day
+    """,
+)
+def io_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL TYPES end-to-end: an events subset writes to OCF
+    with ``date`` (int days), ``timestamp-micros`` (long) and
+    ``decimal(12,2)`` (bytes: big-endian two's-complement unscaled
+    int, minimal length) fields — the writer ships raw ints/naive
+    datetimes, the wire carries the BASE types, and the reader decodes
+    genuine date/datetime/Decimal Python values that surface as Spark
+    date/timestamp_ntz/decimal columns via the readerschema-derived
+    DataSource schema. The per-day rollup must match the closed form
+    over the raw table bitwise (cents exactness via the decimal's own
+    scale-2 integer arithmetic).
+    Reference analogue: none; Avro 1.11 §Logical Types."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_avro_ocf(spark)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "EventLogical",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {
+                    "name": "ts",
+                    "type": {
+                        "type": "long",
+                        "logicalType": "timestamp-micros",
+                    },
+                },
+                {
+                    "name": "d",
+                    "type": {"type": "int", "logicalType": "date"},
+                },
+                {
+                    "name": "amount",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 12,
+                        "scale": 2,
+                    },
+                },
+            ],
+        }
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 8 == 5)
+        .select(
+            "event_id",
+            "ts",  # naive datetimes -> timestamp-micros
+            F.to_date("ts").alias("d"),  # python dates -> date
+            exact_cents(F.col("value")).alias("amount"),  # unscaled int
+        )
+        .repartition(3)
+    )
+    out = os.path.join(scratch_dir("avro-logical"), "shards")
+    write_ocf(ev, out, schema_json=schema_json)
+    back = (
+        spark.read.format("avro_ocf")
+        .option("path", out)
+        .option("readerschema", schema_json)
+        .load()
+    )
+    return (
+        back.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.sum("amount") * 100).cast("long").alias("amount_cents"),
+            F.date_format(
+                F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("max_ts"),
+        )
+        .orderBy("day")
     )

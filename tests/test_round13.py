@@ -776,3 +776,57 @@ class TestJpegProgressive:
         bad[i + 2 + 2 + 5] = 0x01  # Ah/Al byte of the last SOS
         with _pytest.raises(ValueError, match="successive"):
             mm._jpeg_decode_progressive(bytes(bad))
+
+
+def test_avro_logical_type_vectors(tmp_path):
+    """Spec vectors for the logical layer: date days, timestamp
+    millis/micros epoch arithmetic (integer, never float), decimal
+    bytes as minimal big-endian two's complement (incl. negatives and
+    the 0x80 sign-room edge), and base-type matching under
+    resolution (reader logical annotation wins)."""
+    import datetime
+    import decimal
+
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        _dec_logical,
+        _enc_logical,
+        read_ocf_file,
+        write_ocf_shard,
+    )
+
+    d = {"type": "int", "logicalType": "date"}
+    assert _enc_logical(d, datetime.date(1970, 1, 1)) == 0
+    assert _enc_logical(d, datetime.date(1969, 12, 31)) == -1
+    assert _dec_logical(d, 19723) == datetime.date(2024, 1, 1)
+
+    tus = {"type": "long", "logicalType": "timestamp-micros"}
+    tms = {"type": "long", "logicalType": "timestamp-millis"}
+    t = datetime.datetime(2024, 1, 1, 12, 30, 15, 123456)
+    us = _enc_logical(tus, t)
+    assert _dec_logical(tus, us) == t
+    assert _enc_logical(tms, t) == us // 1000
+    # tz-aware input normalizes to UTC then goes naive
+    aware = t.replace(tzinfo=datetime.timezone.utc)
+    assert _enc_logical(tus, aware) == us
+
+    dec = {"type": "bytes", "logicalType": "decimal",
+           "precision": 12, "scale": 2}
+    assert _enc_logical(dec, 1) == b"\x01"
+    assert _enc_logical(dec, -1) == b"\xff"
+    # 128 needs a second byte for the sign bit (the 0x80 edge)
+    assert _enc_logical(dec, 128) == b"\x00\x80"
+    assert _enc_logical(dec, decimal.Decimal("19.99")) == b"\x07\xcf"
+    assert _dec_logical(dec, b"\x07\xcf") == decimal.Decimal("19.99")
+    assert _dec_logical(dec, b"\xff") == decimal.Decimal("-0.01")
+
+    # file-level roundtrip: writer ships raw ints, reader gets rich
+    # values; resolution matches base types so a logical-annotated
+    # reader reads a plain-typed writer (annotation wins)
+    writer = _rec({"name": "k", "type": "int"})
+    reader = _rec({"name": "k", "type": d})
+    path = str(tmp_path / "lt.avro")
+    write_ocf_shard(path, [{"k": 19723}], codec="null",
+                    schema_json=json.dumps(writer))
+    assert list(read_ocf_file(path, reader)) == [
+        (datetime.date(2024, 1, 1),)
+    ]
