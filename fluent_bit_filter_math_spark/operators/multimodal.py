@@ -2083,6 +2083,189 @@ def _jpeg_encode_progressive(plane, bands=_JPEG_PROG_BANDS) -> bytes:
     )
 
 
+# --- successive approximation (T.81 G.1.2.1-G.1.2.3) ------------------
+# The second progressive axis: coefficients transmit HIGH BITS FIRST
+# (point transform Al), then refinement scans (Ah = Al+1 -> Al) send
+# one correction bit per already-nonzero coefficient and introduce
+# newly-significant ones as ±2^Al. DC refinement is one raw bit per
+# block; AC refinement is the famously fiddly correction-bit walk
+# (libjpeg's encode/decode_mcu_AC_refine, re-derived from the spec):
+# the zero-history run length R counts ONLY zero-history positions,
+# correction bits for history coefficients buffer up and flush after
+# each emitted Huffman code (and after EOBn for the run's blocks).
+
+
+def _jpeg_encode_progressive_sa(plane) -> bytes:
+    """Grayscale SOF2 with BOTH progressive axes: 4 scans — DC high
+    bits (Al=1), DC refinement, AC band 1-63 high bits (Al=1), AC
+    refinement (Ah=1 -> Al=0). Decodes to exactly the baseline
+    coefficients (the refinement restores every low bit)."""
+    import struct
+
+    h, w = plane.shape
+    if h % 8 or w % 8:
+        raise ValueError("plane dims must be multiples of 8")
+    blocks = _jpeg_coef_blocks(plane)
+    dc_codes = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical(_JPEG_PAC_BITS, _JPEG_PAC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(
+            0xDA,
+            b"\x01" + bytes([1, 0x00]) + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    scans = []
+    # scan 1 — DC high bits: code (DC >> 1), ARITHMETIC shift (the DC
+    # point transform is on the two's-complement value, G.1.2.1)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for seq in blocks:
+        v = seq[0] >> 1
+        diff = v - prev_dc
+        prev_dc = v
+        s = _jpeg_size(abs(diff))
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans.append(sos_header(0, 0, 0, 1) + bw.flush())
+    # scan 2 — DC refinement: ONE raw bit per block (the dropped LSB)
+    bw = _JpegBitWriter()
+    for seq in blocks:
+        bw.put(seq[0] & 1, 1)
+    scans.append(sos_header(0, 0, 1, 0) + bw.flush())
+    # scan 3 — AC 1..63 high bits: MAGNITUDE shift t = sign·(|c|>>1),
+    # coded exactly like a spectral-selection scan over t
+    bw = _JpegBitWriter()
+    eobrun = 0
+
+    def flush_eobrun_plain():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        ln, code = ac_codes[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for seq in blocks:
+        band = [
+            (1 if v > 0 else -1) * (abs(v) >> 1) for v in seq[1:64]
+        ]
+        last = max((i for i, v in enumerate(band) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun_plain()
+            continue
+        flush_eobrun_plain()
+        run = 0
+        for v in band[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            s = _jpeg_size(abs(v))
+            ln, code = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 62:
+            eobrun += 1
+    flush_eobrun_plain()
+    scans.append(sos_header(1, 63, 0, 1) + bw.flush())
+    # scan 4 — AC refinement (G.1.2.3): newly-significant coefficients
+    # appear as (R<<4)|1 + sign bit, history coefficients contribute
+    # buffered correction bits, EOB runs carry their blocks' bits
+    bw = _JpegBitWriter()
+    eobrun = 0
+    run_bits: list[int] = []
+
+    def flush_eobrun_refine():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        ln, code = ac_codes[r << 4]
+        bw.put(code, ln)
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        for b in run_bits:
+            bw.put(b, 1)
+        run_bits.clear()
+        eobrun = 0
+
+    for seq in blocks:
+        absv = [abs(v) for v in seq[1:64]]  # Al=0: already the target
+        eob_i = max((i for i, a in enumerate(absv) if a == 1), default=-1)
+        if eob_i < 0:
+            # no newly-significant coefficient: the whole band joins
+            # the EOB run; its history corrections ride the run buffer
+            run_bits.extend(a & 1 for a in absv if a > 1)
+            eobrun += 1
+            if eobrun == 0x7FFF or len(run_bits) > 930:
+                flush_eobrun_refine()  # libjpeg's MAX_CORR_BITS guard
+            continue
+        flush_eobrun_refine()
+        r = 0
+        pending: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            if a > 1:
+                if i < eob_i:
+                    pending.append(a & 1)
+                else:
+                    # history past the last new coefficient: rides the
+                    # EOB-run buffer (the decoder reads it there)
+                    run_bits.append(a & 1)
+                continue
+            while r > 15:
+                ln, code = ac_codes[0xF0]
+                bw.put(code, ln)
+                for b in pending:
+                    bw.put(b, 1)
+                pending.clear()
+                r -= 16
+            ln, code = ac_codes[(r << 4) | 1]
+            bw.put(code, ln)
+            bw.put(1 if seq[1 + i] > 0 else 0, 1)  # sign of ±2^Al
+            for b in pending:
+                bw.put(b, 1)
+            pending.clear()
+            r = 0
+        if r > 0 or run_bits:
+            # trailing zero-history positions after the last new
+            # coefficient: this block ends in an EOB run
+            eobrun += 1
+        # (pending is empty here: every history coefficient after
+        # eob_i went to run_bits, every one before it flushed)
+    flush_eobrun_refine()
+    scans.append(sos_header(1, 63, 1, 0) + bw.flush())
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof2 = seg(
+        0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_PAC_BITS) + bytes(_JPEG_PAC_VALS))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof2 + dht_dc + dht_ac
+        + b"".join(scans) + b"\xff\xd9"
+    )
+
+
 def _jpeg_decode_progressive(data: bytes):
     """Decode a spectral-selection progressive (SOF2) grayscale JPEG:
     a persistent per-block coefficient array accumulates across scans
@@ -2153,15 +2336,20 @@ def _jpeg_decode_progressive(data: bytes):
                 raise ValueError("only 1-component scans")
             td, ta = body[2] >> 4, body[2] & 15
             ss, se, ahl = body[3], body[4], body[5]
-            if ahl:
+            ah, al = ahl >> 4, ahl & 15
+            if ah and ah != al + 1:
                 raise ValueError(
-                    "successive approximation unsupported (spectral "
-                    "selection only)"
+                    "refinement scans must step Ah = Al + 1 (G.1.1.1.1)"
                 )
             if ss > se or se > 63:
                 raise ValueError("bad spectral band")
             rd = _JpegBitReader(data, pos)
-            pos = _jpeg_prog_scan(rd, coefs, huff, td, ta, ss, se)
+            if ah == 0:
+                pos = _jpeg_prog_scan(
+                    rd, coefs, huff, td, ta, ss, se, al
+                )
+            else:
+                pos = _jpeg_prog_refine(rd, coefs, huff, ta, ss, se, al)
     if coefs is None:
         raise ValueError("EOI before SOF2")
     w, h = dims
@@ -2181,10 +2369,13 @@ def _jpeg_decode_progressive(data: bytes):
     return w, h, plane
 
 
-def _jpeg_prog_scan(rd, coefs, huff, td, ta, ss: int, se: int) -> int:
-    """Entropy-decode ONE spectral-selection scan (Ah=Al=0) into the
-    persistent coefficient array; returns the stream position after
-    the scan's entropy data (byte-aligned, at the next marker)."""
+def _jpeg_prog_scan(
+    rd, coefs, huff, td, ta, ss: int, se: int, al: int = 0
+) -> int:
+    """Entropy-decode ONE first-pass scan (Ah=0) into the persistent
+    coefficient array; *al* is the successive-approximation point
+    transform (decoded values land as value·2^Al). Returns the stream
+    position after the scan's entropy data."""
 
     def extend(v: int, s: int) -> int:
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
@@ -2199,7 +2390,7 @@ def _jpeg_prog_scan(rd, coefs, huff, td, ta, ss: int, se: int) -> int:
         for seq in coefs:
             s = rd.huff(dc_tab)
             prev_dc += extend(rd.bits(s), s) if s else 0
-            seq[0] = prev_dc
+            seq[0] = prev_dc << al
         return rd.pos
     ac_tab = huff.get((1, ta))
     if ac_tab is None:
@@ -2223,8 +2414,73 @@ def _jpeg_prog_scan(rd, coefs, huff, td, ta, ss: int, se: int) -> int:
             k += r
             if k > se:
                 raise ValueError("AC run past band end")
-            seq[k] = extend(rd.bits(s), s)
+            v = extend(rd.bits(s), s)
+            seq[k] = v << al if v >= 0 else -((-v) << al)
             k += 1
+    if eobrun:
+        raise ValueError("EOB run past the last block of the scan")
+    return rd.pos
+
+
+def _jpeg_prog_refine(rd, coefs, huff, ta, ss: int, se: int, al: int) -> int:
+    """Entropy-decode ONE refinement scan (Ah = Al+1 → Al, T.81
+    G.1.2.3). DC refinement is one raw bit per block; AC refinement
+    walks the band reading a correction bit at every already-nonzero
+    position passed, placing newly-significant coefficients as ±2^Al
+    when a zero-history run expires, with EOB runs carrying the
+    correction bits of whole all-zero-new blocks."""
+    p1 = 1 << al
+    if ss == 0:
+        for seq in coefs:
+            seq[0] |= rd.bit() << al
+        return rd.pos
+    ac_tab = huff.get((1, ta))
+    if ac_tab is None:
+        raise ValueError("scan references undefined AC table")
+
+    def correct(seq, k):
+        # one correction bit for a history coefficient: set its 2^Al
+        # magnitude bit if the wire says so and it isn't already set
+        if rd.bit() and (abs(seq[k]) & p1) == 0:
+            seq[k] += p1 if seq[k] >= 0 else -p1
+
+    eobrun = 0
+    for seq in coefs:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rd.huff(ac_tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                        break
+                    sval = 0  # ZRL: pass 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement magnitudes must be 1 (G.1.2.3)"
+                        )
+                    sval = p1 if rd.bit() else -p1
+                while k <= se:
+                    if seq[k] != 0:
+                        correct(seq, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if sval and k <= se:
+                    seq[k] = sval
+                k += 1
+        if eobrun:
+            # this block (from k) and the run's remaining blocks: only
+            # correction bits for history coefficients
+            while k <= se:
+                if seq[k] != 0:
+                    correct(seq, k)
+                k += 1
+            eobrun -= 1
     if eobrun:
         raise ValueError("EOB run past the last block of the scan")
     return rd.pos
@@ -2317,6 +2573,100 @@ def mm_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none; T.81 Annex G (G.1.2.2 EOBn coding)."""
     return _ascii_assets(spark, sf_dir).mapInPandas(
         _jpeg_progressive_roundtrip_batches,
+        schema=(
+            "asset_id long, width long, height long, n_scans long,"
+            " pix_sum long, pix_checksum long"
+        ),
+    )
+
+
+def _jpeg_sa_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+            n = len(p)
+            src = p if p else b"\x00"
+            wb = 2 + n % _JPEG_BW_MOD
+            hb = 1 + n % _JPEG_BH_MOD
+            vals = np.frombuffer(
+                (src * (wb * hb // len(src) + 1))[: wb * hb],
+                dtype=np.uint8,
+            ).reshape(hb, wb)
+            plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+            data = _jpeg_encode_progressive_sa(plane)
+            n_scans = data.count(b"\xff\xda")
+            w, h, out = _jpeg_decode_progressive(data)
+            flat = out.reshape(-1).astype(np.int64)
+            rows.append(
+                (
+                    aid,
+                    w,
+                    h,
+                    n_scans,
+                    int(flat.sum()),
+                    int(
+                        (
+                            (np.arange(w * h, dtype=np.int64) + 1) * flat
+                        ).sum()
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id",
+                "width",
+                "height",
+                "n_scans",
+                "pix_sum",
+                "pix_checksum",
+            ],
+        )
+
+
+@register(
+    "mm_jpeg_sa_decode",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             2 + strlen(text) % {_JPEG_BW_MOD} AS wb,
+             1 + strlen(text) % {_JPEG_BH_MOD} AS hb
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(4 AS BIGINT) AS n_scans,
+           CAST(64 * list_aggregate(list_transform(range(0, wb * hb),
+               bi -> CAST(ord(text[bi % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_sum,
+           CAST(list_aggregate(list_transform(range(0, 64 * wb * hb),
+               i -> (i + 1) * CAST(ord(text[
+                   (((i // (8 * wb)) // 8) * wb
+                    + ((i % (8 * wb)) // 8)) % n + 1]) AS BIGINT)),
+               'sum') AS BIGINT) AS pix_checksum
+    FROM d
+    """,
+)
+def mm_jpeg_sa_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE APPROXIMATION progressive JPEG under the oracle
+    gate: the block-constant fixtures encode as FOUR SCANS — DC high
+    bits (point transform Al=1, arithmetic shift), a DC refinement
+    scan (one raw LSB per block), AC 1-63 high bits (magnitude shift),
+    and the AC refinement scan (G.1.2.3) — so every pixel's DC value
+    is reassembled from TWO bit planes across scans, and the AC scans
+    exercise both EOB-run state machines. The correction-bit walk for
+    history coefficients is pinned by hypothesis on random planes
+    (SA decode ≡ baseline decode exactly — 30 cases per run; the
+    entropy layer is lossless end-to-end).
+    Reference analogue: none; T.81 G.1.2.1-G.1.2.3."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _jpeg_sa_roundtrip_batches,
         schema=(
             "asset_id long, width long, height long, n_scans long,"
             " pix_sum long, pix_checksum long"

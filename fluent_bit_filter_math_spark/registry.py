@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_avro_logical_types",
     "mm_jpeg_dri_decode",
     "mm_jpeg_progressive_decode",
+    "mm_jpeg_sa_decode",
     "text_bpe_byte_encode",
     "mm_jpeg_420_decode",
     "io_table_format_snapshot",
@@ -129,7 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "stream_latest_state_per_user",
     "text_doc_freq",
-    "text_lm_score",
+    # (text_lm_score displaced past slot 50 by the late-r13
+    # mm_jpeg_sa_decode insertion)
     # (text_tfidf_topterms displaced past slot 50 by the late-r13
     # mm_jpeg_progressive_decode insertion)
     # (ts_interpolate_linear displaced past slot 50 by the late-r13
@@ -138,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     # window_value_fns (r6-era,
     # displaced by the late-r13 merge/zorder insertions) head the
     # overflow queue.
+    "text_lm_score",
     "ts_interpolate_linear",
     "text_tfidf_topterms",
     "udaf_group_ols",

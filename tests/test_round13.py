@@ -770,12 +770,77 @@ class TestJpegProgressive:
             mm._jpeg_decode_progressive(mm._jpeg_encode(p))
         with _pytest.raises(ValueError):
             mm._jpeg_decode_progressive(good[:9])
-        # successive approximation declared, not silently misdecoded
+        # an illegal successive-approximation step (Ah != Al+1) is
+        # rejected, never silently misdecoded
         i = good.rindex(b"\xff\xda")
         bad = bytearray(good)
-        bad[i + 2 + 2 + 5] = 0x01  # Ah/Al byte of the last SOS
-        with _pytest.raises(ValueError, match="successive"):
+        bad[i + 2 + 2 + 5] = 0x30  # Ah=3, Al=0 on the last SOS
+        with _pytest.raises(ValueError, match="Ah = Al"):
             mm._jpeg_decode_progressive(bytes(bad))
+
+
+class TestJpegSuccessiveApproximation:
+    """Both progressive axes (T.81 G.1.2.1-G.1.2.3): high bits first
+    (point transform Al=1), then refinement scans restore every low
+    bit — decode must equal BASELINE decode exactly."""
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        seed=st.integers(0, 2**32 - 1),
+        wb=st.integers(1, 5),
+        hb=st.integers(1, 3),
+    )
+    def test_sa_equals_baseline_decode(self, seed, wb, hb):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(seed)
+        p = rng.integers(0, 256, size=(8 * hb, 8 * wb), dtype=np.uint8)
+        _, _, base = mm._jpeg_decode(mm._jpeg_encode(p))
+        w, h, sa = mm._jpeg_decode_progressive(
+            mm._jpeg_encode_progressive_sa(p)
+        )
+        assert (w, h) == (8 * wb, 8 * hb)
+        assert (base == sa).all()
+
+    def test_sa_scan_script(self):
+        import numpy as np
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        p = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        data = mm._jpeg_encode_progressive_sa(p)
+        # 4 scans: DC(Al=1), DC refine, AC(1-63, Al=1), AC refine
+        assert data.count(b"\xff\xda") == 4
+        assert data.count(b"\xff\xc2") == 1  # SOF2, not SOF0
+
+    def test_refinement_size_must_be_one(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from fluent_bit_filter_math_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(5)
+        p = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        data = mm._jpeg_encode_progressive_sa(p)
+        # corrupting the AC-refine scan's entropy bits must fail
+        # loudly (bad Huffman code / size > 1 / run past band), never
+        # return silently-wrong pixels with an exception-free decode
+        # of garbage trailing state -- flip bytes until one bites
+        tripped = False
+        for off in range(3, 40):
+            bad = bytearray(data)
+            i = len(bad) - off
+            if bad[i] in (0xFF, 0x00) or bad[i - 1] == 0xFF:
+                continue
+            bad[i] ^= 0x5A
+            try:
+                mm._jpeg_decode_progressive(bytes(bad))
+            except ValueError:
+                tripped = True
+                break
+        assert tripped
 
 
 def test_avro_logical_type_vectors(tmp_path):
