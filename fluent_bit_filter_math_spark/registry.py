@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_table_format_zorder_compact",
     "io_avro_schema_evolution",
     "io_avro_logical_types",
+    "io_avro_nullable",
     "mm_jpeg_dri_decode",
     "mm_jpeg_progressive_decode",
     "mm_jpeg_sa_decode",
@@ -129,7 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "sessionize_events",
     "stream_latest_state_per_user",
-    "text_doc_freq",
+    # (text_doc_freq displaced past slot 50 by the late-r13
+    # io_avro_nullable insertion)
     # (text_lm_score displaced past slot 50 by the late-r13
     # mm_jpeg_sa_decode insertion)
     # (text_tfidf_topterms displaced past slot 50 by the late-r13
@@ -140,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     # window_value_fns (r6-era,
     # displaced by the late-r13 merge/zorder insertions) head the
     # overflow queue.
+    "text_doc_freq",
     "text_lm_score",
     "ts_interpolate_linear",
     "text_tfidf_topterms",

@@ -34,10 +34,17 @@ LOGICAL TYPES (spec §Logical Types) ride the base wire format: date
 (big-endian two's-complement unscaled int) — see ``io_avro_logical_
 types``; resolution matches on BASE types per spec.
 
-Limits, honestly: no nested/union/enum/fixed types, no snappy (not in
-the stdlib), and like every Python DataSource, no filter pushdown into
-the source — at scale you convert to parquet for queryable storage
-(the arrow_ipc note).
+UNIONS (spec §Unions) decode generally (varint branch index + branch
+payload) and encode for the ubiquitous nullable form ``["null", T]``;
+resolution matches per branch, and a writer branch no reader branch
+accepts errors only when a value actually uses it — see
+``io_avro_nullable``.
+
+Limits, honestly: no nested record/enum/fixed/array/map types, no
+multi-non-null union ENCODING (decode handles any branch count), no
+snappy (not in the stdlib), and like every Python DataSource, no
+filter pushdown into the source — at scale you convert to parquet for
+queryable storage (the arrow_ipc note).
 """
 
 from __future__ import annotations
@@ -236,10 +243,42 @@ def _dec_logical(typ, v):
     return v
 
 
+# ---------------------------------------------------------------------------
+# UNIONS (spec §Unions): a JSON LIST of branch schemas; on the wire a
+# union value is the zigzag-varint BRANCH INDEX followed by the
+# branch's encoding. The ubiquitous real-world case is the nullable
+# field ``["null", T]`` — None encodes as the null branch's index and
+# zero bytes of payload. Decoding handles any branch count; encoding
+# routes None to the null branch and everything else to the single
+# non-null branch (multi-non-null encoding would need a type witness
+# per value — out of scope, decode-only).
+# ---------------------------------------------------------------------------
+
+
+def _enc_any(typ, v) -> bytes:
+    if isinstance(typ, list):
+        if v is None:
+            try:
+                idx = typ.index("null")
+            except ValueError:
+                raise ValueError("None for a union without a null branch")
+            return _zigzag_encode(idx)
+        non_null = [
+            i for i, b in enumerate(typ) if _base_type(b) != "null"
+        ]
+        if len(non_null) != 1:
+            raise ValueError(
+                "encoding supports exactly one non-null union branch"
+            )
+        idx = non_null[0]
+        return _zigzag_encode(idx) + _enc_any(typ[idx], v)
+    return _enc_value(_base_type(typ), _enc_logical(typ, v))
+
+
 def _enc_row(row, fields=_FIELDS) -> bytes:
     out = bytearray()
     for name, typ in fields:
-        out += _enc_value(_base_type(typ), _enc_logical(typ, row[name]))
+        out += _enc_any(typ, row[name])
     return bytes(out)
 
 
@@ -305,27 +344,17 @@ def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
     matched: set[int] = set()
     for wf in writer["fields"]:
         wtyp = wf["type"]
-        wbase = _base_type(wtyp)
         slot = by_name.get(wf["name"])
         if slot is None:
-            steps.append((wbase, None, None, None))
+            steps.append((_make_field_decoder(wtyp, None), None))
             continue
         rtyp = rfields[slot]["type"]
-        rbase = _base_type(rtyp)
-        # resolution matches/promotes on BASE types (spec: unknown or
-        # differing logical annotations are ignored, never an error);
-        # the READER's logical annotation decides the decoded value
-        if wbase == rbase:
-            conv = None
-        elif (wbase, rbase) in _PROMOTIONS:
-            conv = _PROMOTIONS[(wbase, rbase)]
-        else:
-            raise ValueError(
-                f"field {wf['name']!r}: writer {wbase!r} does not "
-                f"resolve to reader {rbase!r}"
-            )
         matched.add(slot)
-        steps.append((wbase, slot, conv, rtyp))
+        try:
+            dec = _make_field_decoder(wtyp, rtyp)
+        except ValueError as exc:
+            raise ValueError(f"field {wf['name']!r}: {exc}") from exc
+        steps.append((dec, slot))
     template: list = [None] * len(rfields)
     for i, f in enumerate(rfields):
         if i in matched:
@@ -335,24 +364,83 @@ def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
                 f"reader field {f['name']!r} absent from writer schema "
                 "and has no default"
             )
-        # logical defaults are declared in BASE representation
-        template[i] = _dec_logical(
-            f["type"],
-            _default_value(_base_type(f["type"]), f["default"]),
+        # logical defaults are declared in BASE representation; a
+        # union field's default applies to its FIRST branch (spec)
+        ftyp = f["type"]
+        first = ftyp[0] if isinstance(ftyp, list) else ftyp
+        d = f["default"]
+        template[i] = (
+            None
+            if _base_type(first) == "null"
+            else _dec_logical(first, _default_value(_base_type(first), d))
         )
     return steps, template
+
+
+def _branches(typ) -> list:
+    return typ if isinstance(typ, list) else [typ]
+
+
+def _make_field_decoder(wtyp, rtyp):
+    """Build a ``fn(buf, pos) -> (reader-typed value, pos)`` for one
+    writer field. ``rtyp=None`` means decode-and-discard. Resolution
+    matches/promotes per BRANCH on base types (spec: each writer
+    branch resolves against the first matching reader branch; a
+    writer branch no reader branch accepts errors at DECODE time if
+    and only if a value actually uses it — the spec's union rule)."""
+    wbranches = _branches(wtyp)
+    if rtyp is None:
+        table = [(None, wb) for wb in wbranches]
+    else:
+        rbranches = _branches(rtyp)
+        table = []
+        for wb in wbranches:
+            m = None
+            for rb in rbranches:
+                wb_base, rb_base = _base_type(wb), _base_type(rb)
+                if wb_base == rb_base:
+                    m = (None, rb)
+                    break
+                if (wb_base, rb_base) in _PROMOTIONS:
+                    m = (_PROMOTIONS[(wb_base, rb_base)], rb)
+                    break
+            table.append(m)
+        if all(m is None for m in table):
+            raise ValueError(
+                f"writer {wtyp!r} does not resolve to reader {rtyp!r}"
+            )
+    is_union = isinstance(wtyp, list)
+
+    def dec(buf: bytes, pos: int):
+        if is_union:
+            idx, pos = _zigzag_decode(buf, pos)
+            if not 0 <= idx < len(wbranches):
+                raise ValueError(f"union branch index {idx} out of range")
+            wb, m = wbranches[idx], table[idx]
+        else:
+            wb, m = wtyp, table[0]
+        v, pos = _dec_value(_base_type(wb), buf, pos)
+        if m is None:
+            raise ValueError(
+                f"value uses writer branch {wb!r}, which does not "
+                f"resolve to reader {rtyp!r}"
+            )
+        conv, rb = m
+        if conv is not None and v is not None:
+            v = conv(v)
+        return (v if v is None else _dec_logical(rb, v)), pos
+
+    return dec
 
 
 def _dec_row_resolved(
     buf: bytes, pos: int, steps: list, template: list
 ) -> tuple[tuple, int]:
     vals = list(template)
-    for wbase, slot, conv, rtyp in steps:
-        v, pos = _dec_value(wbase, buf, pos)
+    for dec, slot in steps:
+        v, pos = dec(buf, pos)
         if slot is not None:
-            if conv is not None:
-                v = conv(v)
-            vals[slot] = _dec_logical(rtyp, v)
+            vals[slot] = v
     return tuple(vals), pos
 
 
@@ -497,6 +585,11 @@ _AVRO_TO_SPARK = {
 
 
 def _avro_to_spark_type(typ) -> str:
+    if isinstance(typ, list):  # union: nullable wrapper of the non-null
+        non_null = [b for b in typ if _base_type(b) != "null"]
+        if len(non_null) != 1:
+            raise ValueError("Spark mapping needs exactly one non-null branch")
+        return _avro_to_spark_type(non_null[0])
     lt = _logical(typ)
     if lt == "date":
         return "date"
@@ -845,4 +938,95 @@ def io_avro_logical_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_ts"),
         )
         .orderBy("day")
+    )
+
+
+@register(
+    "io_avro_nullable",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN event_id % 7 = 3 THEN NULL
+                  ELSE event_type END AS et,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+             CASE WHEN user_id % 4 = 1 THEN NULL
+                  ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  END AS cents
+      FROM events WHERE event_id % 11 = 6
+    )
+    SELECT COALESCE(et, '__null__') AS etype,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_v,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cents_null
+    FROM src GROUP BY etype ORDER BY etype
+    """,
+)
+def io_avro_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro UNIONS in their ubiquitous form — nullable fields: three
+    ``["null", T]`` columns (string, double, long) round-trip through
+    the union wire encoding (zigzag branch index + branch payload;
+    None is the null branch with zero payload bytes), surface as
+    nullable Spark columns, and the null-aware aggregate (COUNT(col)
+    skips nulls, SUM ignores nulls, the all-null group sums to NULL)
+    must match the closed form bitwise.
+    Reference analogue: the filter's missing-field tolerance
+    (math.c:343-352), upgraded to a typed nullable wire contract."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_avro_ocf(spark)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "NullableEvent",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "et", "type": ["null", "string"]},
+                {"name": "v", "type": ["null", "double"]},
+                {"name": "cents", "type": ["null", "long"]},
+            ],
+        }
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 6)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 7 == 3, None)
+            .otherwise(F.col("event_type"))
+            .alias("et"),
+            F.when(F.col("event_id") % 5 == 0, None)
+            .otherwise(F.col("value"))
+            .alias("v"),
+            F.when(F.col("user_id") % 4 == 1, None)
+            .otherwise(exact_cents(F.col("value")))
+            .alias("cents"),
+        )
+        .repartition(3)
+    )
+    out = os.path.join(scratch_dir("avro-nullable"), "shards")
+    write_ocf(ev, out, schema_json=schema_json)
+    back = (
+        spark.read.format("avro_ocf")
+        .option("path", out)
+        .option("readerschema", schema_json)
+        .load()
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("et"), F.lit("__null__")).alias("etype")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("v").cast("long").alias("n_v"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum(F.col("cents").isNull().cast("long"))
+            .cast("long")
+            .alias("n_cents_null"),
+        )
+        .orderBy("etype")
     )

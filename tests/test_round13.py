@@ -895,3 +895,54 @@ def test_avro_logical_type_vectors(tmp_path):
     assert list(read_ocf_file(path, reader)) == [
         (datetime.date(2024, 1, 1),)
     ]
+
+
+def test_avro_union_resolution_cases(tmp_path):
+    """Union evolution per spec: a field becoming nullable (writer T ->
+    reader [null, T]), promotion INSIDE a nullable union, and the
+    decode-time-only error when a null value meets a non-null reader."""
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        read_ocf_file,
+        write_ocf_shard,
+    )
+
+    # (a) writer long -> reader ["null", "long"]: became nullable
+    wa = _rec({"name": "k", "type": "long"})
+    ra = _rec({"name": "k", "type": ["null", "long"]})
+    pa = str(tmp_path / "a.avro")
+    write_ocf_shard(pa, [{"k": 7}], codec="null",
+                    schema_json=json.dumps(wa))
+    assert list(read_ocf_file(pa, ra)) == [(7,)]
+
+    # (b) promotion inside the union: ["null","int"] -> ["null","long"]
+    wb = _rec({"name": "k", "type": ["null", "int"]})
+    rb = _rec({"name": "k", "type": ["null", "long"]})
+    pb = str(tmp_path / "b.avro")
+    write_ocf_shard(pb, [{"k": 5}, {"k": None}, {"k": -9}],
+                    codec="null", schema_json=json.dumps(wb))
+    assert list(read_ocf_file(pb, rb)) == [(5,), (None,), (-9,)]
+
+    # (c) writer ["null","long"] -> reader "long": fine until a NULL
+    # value actually arrives (the spec's decode-time union rule)
+    rc = _rec({"name": "k", "type": "long"})
+    pc = str(tmp_path / "c.avro")
+    write_ocf_shard(pc, [{"k": 3}], codec="null",
+                    schema_json=json.dumps(wb))
+    assert list(read_ocf_file(pc, rc)) == [(3,)]
+    pd_ = str(tmp_path / "d.avro")
+    write_ocf_shard(pd_, [{"k": None}], codec="null",
+                    schema_json=json.dumps(wb))
+    with pytest.raises(ValueError, match="does not resolve"):
+        list(read_ocf_file(pd_, rc))
+
+    # nullable logical type: ["null", {int date}] roundtrips None+date
+    import datetime
+
+    wd = _rec({"name": "d", "type": ["null",
+               {"type": "int", "logicalType": "date"}]})
+    pe = str(tmp_path / "e.avro")
+    write_ocf_shard(pe, [{"d": datetime.date(2024, 3, 1)}, {"d": None}],
+                    codec="null", schema_json=json.dumps(wd))
+    assert list(read_ocf_file(pe, wd)) == [
+        (datetime.date(2024, 3, 1),), (None,)
+    ]
