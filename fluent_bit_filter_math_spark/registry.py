@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_avro_schema_evolution",
     "io_avro_logical_types",
     "io_avro_nullable",
+    "io_avro_array",
     "mm_jpeg_dri_decode",
     "mm_jpeg_progressive_decode",
     "mm_jpeg_sa_decode",
@@ -129,7 +130,8 @@ _PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "sessionize_events",
-    "stream_latest_state_per_user",
+    # (stream_latest_state_per_user displaced past slot 50 by the
+    # late-r13 io_avro_array insertion)
     # (text_doc_freq displaced past slot 50 by the late-r13
     # io_avro_nullable insertion)
     # (text_lm_score displaced past slot 50 by the late-r13
@@ -142,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     # window_value_fns (r6-era,
     # displaced by the late-r13 merge/zorder insertions) head the
     # overflow queue.
+    "stream_latest_state_per_user",
     "text_doc_freq",
     "text_lm_score",
     "ts_interpolate_linear",

@@ -40,7 +40,12 @@ resolution matches per branch, and a writer branch no reader branch
 accepts errors only when a value actually uses it — see
 ``io_avro_nullable``.
 
-Limits, honestly: no nested record/enum/fixed/array/map types, no
+ARRAYS (spec §Arrays) encode/decode in block form (item-count varint
+per block, negative-count byte-size skip hints honored, 0 terminator)
+with recursive item resolution — see ``io_avro_array`` (embedding
+vectors as array<float> columns).
+
+Limits, honestly: no nested record/enum/fixed/map types, no
 multi-non-null union ENCODING (decode handles any branch count), no
 snappy (not in the stdlib), and like every Python DataSource, no
 filter pushdown into the source — at scale you convert to parquet for
@@ -272,6 +277,17 @@ def _enc_any(typ, v) -> bytes:
             )
         idx = non_null[0]
         return _zigzag_encode(idx) + _enc_any(typ[idx], v)
+    if _base_type(typ) == "array":
+        # spec block form: one block of N items, then the 0 terminator
+        items = typ["items"]
+        vs = list(v)
+        out = bytearray()
+        if vs:
+            out += _zigzag_encode(len(vs))
+            for x in vs:
+                out += _enc_any(items, x)
+        out += _zigzag_encode(0)
+        return bytes(out)
     return _enc_value(_base_type(typ), _enc_logical(typ, v))
 
 
@@ -381,56 +397,108 @@ def _branches(typ) -> list:
     return typ if isinstance(typ, list) else [typ]
 
 
+def _array_decoder(item_dec):
+    """Block-form array reader (count varint per block — negative
+    count means a block byte-size follows, a skip hint this reader
+    ignores — until the 0 terminator)."""
+
+    def dec(buf: bytes, pos: int):
+        out = []
+        while True:
+            n, pos = _zigzag_decode(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = _zigzag_decode(buf, pos)  # block size hint
+                n = -n
+            for _ in range(n):
+                v, pos = item_dec(buf, pos)
+                out.append(v)
+
+    return dec
+
+
 def _make_field_decoder(wtyp, rtyp):
     """Build a ``fn(buf, pos) -> (reader-typed value, pos)`` for one
-    writer field. ``rtyp=None`` means decode-and-discard. Resolution
-    matches/promotes per BRANCH on base types (spec: each writer
-    branch resolves against the first matching reader branch; a
-    writer branch no reader branch accepts errors at DECODE time if
-    and only if a value actually uses it — the spec's union rule)."""
-    wbranches = _branches(wtyp)
-    if rtyp is None:
-        table = [(None, wb) for wb in wbranches]
-    else:
-        rbranches = _branches(rtyp)
-        table = []
-        for wb in wbranches:
-            m = None
-            for rb in rbranches:
-                wb_base, rb_base = _base_type(wb), _base_type(rb)
-                if wb_base == rb_base:
-                    m = (None, rb)
-                    break
-                if (wb_base, rb_base) in _PROMOTIONS:
-                    m = (_PROMOTIONS[(wb_base, rb_base)], rb)
-                    break
-            table.append(m)
-        if all(m is None for m in table):
+    writer type. ``rtyp=None`` means decode-and-discard. Fully
+    recursive over unions and arrays: each writer union branch
+    resolves against the reader side independently (a branch nothing
+    accepts errors at DECODE time if and only if a value uses it —
+    the spec's union rule), arrays resolve their item types, and
+    scalars match/promote on base types with the reader's logical
+    annotation applied last."""
+    # writer union: one sub-decoder per branch
+    if isinstance(wtyp, list):
+        subs = []
+        for wb in wtyp:
+            try:
+                subs.append(_make_field_decoder(wb, rtyp))
+            except ValueError:
+                subs.append(None)
+        if rtyp is not None and all(s is None for s in subs):
             raise ValueError(
                 f"writer {wtyp!r} does not resolve to reader {rtyp!r}"
             )
-    is_union = isinstance(wtyp, list)
 
-    def dec(buf: bytes, pos: int):
-        if is_union:
+        def dec_union(buf: bytes, pos: int):
             idx, pos = _zigzag_decode(buf, pos)
-            if not 0 <= idx < len(wbranches):
+            if not 0 <= idx < len(subs):
                 raise ValueError(f"union branch index {idx} out of range")
-            wb, m = wbranches[idx], table[idx]
-        else:
-            wb, m = wtyp, table[0]
-        v, pos = _dec_value(_base_type(wb), buf, pos)
-        if m is None:
+            sub = subs[idx]
+            if sub is None:
+                raise ValueError(
+                    f"value uses writer branch {wtyp[idx]!r}, which "
+                    f"does not resolve to reader {rtyp!r}"
+                )
+            return sub(buf, pos)
+
+        return dec_union
+    # writer non-union against a reader union: first accepting branch
+    if rtyp is not None and isinstance(rtyp, list):
+        last: ValueError | None = None
+        for rb in rtyp:
+            try:
+                return _make_field_decoder(wtyp, rb)
+            except ValueError as exc:
+                last = exc
+        raise last or ValueError(
+            f"writer {wtyp!r} does not resolve to reader {rtyp!r}"
+        )
+    wbase = _base_type(wtyp)
+    # arrays: resolve item types recursively
+    if wbase == "array":
+        if rtyp is not None and _base_type(rtyp) != "array":
             raise ValueError(
-                f"value uses writer branch {wb!r}, which does not "
-                f"resolve to reader {rtyp!r}"
+                f"writer array does not resolve to reader {rtyp!r}"
             )
-        conv, rb = m
+        item_dec = _make_field_decoder(
+            wtyp["items"], None if rtyp is None else rtyp["items"]
+        )
+        return _array_decoder(item_dec)
+    if rtyp is not None and _base_type(rtyp) == "array":
+        raise ValueError(
+            f"writer {wtyp!r} does not resolve to reader array"
+        )
+    # scalars
+    if rtyp is None:
+        return lambda buf, pos: _dec_value(wbase, buf, pos)
+    rbase = _base_type(rtyp)
+    if wbase == rbase:
+        conv = None
+    elif (wbase, rbase) in _PROMOTIONS:
+        conv = _PROMOTIONS[(wbase, rbase)]
+    else:
+        raise ValueError(
+            f"writer {wbase!r} does not resolve to reader {rbase!r}"
+        )
+
+    def dec_scalar(buf: bytes, pos: int):
+        v, pos = _dec_value(wbase, buf, pos)
         if conv is not None and v is not None:
             v = conv(v)
-        return (v if v is None else _dec_logical(rb, v)), pos
+        return (v if v is None else _dec_logical(rtyp, v)), pos
 
-    return dec
+    return dec_scalar
 
 
 def _dec_row_resolved(
@@ -585,6 +653,8 @@ _AVRO_TO_SPARK = {
 
 
 def _avro_to_spark_type(typ) -> str:
+    if isinstance(typ, dict) and _base_type(typ) == "array":
+        return f"array<{_avro_to_spark_type(typ['items'])}>"
     if isinstance(typ, list):  # union: nullable wrapper of the non-null
         non_null = [b for b in typ if _base_type(b) != "null"]
         if len(non_null) != 1:
@@ -1029,4 +1099,78 @@ def io_avro_nullable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_cents_null"),
         )
         .orderBy("etype")
+    )
+
+
+@register(
+    "io_avro_array",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    j -> {'i': j, 'x': embedding[j]})) AS u
+      FROM embeddings
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) AS BIGINT) AS n_elems,
+           CAST(SUM(CAST(floor(CAST(u.x AS DOUBLE) * 1000000.0)
+                AS BIGINT)) AS BIGINT) AS fp_sum,
+           CAST(SUM(u.i * CAST(floor(CAST(u.x AS DOUBLE) * 1000000.0)
+                AS BIGINT)) AS BIGINT) AS fp_checksum
+    FROM ex GROUP BY label ORDER BY label
+    """,
+)
+def io_avro_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ARRAYS (spec block form: item-count varint per block, 0
+    terminator) carrying the embeddings table's float vectors: each
+    64-dim array<float> round-trips element-exactly (float32 widens to
+    double losslessly on both engines), surfaces as a Spark
+    array<float> column, and a positional fixed-point checksum over
+    every element must match the closed form bitwise — the multimodal
+    column shape (embedding vectors as typed payloads) on the Avro
+    wire. Reference analogue: none; Avro 1.11 §Arrays / §Data
+    Serialization."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_avro_ocf(spark)
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "EmbeddingRow",
+            "fields": [
+                {"name": "vec_id", "type": "long"},
+                {
+                    "name": "embedding",
+                    "type": {"type": "array", "items": "float"},
+                },
+                {"name": "label", "type": "int"},
+            ],
+        }
+    )
+    emb = table(spark, sf_dir, "embeddings").repartition(4)
+    out = os.path.join(scratch_dir("avro-array"), "shards")
+    write_ocf(emb, out, schema_json=schema_json)
+    back = (
+        spark.read.format("avro_ocf")
+        .option("path", out)
+        .option("readerschema", schema_json)
+        .load()
+    )
+    ex = back.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    )
+    fp = F.floor(F.col("x").cast("double") * 1000000.0).cast("long")
+    return (
+        ex.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_vecs"),
+            F.count("*").cast("long").alias("n_elems"),
+            F.sum(fp).cast("long").alias("fp_sum"),
+            F.sum((F.col("i") + 1) * fp).cast("long").alias("fp_checksum"),
+        )
+        .orderBy("label")
     )

@@ -946,3 +946,51 @@ def test_avro_union_resolution_cases(tmp_path):
     assert list(read_ocf_file(pe, wd)) == [
         (datetime.date(2024, 3, 1),), (None,)
     ]
+
+
+def test_avro_array_block_form(tmp_path):
+    """Arrays: multi-block and negative-count (size-hinted) block
+    encodings both decode; nullable arrays and arrays of nullable
+    items compose with unions; item promotion resolves recursively."""
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        _make_field_decoder,
+        _zigzag_encode,
+        read_ocf_file,
+        write_ocf_shard,
+    )
+
+    arr_int = {"type": "array", "items": "int"}
+    arr_long = {"type": "array", "items": "long"}
+    # hand-built wire: two blocks [1,2] + size-hinted block [3], 0 end
+    wire = (
+        _zigzag_encode(2) + _zigzag_encode(1) + _zigzag_encode(2)
+        + _zigzag_encode(-1) + _zigzag_encode(1) + _zigzag_encode(3)
+        + _zigzag_encode(0)
+    )
+    dec = _make_field_decoder(arr_int, arr_long)  # item promotion
+    vals, pos = dec(wire, 0)
+    assert vals == [1, 2, 3] and pos == len(wire)
+
+    # file roundtrip: nullable array + array of nullable items
+    w = _rec(
+        {"name": "a", "type": ["null", arr_int]},
+        {"name": "b", "type": {"type": "array",
+                               "items": ["null", "string"]}},
+    )
+    path = str(tmp_path / "arr.avro")
+    write_ocf_shard(
+        path,
+        [
+            {"a": [1, -2, 3], "b": ["x", None, "y"]},
+            {"a": None, "b": []},
+        ],
+        codec="deflate",
+        schema_json=json.dumps(w),
+    )
+    assert list(read_ocf_file(path)) == [
+        ([1, -2, 3], ["x", None, "y"]),
+        (None, []),
+    ]
+    # array vs scalar reader: loud resolve-time error
+    with pytest.raises(ValueError, match="does not resolve"):
+        _make_field_decoder(arr_int, "long")
