@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "io_avro_logical_types",
     "io_avro_nullable",
     "io_avro_array",
+    "io_avro_map",
+    "io_avro_nested",
     "mm_jpeg_dri_decode",
     "mm_jpeg_progressive_decode",
     "mm_jpeg_sa_decode",
@@ -130,6 +132,9 @@ _PRIORITY: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "sessionize_events",
+    # (q9_product_profit + sessionize_events displaced past slot 50 by
+    # the late-r13 io_avro_map/io_avro_nested insertions — they stay
+    # next in _PRIORITY order, heading the overflow queue)
     # (stream_latest_state_per_user displaced past slot 50 by the
     # late-r13 io_avro_array insertion)
     # (text_doc_freq displaced past slot 50 by the late-r13

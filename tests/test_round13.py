@@ -994,3 +994,119 @@ def test_avro_array_block_form(tmp_path):
     # array vs scalar reader: loud resolve-time error
     with pytest.raises(ValueError, match="does not resolve"):
         _make_field_decoder(arr_int, "long")
+
+
+def test_avro_complex_type_vectors(tmp_path):
+    """Spec vectors for the r13 complex-type closure: MAP block form
+    (string keys, same negative-count hint as arrays), ENUM symbol
+    resolution (name match + reader ``default`` fallback, decode-time
+    error only when an unmapped symbol is used), FIXED size contract,
+    and NESTED RECORD resolution recursing the full field machinery
+    (defaults + promotions at depth)."""
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        _dec_row_resolved,
+        _enc_any,
+        _make_field_decoder,
+        _zigzag_encode,
+        read_ocf_file,
+        resolve_schemas,
+        write_ocf_shard,
+    )
+
+    # --- map: block form, deterministic sorted-key encode ---
+    mt = {"type": "map", "values": "long"}
+    assert _enc_any(mt, {}) == b"\x00"
+    b = _enc_any(mt, {"b": 2, "a": -1})
+    assert b == _enc_any(mt, {"a": -1, "b": 2})  # sorted => stable
+    dec = _make_field_decoder(mt, mt)
+    assert dec(b, 0) == ({"a": -1, "b": 2}, len(b))
+    # negative block count carries a byte-size skip hint (spec)
+    body = _enc_any("string", "k") + _zigzag_encode(7)
+    hinted = (_zigzag_encode(-1) + _zigzag_encode(len(body)) + body
+              + _zigzag_encode(0))
+    assert dec(hinted, 0)[0] == {"k": 7}
+
+    # --- enum: symbol resolution ---
+    et = {"type": "enum", "name": "E",
+          "symbols": ["click", "view", "error"]}
+    dec = _make_field_decoder(et, et)
+    assert dec(_enc_any(et, "view"), 0)[0] == "view"
+    # writer symbol absent from reader -> reader default
+    r_def = {"type": "enum", "name": "E",
+             "symbols": ["click", "other"], "default": "other"}
+    dec = _make_field_decoder(et, r_def)
+    assert dec(_enc_any(et, "error"), 0)[0] == "other"
+    assert dec(_enc_any(et, "click"), 0)[0] == "click"
+    # no default: errors at DECODE time, and only when used
+    r_nodef = {"type": "enum", "name": "E", "symbols": ["click"]}
+    dec = _make_field_decoder(et, r_nodef)
+    assert dec(_enc_any(et, "click"), 0)[0] == "click"
+    with pytest.raises(ValueError, match="no default"):
+        dec(_enc_any(et, "view"), 0)
+    # named-type rule: name mismatch fails unless aliased
+    with pytest.raises(ValueError, match="alias"):
+        _make_field_decoder(
+            et, {"type": "enum", "name": "F", "symbols": ["click"]})
+    dec = _make_field_decoder(
+        et, {"type": "enum", "name": "F", "aliases": ["E"],
+             "symbols": ["click", "view", "error"]})
+    assert dec(_enc_any(et, "error"), 0)[0] == "error"
+
+    # --- fixed: raw bytes, exact size both directions ---
+    ft = {"type": "fixed", "name": "Tag", "size": 4}
+    raw = b"\x00\x01\xfe\xff"
+    assert _enc_any(ft, raw) == raw
+    dec = _make_field_decoder(ft, ft)
+    assert dec(raw, 0) == (raw, 4)
+    with pytest.raises(ValueError, match="4 bytes"):
+        _enc_any(ft, b"abc")
+    with pytest.raises(ValueError, match="size mismatch"):
+        _make_field_decoder(
+            ft, {"type": "fixed", "name": "Tag", "size": 8})
+    with pytest.raises(ValueError, match="truncated"):
+        dec(b"\x00\x01", 0)
+
+    # --- nested record: resolution recurses (promotion + default) ---
+    w_inner = {"type": "record", "name": "U",
+               "fields": [{"name": "uid", "type": "int"}]}
+    r_inner = {"type": "record", "name": "U", "fields": [
+        {"name": "uid", "type": "long"},
+        {"name": "seg", "type": "string", "default": "none"}]}
+    wrec = _rec({"name": "id", "type": "long"},
+                {"name": "who", "type": w_inner})
+    rrec = _rec({"name": "id", "type": "long"},
+                {"name": "who", "type": r_inner})
+    buf = _enc_any(wrec, {"id": 7, "who": {"uid": 42}})
+    steps, template = resolve_schemas(wrec, rrec)
+    row, p = _dec_row_resolved(buf, 0, steps, template)
+    assert row == (7, (42, "none")) and p == len(buf)
+
+    # --- whole-file roundtrip: all four types in one container ---
+    w = _rec(
+        {"name": "id", "type": "long"},
+        {"name": "attrs", "type": mt},
+        {"name": "seg", "type": et},
+        {"name": "tag", "type": ft},
+        {"name": "who", "type": {
+            "type": "record", "name": "W",
+            "fields": [{"name": "uid", "type": "long"}]}},
+    )
+    path = str(tmp_path / "cplx.avro")
+    write_ocf_shard(
+        path,
+        [{"id": 1, "attrs": {"x": 9}, "seg": "error", "tag": raw,
+          "who": {"uid": 5}},
+         {"id": 2, "attrs": {}, "seg": "click", "tag": b"\x00" * 4,
+          "who": {"uid": -6}}],
+        codec="deflate",
+        schema_json=json.dumps(w),
+    )
+    assert list(read_ocf_file(path)) == [
+        (1, {"x": 9}, "error", raw, (5,)),
+        (2, {}, "click", b"\x00" * 4, (-6,)),
+    ]
+    # cross-kind resolution errors are loud
+    with pytest.raises(ValueError, match="does not resolve"):
+        _make_field_decoder(mt, "long")
+    with pytest.raises(ValueError, match="does not resolve"):
+        _make_field_decoder("string", ft)
