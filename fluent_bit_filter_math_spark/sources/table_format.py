@@ -143,7 +143,10 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
     payload = json.dumps(
         {
             "version": v,
-            "live": {rel: [sch, stats] for rel, (sch, stats) in live.items()},
+            "live": {
+                rel: [sch, stats, dv]
+                for rel, (sch, stats, dv) in live.items()
+            },
             "schema": schema,
         },
         sort_keys=True,
@@ -160,17 +163,22 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
 
 def _resolve_live(
     table_path: str, version: int
-) -> tuple[str, dict[str, tuple[str, dict]]]:
-    """(newest schema DDL, {rel: (writer schema, stats)}) at *version*,
-    starting from the newest checkpoint ≤ version when one exists."""
-    live: dict[str, tuple[str, dict]] = {}
+) -> tuple[str, dict[str, tuple[str, dict, str | None]]]:
+    """(newest schema DDL, {rel: (writer schema, stats, deletion-vector
+    rel path | None)}) at *version*, starting from the newest
+    checkpoint ≤ version when one exists. A ``dv`` commit action
+    attaches/replaces a file's deletion vector without touching the
+    file itself (Delta's row-level-delete recipe)."""
+    live: dict[str, tuple[str, dict, str | None]] = {}
     schema = ""
     start = 0
     ckpt = latest_checkpoint(table_path, version)
     if ckpt is not None:
         cv, state = ckpt
+        # pre-DV checkpoints hold 2-element entries — pad forever
         live = {
-            rel: (sch, stats) for rel, (sch, stats) in state["live"].items()
+            rel: (e[0], e[1], e[2] if len(e) > 2 else None)
+            for rel, e in state["live"].items()
         }
         schema = state.get("schema", "")
         start = cv + 1
@@ -182,21 +190,26 @@ def _resolve_live(
             live.pop(rel, None)
         sch = commit.get("schema", schema)
         for entry in commit.get("add", []):
-            live[_add_path(entry)] = (sch, _add_stats(entry))
+            live[_add_path(entry)] = (sch, _add_stats(entry), None)
+        for entry in commit.get("dv", []):
+            rel = entry["path"]
+            if rel in live:  # a dv on a since-removed file is inert
+                fsch, stats, _ = live[rel]
+                live[rel] = (fsch, stats, entry["dv"])
         schema = sch
     return schema, live
 
 
 def _resolve(
     table_path: str, version: int
-) -> tuple[list[tuple[str, dict]], str, bool]:
+) -> tuple[list[tuple[str, dict, str | None]], str, bool]:
     """Replay commits 0..version (checkpoint-accelerated): ([(rel path,
-    per-file column stats)], newest schema DDL, evolved?) — ``evolved``
-    is True when live files were written under MORE THAN ONE schema
-    (the reader must mergeSchema)."""
+    per-file column stats, dv rel | None)], newest schema DDL,
+    evolved?) — ``evolved`` is True when live files were written under
+    MORE THAN ONE schema (the reader must mergeSchema)."""
     schema, live = _resolve_live(table_path, version)
-    evolved = len({s for s, _ in live.values()}) > 1
-    files = [(rel, stats) for rel, (_, stats) in live.items()]
+    evolved = len({s for s, _, _ in live.values()}) > 1
+    files = [(rel, stats, dv) for rel, (_, stats, dv) in live.items()]
     return files, schema, evolved
 
 
@@ -204,9 +217,13 @@ def _replay(
     table_path: str, version: int
 ) -> tuple[list[str], str, bool]:
     """(live data files, newest schema DDL, evolved?) of the snapshot
-    at *version* (the stats-blind view of :func:`_resolve`)."""
+    at *version* (the stats-and-DV-blind view of :func:`_resolve`)."""
     files, schema, evolved = _resolve(table_path, version)
-    return [os.path.join(table_path, rel) for rel, _ in files], schema, evolved
+    return (
+        [os.path.join(table_path, rel) for rel, _, _ in files],
+        schema,
+        evolved,
+    )
 
 
 def _file_stats(path: str) -> dict:
@@ -426,28 +443,251 @@ def tf_overwrite(df: DataFrame, table_path: str) -> int:
     )
 
 
+# ---------------------------------------------------------------------------
+# DELETION VECTORS — row-level deletes WITHOUT rewriting data files
+# (Delta's deletion-vector recipe): a ``delete`` commit attaches a tiny
+# sidecar per touched file holding the POSITIONS of its deleted rows;
+# readers subtract those positions at scan time. At 100 TB this is the
+# trickle-delete lever: deleting 1k rows touches 1k positions in a few
+# sidecars instead of rewriting multi-GB files (tf_merge's rewrite path
+# remains the right tool when a file's deleted fraction grows large).
+#
+# Spark-native application: parquet scans expose the physical row
+# position as ``_metadata.row_index`` (stable per file), so applying a
+# DV is ONE broadcast anti-join on (file, row_index) — the fact side
+# never shuffles, the broadcast side is Σ|DV| rows (cardinality-bounded
+# by construction). Sidecar format: little-endian int64 count + sorted
+# unique int64 row indexes, under ``_dv/``.
+# ---------------------------------------------------------------------------
+_DV_DIR = "_dv"
+# the regexp key "<staging subdir>/<file>.parquet" — exactly the rel
+# path _stage records, recovered from _metadata.file_path's URI form
+_DV_KEY_RE = r"([^/]+/[^/]+)$"
+
+
+def _dv_write(table_path: str, indexes) -> str:
+    """Persist one sidecar; returns its rel path. Content-addressed
+    names are unnecessary — each delete commit points at the exact
+    sidecar it created."""
+    import struct as _struct
+
+    import numpy as _np
+
+    arr = _np.unique(_np.asarray(list(indexes), dtype=_np.int64))
+    rel = os.path.join(_DV_DIR, f"dv-{uuid.uuid4().hex[:16]}.bin")
+    os.makedirs(os.path.join(table_path, _DV_DIR), exist_ok=True)
+    with open(os.path.join(table_path, rel), "wb") as f:
+        f.write(_struct.pack("<q", len(arr)))
+        f.write(arr.tobytes())
+    return rel
+
+
+def _dv_indexes(table_path: str, dv_rel: str):
+    """Sorted int64 row indexes of one sidecar."""
+    import struct as _struct
+
+    import numpy as _np
+
+    with open(os.path.join(table_path, dv_rel), "rb") as f:
+        (n,) = _struct.unpack("<q", f.read(8))
+        arr = _np.frombuffer(f.read(8 * n), dtype="<i8")
+    if len(arr) != n:
+        raise ValueError(f"truncated deletion vector {dv_rel}")
+    return arr
+
+
+def _read_entries(
+    spark: SparkSession,
+    table_path: str,
+    entries: list[tuple[str, dict, str | None]],
+    evolved: bool,
+) -> DataFrame:
+    """Scan [(rel, stats, dv)] with deletion vectors applied. Files
+    without a DV ride the same single scan (they match no DV row, so
+    the anti-join passes them through untouched); when NO file has a
+    DV the plan is the plain parquet scan, join-free."""
+    import pyspark.sql.functions as F
+
+    reader = spark.read
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(
+        *(os.path.join(table_path, rel) for rel, _, _ in entries)
+    )
+    dvd = [(rel, dv) for rel, _, dv in entries if dv]
+    if not dvd:
+        return df
+    rows = [
+        (rel, int(i))
+        for rel, dv in dvd
+        for i in _dv_indexes(table_path, dv)
+    ]
+    dv_df = spark.createDataFrame(
+        rows, "__dv_file string, __dv_idx long"
+    )
+    cols = df.columns
+    return (
+        df.withColumn(
+            "__dv_file",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), _DV_KEY_RE, 1
+            ),
+        )
+        .withColumn("__dv_idx", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dv_df), ["__dv_file", "__dv_idx"], "left_anti"
+        )
+        .select(*cols)
+    )
+
+
+def tf_delete(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[tuple],
+) -> tuple[int, int, int, int]:
+    """DELETE WHERE <conjunction of (col, op, literal)> via deletion
+    vectors: no data file is rewritten. Returns (committed version,
+    files that gained/extended a DV, candidate files the stats could
+    not rule out but that held no matching live row, files skipped by
+    stats alone).
+
+    Physical shape: the log's per-file stats first prune the candidate
+    set (a delete inherits data skipping for free); candidates are
+    scanned ONCE with position metadata, already-deleted positions are
+    subtracted, and each touched file's new sidecar = old DV ∪ new
+    positions (re-deleting a row is idempotent). The commit is
+    read-dependent, so it lands under the overwrite conflict rule —
+    a concurrent commit raises rather than resurrecting rows."""
+    import pyspark.sql.functions as F
+
+    for col, op, _ in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported delete op {op!r} on {col}")
+    read_version = latest_version(table_path)
+    if read_version < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    files, schema, evolved = _resolve(table_path, read_version)
+    cand = [
+        (rel, stats, dv)
+        for rel, stats, dv in files
+        if _file_survives(stats, predicates)
+    ]
+    skipped = len(files) - len(cand)
+    if not cand:
+        return read_version, 0, 0, skipped
+    reader = spark.read
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    scan = reader.parquet(
+        *(os.path.join(table_path, rel) for rel, _, _ in cand)
+    )
+    for col, op, val in predicates:
+        c = F.col(col)
+        scan = scan.filter(
+            {
+                "=": c == val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }[op]
+        )
+    matched = scan.select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _DV_KEY_RE, 1
+        ).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    )
+    old: dict[str, list[int]] = {}
+    old_rel: dict[str, str | None] = {rel: dv for rel, _, dv in cand}
+    for rel, _, dv in cand:
+        if dv:
+            old[rel] = [int(i) for i in _dv_indexes(table_path, dv)]
+    if old:
+        old_df = spark.createDataFrame(
+            [(rel, i) for rel, idxs in old.items() for i in idxs],
+            "__dv_file string, __dv_idx long",
+        )
+        matched = matched.join(
+            F.broadcast(old_df), ["__dv_file", "__dv_idx"], "left_anti"
+        )
+    # per-file new positions: grouped collect of a cardinality-bounded
+    # set (the DV contract) — file count × mean-DV-size rows total
+    grouped = (
+        matched.groupBy("__dv_file")
+        .agg(F.collect_list("__dv_idx").alias("idxs"))
+        .collect()
+    )
+    if not grouped:
+        return read_version, 0, len(cand), skipped
+    dv_actions = []
+    for row in grouped:
+        rel = row["__dv_file"]
+        merged = sorted(set(old.get(rel, [])) | set(row["idxs"]))
+        dv_actions.append(
+            {
+                "path": rel,
+                "dv": _dv_write(table_path, merged),
+                "prev_dv": old_rel.get(rel),
+                "cardinality": len(merged),
+            }
+        )
+    head = latest_version(table_path)
+    if head != read_version:
+        raise ConcurrentOverwrite(
+            f"delete read version {read_version} but head is {head}"
+        )
+    payload = json.dumps(
+        {
+            "version": read_version + 1,
+            "action": "delete",
+            "add": [],
+            "remove": [],
+            "dv": dv_actions,
+            "schema": schema,
+        },
+        sort_keys=True,
+    )
+    path = _log_path(table_path, read_version + 1)
+    try:
+        with open(path, "x") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError as exc:
+        raise ConcurrentOverwrite(
+            f"version {read_version + 1} already committed"
+        ) from exc
+    _maybe_checkpoint(table_path, read_version + 1)
+    return (
+        read_version + 1,
+        len(dv_actions),
+        len(cand) - len(dv_actions),
+        skipped,
+    )
+
+
 def tf_read(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
-    """Snapshot read. ``version=None`` reads the latest; an integer
-    time-travels. An empty live set returns an empty frame with the
-    snapshot's schema (overwrite-with-nothing stays readable)."""
+    """Snapshot read (deletion vectors applied). ``version=None`` reads
+    the latest; an integer time-travels. An empty live set returns an
+    empty frame with the snapshot's schema (overwrite-with-nothing
+    stays readable)."""
     head = latest_version(table_path)
     if head < 0:
         raise FileNotFoundError(f"no table at {table_path}")
     v = head if version is None else version
     if not 0 <= v <= head:
         raise ValueError(f"version {v} outside [0, {head}]")
-    files, schema, evolved = _replay(table_path, v)
+    files, schema, evolved = _resolve(table_path, v)
     if not files:
         return spark.createDataFrame([], schema)
-    reader = spark.read
-    if evolved:
-        # live files span >1 writer schema: union them by name with
-        # NULL-fill for columns a generation lacks (Delta/Iceberg
-        # schema evolution; same contract as io_schema_evolution)
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    # live files span >1 writer schema: union them by name with
+    # NULL-fill for columns a generation lacks (Delta/Iceberg
+    # schema evolution; same contract as io_schema_evolution)
+    return _read_entries(spark, table_path, files, evolved)
 
 
 # ---------------------------------------------------------------------------
@@ -513,7 +753,7 @@ def tf_pruned_files(
     files, _, _ = _resolve(table_path, v)
     kept = [
         os.path.join(table_path, rel)
-        for rel, stats in files
+        for rel, stats, _ in files
         if _file_survives(stats, predicates)
     ]
     return kept, len(files)
@@ -539,17 +779,14 @@ def tf_scan(
     v = head if version is None else version
     files, schema, evolved = _resolve(table_path, v)
     kept = [
-        os.path.join(table_path, rel)
-        for rel, stats in files
+        (rel, stats, dv)
+        for rel, stats, dv in files
         if _file_survives(stats, predicates)
     ]
     if not kept:
         df = spark.createDataFrame([], schema)
     else:
-        reader = spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*kept)
+        df = _read_entries(spark, table_path, kept, evolved)
     for col, op, val in predicates:
         c = F.col(col)
         df = df.filter(
@@ -771,7 +1008,10 @@ def tf_merge(
             return True  # stats-less file: must assume it matches
         return st["min"] <= cmax and st["max"] >= cmin
 
-    touched = [rel for rel, stats in files if _overlaps(stats)]
+    touched_entries = [
+        (rel, stats, dv) for rel, stats, dv in files if _overlaps(stats)
+    ]
+    touched = [rel for rel, _, _ in touched_entries]
     untouched = len(files) - len(touched)
     upserts = changes.filter(
         ~F.coalesce(F.col(delete_col), F.lit(False))
@@ -780,12 +1020,9 @@ def tf_merge(
         F.coalesce(F.col(delete_col), F.lit(False))
     ).select(key_col)
     if touched:
-        reader = spark.read
-        if evolved:
-            reader = reader.option("mergeSchema", "true")
-        base = reader.parquet(
-            *(os.path.join(table_path, rel) for rel in touched)
-        )
+        # deletion vectors applied: a merge rewrite must not resurrect
+        # rows a prior DV delete removed
+        base = _read_entries(spark, table_path, touched_entries, evolved)
         survivors = base.join(
             F.broadcast(upserts.select(key_col)), key_col, "left_anti"
         ).join(F.broadcast(deletes), key_col, "left_anti")
@@ -903,6 +1140,174 @@ def io_table_format_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "io_table_format_delete",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    snap AS (
+      SELECT 0 AS version, o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT 1, o_orderkey, o_totalprice FROM orders, m
+      WHERE o_orderkey <= (7 * mx) // 8
+      UNION ALL
+      SELECT 2, o_orderkey, o_totalprice FROM orders, m
+      WHERE o_orderkey <= (13 * mx) // 16
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM snap GROUP BY version ORDER BY version
+    """,
+)
+def io_table_format_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via deletion vectors — no file rewritten: orders land as
+    four range-clustered appends, then two range deletes attach DV
+    sidecars to ONLY the top-quartile file (the stats prune the other
+    three candidates before any scan — pinned in-query: 1 file gains a
+    DV, 3 skipped by stats, and the live file SET is unchanged across
+    both deletes). The second delete's range overlaps the first's, so
+    its sidecar is the union of old ∪ new positions (re-deleting a row
+    is idempotent). Snapshots at the pre-delete version and after each
+    delete must match the closed form bitwise — time travel still sees
+    the deleted rows, because the data files were never touched.
+    Reference analogue: none; Delta deletion vectors, applied
+    Spark-natively as a broadcast anti-join on _metadata.row_index."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = scratch_dir("table-format-dv")
+    tpath = os.path.join(base, "orders_dv")
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    # first bound −1: the fixture contains o_orderkey = 0
+    for lo, hi in [(-1, q1), (q1, q2), (q2, q3), (q3, mx)]:
+        tf_append(
+            orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+            tpath,
+        )
+    pre_version = latest_version(tpath)
+    live_before = {rel for rel, _, _ in _resolve(tpath, pre_version)[0]}
+    cut1, cut2 = (7 * mx) // 8, (13 * mx) // 16
+    v1, dvd1, nomatch1, skipped1 = tf_delete(
+        spark, tpath, [("o_orderkey", ">", cut1)]
+    )
+    # overlapping second delete: matched rows already in the first DV
+    # must not re-enter; the new sidecar unions old ∪ new positions
+    v2, dvd2, nomatch2, skipped2 = tf_delete(
+        spark, tpath, [("o_orderkey", ">", cut2)]
+    )
+    live_after = {rel for rel, _, _ in _resolve(tpath, v2)[0]}
+    if not (
+        dvd1 == dvd2 == 1
+        and skipped1 == skipped2 == 3
+        and nomatch1 == nomatch2 == 0
+        and live_before == live_after
+    ):
+        raise RuntimeError(
+            "DV delete shape broken: "
+            f"dv files {dvd1}/{dvd2}, skipped {skipped1}/{skipped2}, "
+            f"file set changed: {live_before != live_after}"
+        )
+
+    def _summary(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(exact_cents(F.col("o_totalprice")))
+            .cast("long")
+            .alias("total_cents"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+
+    return (
+        _summary(tf_read(spark, tpath, version=pre_version), 0)
+        .unionAll(_summary(tf_read(spark, tpath, version=v1), 1))
+        .unionAll(_summary(tf_read(spark, tpath, version=v2), 2))
+        .orderBy("version")
+    )
+
+
+@register(
+    "io_table_format_cdf",
+    oracle="""
+    WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+    ch AS (
+      SELECT 0 AS version, 'insert' AS change_type, user_id, value
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT 1, 'insert', user_id, value
+      FROM events WHERE event_id % 3 = 1
+      UNION ALL
+      SELECT 2, 'delete', user_id, value
+      FROM events, m
+      WHERE event_id % 3 IN (0, 1) AND event_id > (3 * mx) // 4
+      UNION ALL
+      SELECT 3, 'insert', user_id, value
+      FROM events WHERE event_id % 3 = 2
+    )
+    SELECT CAST(version AS BIGINT) AS version, change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM ch GROUP BY version, change_type ORDER BY version
+    """,
+)
+def io_table_format_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED from the log: two appends, a DV delete of the
+    top event-id quarter, and a third append produce four versions of
+    row-level changes — the delete version's rows are recovered from
+    the sidecar's positions (new minus previous DV), carrying the
+    deleted rows' VALUES, which only a position-addressed read of the
+    untouched data file can produce. The per-version change rollup must
+    match the closed form over the raw table bitwise.
+    Reference analogue: none; Delta CDF's readChangeFeed, computed
+    from the log instead of stored."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    base = scratch_dir("table-format-cdf")
+    tpath = os.path.join(base, "events_cdf")
+    tf_append(ev.filter(F.col("event_id") % 3 == 0), tpath)
+    tf_append(ev.filter(F.col("event_id") % 3 == 1), tpath)
+    tf_delete(spark, tpath, [("event_id", ">", (3 * mx) // 4)])
+    tf_append(ev.filter(F.col("event_id") % 3 == 2), tpath)
+    changes = tf_changes(spark, tpath, 0, 3)
+    return (
+        changes.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(exact_cents(F.col("value")))
+            .cast("long")
+            .alias("cents_sum"),
+            F.sum("user_id").cast("long").alias("uid_sum"),
+        )
+        .select(F.col("version").cast("long"), "change_type",
+                "n_rows", "cents_sum", "uid_sum")
+        .orderBy("version")
+    )
+
+
 def committed_batch_ids(table_path: str) -> set[int]:
     """Streaming-sink replay guard: the set of foreachBatch epoch ids
     already committed to the log (incrementally maintained)."""
@@ -974,9 +1379,12 @@ def tf_compact(
     import pyspark.sql.functions as F
 
     head = latest_version(table_path)
-    files, _, evolved = _replay(table_path, head)
-    snap = spark.read.option("mergeSchema", str(evolved).lower()).parquet(*files)
-    remove = [os.path.relpath(p, table_path) for p in files]
+    entries, _, evolved = _resolve(table_path, head)
+    # DVs applied: compaction materializes the LOGICAL snapshot, so the
+    # rewritten files carry no deletion vectors (the rewrite is also
+    # how a heavily-deleted file sheds its DV weight)
+    snap = _read_entries(spark, table_path, entries, evolved)
+    remove = [rel for rel, _, _ in entries]
     if zorder_by is not None:
         from fluent_bit_filter_math_spark.operators.storage import (
             _znorm,
@@ -1114,6 +1522,145 @@ def io_table_format_zorder_compact(
     )
 
 
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED — row-level inserts/deletes between two versions,
+# derived entirely from the log (Delta CDF's readChangeFeed, computed
+# rather than stored): an append's added rows are inserts; a DV
+# delete's NEWLY-deleted positions (new sidecar minus the previous
+# one) are deletes; an overwrite emits its removed files' then-live
+# rows as deletes plus its added rows as inserts; a compact emits
+# NOTHING (pure layout — its removes and adds hold identical logical
+# content). A merge emits the coarse (non-minimal) diff — every
+# rewritten file's rows appear as delete+insert pairs even when
+# unchanged — which is the honest computable answer without stored
+# change files; downstream consumers that need the minimal diff
+# anti-join the two sides on the key.
+# ---------------------------------------------------------------------------
+
+
+def _rows_at_positions(
+    spark: SparkSession, table_path: str, pairs: list[tuple[str, list]]
+) -> DataFrame:
+    """Rows of each (rel file, [row positions]) — one scan over the
+    involved files, one broadcast semi-join on (file, row_index)."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(
+        *(os.path.join(table_path, rel) for rel, _ in pairs)
+    )
+    sel = spark.createDataFrame(
+        [(rel, int(i)) for rel, idxs in pairs for i in idxs],
+        "__dv_file string, __dv_idx long",
+    )
+    cols = df.columns
+    return (
+        df.withColumn(
+            "__dv_file",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), _DV_KEY_RE, 1
+            ),
+        )
+        .withColumn("__dv_idx", F.col("_metadata.row_index"))
+        .join(F.broadcast(sel), ["__dv_file", "__dv_idx"], "left_semi")
+        .select(*cols)
+    )
+
+
+def tf_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The table's row-level changes over versions [from, to], tagged
+    with ``_change_type`` ('insert' | 'delete') and ``_commit_version``
+    — the incremental-consumer contract when the history is NOT
+    append-only (the plain stream source refuses such logs). Schemas
+    across generations union by name with NULL-fill."""
+    import pyspark.sql.functions as F
+
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    to = head if to_version is None else to_version
+    if not 0 <= from_version <= to <= head:
+        raise ValueError(
+            f"change range [{from_version}, {to}] outside [0, {head}]"
+        )
+    pieces: list[DataFrame] = []
+
+    def _tag(df: DataFrame, kind: str, v: int) -> None:
+        pieces.append(
+            df.withColumn("_change_type", F.lit(kind)).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+        )
+
+    for v in range(from_version, to + 1):
+        with open(_log_path(table_path, v)) as f:
+            commit = json.load(f)
+        action = commit.get("action", "append")
+        if action == "compact":
+            continue  # pure layout: no logical change
+        adds = [_add_path(e) for e in commit.get("add", [])]
+        if action == "delete":
+            pairs = []
+            for e in commit.get("dv", []):
+                new = set(
+                    int(i) for i in _dv_indexes(table_path, e["dv"])
+                )
+                if e.get("prev_dv"):
+                    new -= set(
+                        int(i)
+                        for i in _dv_indexes(table_path, e["prev_dv"])
+                    )
+                if new:
+                    pairs.append((e["path"], sorted(new)))
+            if pairs:
+                _tag(
+                    _rows_at_positions(spark, table_path, pairs),
+                    "delete",
+                    v,
+                )
+            continue
+        if action in ("overwrite", "merge") and commit.get("remove"):
+            # the removed files' THEN-LIVE rows (their v-1 DVs applied)
+            _, prev_live = _resolve_live(table_path, v - 1)
+            removed = [
+                (rel, prev_live[rel][1], prev_live[rel][2])
+                for rel in commit["remove"]
+                if rel in prev_live
+            ]
+            if removed:
+                _tag(
+                    _read_entries(spark, table_path, removed, True),
+                    "delete",
+                    v,
+                )
+        if adds:
+            _tag(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *(os.path.join(table_path, rel) for rel in adds)
+                ),
+                "insert",
+                v,
+            )
+    if not pieces:
+        from pyspark.sql.types import LongType, StringType
+
+        _, ddl, _ = _replay(table_path, to)
+        schema = (
+            spark.createDataFrame([], ddl)
+            .schema.add("_change_type", StringType())
+            .add("_commit_version", LongType())
+        )
+        return spark.createDataFrame([], schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
     """Physically delete data files not live in ANY snapshot >=
     *keep_from_version* (retention cutoff). Time travel to vacuumed
@@ -1122,14 +1669,17 @@ def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
     head = latest_version(table_path)
     keep: set[str] = set()
     for v in range(max(0, keep_from_version), head + 1):
-        files, _, _ = _replay(table_path, v)
-        keep.update(os.path.relpath(p, table_path) for p in files)
+        _, live = _resolve_live(table_path, v)
+        for rel, (_, _, dv) in live.items():
+            keep.add(rel)
+            if dv:  # a live snapshot's DV sidecar must survive too
+                keep.add(dv)
     ever: set[str] = set()
     for v in range(head + 1):
         with open(_log_path(table_path, v)) as f:
-            ever.update(
-                _add_path(e) for e in json.load(f).get("add", [])
-            )
+            commit = json.load(f)
+        ever.update(_add_path(e) for e in commit.get("add", []))
+        ever.update(e["dv"] for e in commit.get("dv", []))
     doomed = sorted(ever - keep)
     for rel in doomed:
         p = os.path.join(table_path, rel)
