@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_avro_nested",
     "io_table_format_delete",
     "io_table_format_cdf",
+    "stream_table_format_cdf",
     "mm_jpeg_dri_decode",
     "mm_jpeg_progressive_decode",
     "mm_jpeg_sa_decode",

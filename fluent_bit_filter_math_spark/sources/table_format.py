@@ -1799,6 +1799,27 @@ class _TfFilePartition(InputPartition):
         self.path = path
 
 
+class _TfChangePartition(InputPartition):
+    """One CDF work unit: a data file plus the position set that turns
+    it into change rows. ``positions=None`` means every row;
+    ``exclude=True`` flips the set (a removed file's then-live rows =
+    all minus its DV)."""
+
+    def __init__(
+        self,
+        path: str,
+        change_type: str,
+        version: int,
+        positions: list[int] | None = None,
+        exclude: bool = False,
+    ):
+        self.path = path
+        self.change_type = change_type
+        self.version = version
+        self.positions = positions
+        self.exclude = exclude
+
+
 class TableFormatStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.table_path = options.get("path")
@@ -1849,7 +1870,9 @@ class TableFormatStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"version {v} is a {commit.get('action')!r} commit: "
                     "the incremental stream is exact only over "
-                    "append-only history (Delta's ignoreChanges trap)"
+                    "append-only history (Delta's ignoreChanges trap; "
+                    "stream the change feed via option changefeed=true "
+                    "to consume non-append history)"
                 )
             parts.extend(
                 _TfFilePartition(
@@ -1873,20 +1896,130 @@ class TableFormatStreamReader(DataSourceStreamReader):
         self._observe_end(int(end["version"]))
 
 
+class TableFormatCdfStreamReader(TableFormatStreamReader):
+    """The CHANGE-FEED stream: offsets are still log versions, but each
+    micro-batch emits the version's row-level CHANGES instead of its
+    raw appends, so non-append history (DV deletes, overwrites, merges)
+    streams instead of erroring — Delta's readChangeFeed streaming
+    source, computed from the log. Rows gain ``_change_type`` and
+    ``_commit_version``; a compact emits nothing (pure layout). Work
+    units stay one-file partitions (the executor applies the position
+    set with numpy), so backlog parallelism matches the batch scan."""
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        self._observe_end(hi)
+        parts: list[_TfChangePartition] = []
+        for v in range(lo + 1, hi + 1):
+            with open(_log_path(self.table_path, v)) as f:
+                commit = json.load(f)
+            action = commit.get("action", "append")
+            if action == "compact":
+                continue
+            if action == "delete":
+                for e in commit.get("dv", []):
+                    new = set(
+                        int(i)
+                        for i in _dv_indexes(self.table_path, e["dv"])
+                    )
+                    if e.get("prev_dv"):
+                        new -= set(
+                            int(i)
+                            for i in _dv_indexes(
+                                self.table_path, e["prev_dv"]
+                            )
+                        )
+                    if new:
+                        parts.append(
+                            _TfChangePartition(
+                                os.path.join(self.table_path, e["path"]),
+                                "delete",
+                                v,
+                                sorted(new),
+                            )
+                        )
+                continue
+            if action in ("overwrite", "merge") and commit.get("remove"):
+                _, prev_live = _resolve_live(self.table_path, v - 1)
+                for rel in commit["remove"]:
+                    if rel not in prev_live:
+                        continue
+                    dv = prev_live[rel][2]
+                    excl = (
+                        [int(i) for i in _dv_indexes(self.table_path, dv)]
+                        if dv
+                        else None
+                    )
+                    parts.append(
+                        _TfChangePartition(
+                            os.path.join(self.table_path, rel),
+                            "delete",
+                            v,
+                            excl,
+                            exclude=excl is not None,
+                        )
+                    )
+            for e in commit.get("add", []):
+                parts.append(
+                    _TfChangePartition(
+                        os.path.join(self.table_path, _add_path(e)),
+                        "insert",
+                        v,
+                    )
+                )
+        return parts
+
+    def read(self, partition: _TfChangePartition):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.path)
+        if partition.positions is not None:
+            pos = np.asarray(partition.positions, dtype=np.int64)
+            if partition.exclude:
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[pos] = False
+                pos = np.nonzero(mask)[0]
+            tbl = tbl.take(pos)
+        tail = (partition.change_type, partition.version)
+        for batch in tbl.to_batches():
+            cols = [c.to_pylist() for c in batch.columns]
+            for row in zip(*cols):
+                yield row + tail
+
+
 class TableFormatDataSource(DataSource):
-    """``spark.readStream.format("tableformat").option("path", t)``"""
+    """``spark.readStream.format("tableformat").option("path", t)``;
+    with ``option("changefeed", "true")`` the stream emits row-level
+    CHANGES (+_change_type/_commit_version) instead of raw appends."""
 
     @classmethod
     def name(cls) -> str:
         return "tableformat"
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("changefeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self):
         _, ddl, _ = _replay(
             self.options["path"], latest_version(self.options["path"])
         )
+        if self._cdf():
+            # ddl is a simpleString ("struct<a:bigint,...>"): splice
+            # the change columns in before the closing bracket
+            if not (ddl.startswith("struct<") and ddl.endswith(">")):
+                raise ValueError(f"unexpected table schema DDL {ddl!r}")
+            return (
+                ddl[:-1] + ",_change_type:string,_commit_version:bigint>"
+            )
         return ddl
 
     def streamReader(self, schema):
+        if self._cdf():
+            return TableFormatCdfStreamReader(self.options)
         return TableFormatStreamReader(self.options)
 
 
@@ -1982,4 +2115,105 @@ def stream_table_format_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("shard").cast("long"), "n_rows", "fold_cents")
         .orderBy("shard")
+    )
+
+
+@register(
+    "stream_table_format_cdf",
+    oracle="""
+    WITH m AS (SELECT MAX(event_id) AS mx FROM events),
+    ch AS (
+      SELECT 'insert' AS change_type, user_id, value
+      FROM events WHERE event_id % 3 IN (0, 1)
+      UNION ALL
+      SELECT 'delete', user_id, value
+      FROM events, m
+      WHERE event_id % 3 IN (0, 1) AND event_id > (3 * mx) // 4
+      UNION ALL
+      SELECT 'insert', user_id, value
+      FROM events WHERE event_id % 3 = 2
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM ch GROUP BY change_type ORDER BY change_type
+    """,
+)
+def stream_table_format_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed as a STREAM: the same append→append→DV-delete→
+    append history the batch CDF query builds is consumed INCREMENTALLY
+    (offsets are log versions; option changefeed=true routes the
+    non-append history that the plain stream source refuses), each
+    micro-batch lands its change rows in an idempotent foreachBatch
+    sink, and the drained feed's per-change-type rollup must match the
+    closed form bitwise — the delete version's rows arrive with the
+    deleted VALUES, recovered executor-side by position from the
+    untouched data file. Pinned to drain in ≥2 micro-batches.
+    Reference analogue: none; Delta CDF's streaming readChangeFeed."""
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_table_format(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    base = scratch_dir("tf-stream-cdf")
+    tpath = os.path.join(base, "table")
+    tf_append(ev.filter(F.col("event_id") % 3 == 0), tpath)
+    tf_append(ev.filter(F.col("event_id") % 3 == 1), tpath)
+    tf_delete(spark, tpath, [("event_id", ">", (3 * mx) // 4)])
+    tf_append(ev.filter(F.col("event_id") % 3 == 2), tpath)
+
+    stream = (
+        spark.readStream.format("tableformat")
+        .option("path", tpath)
+        .option("changefeed", "true")
+        .option("maxversionspertrigger", "2")
+        .load()
+    )
+    picked = stream.select(
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+        "_change_type",
+    )
+    out_dir = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"b{batch_id:05d}")
+        )
+
+    q = (
+        picked.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs = _glob.glob(os.path.join(out_dir, "b*"))
+    if len(epochs) < 2:
+        raise RuntimeError(
+            f"expected >=2 version-rate-limited micro-batches, got "
+            f"{len(epochs)}"
+        )
+    feed = spark.read.parquet(os.path.join(out_dir, "b*"))
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("user_id").cast("long").alias("uid_sum"),
+        )
+        .orderBy("change_type")
     )

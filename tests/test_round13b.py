@@ -273,3 +273,69 @@ class TestDeleteConcurrency:
         monkeypatch.setattr(tfm, "latest_version", stale)
         with pytest.raises(ConcurrentOverwrite):
             tf_delete(spark, t, [("k", ">=", 399)])
+
+
+class TestCdfStreamReader:
+    """Unit-level pins of the changefeed stream reader: partition
+    planning straight off the log and executor-side position reads,
+    without spinning the streaming engine."""
+
+    def _drain(self, t, lo, hi):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            TableFormatCdfStreamReader,
+        )
+
+        r = TableFormatCdfStreamReader({"path": t})
+        r.initialOffset()
+        rows = []
+        for p in r.partitions({"version": lo}, {"version": hi}):
+            rows.extend(r.read(p))
+        return rows
+
+    def test_delete_then_overwrite_excludes_dv_rows(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_overwrite,
+        )
+
+        t = str(tmp_path / "cdf1")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_delete(spark, t, [("k", ">=", 90)])                # v1
+        tf_overwrite(_mk(spark, 1000, 1005).coalesce(1), t)   # v2
+        rows = self._drain(t, -1, 2)
+        by = {}
+        for *vals, ct, v in rows:
+            by.setdefault((v, ct), set()).add(vals[0])
+        assert by[(0, "insert")] == set(range(100))
+        assert by[(1, "delete")] == set(range(90, 100))
+        # the overwrite's deletes are the THEN-LIVE rows: the DV'd
+        # 90..99 must NOT be re-deleted
+        assert by[(2, "delete")] == set(range(90))
+        assert by[(2, "insert")] == set(range(1000, 1005))
+
+    def test_compact_version_emits_nothing(self, spark, tmp_path):
+        t = str(tmp_path / "cdf2")
+        tf_append(_mk(spark, 0, 50).coalesce(1), t)           # v0
+        tf_delete(spark, t, [("k", "<", 5)])                  # v1
+        v = tf_compact(spark, t, n_files=1)                   # v2
+        assert self._drain(t, v - 1, v) == []
+        # and the full drain equals insert 50 + delete 5
+        rows = self._drain(t, -1, v)
+        kinds = {}
+        for *_, ct, _v in rows:
+            kinds[ct] = kinds.get(ct, 0) + 1
+        assert kinds == {"insert": 50, "delete": 5}
+
+    def test_schema_splices_change_columns(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            TableFormatDataSource,
+        )
+
+        t = str(tmp_path / "cdf3")
+        tf_append(_mk(spark, 0, 5).coalesce(1), t)
+        ds = TableFormatDataSource({"path": t, "changefeed": "true"})
+        s = ds.schema()
+        assert s.endswith(",_change_type:string,_commit_version:bigint>")
+        plain = TableFormatDataSource({"path": t}).schema()
+        assert "_change_type" not in plain
