@@ -55,12 +55,19 @@ aliases apply at every depth) — see ``io_avro_map`` and
 ``io_avro_nested``. Named types (enum/fixed/record) match on name or
 reader alias per spec §Schema Resolution.
 
-Limits, honestly: no named-type REFERENCES (a schema naming a
-previously defined type by string), no multi-non-null union ENCODING
-(decode handles any branch count), no snappy (not in the stdlib), and
-like every Python DataSource, no filter pushdown into the source — at
-scale you convert to parquet for queryable storage (the arrow_ipc
-note).
+NAMED-TYPE REFERENCES (spec §Names) resolve through a one-pass
+inliner: a string type that is not a primitive looks up the
+previously defined record/enum/fixed of that name and shares its
+definition object, so reuse costs nothing and RECURSIVE types (a
+record referencing itself, e.g. a linked list) decode through
+memoized, lazily-bound decoders. Recursive types cannot surface as
+Spark columns (no recursive struct type) — the column mapper rejects
+them loudly; the file-level API handles them fully.
+
+Limits, honestly: no multi-non-null union ENCODING (decode handles
+any branch count), no snappy (not in the stdlib), and like every
+Python DataSource, no filter pushdown into the source — at scale you
+convert to parquet for queryable storage (the arrow_ipc note).
 """
 
 from __future__ import annotations
@@ -178,6 +185,54 @@ def _dec_value(typ: str, buf: bytes, pos: int) -> tuple:
 
 def _schema_fields(schema: dict) -> list[tuple[str, str]]:
     return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
+
+
+def inline_named_types(schema):
+    """Resolve NAMED-TYPE REFERENCES (spec §Names): a string type that
+    is not a primitive refers to the record/enum/fixed previously
+    DEFINED under that name; the reference is replaced by the shared
+    definition object. Registration happens before a record's fields
+    are walked, so recursive types (a record referencing itself) come
+    out as cyclic shared structures — encode handles them naturally
+    (data is finite) and decode through the memoized decoder cache.
+    Duplicate definitions and unknown references raise (spec)."""
+    env: dict[str, dict] = {}
+
+    def walk(t):
+        if isinstance(t, list):
+            return [walk(b) for b in t]
+        if isinstance(t, str):
+            if t in _PRIMITIVES:
+                return t
+            if t in env:
+                return env[t]
+            raise ValueError(f"unknown type reference {t!r}")
+        base = t.get("type")
+        if base in ("record", "enum", "fixed"):
+            name = t["name"]
+            if env.get(name) is t:
+                return t  # re-visit of a shared/cyclic definition
+            if name in env:
+                raise ValueError(f"type {name!r} defined twice")
+            env[name] = t  # register BEFORE fields: recursion support
+            if base == "record":
+                for f in t["fields"]:
+                    f["type"] = walk(f["type"])
+            return t
+        if base == "array":
+            t["items"] = walk(t["items"])
+            return t
+        if base == "map":
+            t["values"] = walk(t["values"])
+            return t
+        return t  # logical-annotated primitives
+
+    return walk(schema)
 
 
 # ---------------------------------------------------------------------------
@@ -391,14 +446,20 @@ def _default_value(typ: str, d):
     raise ValueError(f"unsupported default for type {typ!r}")
 
 
-def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
+def resolve_schemas(
+    writer: dict, reader: dict, memo: dict | None = None
+) -> tuple[list, list]:
     """Build a decode plan: (steps, template).
 
     ``steps`` — one entry per WRITER field in wire order:
     ``(writer type, reader slot | None, convert fn | None)``; a None
     slot means decode-and-discard. ``template`` — the reader-ordered
     row of defaults that each decoded record starts from (reader-only
-    fields keep their default; matched slots get overwritten)."""
+    fields keep their default; matched slots get overwritten).
+    ``memo`` threads the decoder cache through nested/recursive named
+    types."""
+    if memo is None:
+        memo = {}
     rfields = reader["fields"]
     by_name: dict[str, int] = {}
     for i, f in enumerate(rfields):
@@ -411,12 +472,12 @@ def resolve_schemas(writer: dict, reader: dict) -> tuple[list, list]:
         wtyp = wf["type"]
         slot = by_name.get(wf["name"])
         if slot is None:
-            steps.append((_make_field_decoder(wtyp, None), None))
+            steps.append((_make_field_decoder(wtyp, None, memo), None))
             continue
         rtyp = rfields[slot]["type"]
         matched.add(slot)
         try:
-            dec = _make_field_decoder(wtyp, rtyp)
+            dec = _make_field_decoder(wtyp, rtyp, memo)
         except ValueError as exc:
             raise ValueError(f"field {wf['name']!r}: {exc}") from exc
         steps.append((dec, slot))
@@ -503,21 +564,48 @@ def _check_name_match(wtyp: dict, rtyp: dict) -> None:
     )
 
 
-def _make_field_decoder(wtyp, rtyp):
+def _make_field_decoder(wtyp, rtyp, memo: dict | None = None):
     """Build a ``fn(buf, pos) -> (reader-typed value, pos)`` for one
-    writer type. ``rtyp=None`` means decode-and-discard. Fully
-    recursive over unions and arrays: each writer union branch
+    writer type (memoized on the (writer, reader) object pair so
+    RECURSIVE named types — cyclic after :func:`inline_named_types` —
+    terminate: a self-reference gets a lazily-bound forward decoder).
+    See :func:`_build_field_decoder` for the resolution rules."""
+    if memo is None:
+        memo = {}
+    key = (id(wtyp), id(rtyp))
+    if key in memo:
+        return memo[key]
+    cell: list = [None]
+
+    def _fwd(buf: bytes, pos: int):
+        return cell[0](buf, pos)
+
+    memo[key] = _fwd  # visible to recursive self-references
+    try:
+        dec = _build_field_decoder(wtyp, rtyp, memo)
+    except ValueError:
+        memo.pop(key, None)  # never leave a dangling forward cell
+        raise
+    cell[0] = dec
+    memo[key] = dec
+    return dec
+
+
+def _build_field_decoder(wtyp, rtyp, memo: dict):
+    """``rtyp=None`` means decode-and-discard. Fully recursive over
+    unions, arrays, maps and records: each writer union branch
     resolves against the reader side independently (a branch nothing
     accepts errors at DECODE time if and only if a value uses it —
-    the spec's union rule), arrays resolve their item types, and
-    scalars match/promote on base types with the reader's logical
-    annotation applied last."""
+    the spec's union rule), containers resolve their element types,
+    records recurse the full field machinery, and scalars
+    match/promote on base types with the reader's logical annotation
+    applied last."""
     # writer union: one sub-decoder per branch
     if isinstance(wtyp, list):
         subs = []
         for wb in wtyp:
             try:
-                subs.append(_make_field_decoder(wb, rtyp))
+                subs.append(_make_field_decoder(wb, rtyp, memo))
             except ValueError:
                 subs.append(None)
         if rtyp is not None and all(s is None for s in subs):
@@ -543,7 +631,7 @@ def _make_field_decoder(wtyp, rtyp):
         last: ValueError | None = None
         for rb in rtyp:
             try:
-                return _make_field_decoder(wtyp, rb)
+                return _make_field_decoder(wtyp, rb, memo)
             except ValueError as exc:
                 last = exc
         raise last or ValueError(
@@ -557,7 +645,7 @@ def _make_field_decoder(wtyp, rtyp):
                 f"writer array does not resolve to reader {rtyp!r}"
             )
         item_dec = _make_field_decoder(
-            wtyp["items"], None if rtyp is None else rtyp["items"]
+            wtyp["items"], None if rtyp is None else rtyp["items"], memo
         )
         return _array_decoder(item_dec)
     if rtyp is not None and _base_type(rtyp) == "array":
@@ -571,7 +659,7 @@ def _make_field_decoder(wtyp, rtyp):
                 f"writer map does not resolve to reader {rtyp!r}"
             )
         val_dec = _make_field_decoder(
-            wtyp["values"], None if rtyp is None else rtyp["values"]
+            wtyp["values"], None if rtyp is None else rtyp["values"], memo
         )
         return _map_decoder(val_dec)
     # enums: varint symbol index; resolution maps writer symbols to
@@ -639,7 +727,7 @@ def _make_field_decoder(wtyp, rtyp):
                 )
             _check_name_match(wtyp, rtyp)
         steps, template = resolve_schemas(
-            wtyp, wtyp if rtyp is None else rtyp
+            wtyp, wtyp if rtyp is None else rtyp, memo
         )
 
         def dec_record(buf: bytes, pos: int):
@@ -728,7 +816,7 @@ def write_ocf_shard(
     under *schema_json* (the WRITER schema embedded in the header)."""
     import hashlib
 
-    fields = _schema_fields(json.loads(schema_json))
+    fields = _schema_fields(inline_named_types(json.loads(schema_json)))
     # deterministic per path (re-runnable writes produce identical
     # bytes — task-retry friendly); the marker only needs to be
     # consistent within one file, the reader learns it from the header
@@ -769,9 +857,12 @@ def read_ocf_file(path: str, reader_schema: dict | None = None):
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
-    writer = json.loads(meta["avro.schema"].decode())
+    writer = inline_named_types(json.loads(meta["avro.schema"].decode()))
     steps, template = resolve_schemas(
-        writer, writer if reader_schema is None else reader_schema
+        writer,
+        writer
+        if reader_schema is None
+        else inline_named_types(reader_schema),
     )
     sync = buf[pos : pos + 16]
     pos += 16
@@ -806,7 +897,9 @@ class AvroOCFReader(DataSourceReader):
         if not self.path:
             raise ValueError("avro_ocf requires option 'path'")
         rs = options.get("readerschema")
-        self.reader_schema = json.loads(rs) if rs else None
+        self.reader_schema = (
+            inline_named_types(json.loads(rs)) if rs else None
+        )
 
     def partitions(self):
         files = sorted(glob.glob(os.path.join(self.path, "*.avro")))
@@ -829,18 +922,27 @@ _AVRO_TO_SPARK = {
 }
 
 
-def _avro_to_spark_type(typ) -> str:
+def _avro_to_spark_type(typ, _stack: frozenset = frozenset()) -> str:
+    if isinstance(typ, dict) and id(typ) in _stack:
+        # a type reaching itself: Spark has no recursive struct type —
+        # such columns only exist through the file-level API
+        raise ValueError(
+            f"recursive type {typ.get('name')!r} cannot map to a "
+            "Spark column"
+        )
+    if isinstance(typ, dict):
+        _stack = _stack | {id(typ)}
     if isinstance(typ, dict) and _base_type(typ) == "array":
-        return f"array<{_avro_to_spark_type(typ['items'])}>"
+        return f"array<{_avro_to_spark_type(typ['items'], _stack)}>"
     if isinstance(typ, dict) and _base_type(typ) == "map":
-        return f"map<string,{_avro_to_spark_type(typ['values'])}>"
+        return f"map<string,{_avro_to_spark_type(typ['values'], _stack)}>"
     if isinstance(typ, dict) and _base_type(typ) == "enum":
         return "string"  # decoded enum values are symbol strings
     if isinstance(typ, dict) and _base_type(typ) == "fixed":
         return "binary"
     if isinstance(typ, dict) and _base_type(typ) == "record":
         inner = ",".join(
-            f"{f['name']}:{_avro_to_spark_type(f['type'])}"
+            f"{f['name']}:{_avro_to_spark_type(f['type'], _stack)}"
             for f in typ["fields"]
         )
         return f"struct<{inner}>"
@@ -848,7 +950,7 @@ def _avro_to_spark_type(typ) -> str:
         non_null = [b for b in typ if _base_type(b) != "null"]
         if len(non_null) != 1:
             raise ValueError("Spark mapping needs exactly one non-null branch")
-        return _avro_to_spark_type(non_null[0])
+        return _avro_to_spark_type(non_null[0], _stack)
     lt = _logical(typ)
     if lt == "date":
         return "date"
@@ -880,7 +982,7 @@ class AvroOCFDataSource(DataSource):
                 "event_id long, user_id long, event_type string, "
                 "cents long"
             )
-        fields = _schema_fields(json.loads(rs))
+        fields = _schema_fields(inline_named_types(json.loads(rs)))
         return ", ".join(
             f"{n} {_avro_to_spark_type(t)}" for n, t in fields
         )

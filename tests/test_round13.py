@@ -1110,3 +1110,87 @@ def test_avro_complex_type_vectors(tmp_path):
         _make_field_decoder(mt, "long")
     with pytest.raises(ValueError, match="does not resolve"):
         _make_field_decoder("string", ft)
+
+
+def test_avro_named_type_references(tmp_path):
+    """Spec §Names: a non-primitive string type refers to the named
+    record/enum/fixed defined earlier — reuse shares the definition
+    object, recursion (a record referencing itself) decodes through
+    the memoized lazily-bound decoders, the inliner is idempotent on
+    already-shared structures, and Spark column mapping rejects
+    recursive types loudly while mapping plain reuse."""
+    from fluent_bit_filter_math_spark.sources.avro_ocf import (
+        _avro_to_spark_type,
+        _dec_row_resolved,
+        _enc_any,
+        inline_named_types,
+        read_ocf_file,
+        resolve_schemas,
+        write_ocf_shard,
+    )
+
+    def fresh(d):
+        return json.loads(json.dumps(d))
+
+    # reuse: two fields of one named record, a reused enum
+    t = inline_named_types(fresh({
+        "type": "record", "name": "Trip", "fields": [
+            {"name": "src", "type": {
+                "type": "record", "name": "Point",
+                "fields": [{"name": "x", "type": "long"},
+                           {"name": "y", "type": "long"}]}},
+            {"name": "dst", "type": "Point"},
+            {"name": "a", "type": {"type": "enum", "name": "Eh",
+                                   "symbols": ["p", "q"]}},
+            {"name": "b", "type": "Eh"},
+        ]}))
+    assert t["fields"][1]["type"] is t["fields"][0]["type"]
+    assert inline_named_types(t) is t  # idempotent on shared structure
+    buf = _enc_any(t, {"src": {"x": 1, "y": 2},
+                       "dst": {"x": -3, "y": 4}, "a": "p", "b": "q"})
+    steps, template = resolve_schemas(t, t)
+    row, p = _dec_row_resolved(buf, 0, steps, template)
+    assert row == ((1, 2), (-3, 4), "p", "q") and p == len(buf)
+    assert _avro_to_spark_type(t) == (
+        "struct<src:struct<x:long,y:long>,"
+        "dst:struct<x:long,y:long>,a:string,b:string>"
+    )
+
+    # recursion: a linked list decodes; Spark mapping refuses it
+    node = inline_named_types(fresh({
+        "type": "record", "name": "Node", "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]}]}))
+    assert node["fields"][1]["type"][1] is node
+    buf = _enc_any(
+        node, {"v": 1, "next": {"v": 2, "next": {"v": 3, "next": None}}}
+    )
+    steps, template = resolve_schemas(node, node)
+    row, p = _dec_row_resolved(buf, 0, steps, template)
+    assert row == (1, (2, (3, None))) and p == len(buf)
+    with pytest.raises(ValueError, match="recursive"):
+        _avro_to_spark_type(node)
+
+    # whole-file roundtrip with a reference-bearing schema JSON
+    sj = json.dumps({
+        "type": "record", "name": "T", "fields": [
+            {"name": "p", "type": {"type": "record", "name": "P",
+                "fields": [{"name": "x", "type": "long"}]}},
+            {"name": "q", "type": "P"}]})
+    path = str(tmp_path / "refs.avro")
+    write_ocf_shard(path, [{"p": {"x": 5}, "q": {"x": -6}}],
+                    codec="deflate", schema_json=sj)
+    assert list(read_ocf_file(path)) == [((5,), (-6,))]
+
+    # unknown reference / duplicate textual definition raise
+    with pytest.raises(ValueError, match="unknown type reference"):
+        inline_named_types(fresh({
+            "type": "record", "name": "R",
+            "fields": [{"name": "a", "type": "Nope"}]}))
+    with pytest.raises(ValueError, match="defined twice"):
+        inline_named_types(fresh({
+            "type": "record", "name": "R", "fields": [
+                {"name": "a", "type": {"type": "enum", "name": "E2",
+                                       "symbols": ["x"]}},
+                {"name": "b", "type": {"type": "enum", "name": "E2",
+                                       "symbols": ["y"]}}]}))
