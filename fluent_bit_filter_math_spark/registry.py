@@ -79,6 +79,8 @@ _PRIORITY: tuple[str, ...] = (
     # the corpus; VERDICT r12 #7: after r13 lands, no query's newest
     # driver green is older than r7).
     # tier 2: new or changed this round.
+    "io_avro_snappy",
+    "io_table_format_restore",
     "io_table_format_skipping",
     "io_table_format_merge",
     "io_table_format_zorder_compact",

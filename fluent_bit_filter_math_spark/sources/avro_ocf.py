@@ -64,10 +64,20 @@ memoized, lazily-bound decoders. Recursive types cannot surface as
 Spark columns (no recursive struct type) — the column mapper rejects
 them loudly; the file-level API handles them fully.
 
-Limits, honestly: no multi-non-null union ENCODING (decode handles
-any branch count), no snappy (not in the stdlib), and like every
-Python DataSource, no filter pushdown into the source — at scale you
-convert to parquet for queryable storage (the arrow_ipc note).
+UNION ENCODING is general since late r13: a TYPE WITNESS on the
+Python value picks the first union branch (in union order) whose
+encoding accepts the value's runtime type — bool before int, logical
+annotations claiming date/datetime/Decimal, records by field-name
+coverage before maps — so multi-non-null unions round-trip; see
+:func:`_branch_accepts`. The ``snappy`` codec is implemented from
+scratch too (sources/snappy_codec.py — the public wire format, with
+Avro's big-endian-CRC32-of-uncompressed framing); see
+``io_avro_snappy``.
+
+Limits, honestly: no zstandard/bzip2/xz codecs (genuinely
+library-bound), and like every Python DataSource, no filter pushdown
+into the source — at scale you convert to parquet for queryable
+storage (the arrow_ipc note).
 """
 
 from __future__ import annotations
@@ -87,6 +97,7 @@ from pyspark.sql.datasource import (
 )
 
 from fluent_bit_filter_math_spark.registry import register
+from fluent_bit_filter_math_spark.sources import snappy_codec
 
 _MAGIC = b"Obj\x01"
 
@@ -320,29 +331,83 @@ def _dec_logical(typ, v):
 # branch's encoding. The ubiquitous real-world case is the nullable
 # field ``["null", T]`` — None encodes as the null branch's index and
 # zero bytes of payload. Decoding handles any branch count; encoding
-# routes None to the null branch and everything else to the single
-# non-null branch (multi-non-null encoding would need a type witness
-# per value — out of scope, decode-only).
+# selects the branch by a TYPE WITNESS on the Python value (the spec
+# leaves the writer's branch choice free; we pick the FIRST branch in
+# union order that accepts the value's runtime type — deterministic,
+# so task retries re-produce identical bytes). A value no branch
+# accepts raises; numeric coercion across branches (int offered to a
+# double-only union) is deliberately NOT performed — a writer that
+# wants the double branch passes a float.
 # ---------------------------------------------------------------------------
+
+
+def _branch_accepts(branch, v) -> bool:
+    """Type witness: does *branch*'s encoding accept this Python
+    value? bool is checked before int (bool ⊂ int in Python); dicts
+    match a record branch only when their keys cover the record's
+    field names, else a map branch; logical annotations claim their
+    dedicated Python types (date/datetime/Decimal)."""
+    base = _base_type(branch)
+    if base == "null":
+        return v is None
+    if v is None:
+        return False
+    if base == "boolean":
+        return isinstance(v, bool)
+    if isinstance(v, bool):
+        return False  # a bool must never ride an int/long branch
+    import datetime
+    import decimal
+
+    lt = _logical(branch)
+    if lt == "date":
+        return isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        )
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return isinstance(v, datetime.datetime)
+    if lt == "decimal":
+        return isinstance(v, decimal.Decimal)
+    if base in ("int", "long"):
+        return isinstance(v, int)
+    if base in ("float", "double"):
+        return isinstance(v, float)
+    if base == "string":
+        return isinstance(v, str)
+    if base == "enum":
+        return isinstance(v, str) and v in branch["symbols"]
+    if base == "fixed":
+        return (
+            isinstance(v, (bytes, bytearray))
+            and len(v) == branch["size"]
+        )
+    if base == "bytes":
+        return isinstance(v, (bytes, bytearray))
+    if base == "array":
+        return isinstance(v, (list, tuple))
+    if base == "record":
+        try:
+            for f in branch["fields"]:
+                v[f["name"]]  # dict or pyspark Row: index by name
+        except (KeyError, TypeError, IndexError):
+            return False
+        return True
+    if base == "map":
+        return isinstance(v, dict)
+    return False
 
 
 def _enc_any(typ, v) -> bytes:
     if isinstance(typ, list):
-        if v is None:
-            try:
-                idx = typ.index("null")
-            except ValueError:
-                raise ValueError("None for a union without a null branch")
-            return _zigzag_encode(idx)
-        non_null = [
-            i for i, b in enumerate(typ) if _base_type(b) != "null"
-        ]
-        if len(non_null) != 1:
-            raise ValueError(
-                "encoding supports exactly one non-null union branch"
-            )
-        idx = non_null[0]
-        return _zigzag_encode(idx) + _enc_any(typ[idx], v)
+        for idx, branch in enumerate(typ):
+            if _branch_accepts(branch, v):
+                if _base_type(branch) == "null":
+                    return _zigzag_encode(idx)
+                return _zigzag_encode(idx) + _enc_any(branch, v)
+        raise ValueError(
+            f"no union branch of {typ!r} accepts "
+            f"{type(v).__name__} value {v!r}"
+        )
     wbase = _base_type(typ)
     if wbase == "array":
         # spec block form: one block of N items, then the 0 terminator
@@ -838,6 +903,15 @@ def write_ocf_shard(
             if codec == "deflate":
                 payload = zlib.compress(payload, 6)[2:-4]  # raw: strip
                 # zlib header+adler — the OCF deflate interop rule
+            elif codec == "snappy":
+                # Avro spec "Required Codecs": snappy block followed
+                # by the 4-byte BIG-ENDIAN CRC32 of the UNCOMPRESSED
+                # data (from-scratch codec: sources/snappy_codec.py)
+                payload = snappy_codec.compress(payload) + (
+                    zlib.crc32(payload) & 0xFFFFFFFF
+                ).to_bytes(4, "big")
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
             f.write(_zigzag_encode(len(chunk)))
             f.write(_zigzag_encode(len(payload)))
             f.write(payload)
@@ -855,7 +929,7 @@ def read_ocf_file(path: str, reader_schema: dict | None = None):
         raise ValueError("not an Avro OCF: bad magic")
     meta, pos = _dec_meta_map(buf, 4)
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported codec {codec!r}")
     writer = inline_named_types(json.loads(meta["avro.schema"].decode()))
     steps, template = resolve_schemas(
@@ -878,6 +952,17 @@ def read_ocf_file(path: str, reader_schema: dict | None = None):
         pos += 16
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
+        elif codec == "snappy":
+            if len(payload) < 4:
+                raise ValueError("snappy block too short for its CRC")
+            body, crc = payload[:-4], payload[-4:]
+            payload = snappy_codec.decompress(body)
+            if (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(
+                4, "big"
+            ) != crc:
+                raise ValueError(
+                    "snappy block CRC mismatch (corrupt block)"
+                )
         p = 0
         for _ in range(count):
             row, p = _dec_row_resolved(payload, p, steps, template)
@@ -1066,6 +1151,72 @@ def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(scratch_dir("avro-ocf"), "shards")
     write_ocf(ev, out, codec="deflate")
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+            F.sum("user_id").cast("long").alias("uid_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "io_avro_snappy",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum
+    FROM events
+    WHERE event_id % 6 = 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def io_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNAPPY codec under the oracle gate — implemented from
+    scratch (sources/snappy_codec.py: the public format_description
+    wire format, greedy 64 KiB-block matcher, strict decoder) with the
+    Avro-spec framing (compressed block + 4-byte BIG-ENDIAN CRC32 of
+    the uncompressed data). Same value-invisible shape as
+    ``io_avro_roundtrip``: executors encode an events subset to snappy
+    OCF shards, the registered DataSource reads them back, and the SQL
+    sees only the original table — any codec bug (a bad copy offset, a
+    missed overlap, a CRC slip) breaks the hash. The in-query pin
+    raises if the shards silently carry a different codec."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    register_avro_ocf(spark)
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 6 == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            exact_cents(F.col("value")).alias("cents"),
+        )
+        .repartition(4)
+    )
+    out = os.path.join(scratch_dir("avro-snappy"), "shards")
+    write_ocf(ev, out, codec="snappy")
+    shards = sorted(glob.glob(os.path.join(out, "*.avro")))
+    with open(shards[0], "rb") as fh:
+        meta, _ = _dec_meta_map(fh.read(), 4)
+    if meta.get("avro.codec") != b"snappy":
+        raise AssertionError(
+            f"shards carry codec {meta.get('avro.codec')!r}, "
+            "not the from-scratch snappy path"
+        )
     back = spark.read.format("avro_ocf").option("path", out).load()
     return (
         back.groupBy("event_type")

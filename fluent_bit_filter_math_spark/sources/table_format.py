@@ -190,7 +190,15 @@ def _resolve_live(
             live.pop(rel, None)
         sch = commit.get("schema", schema)
         for entry in commit.get("add", []):
-            live[_add_path(entry)] = (sch, _add_stats(entry), None)
+            # a restore commit re-adds files from older generations:
+            # its add entries carry that file's own WRITER schema so
+            # one commit can resurrect a mixed-generation live set
+            fsch = (
+                entry.get("schema", sch)
+                if isinstance(entry, dict)
+                else sch
+            )
+            live[_add_path(entry)] = (fsch, _add_stats(entry), None)
         for entry in commit.get("dv", []):
             rel = entry["path"]
             if rel in live:  # a dv on a since-removed file is inert
@@ -441,6 +449,89 @@ def tf_overwrite(df: DataFrame, table_path: str) -> int:
     return _commit_with_rebase(
         table_path, add, remove, schema, "overwrite", read_version, 0
     )
+
+
+def tf_restore(table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF *version* (Delta's RESTORE):
+    republish an older snapshot's live state as a NEW commit — always
+    forward in the log, never a history rewrite, so time travel to the
+    interim versions keeps working and the restore itself is visible
+    in the history. Metadata-only and O(live-set diff): data files are
+    SHARED with the target snapshot (nothing is copied or rewritten) —
+    the commit adds back files the head dropped (each carrying its own
+    writer schema + stats, so mixed-generation live sets resurrect
+    exactly), removes files the head gained, and reconciles deletion
+    vectors (a DV attached after *version* is detached — the rows
+    reappear; the target's DV state is restored verbatim).
+
+    Returns the new version. Restoring a state identical to the head
+    is a version-preserving no-op (the tf_merge empty-batch rule).
+    Files of the target snapshot that a vacuum already reclaimed raise
+    BEFORE anything is published. The commit is read-dependent, so it
+    lands under the overwrite conflict rule: a concurrent commit
+    raises :class:`ConcurrentOverwrite`."""
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    if not 0 <= version <= head:
+        raise ValueError(f"restore target {version} outside [0, {head}]")
+    target_schema, target_live = _resolve_live(table_path, version)
+    _, cur_live = _resolve_live(table_path, head)
+    missing = []
+    for rel, (_, _, dv) in target_live.items():
+        for p in [rel] + ([dv] if dv else []):
+            if not os.path.exists(os.path.join(table_path, p)):
+                missing.append(p)
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {version}: "
+            f"{len(missing)} file(s) vacuumed, e.g. {missing[0]!r}"
+        )
+    adds = [
+        {"path": rel, "stats": stats, "schema": fsch}
+        for rel, (fsch, stats, _) in target_live.items()
+        if rel not in cur_live
+    ]
+    remove = sorted(rel for rel in cur_live if rel not in target_live)
+    dv_actions = []
+    for rel, (_, _, want_dv) in target_live.items():
+        if rel in cur_live:
+            have_dv = cur_live[rel][2]
+        else:
+            have_dv = None  # a re-add resets the DV slot in replay
+        if want_dv != have_dv:
+            dv_actions.append(
+                {"path": rel, "dv": want_dv, "prev_dv": have_dv}
+            )
+    if not adds and not remove and not dv_actions:
+        return head  # the head already IS the target state
+    payload = json.dumps(
+        {
+            "version": head + 1,
+            "action": "restore",
+            "restored_version": version,
+            "add": adds,
+            "remove": remove,
+            "dv": dv_actions,
+            "schema": target_schema,
+        },
+        sort_keys=True,
+    )
+    path = _log_path(table_path, head + 1)
+    try:
+        with open(path, "x") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError as exc:
+        raise ConcurrentOverwrite(
+            f"version {head + 1} already committed"
+        ) from exc
+    try:  # the live set may have shrunk — same hook as overwrite
+        write_checkpoint(table_path, head + 1)
+    except Exception:
+        pass
+    return head + 1
 
 
 # ---------------------------------------------------------------------------
@@ -1238,6 +1329,114 @@ def io_table_format_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_table_format_restore",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    snaps AS (
+      SELECT 0 AS version, o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT 1, o_orderkey, o_totalprice FROM orders, m
+      WHERE o_orderkey <= (7 * mx) // 8
+      UNION ALL
+      SELECT 2, o_orderkey, o_totalprice FROM orders, m
+      WHERE o_orderkey <= mx // 2
+      UNION ALL
+      SELECT 3, o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT 4, o_orderkey, o_totalprice FROM orders
+      UNION ALL
+      SELECT 4, o_orderkey, o_totalprice FROM orders, m
+      WHERE o_orderkey > (7 * mx) // 8
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM snaps GROUP BY version ORDER BY version
+    """,
+)
+def io_table_format_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF under the oracle gate: four
+    range-clustered appends, a DV delete of the top eighth, and an
+    overwrite down to the bottom half are then UNDONE by one
+    metadata-only restore commit — the restored snapshot must equal
+    the pre-delete content bitwise, which proves both halves of the
+    diff: resurrected files (the overwrite's removes come back,
+    sharing the original parquet bytes) and a DETACHED deletion vector
+    (the deleted rows reappear without any file rewrite). A post-
+    restore append proves the table keeps evolving. In-query pins:
+    the restore's live (file, dv) state equals the target snapshot's
+    exactly; restoring to the head is a version-preserving no-op; the
+    interim overwrite version stays time-travelable after the restore.
+    Reference analogue: none; Delta RESTORE, as a forward commit."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = scratch_dir("table-format-restore")
+    tpath = os.path.join(base, "orders_restore")
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    for lo, hi in [(-1, q1), (q1, q2), (q2, q3), (q3, mx)]:
+        tf_append(
+            orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+            tpath,
+        )
+    pre = latest_version(tpath)  # 3: the restore target
+    cut = (7 * mx) // 8
+    v_del, _, _, _ = tf_delete(spark, tpath, [("o_orderkey", ">", cut)])
+    v_over = tf_overwrite(
+        orders.filter(F.col("o_orderkey") <= q2).repartition(2), tpath
+    )
+    v_rest = tf_restore(tpath, pre)
+    # pin 1: the restored live (file, dv) state IS the target's
+    want = {
+        (rel, dv) for rel, _, dv in _resolve(tpath, pre)[0]
+    }
+    got = {(rel, dv) for rel, _, dv in _resolve(tpath, v_rest)[0]}
+    if got != want:
+        raise RuntimeError(
+            f"restore state mismatch: {got ^ want} differ"
+        )
+    # pin 2: restoring to the head changes nothing
+    if tf_restore(tpath, v_rest) != v_rest:
+        raise RuntimeError("restore-to-head published a commit")
+    # pin 3: the interim overwrite stays time-travelable
+    if len(_resolve(tpath, v_over)[0]) != 2:
+        raise RuntimeError("overwrite snapshot lost by the restore")
+    v_app = tf_append(
+        orders.filter(F.col("o_orderkey") > cut).coalesce(1), tpath
+    )
+
+    def _summary(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(exact_cents(F.col("o_totalprice")))
+            .cast("long")
+            .alias("total_cents"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+
+    return (
+        _summary(tf_read(spark, tpath, version=pre), 0)
+        .unionAll(_summary(tf_read(spark, tpath, version=v_del), 1))
+        .unionAll(_summary(tf_read(spark, tpath, version=v_over), 2))
+        .unionAll(_summary(tf_read(spark, tpath, version=v_rest), 3))
+        .unionAll(_summary(tf_read(spark, tpath, version=v_app), 4))
+        .orderBy("version")
+    )
+
+
+@register(
     "io_table_format_cdf",
     oracle="""
     WITH m AS (SELECT MAX(event_id) AS mx FROM events),
@@ -1623,7 +1822,9 @@ def tf_changes(
                     v,
                 )
             continue
-        if action in ("overwrite", "merge") and commit.get("remove"):
+        if action in ("overwrite", "merge", "restore") and commit.get(
+            "remove"
+        ):
             # the removed files' THEN-LIVE rows (their v-1 DVs applied)
             _, prev_live = _resolve_live(table_path, v - 1)
             removed = [
@@ -1637,6 +1838,59 @@ def tf_changes(
                     "delete",
                     v,
                 )
+        if action == "restore":
+            # re-added files insert their POST-DV rows (the commit can
+            # attach the target's sidecar to a file it re-adds); DV
+            # reconciliation on files live across both snapshots emits
+            # newly-hidden positions as deletes and UN-deleted
+            # positions as inserts (rows reappearing is the point of a
+            # restore past a delete)
+            dv_by_path = {
+                e["path"]: e["dv"] for e in commit.get("dv", [])
+            }
+            if adds:
+                entries = [
+                    (rel, {}, dv_by_path.get(rel)) for rel in adds
+                ]
+                _tag(
+                    _read_entries(spark, table_path, entries, True),
+                    "insert",
+                    v,
+                )
+            dead_pairs, revived_pairs = [], []
+            for e in commit.get("dv", []):
+                if e["path"] in set(adds):
+                    continue
+                new = (
+                    set(int(i) for i in _dv_indexes(table_path, e["dv"]))
+                    if e["dv"]
+                    else set()
+                )
+                prev = (
+                    set(
+                        int(i)
+                        for i in _dv_indexes(table_path, e["prev_dv"])
+                    )
+                    if e.get("prev_dv")
+                    else set()
+                )
+                if new - prev:
+                    dead_pairs.append((e["path"], sorted(new - prev)))
+                if prev - new:
+                    revived_pairs.append((e["path"], sorted(prev - new)))
+            if dead_pairs:
+                _tag(
+                    _rows_at_positions(spark, table_path, dead_pairs),
+                    "delete",
+                    v,
+                )
+            if revived_pairs:
+                _tag(
+                    _rows_at_positions(spark, table_path, revived_pairs),
+                    "insert",
+                    v,
+                )
+            continue
         if adds:
             _tag(
                 spark.read.option("mergeSchema", "true").parquet(
@@ -1679,7 +1933,8 @@ def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
         with open(_log_path(table_path, v)) as f:
             commit = json.load(f)
         ever.update(_add_path(e) for e in commit.get("add", []))
-        ever.update(e["dv"] for e in commit.get("dv", []))
+        # a restore's DV-clearing action carries dv=None — not a file
+        ever.update(e["dv"] for e in commit.get("dv", []) if e.get("dv"))
     doomed = sorted(ever - keep)
     for rel in doomed:
         p = os.path.join(table_path, rel)
@@ -1939,7 +2194,11 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
                             )
                         )
                 continue
-            if action in ("overwrite", "merge") and commit.get("remove"):
+            if action in (
+                "overwrite",
+                "merge",
+                "restore",
+            ) and commit.get("remove"):
                 _, prev_live = _resolve_live(self.table_path, v - 1)
                 for rel in commit["remove"]:
                     if rel not in prev_live:
@@ -1959,6 +2218,65 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
                             exclude=excl is not None,
                         )
                     )
+            if action == "restore":
+                # mirrors tf_changes: re-adds insert post-DV rows; DV
+                # diffs on still-live files emit newly-hidden deletes
+                # and un-deleted (revived) inserts
+                added = {_add_path(e) for e in commit.get("add", [])}
+                dv_by_path = {
+                    e["path"]: e["dv"] for e in commit.get("dv", [])
+                }
+                for rel in sorted(added):
+                    dv = dv_by_path.get(rel)
+                    excl = (
+                        [int(i) for i in _dv_indexes(self.table_path, dv)]
+                        if dv
+                        else None
+                    )
+                    parts.append(
+                        _TfChangePartition(
+                            os.path.join(self.table_path, rel),
+                            "insert",
+                            v,
+                            excl,
+                            exclude=excl is not None,
+                        )
+                    )
+                for e in commit.get("dv", []):
+                    if e["path"] in added:
+                        continue
+                    new = (
+                        set(
+                            int(i)
+                            for i in _dv_indexes(self.table_path, e["dv"])
+                        )
+                        if e["dv"]
+                        else set()
+                    )
+                    prev = (
+                        set(
+                            int(i)
+                            for i in _dv_indexes(
+                                self.table_path, e["prev_dv"]
+                            )
+                        )
+                        if e.get("prev_dv")
+                        else set()
+                    )
+                    p = os.path.join(self.table_path, e["path"])
+                    if new - prev:
+                        parts.append(
+                            _TfChangePartition(
+                                p, "delete", v, sorted(new - prev)
+                            )
+                        )
+                    if prev - new:
+                        parts.append(
+                            _TfChangePartition(
+                                p, "insert", v, sorted(prev - new)
+                            )
+                        )
+                continue
             for e in commit.get("add", []):
                 parts.append(
                     _TfChangePartition(

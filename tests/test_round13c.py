@@ -1,0 +1,478 @@
+"""Round 13c: the from-scratch Snappy codec (sources/snappy_codec.py),
+its Avro OCF integration (snappy block + big-endian CRC32 framing), and
+multi-non-null union ENCODING (the type-witness branch selector that
+closes the last documented Avro encode gap).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import os
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluent_bit_filter_math_spark.sources import snappy_codec
+from fluent_bit_filter_math_spark.sources.avro_ocf import (
+    _enc_any,
+    _enc_string,
+    _zigzag_encode,
+    read_ocf_file,
+    write_ocf_shard,
+)
+
+
+class TestSnappyFormat:
+    """Wire-format vectors hand-decoded from format_description.txt."""
+
+    def test_literal_vector(self):
+        # preamble 5, literal tag (len-1)<<2, payload
+        assert snappy_codec.decompress(b"\x05\x10abcde") == b"abcde"
+
+    def test_overlapping_copy_vector(self):
+        # 'a' then a 1-byte-offset copy of len 9 at offset 1 — the
+        # LZ77 run-extension: output must be 'a'*10
+        assert snappy_codec.decompress(b"\x0a\x00a\x15\x01") == b"a" * 10
+
+    def test_two_byte_offset_copy_vector(self):
+        # literal 'ab', copy len 2 offset 2 (tag (2-1)<<2|2 = 0x06)
+        assert (
+            snappy_codec.decompress(b"\x04\x04ab\x06\x02\x00") == b"abab"
+        )
+
+    def test_four_byte_offset_copy_accepted(self):
+        # same copy in the rare 4-byte-offset form (tag |3)
+        assert (
+            snappy_codec.decompress(b"\x04\x04ab\x07\x02\x00\x00\x00")
+            == b"abab"
+        )
+
+    def test_empty_input(self):
+        assert snappy_codec.decompress(snappy_codec.compress(b"")) == b""
+
+    @pytest.mark.parametrize(
+        "bad,why",
+        [
+            (b"", "no preamble"),
+            (b"\x05\x10abcd", "truncated literal"),
+            (b"\x03\x00a\x15\x01", "overruns declared length"),
+            (b"\x05\x10abcdeX", "trailing element truncated"),
+            (b"\x02\x00a\x05\x00", "zero copy offset"),
+            (b"\x04\x00a\x05\x09", "offset before stream start"),
+            (b"\x06\x10abcde", "decodes short of declared length"),
+        ],
+    )
+    def test_strictness(self, bad, why):
+        with pytest.raises(ValueError):
+            snappy_codec.decompress(bad)
+
+    def test_compresses_repetitive_data(self):
+        data = b"the quick brown fox jumps over the lazy dog " * 2000
+        z = snappy_codec.compress(data)
+        assert len(z) < len(data) // 4
+        assert snappy_codec.decompress(z) == data
+
+    def test_incompressible_data_bounded_expansion(self):
+        data = os.urandom(100_000)
+        z = snappy_codec.compress(data)
+        # all-literal worst case: preamble + ~3 bytes per 64 KiB chunk
+        assert len(z) <= len(data) + 16
+        assert snappy_codec.decompress(z) == data
+
+    def test_cross_block_independence(self):
+        # >64 KiB: matches never cross the 64 KiB block boundary, and
+        # the roundtrip must survive the block seam
+        data = (b"abcdefgh" * 10_000)[: (1 << 16) + 1234]
+        assert snappy_codec.decompress(snappy_codec.compress(data)) == data
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.binary(max_size=3000)
+        | st.from_regex(rb"(ab|cde|fg hij)+", fullmatch=True).map(
+            lambda b: b[:5000]
+        )
+    )
+    def test_roundtrip_property(self, data):
+        assert snappy_codec.decompress(snappy_codec.compress(data)) == data
+
+    def test_deterministic(self):
+        data = b"determinism matters for task retries " * 500
+        assert snappy_codec.compress(data) == snappy_codec.compress(data)
+
+
+class TestAvroSnappyCodec:
+    SCHEMA = json.dumps(
+        {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "s", "type": "string"},
+            ],
+        }
+    )
+
+    def _rows(self, n=2000):
+        return [{"k": i, "s": f"row-{i % 7}"} for i in range(n)]
+
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        write_ocf_shard(p, self._rows(), codec="snappy", schema_json=self.SCHEMA)
+        assert list(read_ocf_file(p)) == [(i, f"row-{i % 7}") for i in range(2000)]
+
+    def test_crc_is_big_endian_of_uncompressed(self, tmp_path):
+        # frame one block by hand and read it back: payload must be
+        # snappy(data) + CRC32(data) big-endian — flipping to the
+        # little-endian CRC must fail
+        p = str(tmp_path / "t.avro")
+        write_ocf_shard(
+            p, self._rows(50), codec="snappy", schema_json=self.SCHEMA
+        )
+        buf = bytearray(open(p, "rb").read())
+        # locate the block payload: header ends at sync start; easier:
+        # corrupt the last 4 bytes before the trailing sync (the CRC)
+        buf[-17] ^= 0x01
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="CRC|corrupt|sync"):
+            list(read_ocf_file(p))
+
+    def test_corrupt_compressed_body_raises(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        write_ocf_shard(
+            p, self._rows(500), codec="snappy", schema_json=self.SCHEMA
+        )
+        buf = bytearray(open(p, "rb").read())
+        buf[len(buf) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError):
+            list(read_ocf_file(p))
+
+    def test_unknown_codec_rejected(self, tmp_path):
+        p = str(tmp_path / "t.avro")
+        with pytest.raises(ValueError, match="unsupported codec"):
+            write_ocf_shard(
+                p, self._rows(1), codec="zstd", schema_json=self.SCHEMA
+            )
+
+    def test_schema_resolution_composes_with_snappy(self, tmp_path):
+        # reader schema adds a defaulted field over a snappy file —
+        # resolution and the codec are orthogonal layers
+        p = str(tmp_path / "t.avro")
+        write_ocf_shard(
+            p, self._rows(10), codec="snappy", schema_json=self.SCHEMA
+        )
+        reader = {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "s", "type": "string"},
+                {"name": "extra", "type": "long", "default": -1},
+            ],
+        }
+        rows = list(read_ocf_file(p, reader_schema=reader))
+        assert rows[0] == (0, "row-0", -1)
+
+
+class TestMultiBranchUnionEncode:
+    U = ["null", "long", "string"]
+
+    def test_branch_selection_vectors(self):
+        assert _enc_any(self.U, None) == _zigzag_encode(0)
+        assert _enc_any(self.U, 5) == _zigzag_encode(1) + _zigzag_encode(5)
+        assert _enc_any(self.U, "x") == _zigzag_encode(2) + _enc_string("x")
+
+    def test_bool_never_rides_int(self):
+        u = ["long", "boolean"]
+        assert _enc_any(u, True) == _zigzag_encode(1) + b"\x01"
+        assert _enc_any(u, 3) == _zigzag_encode(0) + _zigzag_encode(3)
+
+    def test_first_accepting_branch_wins(self):
+        # both branches accept an int — union order decides
+        u = ["long", "int"]
+        assert _enc_any(u, 7) == _zigzag_encode(0) + _zigzag_encode(7)
+
+    def test_no_branch_raises(self):
+        with pytest.raises(ValueError, match="no union branch"):
+            _enc_any(self.U, 1.5)
+        with pytest.raises(ValueError, match="no union branch"):
+            _enc_any(["long", "string"], None)
+
+    def test_enum_and_fixed_witnesses(self):
+        enum = {"type": "enum", "name": "E", "symbols": ["A", "B"]}
+        fixed = {"type": "fixed", "name": "F", "size": 2}
+        u = [enum, "string"]
+        # a symbol matches the enum branch first; a non-symbol string
+        # falls through to the string branch
+        assert _enc_any(u, "B") == _zigzag_encode(0) + _zigzag_encode(1)
+        assert _enc_any(u, "zz") == _zigzag_encode(1) + _enc_string("zz")
+        u2 = [fixed, "bytes"]
+        assert _enc_any(u2, b"ab") == _zigzag_encode(0) + b"ab"
+        assert _enc_any(u2, b"abc") == _zigzag_encode(1) + _zigzag_encode(
+            3
+        ) + b"abc"
+
+    def test_record_vs_map_witness(self):
+        rec = {
+            "type": "record",
+            "name": "P",
+            "fields": [{"name": "x", "type": "long"}],
+        }
+        u = [rec, {"type": "map", "values": "long"}]
+        # covers the record's fields → record branch
+        assert _enc_any(u, {"x": 1}).startswith(_zigzag_encode(0))
+        # missing the record field → map branch
+        assert _enc_any(u, {"y": 1}).startswith(_zigzag_encode(1))
+
+    def test_logical_type_witnesses(self):
+        u = [
+            {"type": "int", "logicalType": "date"},
+            {"type": "long", "logicalType": "timestamp-micros"},
+            {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 9,
+                "scale": 2,
+            },
+            "string",
+        ]
+        assert _enc_any(u, datetime.date(1970, 1, 2)) == _zigzag_encode(
+            0
+        ) + _zigzag_encode(1)
+        assert _enc_any(
+            u, datetime.datetime(1970, 1, 1, 0, 0, 1)
+        ) == _zigzag_encode(1) + _zigzag_encode(1_000_000)
+        assert _enc_any(u, decimal.Decimal("1.00")).startswith(
+            _zigzag_encode(2)
+        )
+        assert _enc_any(u, "s") == _zigzag_encode(3) + _enc_string("s")
+
+    def test_container_roundtrip_three_branches(self, tmp_path):
+        schema = {
+            "type": "record",
+            "name": "R",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "mix", "type": ["null", "long", "string"]},
+            ],
+        }
+        rows = [
+            {
+                "k": i,
+                "mix": (None, i, f"s{i}")[i % 3],
+            }
+            for i in range(300)
+        ]
+        p = str(tmp_path / "u.avro")
+        write_ocf_shard(
+            p, rows, codec="snappy", schema_json=json.dumps(schema)
+        )
+        back = list(read_ocf_file(p))
+        assert back == [(i, (None, i, f"s{i}")[i % 3]) for i in range(300)]
+
+
+import pyspark.sql.functions as F
+
+from fluent_bit_filter_math_spark.sources.table_format import (
+    ConcurrentOverwrite,
+    TableFormatCdfStreamReader,
+    _log_path,
+    _resolve,
+    latest_version,
+    tf_append,
+    tf_changes,
+    tf_delete,
+    tf_overwrite,
+    tf_read,
+    tf_restore,
+    tf_vacuum,
+    write_checkpoint,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+
+
+def _data_files(t):
+    out = []
+    for root, _, files in os.walk(t):
+        if "_log" in root or "_dv" in root:
+            continue
+        out.extend(f for f in files if f.endswith(".parquet"))
+    return sorted(out)
+
+
+class TestTfRestore:
+    def test_restore_undoes_overwrite_sharing_files(self, spark, tmp_path):
+        t = str(tmp_path / "r1")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_append(_mk(spark, 100, 200).coalesce(1), t)        # v1
+        tf_overwrite(_mk(spark, 0, 10).coalesce(1), t)        # v2
+        before = _data_files(t)
+        v = tf_restore(t, 1)                                  # v3
+        assert v == 3
+        # metadata-only: not one data file was written
+        assert _data_files(t) == before
+        assert tf_read(spark, t).count() == 200
+        # all interim versions stay time-travelable
+        assert tf_read(spark, t, version=2).count() == 10
+        assert tf_read(spark, t, version=1).count() == 200
+
+    def test_restore_detaches_and_reattaches_dv(self, spark, tmp_path):
+        t = str(tmp_path / "r2")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_delete(spark, t, [("k", ">=", 80)])                # v1
+        assert tf_read(spark, t).count() == 80
+        tf_restore(t, 0)                                      # v2: undelete
+        assert tf_read(spark, t).count() == 100
+        tf_restore(t, 1)                                      # v3: re-delete
+        assert tf_read(spark, t).count() == 80
+        got = {dv is not None for _, _, dv in _resolve(t, 3)[0]}
+        assert got == {True}
+
+    def test_restore_to_head_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "r3")
+        tf_append(_mk(spark, 0, 10).coalesce(1), t)
+        head = latest_version(t)
+        assert tf_restore(t, head) == head
+        assert latest_version(t) == head
+
+    def test_restore_validates_version(self, spark, tmp_path):
+        t = str(tmp_path / "r4")
+        tf_append(_mk(spark, 0, 10).coalesce(1), t)
+        with pytest.raises(ValueError, match="outside"):
+            tf_restore(t, 5)
+        with pytest.raises(ValueError, match="outside"):
+            tf_restore(t, -1)
+        with pytest.raises(FileNotFoundError):
+            tf_restore(str(tmp_path / "absent"), 0)
+
+    def test_restore_to_vacuumed_version_raises_before_publish(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "r5")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_overwrite(_mk(spark, 0, 10).coalesce(1), t)        # v1
+        tf_vacuum(t, keep_from_version=1)
+        head = latest_version(t)
+        with pytest.raises(ValueError, match="vacuumed"):
+            tf_restore(t, 0)
+        assert latest_version(t) == head  # nothing was published
+
+    def test_concurrent_commit_raises(self, spark, tmp_path, monkeypatch):
+        """An interloper landing between the restore's head read and
+        its publish takes the slot — the restore must raise, because
+        its diff was computed against a live set that just changed."""
+        import fluent_bit_filter_math_spark.sources.table_format as tfm
+
+        t = str(tmp_path / "r6")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_overwrite(_mk(spark, 0, 10).coalesce(1), t)        # v1
+        head = latest_version(t)
+        # the interloper's commit exists by publish time, but the
+        # restore's head read predates it (stale by one)
+        with open(_log_path(t, head + 1), "x") as f:
+            f.write(
+                '{"version": %d, "action": "append", "add": [], '
+                '"remove": [], "schema": ""}' % (head + 1)
+            )
+        monkeypatch.setattr(tfm, "latest_version", lambda p: head)
+        with pytest.raises(ConcurrentOverwrite):
+            tf_restore(t, 0)
+
+    def test_mixed_generation_restore_keeps_per_file_schema(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "r7")
+        tf_append(_mk(spark, 0, 50).coalesce(1), t)           # v0: (k, v)
+        wide = _mk(spark, 50, 100).withColumn("extra", F.lit(7))
+        tf_append(wide.coalesce(1), t)                        # v1: evolved
+        tf_overwrite(_mk(spark, 0, 5).coalesce(1), t)         # v2
+        v = tf_restore(t, 1)                                  # v3
+        _, _, evolved = _resolve(t, v)
+        assert evolved  # both writer schemas survived the restore
+        df = tf_read(spark, t)
+        assert df.count() == 100
+        # old-generation rows NULL-fill the evolved column
+        assert (
+            df.filter(F.col("extra").isNull()).count() == 50
+        )
+
+    def test_cdf_of_restore_dead_and_revived(self, spark, tmp_path):
+        t = str(tmp_path / "r8")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_delete(spark, t, [("k", ">=", 90)])                # v1
+        tf_restore(t, 0)                                      # v2: revive 10
+        tf_restore(t, 1)                                      # v3: re-hide 10
+        ch = tf_changes(spark, t, 2, 3)
+        by = {
+            (r["_commit_version"], r["_change_type"]): r["n"]
+            for r in ch.groupBy("_commit_version", "_change_type")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert by == {(2, "insert"): 10, (3, "delete"): 10}
+
+    def test_cdf_stream_reader_restore_parity(self, spark, tmp_path):
+        """The changefeed STREAM over a restore-bearing log emits the
+        same (version, kind, key) set as batch tf_changes."""
+        t = str(tmp_path / "r9")
+        tf_append(_mk(spark, 0, 60).coalesce(1), t)           # v0
+        tf_delete(spark, t, [("k", "<", 10)])                 # v1
+        tf_overwrite(_mk(spark, 1000, 1020).coalesce(1), t)   # v2
+        tf_restore(t, 1)                                      # v3
+        r = TableFormatCdfStreamReader({"path": t})
+        rows = []
+        for p in r.partitions({"version": 2}, {"version": 3}):
+            rows.extend(r.read(p))
+        got = {(v, ct, vals[0]) for *vals, ct, v in rows}
+        want = {
+            (r["_commit_version"], r["_change_type"], r["k"])
+            for r in tf_changes(spark, t, 3, 3).collect()
+        }
+        assert got == want
+        # the restore re-adds the original file WITH its DV: keys 0-9
+        # must not be re-inserted
+        assert (3, "insert", 5) not in got
+        assert (3, "insert", 15) in got
+        assert (3, "delete", 1005) in got
+
+    def test_restore_checkpoint_equivalence(self, spark, tmp_path):
+        """Resolution through the post-restore checkpoint equals raw
+        replay (checkpoints are pure accelerators)."""
+        import glob as _glob
+
+        t = str(tmp_path / "r10")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)
+        tf_delete(spark, t, [("k", ">=", 50)])
+        tf_overwrite(_mk(spark, 0, 5).coalesce(1), t)
+        v = tf_restore(t, 1)
+        with_ckpt = sorted(
+            (rel, dv) for rel, _, dv in _resolve(t, v)[0]
+        )
+        for p in _glob.glob(os.path.join(t, "_log", "*.checkpoint.json")):
+            os.remove(p)
+        assert (
+            sorted((rel, dv) for rel, _, dv in _resolve(t, v)[0])
+            == with_ckpt
+        )
+
+    def test_plain_stream_source_refuses_restore(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            TableFormatStreamReader,
+        )
+
+        t = str(tmp_path / "r11")
+        tf_append(_mk(spark, 0, 10).coalesce(1), t)
+        tf_overwrite(_mk(spark, 0, 5).coalesce(1), t)
+        tf_restore(t, 0)
+        r = TableFormatStreamReader({"path": t})
+        with pytest.raises(ValueError):
+            r.partitions({"version": -1}, {"version": 2})
