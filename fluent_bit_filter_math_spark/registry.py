@@ -81,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     # tier 2: new or changed this round.
     "io_avro_snappy",
     "io_table_format_restore",
+    "io_table_format_update",
     "io_table_format_skipping",
     "io_table_format_merge",
     "io_table_format_zorder_compact",

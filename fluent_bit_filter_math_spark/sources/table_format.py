@@ -759,6 +759,140 @@ def tf_delete(
     )
 
 
+def tf_update(
+    spark: SparkSession,
+    table_path: str,
+    predicates: list[tuple],
+    set_exprs: dict,
+) -> tuple[int, int, int]:
+    """UPDATE WHERE <conjunction of (col, op, literal)> SET
+    {col: Column} — Delta's merge-on-read UPDATE: matched rows are
+    HIDDEN in place via deletion vectors (no data file rewritten) and
+    their updated images land as new files, all in ONE commit. Returns
+    (committed version, files that gained/extended a DV, updated row
+    count). Matching zero rows is a version-preserving no-op.
+
+    Physical shape: the log's per-file stats prune candidates first
+    (updates inherit data skipping); candidates are scanned once for
+    the matched POSITIONS (already-DV'd rows are subtracted — a row
+    can't be updated twice), once more position-addressed for the row
+    VALUES the set expressions transform. Update volume is matched
+    rows, never table size. The commit is read-dependent → overwrite
+    conflict rule."""
+    import pyspark.sql.functions as F
+
+    for col, op, _ in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported update op {op!r} on {col}")
+    read_version = latest_version(table_path)
+    if read_version < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    files, schema, evolved = _resolve(table_path, read_version)
+    cand = [
+        (rel, stats, dv)
+        for rel, stats, dv in files
+        if _file_survives(stats, predicates)
+    ]
+    if not cand:
+        return read_version, 0, 0
+    reader = spark.read
+    if evolved:
+        reader = reader.option("mergeSchema", "true")
+    scan = reader.parquet(
+        *(os.path.join(table_path, rel) for rel, _, _ in cand)
+    )
+    bad = [c for c in set_exprs if c not in scan.columns]
+    if bad:
+        raise ValueError(f"SET targets unknown column(s) {bad}")
+    for col, op, val in predicates:
+        c = F.col(col)
+        scan = scan.filter(
+            {
+                "=": c == val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }[op]
+        )
+    matched = scan.select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), _DV_KEY_RE, 1
+        ).alias("__dv_file"),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    )
+    old: dict[str, list[int]] = {}
+    old_rel: dict[str, str | None] = {rel: dv for rel, _, dv in cand}
+    for rel, _, dv in cand:
+        if dv:
+            old[rel] = [int(i) for i in _dv_indexes(table_path, dv)]
+    if old:
+        old_df = spark.createDataFrame(
+            [(rel, i) for rel, idxs in old.items() for i in idxs],
+            "__dv_file string, __dv_idx long",
+        )
+        matched = matched.join(
+            F.broadcast(old_df), ["__dv_file", "__dv_idx"], "left_anti"
+        )
+    grouped = (
+        matched.groupBy("__dv_file")
+        .agg(F.collect_list("__dv_idx").alias("idxs"))
+        .collect()
+    )
+    if not grouped:
+        return read_version, 0, 0
+    pairs = [(row["__dv_file"], sorted(row["idxs"])) for row in grouped]
+    n_updated = sum(len(p[1]) for p in pairs)
+    updated = _rows_at_positions(spark, table_path, pairs)
+    # Delta's implicit-cast rule: a SET expression is cast to the
+    # column's EXISTING type, so an update can never drift a column's
+    # physical parquet type away from the table schema (an int literal
+    # landing in a bigint column would otherwise split the scan)
+    dtypes = {f.name: f.dataType for f in updated.schema.fields}
+    for name, expr in set_exprs.items():
+        updated = updated.withColumn(name, expr.cast(dtypes[name]))
+    add, _ = _stage(updated, table_path)
+    dv_actions = []
+    for rel, idxs in pairs:
+        merged = sorted(set(old.get(rel, [])) | set(idxs))
+        dv_actions.append(
+            {
+                "path": rel,
+                "dv": _dv_write(table_path, merged),
+                "prev_dv": old_rel.get(rel),
+                "cardinality": len(merged),
+            }
+        )
+    head = latest_version(table_path)
+    if head != read_version:
+        raise ConcurrentOverwrite(
+            f"update read version {read_version} but head is {head}"
+        )
+    payload = json.dumps(
+        {
+            "version": read_version + 1,
+            "action": "update",
+            "add": add,
+            "remove": [],
+            "dv": dv_actions,
+            "schema": schema,
+        },
+        sort_keys=True,
+    )
+    path = _log_path(table_path, read_version + 1)
+    try:
+        with open(path, "x") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError as exc:
+        raise ConcurrentOverwrite(
+            f"version {read_version + 1} already committed"
+        ) from exc
+    _maybe_checkpoint(table_path, read_version + 1)
+    return read_version + 1, len(dv_actions), n_updated
+
+
 def tf_read(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -1437,6 +1571,117 @@ def io_table_format_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_table_format_update",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    snaps AS (
+      SELECT 0 AS version, o_orderkey, o_totalprice AS p FROM orders
+      UNION ALL
+      SELECT 1, o_orderkey,
+             CASE WHEN o_orderkey > (7 * mx) // 8
+                  THEN o_totalprice * 2 ELSE o_totalprice END
+      FROM orders, m
+      UNION ALL
+      SELECT 2, o_orderkey,
+             CASE WHEN o_orderkey > (7 * mx) // 8
+                    THEN o_totalprice * 4
+                  WHEN o_orderkey > (13 * mx) // 16
+                    THEN o_totalprice * 2
+                  ELSE o_totalprice END
+      FROM orders, m
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(p * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM snaps GROUP BY version ORDER BY version
+    """,
+)
+def io_table_format_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET through the log (Delta's merge-on-read update)
+    under the oracle gate: four range-clustered appends, then an
+    update doubling the top eighth's prices — matched rows are hidden
+    by a deletion vector while their doubled images land as new files
+    in the SAME commit — then an OVERLAPPING second update whose range
+    spans both the untouched originals (doubled once) and the first
+    update's new files (doubled again → 4×): updates must chase rows
+    into the files the previous update created, which only works if
+    added files carry stats and ride candidate pruning like any other.
+    Row counts are conserved at every version; a zero-match update is
+    a version-preserving no-op (pinned in-query); update volume is
+    matched rows, never table size (the stats prune untouched files —
+    pinned). Reference analogue: none; Delta UPDATE with DVs."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = scratch_dir("table-format-update")
+    tpath = os.path.join(base, "orders_update")
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    for lo, hi in [(-1, q1), (q1, q2), (q2, q3), (q3, mx)]:
+        tf_append(
+            orders.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+            tpath,
+        )
+    pre = latest_version(tpath)
+    cut1, cut2 = (7 * mx) // 8, (13 * mx) // 16
+    v1, dvd1, n1 = tf_update(
+        spark,
+        tpath,
+        [("o_orderkey", ">", cut1)],
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    v2, dvd2, n2 = tf_update(
+        spark,
+        tpath,
+        [("o_orderkey", ">", cut2)],
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    # pins: the first update touched exactly the top-quartile file;
+    # the second touched that file again AND the first update's new
+    # file(s); zero-match updates are version-preserving no-ops
+    if dvd1 != 1 or n1 == 0 or dvd2 < 2 or n2 <= n1:
+        raise RuntimeError(
+            f"update shape broken: dv files {dvd1}/{dvd2}, "
+            f"rows {n1}/{n2}"
+        )
+    v_noop, dvd0, n0 = tf_update(
+        spark,
+        tpath,
+        [("o_orderkey", ">", mx)],
+        {"o_totalprice": F.col("o_totalprice") * 2},
+    )
+    if (v_noop, dvd0, n0) != (v2, 0, 0):
+        raise RuntimeError("zero-match update was not a no-op")
+
+    def _summary(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(exact_cents(F.col("o_totalprice")))
+            .cast("long")
+            .alias("total_cents"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+
+    return (
+        _summary(tf_read(spark, tpath, version=pre), 0)
+        .unionAll(_summary(tf_read(spark, tpath, version=v1), 1))
+        .unionAll(_summary(tf_read(spark, tpath, version=v2), 2))
+        .orderBy("version")
+    )
+
+
+@register(
     "io_table_format_cdf",
     oracle="""
     WITH m AS (SELECT MAX(event_id) AS mx FROM events),
@@ -1802,7 +2047,10 @@ def tf_changes(
         if action == "compact":
             continue  # pure layout: no logical change
         adds = [_add_path(e) for e in commit.get("add", [])]
-        if action == "delete":
+        if action in ("delete", "update"):
+            # delete: the newly-hidden rows. update: the same rows as
+            # PREIMAGES, with the commit's added files carrying the
+            # POSTIMAGES (they hold only updated rows by construction)
             pairs = []
             for e in commit.get("dv", []):
                 new = set(
@@ -1818,7 +2066,15 @@ def tf_changes(
             if pairs:
                 _tag(
                     _rows_at_positions(spark, table_path, pairs),
-                    "delete",
+                    "delete" if action == "delete" else "update_preimage",
+                    v,
+                )
+            if action == "update" and adds:
+                _tag(
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *(os.path.join(table_path, rel) for rel in adds)
+                    ),
+                    "update_postimage",
                     v,
                 )
             continue
@@ -2171,7 +2427,10 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
             action = commit.get("action", "append")
             if action == "compact":
                 continue
-            if action == "delete":
+            if action in ("delete", "update"):
+                kind = (
+                    "delete" if action == "delete" else "update_preimage"
+                )
                 for e in commit.get("dv", []):
                     new = set(
                         int(i)
@@ -2188,9 +2447,20 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
                         parts.append(
                             _TfChangePartition(
                                 os.path.join(self.table_path, e["path"]),
-                                "delete",
+                                kind,
                                 v,
                                 sorted(new),
+                            )
+                        )
+                if action == "update":
+                    for e in commit.get("add", []):
+                        parts.append(
+                            _TfChangePartition(
+                                os.path.join(
+                                    self.table_path, _add_path(e)
+                                ),
+                                "update_postimage",
+                                v,
                             )
                         )
                 continue

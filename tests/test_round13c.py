@@ -476,3 +476,156 @@ class TestTfRestore:
         r = TableFormatStreamReader({"path": t})
         with pytest.raises(ValueError):
             r.partitions({"version": -1}, {"version": 2})
+
+
+class TestTfUpdate:
+    def _table(self, spark, tmp_path, name):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = str(tmp_path / name)
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)
+        tf_append(_mk(spark, 100, 200).coalesce(1), t)
+        return t
+
+    def test_update_hides_and_replaces_in_one_commit(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u1")
+        v, dvd, n = tf_update(
+            spark, t, [("k", ">=", 150)], {"v": F.col("v") + 1000}
+        )
+        assert (v, dvd, n) == (2, 1, 50)
+        df = tf_read(spark, t)
+        assert df.count() == 200  # row count conserved
+        assert df.filter(F.col("k") >= 150).agg(
+            F.min("v")
+        ).collect()[0][0] == 150 * 3 + 1000
+        # untouched rows unchanged; time travel sees the old values
+        assert (
+            tf_read(spark, t, version=1)
+            .filter(F.col("k") == 150)
+            .collect()[0]["v"]
+            == 450
+        )
+
+    def test_update_chases_rows_into_new_files(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u2")
+        tf_update(spark, t, [("k", ">=", 190)], {"v": F.col("v") + 1})
+        v, dvd, n = tf_update(
+            spark, t, [("k", ">=", 180)], {"v": F.col("v") + 1}
+        )
+        # second update touches the original file (180..189) AND the
+        # first update's new file (190..199, already bumped once)
+        assert dvd == 2 and n == 20
+        vals = {
+            r["k"]: r["v"]
+            for r in tf_read(spark, t)
+            .filter(F.col("k") >= 180)
+            .collect()
+        }
+        assert vals[185] == 185 * 3 + 1
+        assert vals[195] == 195 * 3 + 2
+
+    def test_zero_match_is_noop(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u3")
+        head = latest_version(t)
+        assert tf_update(
+            spark, t, [("k", ">", 10_000)], {"v": F.lit(0)}
+        ) == (head, 0, 0)
+        assert latest_version(t) == head
+
+    def test_unknown_set_column_raises(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u4")
+        with pytest.raises(ValueError, match="unknown column"):
+            tf_update(spark, t, [("k", ">=", 0)], {"nope": F.lit(1)})
+
+    def test_update_skips_already_deleted_rows(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u5")
+        tf_delete(spark, t, [("k", ">=", 190)])
+        v, dvd, n = tf_update(
+            spark, t, [("k", ">=", 180)], {"v": F.lit(-1)}
+        )
+        assert n == 10  # 180..189 only: deleted rows never update
+        df = tf_read(spark, t)
+        assert df.count() == 190
+        assert df.filter(F.col("v") == -1).count() == 10
+
+    def test_concurrent_commit_raises(self, spark, tmp_path, monkeypatch):
+        import fluent_bit_filter_math_spark.sources.table_format as tfm
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u6")
+        head = latest_version(t)
+        with open(_log_path(t, head + 1), "x") as f:
+            f.write(
+                '{"version": %d, "action": "append", "add": [], '
+                '"remove": [], "schema": ""}' % (head + 1)
+            )
+        monkeypatch.setattr(tfm, "latest_version", lambda p: head)
+        with pytest.raises(ConcurrentOverwrite):
+            tf_update(spark, t, [("k", ">=", 0)], {"v": F.lit(0)})
+
+    def test_cdf_emits_pre_and_postimage(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            TableFormatCdfStreamReader,
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u7")
+        v, _, _ = tf_update(
+            spark, t, [("k", ">=", 195)], {"v": F.col("v") * 10}
+        )
+        ch = tf_changes(spark, t, v, v)
+        by = {}
+        for r in ch.collect():
+            by.setdefault(r["_change_type"], {})[r["k"]] = r["v"]
+        assert set(by) == {"update_preimage", "update_postimage"}
+        assert by["update_preimage"][195] == 585
+        assert by["update_postimage"][195] == 5850
+        # the changefeed STREAM emits the same set
+        r = TableFormatCdfStreamReader({"path": t})
+        rows = []
+        for p in r.partitions({"version": v - 1}, {"version": v}):
+            rows.extend(r.read(p))
+        got = {(ct, vals[0], vals[1]) for *vals, ct, _v in rows}
+        want = {
+            (r2["_change_type"], r2["k"], r2["v"]) for r2 in ch.collect()
+        }
+        assert got == want
+
+    def test_restore_past_update(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_update,
+        )
+
+        t = self._table(spark, tmp_path, "u8")
+        pre = latest_version(t)
+        tf_update(spark, t, [("k", ">=", 100)], {"v": F.lit(-5)})
+        v = tf_restore(t, pre)
+        df = tf_read(spark, t, version=v)
+        assert df.count() == 200
+        assert df.filter(F.col("v") == -5).count() == 0
