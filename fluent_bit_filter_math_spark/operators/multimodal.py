@@ -811,6 +811,275 @@ def mm_ulaw_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL audio codec #3 — IMA/DVI ADPCM (the public IMA Digital Audio
+# spec; WAV format tag 0x0011), the first PREDICTIVE codec in the
+# family: 16-bit PCM compresses 4:1 into 4-bit nibbles through an
+# adaptive step-size quantizer whose state (predictor + step index)
+# the decoder reconstructs by mirroring the encoder exactly. Both
+# halves are implemented from scratch, including the WAV-IMA BLOCK
+# layout real files use: each block restarts with a 4-byte header
+# (int16 LE predictor — which IS the block's first output sample —
+# uint8 step index, reserved 0) followed by nibble data packed LOW
+# nibble first; the mono container carries fmt(0x0011, cbSize=2,
+# samplesPerBlock), a fact chunk with the true sample count (the
+# final block may be padded), and the data blocks.
+#
+# Bitwise-gate strategy (the JPEG block-constant precedent): constant
+# fixtures are LOSSLESS through the whole path — every diff is 0, so
+# nibble 0 at step index 0 reconstructs diffq = 7>>3 = 0 and the
+# decoder re-emits the constant exactly — which pins the container
+# walk, block headers, nibble order, fact-count crop, and feature
+# math under the SQL gate. The codec's ADAPTIVE behavior is pinned by
+# the hypothesis/unit suite instead (tests/test_round13c.py): the
+# decoder must equal the ENCODER'S OWN internal reconstruction on
+# random signals (the defining ADPCM invariant), full-scale square
+# waves walk the index clamps, and a hand vector pins the quantizer
+# bit order.
+# ---------------------------------------------------------------------------
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+_ADPCM_BLOCK_ALIGN = 20  # 4-byte header + 16 nibble bytes
+_ADPCM_SPB = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per block
+
+
+def _adpcm_quantize(diff: int, step: int) -> tuple[int, int]:
+    """(nibble magnitude bits, reconstructed |diff|) for one sample —
+    the IMA quantizer and its exact mirror, shared by encoder and
+    tests."""
+    delta = 0
+    diffq = step >> 3
+    if diff >= step:
+        delta = 4
+        diff -= step
+        diffq += step
+    if diff >= step >> 1:
+        delta |= 2
+        diff -= step >> 1
+        diffq += step >> 1
+    if diff >= step >> 2:
+        delta |= 1
+        diffq += step >> 2
+    return delta, diffq
+
+
+def _adpcm_encode(pcm) -> tuple[bytes, list[int]]:
+    """Encode int16 samples to WAV-IMA blocks; returns (block bytes,
+    the encoder's own reconstruction) — the reconstruction is what the
+    decoder MUST reproduce bit-exactly (the ADPCM invariant the test
+    suite pins)."""
+    import struct
+
+    out = bytearray()
+    recon: list[int] = []
+    index = 0
+    n = len(pcm)
+    pos = 0
+    while pos < n:
+        predictor = int(pcm[pos])
+        out += struct.pack("<hBB", predictor, index, 0)
+        recon.append(predictor)
+        pos += 1
+        nibbles: list[int] = []
+        for _ in range(_ADPCM_SPB - 1):
+            if pos < n:
+                sample = int(pcm[pos])
+                pos += 1
+            else:
+                # pad the final block by holding the predictor; the
+                # decoder crops at the fact count so pads never surface
+                sample = predictor
+            step = _ADPCM_STEPS[index]
+            diff = sample - predictor
+            sign = 8 if diff < 0 else 0
+            delta, diffq = _adpcm_quantize(abs(diff), step)
+            predictor += -diffq if sign else diffq
+            predictor = max(-32768, min(32767, predictor))
+            index = max(0, min(88, index + _ADPCM_INDEX[delta]))
+            nibbles.append(sign | delta)
+            if len(recon) < n:
+                recon.append(predictor)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))  # LOW nibble first (IMA/WAV)
+    return bytes(out), recon
+
+
+def _adpcm_wav_build(pcm) -> bytes:
+    """A spec-shaped mono WAV-IMA file: RIFF header, fmt chunk with
+    format tag 0x0011 + cbSize=2 + samplesPerBlock, the fact chunk
+    (mandatory for compressed WAV) carrying the TRUE sample count, and
+    the block-aligned data chunk."""
+    import struct
+
+    data, _ = _adpcm_encode(pcm)
+    rate = 8000
+    n_blocks = len(data) // _ADPCM_BLOCK_ALIGN
+    avg_bps = rate * _ADPCM_BLOCK_ALIGN // _ADPCM_SPB
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, 1, rate, avg_bps, _ADPCM_BLOCK_ALIGN, 4, 2, _ADPCM_SPB,
+    )
+    fact = struct.pack("<I", len(pcm))
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    del n_blocks
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _adpcm_wav_decode(buf: bytes):
+    """Strict WAV-IMA decoder: validates RIFF/WAVE magic, walks the
+    chunk list, requires mono format 0x0011 with a coherent
+    samplesPerBlock, requires the fact chunk, checks the data chunk is
+    whole blocks with in-range step indexes, decodes every block by
+    mirroring the encoder's state machine, and crops to the fact
+    count. Returns an int64 numpy array of PCM samples."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    if struct.unpack("<I", buf[4:8])[0] != len(buf) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos = 12
+    fmt = fact_n = data = None
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated chunk header")
+        cid = buf[pos : pos + 4]
+        sz = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + sz]
+        if len(body) != sz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            fact_n = struct.unpack("<I", body[:4])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or fact_n is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    tag, nch, _, _, align, bits, cb, spb = struct.unpack(
+        "<HHIIHHHH", fmt[:20]
+    )
+    if tag != 0x0011 or nch != 1 or bits != 4 or cb < 2:
+        raise ValueError("not mono IMA ADPCM (format 0x0011)")
+    if spb != (align - 4) * 2 + 1:
+        raise ValueError("samplesPerBlock inconsistent with blockAlign")
+    if len(data) % align:
+        raise ValueError("data chunk is not whole blocks")
+    if fact_n > (len(data) // align) * spb:
+        raise ValueError("fact sample count exceeds block capacity")
+    out: list[int] = []
+    for base in range(0, len(data), align):
+        predictor, index, _ = struct.unpack(
+            "<hBB", data[base : base + 4]
+        )
+        if index > 88:
+            raise ValueError(f"step index {index} out of range")
+        out.append(predictor)
+        for b in data[base + 4 : base + align]:
+            for nibble in (b & 0x0F, b >> 4):  # low nibble first
+                step = _ADPCM_STEPS[index]
+                diffq = step >> 3
+                if nibble & 4:
+                    diffq += step
+                if nibble & 2:
+                    diffq += step >> 1
+                if nibble & 1:
+                    diffq += step >> 2
+                predictor += -diffq if nibble & 8 else diffq
+                predictor = max(-32768, min(32767, predictor))
+                index = max(
+                    0, min(88, index + _ADPCM_INDEX[nibble & 7])
+                )
+                out.append(predictor)
+    return np.asarray(out[:fact_n], dtype=np.int64)
+
+
+def _adpcm_roundtrip_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for i, p in zip(pdf["asset_id"], pdf["payload"]):
+            v = (p[0] - 64) * 129
+            n = 5 + len(p) % 400
+            pcm = np.full(n, v, dtype=np.int16)
+            wav = _adpcm_wav_build(pcm)
+            back = _adpcm_wav_decode(wav)
+            rows.append(
+                (
+                    int(i),
+                    len(back),
+                    int(back.sum()),
+                    int((back * back).sum()),
+                    int(back.min()),
+                    int(back.max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "asset_id", "n_samples", "pcm_sum", "sum_sq",
+                "min_pcm", "max_pcm",
+            ],
+        )
+
+
+@register(
+    "mm_adpcm_roundtrip",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             (ord(text[1]) - 64) * 129 AS v,
+             5 + strlen(text) % 400 AS n
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+    )
+    SELECT doc_id AS asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * v AS BIGINT) AS pcm_sum,
+           CAST(n * v * v AS BIGINT) AS sum_sq,
+           CAST(v AS BIGINT) AS min_pcm,
+           CAST(v AS BIGINT) AS max_pcm
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def mm_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM encode → WAV-IMA container → strict decode → features
+    under the bitwise gate (constant planes are lossless through the
+    adaptive quantizer — see the section comment); random-signal
+    fidelity is pinned by the encoder-reconstruction ≡ decoder
+    invariant in tests/test_round13c.py. Same Arrow-batched
+    mapInPandas shape as every codec kernel: no shuffle, no driver,
+    O(samples) per asset, parallel across executor width."""
+    return _ascii_assets(spark, sf_dir).mapInPandas(
+        _adpcm_roundtrip_batches,
+        schema=(
+            "asset_id long, n_samples long, pcm_sum long,"
+            " sum_sq long, min_pcm long, max_pcm long"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # REAL JPEG container METADATA parse — the honest boundary for a codec
 # whose entropy decode needs external libraries: a production ingest
 # pipeline still needs dimensions / density / component count BEFORE

@@ -629,3 +629,102 @@ class TestTfUpdate:
         df = tf_read(spark, t, version=v)
         assert df.count() == 200
         assert df.filter(F.col("v") == -5).count() == 0
+
+
+import struct
+
+import numpy as np
+
+from fluent_bit_filter_math_spark.operators.multimodal import (
+    _ADPCM_SPB,
+    _ADPCM_STEPS,
+    _adpcm_encode,
+    _adpcm_wav_build,
+    _adpcm_wav_decode,
+)
+
+
+class TestAdpcm:
+    """IMA/DVI ADPCM: the decoder must reproduce the ENCODER'S OWN
+    reconstruction bit-exactly (the defining invariant of a
+    backward-adaptive codec — both sides run the same state machine),
+    plus container strictness and quantizer bit-order vectors."""
+
+    def test_hand_vector_quantizer_bit_order(self):
+        # encode [0, 100]: diff 100 at step 7 → delta bits 4|2|1,
+        # diffq = 0+7+3+1 = 11, index 0→8
+        data, recon = _adpcm_encode(np.array([0, 100], dtype=np.int16))
+        assert data[:4] == struct.pack("<hBB", 0, 0, 0)
+        assert data[4] & 0x0F == 7  # low nibble first
+        assert recon[:2] == [0, 11]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1,
+            max_size=700,
+        )
+    )
+    def test_decoder_equals_encoder_reconstruction(self, samples):
+        pcm = np.array(samples, dtype=np.int16)
+        _, recon = _adpcm_encode(pcm)
+        back = _adpcm_wav_decode(_adpcm_wav_build(pcm))
+        assert list(back) == recon[: len(pcm)]
+
+    def test_constant_signal_is_lossless(self):
+        for v in (-32768, -4128, 0, 1, 7998, 32767):
+            pcm = np.full(123, v, dtype=np.int16)
+            back = _adpcm_wav_decode(_adpcm_wav_build(pcm))
+            assert (back == v).all()
+
+    def test_full_scale_square_walks_index_clamps(self):
+        sq = np.array(([32767] * 40 + [-32768] * 40) * 8, dtype=np.int16)
+        _, recon = _adpcm_encode(sq)
+        back = _adpcm_wav_decode(_adpcm_wav_build(sq))
+        assert list(back) == recon[: len(sq)]
+        # the step table's top step must actually be reached
+        assert max(abs(int(x)) for x in back) > _ADPCM_STEPS[40]
+
+    def test_block_boundary_state_carries(self):
+        # a ramp long enough to span 3 blocks: each block header
+        # restarts the predictor but CARRIES the step index
+        pcm = np.arange(0, 3 * _ADPCM_SPB * 7, 7, dtype=np.int16)[
+            : 3 * _ADPCM_SPB
+        ]
+        data, recon = _adpcm_encode(pcm)
+        hdr2_index = data[20 + 2]  # second block's stored index
+        assert hdr2_index > 0  # the carried index, not a reset
+        back = _adpcm_wav_decode(_adpcm_wav_build(pcm))
+        assert list(back) == recon[: len(pcm)]
+
+    @pytest.mark.parametrize(
+        "mutate,why",
+        [
+            (lambda b: b"XIFF" + b[4:], "bad magic"),
+            (lambda b: b[:-1], "truncated data"),
+            (
+                lambda b: b.replace(b"fact", b"fakt", 1),
+                "missing fact chunk",
+            ),
+            (
+                lambda b: b.replace(
+                    struct.pack("<H", 0x0011), struct.pack("<H", 1), 1
+                ),
+                "wrong format tag",
+            ),
+        ],
+    )
+    def test_container_strictness(self, mutate, why):
+        wav = _adpcm_wav_build(np.full(50, 100, dtype=np.int16))
+        with pytest.raises(ValueError):
+            _adpcm_wav_decode(mutate(wav))
+
+    def test_out_of_range_index_rejected(self):
+        wav = bytearray(_adpcm_wav_build(np.full(50, 7, dtype=np.int16)))
+        # the first block header's index byte sits 4+2 bytes into data;
+        # find the data chunk and poison it
+        at = wav.find(b"data") + 8 + 2
+        wav[at] = 99
+        with pytest.raises(ValueError, match="step index"):
+            _adpcm_wav_decode(bytes(wav))
