@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_avro_snappy",
     "io_table_format_restore",
     "io_table_format_update",
+    "io_table_format_constraint",
     "mm_adpcm_roundtrip",
     "io_table_format_skipping",
     "io_table_format_merge",

@@ -426,6 +426,7 @@ def tf_append(df: DataFrame, table_path: str, max_retries: int = 5) -> int:
     Losing an optimistic-concurrency race to another writer rebases
     automatically (a blind append is order-independent) up to
     *max_retries* times."""
+    _validate_constraints(df, table_path, "append")
     add, schema = _stage(df, table_path)
     read_version = latest_version(table_path)
     return _commit_with_rebase(
@@ -445,6 +446,7 @@ def tf_overwrite(df: DataFrame, table_path: str) -> int:
         remove = [os.path.relpath(p, table_path) for p in prior]
     else:
         remove = []
+    _validate_constraints(df, table_path, "overwrite")
     add, schema = _stage(df, table_path)
     return _commit_with_rebase(
         table_path, add, remove, schema, "overwrite", read_version, 0
@@ -532,6 +534,155 @@ def tf_restore(table_path: str, version: int) -> int:
     except Exception:
         pass
     return head + 1
+
+
+# ---------------------------------------------------------------------------
+# CHECK CONSTRAINTS (Delta's ALTER TABLE ADD CONSTRAINT ... CHECK):
+# table-level boolean SQL expressions enforced AT COMMIT TIME on every
+# write path that introduces rows (append, overwrite, update images,
+# merge upserts/inserts). SQL-standard semantics: a row fails only
+# when the expression IS FALSE — NULL/unknown passes (document the
+# divergence risk at review time, it is the standard's rule and
+# Spark's CHECK behavior). Constraints live in the log as metadata
+# commits (action "constraint", set/drop payloads) so they version,
+# time-travel, and replicate with the table; adding one validates the
+# EXISTING live data first. Validation cost: one aggregate job over
+# the incoming batch per write (a single OR-combined predicate),
+# nothing when no constraints exist.
+# ---------------------------------------------------------------------------
+
+
+class ConstraintViolation(Exception):
+    """A write's rows (or the live data, when adding a constraint)
+    fail a CHECK constraint."""
+
+
+# table path -> (next unscanned version, constraints so far) — commits
+# are immutable, so the scanned prefix never changes (the
+# committed_batch_ids cache discipline)
+_CONSTRAINT_CACHE: dict[str, tuple[int, dict[str, str]]] = {}
+
+
+def tf_constraints(table_path: str) -> dict[str, str]:
+    """The table's active CHECK constraints ({name: sql expr}) at the
+    current head, replayed from the log's constraint commits."""
+    head = latest_version(table_path)
+    cached = _CONSTRAINT_CACHE.get(table_path)
+    if cached and cached[0] <= head + 1:
+        start, cons = cached[0], dict(cached[1])
+    else:
+        start, cons = 0, {}
+    for v in range(start, head + 1):
+        with open(_log_path(table_path, v)) as f:
+            commit = json.load(f)
+        if commit.get("action") == "constraint":
+            cons.update(commit.get("set", {}))
+            for name in commit.get("drop", []):
+                cons.pop(name, None)
+    _CONSTRAINT_CACHE[table_path] = (head + 1, dict(cons))
+    return cons
+
+
+def _validate_constraints(
+    df: DataFrame, table_path: str, action: str
+) -> None:
+    import pyspark.sql.functions as F
+
+    if latest_version(table_path) < 0:
+        return
+    cons = tf_constraints(table_path)
+    if not cons:
+        return
+    flags = df.select(
+        *(
+            F.expr(f"({e}) IS FALSE").alias(f"__c{i}")
+            for i, (_, e) in enumerate(sorted(cons.items()))
+        )
+    )
+    counts = flags.agg(
+        *(
+            F.sum(F.col(c).cast("long")).alias(c)
+            for c in flags.columns
+        )
+    ).collect()[0]
+    for i, (name, e) in enumerate(sorted(cons.items())):
+        bad = counts[f"__c{i}"] or 0
+        if bad:
+            raise ConstraintViolation(
+                f"{action} violates CHECK constraint {name!r} "
+                f"({e}) on {bad} row(s)"
+            )
+
+
+def _publish_constraint_commit(
+    table_path: str, payload: dict, expected_head: int | None = None
+) -> int:
+    head = latest_version(table_path)
+    if expected_head is not None and head != expected_head:
+        # adding a constraint validated a SNAPSHOT; rows committed
+        # after that validation were never checked — re-read and retry
+        raise ConcurrentOverwrite(
+            f"constraint validated at version {expected_head} but "
+            f"head is {head}"
+        )
+    body = json.dumps(
+        {
+            "version": head + 1,
+            "action": "constraint",
+            "add": [],
+            "remove": [],
+            **payload,
+        },
+        sort_keys=True,
+    )
+    path = _log_path(table_path, head + 1)
+    try:
+        with open(path, "x") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError as exc:
+        raise ConcurrentOverwrite(
+            f"version {head + 1} already committed"
+        ) from exc
+    _maybe_checkpoint(table_path, head + 1)
+    return head + 1
+
+
+def tf_set_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ADD CONSTRAINT <name> CHECK (<expr>): validates the EXISTING
+    live data first (Delta's rule — a constraint the table already
+    violates cannot be added), then publishes a metadata commit.
+    Duplicate names raise; drop first to replace."""
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    if name in tf_constraints(table_path):
+        raise ValueError(f"constraint {name!r} already exists")
+    import pyspark.sql.functions as F
+
+    bad = (
+        tf_read(spark, table_path, version=head)
+        .filter(F.expr(f"({expr}) IS FALSE"))
+        .count()
+    )
+    if bad:
+        raise ConstraintViolation(
+            f"cannot add {name!r}: existing data violates "
+            f"({expr}) on {bad} row(s)"
+        )
+    return _publish_constraint_commit(
+        table_path, {"set": {name: expr}}, expected_head=head
+    )
+
+
+def tf_drop_constraint(table_path: str, name: str) -> int:
+    """DROP CONSTRAINT <name>; unknown names raise."""
+    if name not in tf_constraints(table_path):
+        raise ValueError(f"no constraint named {name!r}")
+    return _publish_constraint_commit(table_path, {"drop": [name]})
 
 
 # ---------------------------------------------------------------------------
@@ -851,6 +1002,7 @@ def tf_update(
     dtypes = {f.name: f.dataType for f in updated.schema.fields}
     for name, expr in set_exprs.items():
         updated = updated.withColumn(name, expr.cast(dtypes[name]))
+    _validate_constraints(updated, table_path, "update")
     add, _ = _stage(updated, table_path)
     dv_actions = []
     for rel, idxs in pairs:
@@ -1682,6 +1834,88 @@ def io_table_format_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "io_table_format_constraint",
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_id, user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      FROM events WHERE event_id % 5 = 1
+      UNION ALL
+      SELECT event_id, -user_id - 1,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+      FROM events WHERE event_id % 5 = 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS uid_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN user_id < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_negative
+    FROM rows_
+    """,
+)
+def io_table_format_constraint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints through the log under the oracle gate: a
+    constraint commit (pure metadata) guards every subsequent write —
+    a valid append passes, a poisoned append raises
+    ConstraintViolation WITHOUT publishing (version pinned unchanged),
+    dropping the constraint lets the poisoned batch in, and re-adding
+    it then fails on the now-invalid EXISTING data (Delta's
+    add-constraint validation). The final snapshot — valid A + valid B
+    + poisoned C — must match the closed form bitwise, proving the
+    rejected attempt left no trace and the metadata commits never
+    perturbed the data. Reference analogue: none; Delta ALTER TABLE
+    ADD CONSTRAINT CHECK."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    base = scratch_dir("table-format-constraint")
+    tpath = os.path.join(base, "events_constrained")
+    tf_append(ev.filter(F.col("event_id") % 5 == 0), tpath)
+    tf_set_constraint(spark, tpath, "uid_nonneg", "user_id >= 0")
+    tf_append(ev.filter(F.col("event_id") % 5 == 1), tpath)  # valid
+    poisoned = ev.filter(F.col("event_id") % 5 == 2).withColumn(
+        "user_id", -F.col("user_id") - 1
+    )
+    head = latest_version(tpath)
+    try:
+        tf_append(poisoned, tpath)
+        raise RuntimeError("poisoned append passed the constraint")
+    except ConstraintViolation:
+        pass
+    if latest_version(tpath) != head:
+        raise RuntimeError("rejected append still published a commit")
+    tf_drop_constraint(tpath, "uid_nonneg")
+    tf_append(poisoned, tpath)  # now legal
+    try:
+        tf_set_constraint(spark, tpath, "uid_nonneg", "user_id >= 0")
+        raise RuntimeError("re-add validated over invalid data")
+    except ConstraintViolation:
+        pass
+    return tf_read(spark, tpath).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("user_id").cast("long").alias("uid_sum"),
+        F.sum("cents").cast("long").alias("cents_sum"),
+        F.sum((F.col("user_id") < 0).cast("long"))
+        .cast("long")
+        .alias("n_negative"),
+    )
+
+
+@register(
     "io_table_format_cdf",
     oracle="""
     WITH m AS (SELECT MAX(event_id) AS mx FROM events),
@@ -1776,6 +2010,7 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
     committed version, or None when the epoch was already in the log."""
     if batch_id in committed_batch_ids(table_path):
         return None
+    _validate_constraints(df, table_path, "streaming append")
     add, schema = _stage(df, table_path)
     version = latest_version(table_path) + 1
     payload = {
@@ -1858,6 +2093,7 @@ def tf_compact(
         )
     else:
         rewritten = snap.coalesce(max(1, n_files))
+    _validate_constraints(rewritten, table_path, "merge")
     add, schema = _stage(rewritten, table_path)
     version = head + 1
     _publish(table_path, version, add, remove, schema, "compact")
@@ -2044,8 +2280,8 @@ def tf_changes(
         with open(_log_path(table_path, v)) as f:
             commit = json.load(f)
         action = commit.get("action", "append")
-        if action == "compact":
-            continue  # pure layout: no logical change
+        if action in ("compact", "constraint"):
+            continue  # pure layout / pure metadata: no logical change
         adds = [_add_path(e) for e in commit.get("add", [])]
         if action in ("delete", "update"):
             # delete: the newly-hidden rows. update: the same rows as
@@ -2377,6 +2613,8 @@ class TableFormatStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             with open(_log_path(self.table_path, v)) as f:
                 commit = json.load(f)
+            if commit.get("action") == "constraint":
+                continue  # metadata-only: adds no rows, breaks nothing
             if commit.get("action") not in ("append",):
                 raise ValueError(
                     f"version {v} is a {commit.get('action')!r} commit: "
@@ -2425,7 +2663,7 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
             with open(_log_path(self.table_path, v)) as f:
                 commit = json.load(f)
             action = commit.get("action", "append")
-            if action == "compact":
+            if action in ("compact", "constraint"):
                 continue
             if action in ("delete", "update"):
                 kind = (

@@ -728,3 +728,134 @@ class TestAdpcm:
         wav[at] = 99
         with pytest.raises(ValueError, match="step index"):
             _adpcm_wav_decode(bytes(wav))
+
+
+class TestCheckConstraints:
+    def _t(self, spark, tmp_path, name):
+        t = str(tmp_path / name)
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)
+        return t
+
+    def test_append_enforced(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            ConstraintViolation,
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c1")
+        tf_set_constraint(spark, t, "k_small", "k < 1000")
+        tf_append(_mk(spark, 100, 200).coalesce(1), t)  # valid
+        head = latest_version(t)
+        with pytest.raises(ConstraintViolation, match="k_small"):
+            tf_append(_mk(spark, 990, 1010).coalesce(1), t)
+        assert latest_version(t) == head  # nothing published
+        assert tf_read(spark, t).count() == 200
+
+    def test_null_passes_sql_standard(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c2")
+        tf_set_constraint(spark, t, "v_pos", "v >= 0")
+        nullable = spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("v"),
+        )
+        tf_append(nullable.coalesce(1), t)  # NULL v rows must pass
+        assert tf_read(spark, t).count() == 105
+
+    def test_add_validates_existing_data(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            ConstraintViolation,
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c3")
+        with pytest.raises(ConstraintViolation, match="existing data"):
+            tf_set_constraint(spark, t, "k_tiny", "k < 50")
+
+    def test_update_and_overwrite_enforced(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            ConstraintViolation,
+            tf_set_constraint,
+            tf_update,
+        )
+
+        t = self._t(spark, tmp_path, "c4")
+        tf_set_constraint(spark, t, "v_pos", "v >= 0")
+        with pytest.raises(ConstraintViolation):
+            tf_update(spark, t, [("k", ">=", 90)], {"v": F.lit(-1)})
+        with pytest.raises(ConstraintViolation):
+            tf_overwrite(
+                spark.range(0, 3)
+                .select(F.col("id").alias("k"), F.lit(-9).alias("v"))
+                .coalesce(1),
+                t,
+            )
+        assert tf_read(spark, t).count() == 100  # both writes rejected
+
+    def test_drop_then_readd(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            ConstraintViolation,
+            tf_constraints,
+            tf_drop_constraint,
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c5")
+        tf_set_constraint(spark, t, "k_small", "k < 1000")
+        assert tf_constraints(t) == {"k_small": "k < 1000"}
+        with pytest.raises(ValueError, match="already exists"):
+            tf_set_constraint(spark, t, "k_small", "k < 500")
+        tf_drop_constraint(t, "k_small")
+        assert tf_constraints(t) == {}
+        with pytest.raises(ValueError, match="no constraint"):
+            tf_drop_constraint(t, "k_small")
+        tf_append(_mk(spark, 5000, 5010).coalesce(1), t)  # now legal
+        with pytest.raises(ConstraintViolation):
+            tf_set_constraint(spark, t, "k_small", "k < 1000")
+
+    def test_constraint_commits_do_not_break_streaming(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            TableFormatStreamReader,
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c6")
+        tf_set_constraint(spark, t, "k_pos", "k >= 0")   # v1: metadata
+        tf_append(_mk(spark, 100, 150).coalesce(1), t)   # v2
+        r = TableFormatStreamReader({"path": t})
+        rows = []
+        for p in r.partitions({"version": -1}, {"version": 2}):
+            rows.extend(r.read(p))
+        assert len(rows) == 150  # the metadata commit emitted nothing
+
+    def test_time_travel_and_cdf_unperturbed(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c7")
+        v = tf_set_constraint(spark, t, "k_pos", "k >= 0")
+        assert tf_read(spark, t, version=v).count() == 100
+        assert tf_changes(spark, t, v, v).count() == 0
+
+    def test_concurrent_add_raises(self, spark, tmp_path, monkeypatch):
+        import fluent_bit_filter_math_spark.sources.table_format as tfm
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "c8")
+        head = latest_version(t)
+        with open(_log_path(t, head + 1), "x") as f:
+            f.write(
+                '{"version": %d, "action": "append", "add": [], '
+                '"remove": [], "schema": ""}' % (head + 1)
+            )
+        monkeypatch.setattr(tfm, "latest_version", lambda p: head)
+        with pytest.raises(ConcurrentOverwrite):
+            tf_set_constraint(spark, t, "k_pos", "k >= 0")
