@@ -427,6 +427,7 @@ def tf_append(df: DataFrame, table_path: str, max_retries: int = 5) -> int:
     automatically (a blind append is order-independent) up to
     *max_retries* times."""
     _validate_constraints(df, table_path, "append")
+    df = _to_physical_df(df, tf_column_mapping(table_path))
     add, schema = _stage(df, table_path)
     read_version = latest_version(table_path)
     return _commit_with_rebase(
@@ -447,6 +448,7 @@ def tf_overwrite(df: DataFrame, table_path: str) -> int:
     else:
         remove = []
     _validate_constraints(df, table_path, "overwrite")
+    df = _to_physical_df(df, tf_column_mapping(table_path))
     add, schema = _stage(df, table_path)
     return _commit_with_rebase(
         table_path, add, remove, schema, "overwrite", read_version, 0
@@ -686,6 +688,190 @@ def tf_drop_constraint(table_path: str, name: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# COLUMN MAPPING — RENAME COLUMN without rewriting a byte (Delta's
+# column-mapping recipe, name-mode): data files keep the PHYSICAL
+# column name a column was BORN with, forever; a rename commit stores
+# the full {logical: physical} mapping as pure metadata. Writers
+# translate logical→physical before staging (so every file in the
+# table shares one physical lineage and the single-scan read path
+# survives), readers translate back at the boundary, and predicates /
+# stats / deletion vectors / compaction all keep operating on physical
+# names — which is exactly why data skipping keeps pruning across a
+# rename. Time travel shows each version under ITS OWN mapping.
+# ---------------------------------------------------------------------------
+
+# table path -> (next unscanned version, mapping) — same incremental
+# cache discipline as constraints/batch ids (commits are immutable)
+_MAPPING_CACHE: dict[str, tuple[int, dict[str, str]]] = {}
+
+
+def tf_column_mapping(
+    table_path: str, version: int | None = None
+) -> dict[str, str]:
+    """The {logical: physical} column mapping in force at *version*
+    (default: head). Empty dict = identity (never renamed)."""
+    head = latest_version(table_path)
+    v = head if version is None else version
+    if version is None:
+        cached = _MAPPING_CACHE.get(table_path)
+        start, mapping = (
+            (cached[0], dict(cached[1])) if cached else (0, {})
+        )
+        for w in range(start, head + 1):
+            with open(_log_path(table_path, w)) as f:
+                commit = json.load(f)
+            if commit.get("action") == "rename":
+                mapping = dict(commit["mapping"])
+        _MAPPING_CACHE[table_path] = (head + 1, dict(mapping))
+        return mapping
+    mapping: dict[str, str] = {}
+    for w in range(0, v + 1):
+        with open(_log_path(table_path, w)) as f:
+            commit = json.load(f)
+        if commit.get("action") == "rename":
+            mapping = dict(commit["mapping"])
+    return mapping
+
+
+def _to_physical_df(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Translate a LOGICAL frame to physical column names for staging.
+    A column outside the mapping keeps its own name — unless that name
+    is another column's retired PHYSICAL name, which would fork the
+    physical lineage (two unrelated columns sharing parquet bytes):
+    refused loudly."""
+    import pyspark.sql.functions as F
+
+    if not mapping:
+        return df
+    retired = {
+        p for l, p in mapping.items() if p != l  # physical names in use
+    }
+    cols = []
+    for c in df.columns:
+        if c in mapping:
+            cols.append(F.col(c).alias(mapping[c]))
+        else:
+            if c in retired:
+                raise ValueError(
+                    f"column {c!r} reuses the retired physical name of "
+                    "a renamed column — pick a fresh name"
+                )
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _to_logical_df(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Translate a PHYSICAL frame back to the logical view. Columns
+    not covered by the mapping (including CDF's _change_type /
+    _commit_version) pass through untouched."""
+    import pyspark.sql.functions as F
+
+    inv = {p: l for l, p in mapping.items() if p != l}
+    if not inv:
+        return df
+    return df.select(
+        *(
+            F.col(c).alias(inv[c]) if c in inv else F.col(c)
+            for c in df.columns
+        )
+    )
+
+
+def _phys_predicates(
+    predicates: list[tuple], mapping: dict[str, str]
+) -> list[tuple]:
+    return [
+        (mapping.get(col, col), op, val) for col, op, val in predicates
+    ]
+
+
+def tf_rename_column(table_path: str, old: str, new: str) -> int:
+    """RENAME COLUMN <old> TO <new> — a pure-metadata commit; not one
+    data file is touched (pinned in tests). The physical name stays
+    the one the column was born with; *old* must be a current logical
+    column, *new* must be free. Read-dependent on the mapping state →
+    head-pinned publish (interloper ⇒ ConcurrentOverwrite)."""
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    mapping = tf_column_mapping(table_path)
+    _, ddl, _ = _replay(table_path, head)
+    physical_cols = [
+        part.strip().split(" ", 1)[0].strip("`")
+        for part in _split_ddl_fields(ddl)
+    ]
+    inv = {p: l for l, p in mapping.items()}
+    logical_cols = [inv.get(p, p) for p in physical_cols]
+    if old not in logical_cols:
+        raise ValueError(
+            f"no column {old!r} (logical columns: {logical_cols})"
+        )
+    if new in logical_cols:
+        raise ValueError(f"column {new!r} already exists")
+    import re as _re
+
+    for cname, cexpr in tf_constraints(table_path).items():
+        # constraint expressions speak LOGICAL names; renaming a
+        # column out from under one would break every later write's
+        # validation (Delta's rule: drop the constraint first)
+        if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+            raise ValueError(
+                f"constraint {cname!r} references {old!r}: drop it "
+                "before renaming (re-add it against the new name)"
+            )
+    phys = mapping.get(old, old)
+    mapping = {l: p for l, p in mapping.items() if l != old}
+    if new != phys:
+        mapping[new] = phys
+    body = json.dumps(
+        {
+            "version": head + 1,
+            "action": "rename",
+            "add": [],
+            "remove": [],
+            "mapping": mapping,
+        },
+        sort_keys=True,
+    )
+    path = _log_path(table_path, head + 1)
+    try:
+        with open(path, "x") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+    except FileExistsError as exc:
+        raise ConcurrentOverwrite(
+            f"version {head + 1} already committed"
+        ) from exc
+    _maybe_checkpoint(table_path, head + 1)
+    return head + 1
+
+
+def _split_ddl_fields(ddl: str) -> list[str]:
+    """Split a simpleString/DDL field list at depth 0 (struct/map/array
+    angle brackets nest)."""
+    s = ddl
+    if s.startswith("struct<") and s.endswith(">"):
+        # simpleString form: struct<name:type,...> — strip the shell;
+        # the per-field name:type is normalized to "name type" below
+        s = s[len("struct<") : -1]
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [f.replace(":", " ", 1).strip() for f in out]
+
+
+# ---------------------------------------------------------------------------
 # DELETION VECTORS — row-level deletes WITHOUT rewriting data files
 # (Delta's deletion-vector recipe): a ``delete`` commit attaches a tiny
 # sidecar per touched file holding the POSITIONS of its deleted rows;
@@ -809,6 +995,9 @@ def tf_delete(
     read_version = latest_version(table_path)
     if read_version < 0:
         raise FileNotFoundError(f"no table at {table_path}")
+    predicates = _phys_predicates(
+        predicates, tf_column_mapping(table_path, version=read_version)
+    )
     files, schema, evolved = _resolve(table_path, read_version)
     cand = [
         (rel, stats, dv)
@@ -938,6 +1127,8 @@ def tf_update(
     read_version = latest_version(table_path)
     if read_version < 0:
         raise FileNotFoundError(f"no table at {table_path}")
+    mapping = tf_column_mapping(table_path, version=read_version)
+    predicates = _phys_predicates(predicates, mapping)
     files, schema, evolved = _resolve(table_path, read_version)
     cand = [
         (rel, stats, dv)
@@ -952,7 +1143,9 @@ def tf_update(
     scan = reader.parquet(
         *(os.path.join(table_path, rel) for rel, _, _ in cand)
     )
-    bad = [c for c in set_exprs if c not in scan.columns]
+    inv = {p: l for l, p in mapping.items()}
+    logical_cols = [inv.get(c, c) for c in scan.columns]
+    bad = [c for c in set_exprs if c not in logical_cols]
     if bad:
         raise ValueError(f"SET targets unknown column(s) {bad}")
     for col, op, val in predicates:
@@ -994,7 +1187,11 @@ def tf_update(
         return read_version, 0, 0
     pairs = [(row["__dv_file"], sorted(row["idxs"])) for row in grouped]
     n_updated = sum(len(p[1]) for p in pairs)
-    updated = _rows_at_positions(spark, table_path, pairs)
+    # the position scan is physical; SET expressions and constraints
+    # speak the LOGICAL view — translate in, transform, translate out
+    updated = _to_logical_df(
+        _rows_at_positions(spark, table_path, pairs), mapping
+    )
     # Delta's implicit-cast rule: a SET expression is cast to the
     # column's EXISTING type, so an update can never drift a column's
     # physical parquet type away from the table schema (an int literal
@@ -1003,7 +1200,7 @@ def tf_update(
     for name, expr in set_exprs.items():
         updated = updated.withColumn(name, expr.cast(dtypes[name]))
     _validate_constraints(updated, table_path, "update")
-    add, _ = _stage(updated, table_path)
+    add, _ = _stage(_to_physical_df(updated, mapping), table_path)
     dv_actions = []
     for rel, idxs in pairs:
         merged = sorted(set(old.get(rel, [])) | set(idxs))
@@ -1059,12 +1256,16 @@ def tf_read(
     if not 0 <= v <= head:
         raise ValueError(f"version {v} outside [0, {head}]")
     files, schema, evolved = _resolve(table_path, v)
+    # time travel shows the version under ITS OWN column mapping
+    mapping = tf_column_mapping(table_path, version=v)
     if not files:
-        return spark.createDataFrame([], schema)
+        return _to_logical_df(spark.createDataFrame([], schema), mapping)
     # live files span >1 writer schema: union them by name with
     # NULL-fill for columns a generation lacks (Delta/Iceberg
     # schema evolution; same contract as io_schema_evolution)
-    return _read_entries(spark, table_path, files, evolved)
+    return _to_logical_df(
+        _read_entries(spark, table_path, files, evolved), mapping
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1127,6 +1328,9 @@ def tf_pruned_files(
             raise ValueError(f"unsupported skipping op {op!r} on {col}")
     head = latest_version(table_path)
     v = head if version is None else version
+    predicates = _phys_predicates(
+        predicates, tf_column_mapping(table_path, version=v)
+    )
     files, _, _ = _resolve(table_path, v)
     kept = [
         os.path.join(table_path, rel)
@@ -1154,6 +1358,8 @@ def tf_scan(
     if head < 0:
         raise FileNotFoundError(f"no table at {table_path}")
     v = head if version is None else version
+    mapping = tf_column_mapping(table_path, version=v)
+    predicates = _phys_predicates(predicates, mapping)
     files, schema, evolved = _resolve(table_path, v)
     kept = [
         (rel, stats, dv)
@@ -1175,7 +1381,7 @@ def tf_scan(
                 ">=": c >= val,
             }[op]
         )
-    return df
+    return _to_logical_df(df, mapping)
 
 
 @register(
@@ -1371,6 +1577,12 @@ def tf_merge(
     read_version = latest_version(table_path)
     if read_version < 0:
         raise FileNotFoundError(f"no table at {table_path}")
+    # the merge plan runs in PHYSICAL column space (files, stats);
+    # the change batch and key arrive logical
+    mapping = tf_column_mapping(table_path, version=read_version)
+    changes = _to_physical_df(changes, mapping)
+    key_col = mapping.get(key_col, key_col)
+    delete_col = mapping.get(delete_col, delete_col)
     files, schema, evolved = _resolve(table_path, read_version)
     lo_hi = changes.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
@@ -1406,6 +1618,9 @@ def tf_merge(
         merged = survivors.unionByName(upserts)
     else:
         merged = upserts
+    _validate_constraints(
+        _to_logical_df(merged, mapping), table_path, "merge"
+    )
     add, out_schema = _stage(merged, table_path)
     return (
         _commit_with_rebase(
@@ -1916,6 +2131,102 @@ def io_table_format_constraint(
 
 
 @register(
+    "io_table_format_rename",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS usd_cents,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders, m
+    WHERE o_orderkey > mx // 2
+    GROUP BY shard ORDER BY shard
+    """,
+)
+def io_table_format_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN via column mapping under the oracle gate: four
+    range-clustered appends write ``o_totalprice`` physically, a
+    metadata-only rename relabels it ``price_usd`` (pinned in-query:
+    not one data file written), and a POST-rename append arrives under
+    the logical name — landing in the SAME physical lineage, so one
+    scan still reads every generation. Data skipping keeps pruning
+    across the rename (pinned: a key-range predicate keeps < all
+    files), the final scan filters and aggregates THROUGH the logical
+    name, and time travel shows the pre-rename version under its own
+    column names. Reference analogue: none; Delta column mapping
+    (name mode)."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = scratch_dir("table-format-rename")
+    tpath = os.path.join(base, "orders_renamed")
+    q1, q2, q3 = mx // 4, mx // 2, (3 * mx) // 4
+    for lo, hi in [(-1, q1), (q1, q2), (q2, q3), (q3, mx)]:
+        tf_append(
+            evens.filter(
+                (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+            ).coalesce(1),
+            tpath,
+        )
+    pre = latest_version(tpath)
+    n_files_before = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(tpath)
+        for f in fs
+    )
+    tf_rename_column(tpath, "o_totalprice", "price_usd")
+    n_files_after = sum(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(tpath)
+        for f in fs
+    )
+    if n_files_after != n_files_before:
+        raise RuntimeError("rename wrote data files (not metadata-only)")
+    # the post-rename producer speaks the LOGICAL name
+    tf_append(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_totalprice", "price_usd")
+        .repartition(2),
+        tpath,
+    )
+    # skipping still prunes across the rename (stats are physical)
+    kept, total = tf_pruned_files(tpath, [("o_orderkey", ">", q3)])
+    if not 0 < len(kept) < total:
+        raise RuntimeError(
+            f"skipping broke under rename: kept {len(kept)}/{total}"
+        )
+    # time travel shows the version under ITS OWN mapping
+    if "o_totalprice" not in tf_read(spark, tpath, version=pre).columns:
+        raise RuntimeError("pre-rename snapshot lost its old name")
+    if "price_usd" not in tf_read(spark, tpath).columns:
+        raise RuntimeError("latest snapshot missing the logical name")
+    return (
+        tf_scan(spark, tpath, [("o_orderkey", ">", q2)])
+        .groupBy((F.col("o_orderkey") % 4).alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(exact_cents(F.col("price_usd")))
+            .cast("long")
+            .alias("usd_cents"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select(
+            F.col("shard").cast("long"), "n_rows", "usd_cents", "max_key"
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "io_table_format_cdf",
     oracle="""
     WITH m AS (SELECT MAX(event_id) AS mx FROM events),
@@ -2011,6 +2322,7 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
     if batch_id in committed_batch_ids(table_path):
         return None
     _validate_constraints(df, table_path, "streaming append")
+    df = _to_physical_df(df, tf_column_mapping(table_path))
     add, schema = _stage(df, table_path)
     version = latest_version(table_path) + 1
     payload = {
@@ -2070,7 +2382,8 @@ def tf_compact(
             _zvalue,
         )
 
-        ca, cb = zorder_by
+        _m = tf_column_mapping(table_path, version=head)
+        ca, cb = (_m.get(c, c) for c in zorder_by)  # logical → physical
         bounds = snap.agg(
             F.min(ca).alias("_alo"),
             F.max(ca).alias("_ahi"),
@@ -2093,7 +2406,8 @@ def tf_compact(
         )
     else:
         rewritten = snap.coalesce(max(1, n_files))
-    _validate_constraints(rewritten, table_path, "merge")
+    # compaction is pure layout: every row was validated by the write
+    # that introduced it, so no constraint pass here
     add, schema = _stage(rewritten, table_path)
     version = head + 1
     _publish(table_path, version, add, remove, schema, "compact")
@@ -2280,7 +2594,7 @@ def tf_changes(
         with open(_log_path(table_path, v)) as f:
             commit = json.load(f)
         action = commit.get("action", "append")
-        if action in ("compact", "constraint"):
+        if action in ("compact", "constraint", "rename"):
             continue  # pure layout / pure metadata: no logical change
         adds = [_add_path(e) for e in commit.get("add", [])]
         if action in ("delete", "update"):
@@ -2391,6 +2705,7 @@ def tf_changes(
                 "insert",
                 v,
             )
+    mapping = tf_column_mapping(table_path, version=to)
     if not pieces:
         from pyspark.sql.types import LongType, StringType
 
@@ -2400,11 +2715,13 @@ def tf_changes(
             .schema.add("_change_type", StringType())
             .add("_commit_version", LongType())
         )
-        return spark.createDataFrame([], schema)
+        return _to_logical_df(spark.createDataFrame([], schema), mapping)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    # change rows come off physical file scans — surface the logical
+    # view (the mapping never covers _change_type/_commit_version)
+    return _to_logical_df(out, mapping)
 
 
 def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
@@ -2613,7 +2930,7 @@ class TableFormatStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             with open(_log_path(self.table_path, v)) as f:
                 commit = json.load(f)
-            if commit.get("action") == "constraint":
+            if commit.get("action") in ("constraint", "rename"):
                 continue  # metadata-only: adds no rows, breaks nothing
             if commit.get("action") not in ("append",):
                 raise ValueError(
@@ -2663,7 +2980,7 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
             with open(_log_path(self.table_path, v)) as f:
                 commit = json.load(f)
             action = commit.get("action", "append")
-            if action in ("compact", "constraint"):
+            if action in ("compact", "constraint", "rename"):
                 continue
             if action in ("delete", "update"):
                 kind = (
@@ -2830,18 +3147,21 @@ class TableFormatDataSource(DataSource):
         )
 
     def schema(self):
-        _, ddl, _ = _replay(
-            self.options["path"], latest_version(self.options["path"])
-        )
+        path = self.options["path"]
+        _, ddl, _ = _replay(path, latest_version(path))
+        if not (ddl.startswith("struct<") and ddl.endswith(">")):
+            raise ValueError(f"unexpected table schema DDL {ddl!r}")
+        # surface the LOGICAL column names: the stored DDL is physical
+        # (what the parquet files carry); renames only relabel here —
+        # the readers' tuples keep the same physical field order
+        inv = {p: l for l, p in tf_column_mapping(path).items()}
+        fields = [
+            (lambda n, t: f"{inv.get(n, n)}:{t}")(*f.split(" ", 1))
+            for f in _split_ddl_fields(ddl)
+        ]
         if self._cdf():
-            # ddl is a simpleString ("struct<a:bigint,...>"): splice
-            # the change columns in before the closing bracket
-            if not (ddl.startswith("struct<") and ddl.endswith(">")):
-                raise ValueError(f"unexpected table schema DDL {ddl!r}")
-            return (
-                ddl[:-1] + ",_change_type:string,_commit_version:bigint>"
-            )
-        return ddl
+            fields += ["_change_type:string", "_commit_version:bigint"]
+        return "struct<" + ",".join(fields) + ">"
 
     def streamReader(self, schema):
         if self._cdf():

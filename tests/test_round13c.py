@@ -859,3 +859,221 @@ class TestCheckConstraints:
         monkeypatch.setattr(tfm, "latest_version", lambda p: head)
         with pytest.raises(ConcurrentOverwrite):
             tf_set_constraint(spark, t, "k_pos", "k >= 0")
+
+
+class TestColumnMapping:
+    def _t(self, spark, tmp_path, name):
+        t = str(tmp_path / name)
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)
+        return t
+
+    def test_rename_is_metadata_only_and_read_translates(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m1")
+        files_before = sorted(
+            f
+            for _, _, fs in os.walk(t)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        v = tf_rename_column(t, "v", "val")
+        files_after = sorted(
+            f
+            for _, _, fs in os.walk(t)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert files_before == files_after
+        df = tf_read(spark, t)
+        assert df.columns == ["k", "val"]
+        assert df.filter(F.col("val") == 30).count() == 1
+        # time travel shows the old name
+        assert tf_read(spark, t, version=v - 1).columns == ["k", "v"]
+
+    def test_append_after_rename_shares_physical_lineage(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            _resolve,
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m2")
+        tf_rename_column(t, "v", "val")
+        tf_append(
+            spark.range(100, 200)
+            .select(F.col("id").alias("k"), (F.col("id") * 3).alias("val"))
+            .coalesce(1),
+            t,
+        )
+        df = tf_read(spark, t)
+        assert df.count() == 200 and df.columns == ["k", "val"]
+        # one schema generation: the scan stays mergeSchema-free
+        _, _, evolved = _resolve(t, latest_version(t))
+        assert not evolved
+
+    def test_rename_chain_and_rename_back(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_column_mapping,
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m3")
+        tf_rename_column(t, "v", "val")
+        tf_rename_column(t, "val", "amount")
+        assert tf_column_mapping(t) == {"amount": "v"}
+        tf_rename_column(t, "amount", "v")  # back to the birth name
+        assert tf_column_mapping(t) == {}
+        assert tf_read(spark, t).columns == ["k", "v"]
+
+    def test_rename_validation(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m4")
+        with pytest.raises(ValueError, match="no column"):
+            tf_rename_column(t, "nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            tf_rename_column(t, "v", "k")
+
+    def test_retired_physical_name_not_reusable(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m5")
+        tf_rename_column(t, "v", "val")
+        # a NEW column named like the retired physical "v" would fork
+        # the physical lineage — refused
+        widened = spark.range(200, 210).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3).alias("val"),
+            F.lit(1).alias("v"),
+        )
+        with pytest.raises(ValueError, match="retired physical"):
+            tf_append(widened.coalesce(1), t)
+
+    def test_skipping_delete_update_through_logical_names(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_pruned_files,
+            tf_rename_column,
+            tf_scan,
+            tf_update,
+        )
+
+        t = str(tmp_path / "m6")
+        for lo in (0, 100, 200, 300):
+            tf_append(_mk(spark, lo, lo + 100).coalesce(1), t)
+        tf_rename_column(t, "k", "key")
+        kept, total = tf_pruned_files(t, [("key", ">", 350)])
+        assert (len(kept), total) == (1, 4)
+        assert tf_scan(spark, t, [("key", ">", 350)]).count() == 49
+        v, dvd, _, skipped = tf_delete(spark, t, [("key", ">=", 390)])
+        assert dvd == 1 and skipped == 3
+        assert tf_read(spark, t).count() == 390
+        _, dvd2, n2 = tf_update(
+            spark, t, [("key", ">=", 380)], {"v": F.col("v") + 1}
+        )
+        assert n2 == 10  # 380..389; deleted rows skipped
+        got = {
+            r["key"]: r["v"]
+            for r in tf_read(spark, t)
+            .filter(F.col("key") >= 380)
+            .collect()
+        }
+        assert got[385] == 385 * 3 + 1
+
+    def test_merge_and_cdf_through_logical_names(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_merge,
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m7")
+        tf_rename_column(t, "k", "key")
+        ch = spark.createDataFrame(
+            [(5, 999, False), (200, 600, False), (7, 0, True)],
+            "key long, v long, _delete boolean",
+        )
+        tf_merge(spark, t, ch, key_col="key")
+        df = tf_read(spark, t)
+        assert df.count() == 100  # -1 delete +1 insert
+        vals = {r["key"]: r["v"] for r in df.collect()}
+        assert vals[5] == 999 and vals[200] == 600 and 7 not in vals
+        # CDF through the head surfaces the CURRENT logical names;
+        # a range ending before the rename keeps that version's own
+        chg = tf_changes(spark, t, 0)
+        assert chg.columns[:2] == ["key", "v"]
+        assert tf_changes(spark, t, 0, 0).columns[:2] == ["k", "v"]
+
+    def test_constraint_blocks_rename(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_drop_constraint,
+            tf_rename_column,
+            tf_set_constraint,
+        )
+
+        t = self._t(spark, tmp_path, "m8")
+        tf_set_constraint(spark, t, "v_pos", "v >= 0")
+        with pytest.raises(ValueError, match="drop it"):
+            tf_rename_column(t, "v", "val")
+        tf_drop_constraint(t, "v_pos")
+        tf_rename_column(t, "v", "val")  # now legal
+        assert tf_read(spark, t).columns == ["k", "val"]
+
+    def test_streaming_schema_shows_logical_names(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            TableFormatDataSource,
+            TableFormatStreamReader,
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m9")
+        tf_rename_column(t, "v", "val")          # v1: metadata
+        tf_append(
+            spark.range(100, 130)
+            .select(F.col("id").alias("k"), (F.col("id") * 3).alias("val"))
+            .coalesce(1),
+            t,
+        )                                        # v2
+        ds = TableFormatDataSource({"path": t})
+        assert ds.schema() == "struct<k:bigint,val:bigint>"
+        r = TableFormatStreamReader({"path": t})
+        rows = []
+        for p in r.partitions({"version": -1}, {"version": 2}):
+            rows.extend(r.read(p))
+        assert len(rows) == 130  # the rename version emitted nothing
+
+    def test_zorder_compact_through_logical_names(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_compact,
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m10")
+        tf_rename_column(t, "k", "key")
+        v = tf_compact(spark, t, zorder_by=("key", "v"), n_files=2)
+        df = tf_read(spark, t, version=v)
+        assert df.count() == 100 and df.columns == ["key", "v"]
+
+    def test_restore_keeps_current_mapping(self, spark, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_rename_column,
+        )
+
+        t = self._t(spark, tmp_path, "m11")
+        pre = latest_version(t)
+        tf_overwrite(_mk(spark, 0, 10).coalesce(1), t)
+        tf_rename_column(t, "v", "val")
+        v = tf_restore(t, pre)
+        # data reverts; the mapping (a guard-like metadata chain) stays
+        df = tf_read(spark, t, version=v)
+        assert df.count() == 100 and df.columns == ["k", "val"]
