@@ -2724,6 +2724,39 @@ def tf_changes(
     return _to_logical_df(out, mapping)
 
 
+def tf_history(table_path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per commit, newest first — version,
+    action, files added/removed, DV actions, restored version, batch
+    id, constraint/mapping payload sizes. Pure metadata (reads only
+    the JSON log), driver-side O(versions)."""
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    out = []
+    for v in range(head, -1, -1):
+        with open(_log_path(table_path, v)) as f:
+            commit = json.load(f)
+        row = {
+            "version": v,
+            "action": commit.get("action", "append"),
+            "n_added": len(commit.get("add", [])),
+            "n_removed": len(commit.get("remove", [])),
+            "n_dv": len(commit.get("dv", [])),
+        }
+        if "restored_version" in commit:
+            row["restored_version"] = commit["restored_version"]
+        if "batch_id" in commit:
+            row["batch_id"] = commit["batch_id"]
+        if commit.get("set"):
+            row["constraints_set"] = sorted(commit["set"])
+        if commit.get("drop"):
+            row["constraints_dropped"] = list(commit["drop"])
+        if commit.get("action") == "rename":
+            row["mapping"] = dict(commit["mapping"])
+        out.append(row)
+    return out
+
+
 def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
     """Physically delete data files not live in ANY snapshot >=
     *keep_from_version* (retention cutoff). Time travel to vacuumed

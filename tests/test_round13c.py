@@ -1077,3 +1077,49 @@ class TestColumnMapping:
         # data reverts; the mapping (a guard-like metadata chain) stays
         df = tf_read(spark, t, version=v)
         assert df.count() == 100 and df.columns == ["k", "val"]
+
+
+class TestTfHistory:
+    def test_history_reflects_every_action_newest_first(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_drop_constraint,
+            tf_history,
+            tf_rename_column,
+            tf_set_constraint,
+            tf_update,
+        )
+
+        t = str(tmp_path / "h1")
+        tf_append(_mk(spark, 0, 100).coalesce(1), t)          # v0
+        tf_set_constraint(spark, t, "k_pos", "k >= 0")        # v1
+        tf_update(spark, t, [("k", ">=", 90)], {"v": F.lit(0)})  # v2
+        tf_drop_constraint(t, "k_pos")                        # v3
+        tf_rename_column(t, "v", "val")                       # v4
+        tf_overwrite(
+            _mk(spark, 0, 10)
+            .withColumnRenamed("v", "val")  # post-rename logical name
+            .coalesce(1),
+            t,
+        )                                                     # v5
+        tf_restore(t, 2)                                      # v6
+        h = tf_history(t)
+        assert [r["version"] for r in h] == [6, 5, 4, 3, 2, 1, 0]
+        by = {r["version"]: r for r in h}
+        assert by[0]["action"] == "append" and by[0]["n_added"] == 1
+        assert by[1]["constraints_set"] == ["k_pos"]
+        assert by[2]["action"] == "update" and by[2]["n_dv"] == 1
+        assert by[3]["constraints_dropped"] == ["k_pos"]
+        assert by[4]["mapping"] == {"val": "v"}
+        assert by[5]["action"] == "overwrite" and by[5]["n_removed"] == 2
+        assert by[6]["action"] == "restore"
+        assert by[6]["restored_version"] == 2
+
+    def test_history_missing_table_raises(self, tmp_path):
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_history,
+        )
+
+        with pytest.raises(FileNotFoundError):
+            tf_history(str(tmp_path / "absent"))
