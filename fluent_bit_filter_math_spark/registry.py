@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     "io_table_format_update",
     "io_table_format_constraint",
     "io_table_format_rename",
+    "kafka_wire_snappy",
     "mm_adpcm_roundtrip",
     "io_table_format_skipping",
     "io_table_format_merge",

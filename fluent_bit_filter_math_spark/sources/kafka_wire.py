@@ -48,6 +48,7 @@ import socketserver
 import struct
 import threading
 import time
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,6 +68,41 @@ from fluent_bit_filter_math_spark.sources.io import (
 
 _OP_PRODUCE = 0x50  # 'P'
 _OP_FETCH = 0x46    # 'F'
+# v2 produce: a compression flag byte precedes the record section —
+# compression.type=snappy parity, carried by the from-scratch codec
+# (sources/snappy_codec.py). 0x50 stays wire-identical for old senders.
+_OP_PRODUCE2 = 0x51
+_COMP_NONE, _COMP_SNAPPY = 0, 1
+
+
+def _seal_section(raw: bytes, comp: int) -> bytes:
+    """Frame a record section for the wire: snappy(section) + 4-byte
+    big-endian CRC32 of the UNCOMPRESSED section (the Avro-snappy
+    framing rule reused; real Kafka guards batches with CRC32C — same
+    intent, one shared idiom in this repo)."""
+    if comp == _COMP_NONE:
+        return raw
+    from fluent_bit_filter_math_spark.sources import snappy_codec
+
+    return (
+        snappy_codec.compress(raw)
+        + (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _open_section(wire: bytes, comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return wire
+    if comp != _COMP_SNAPPY:
+        raise ValueError(f"unknown compression flag {comp}")
+    if len(wire) < 4:
+        raise ValueError("compressed section too short for its CRC")
+    from fluent_bit_filter_math_spark.sources import snappy_codec
+
+    raw = snappy_codec.decompress(wire[:-4])
+    if (zlib.crc32(raw) & 0xFFFFFFFF).to_bytes(4, "big") != wire[-4:]:
+        raise ValueError("kafka wire: record-section CRC mismatch")
+    return raw
 
 
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
@@ -133,14 +169,31 @@ class _Handler(socketserver.BaseRequestHandler):
         (tlen,) = struct.unpack_from(">H", payload, 1)
         topic = payload[3 : 3 + tlen].decode("utf-8")
         pos = 3 + tlen
-        if op == _OP_PRODUCE:
+        if op in (_OP_PRODUCE, _OP_PRODUCE2):
+            comp = _COMP_NONE
+            if op == _OP_PRODUCE2:
+                comp = payload[pos]
+                pos += 1
             (pid, part, count) = struct.unpack_from(">qii", payload, pos)
             pos += 16
-            recs = []
-            for _ in range(count):
-                key, pos = _unpack_bytes(payload, pos)
-                val, pos = _unpack_bytes(payload, pos)
-                recs.append((key, val))
+            try:
+                section = _open_section(payload[pos:], comp)
+                with broker.lock:
+                    broker.produced_wire += len(payload) - pos
+                    broker.produced_raw += len(section)
+                spos = 0
+                recs = []
+                for _ in range(count):
+                    key, spos = _unpack_bytes(section, spos)
+                    val, spos = _unpack_bytes(section, spos)
+                    recs.append((key, val))
+                if spos != len(section):
+                    raise ValueError("record count / section mismatch")
+            except (ValueError, struct.error, IndexError):
+                # malformed batch: ack an error offset, append nothing
+                # (a real broker answers CORRUPT_MESSAGE)
+                _send_frame(self.request, struct.pack(">q", -1))
+                return
             with broker.lock:
                 # Idempotent-producer semantics (Kafka's PID+sequence,
                 # collapsed to one batch per producer per partition):
@@ -173,19 +226,36 @@ class _Handler(socketserver.BaseRequestHandler):
             # micro-batch (O(n·batches) bytes) just to throw most of
             # it away client-side.
             limit = -1
+            comp = _COMP_NONE
             if pos + 4 <= len(payload):
                 (limit,) = struct.unpack_from(">i", payload, pos)
+                pos += 4
+            if pos < len(payload):
+                # optional compression request byte — a consumer that
+                # asks gets the snappy-framed response; absent = the
+                # legacy uncompressed format (old clients unchanged)
+                comp = payload[pos]
             frm = max(0, frm)
             with broker.lock:
                 log = broker.logs.get((topic, part), [])
                 hi = len(log) if limit < 0 else min(len(log), frm + limit)
                 window = log[frm:hi]  # copy only the served slice
-            out = [struct.pack(">i", len(window))]
+            body = []
             for i, (key, val) in enumerate(window):
-                out.append(struct.pack(">q", frm + i))
-                out.append(_pack_bytes(key))
-                out.append(_pack_bytes(val))
-            _send_frame(self.request, b"".join(out))
+                body.append(struct.pack(">q", frm + i))
+                body.append(_pack_bytes(key))
+                body.append(_pack_bytes(val))
+            raw = b"".join(body)
+            section = _seal_section(raw, comp)
+            with broker.lock:
+                broker.fetched_raw += len(raw)
+                broker.fetched_wire += len(section)
+            _send_frame(
+                self.request,
+                struct.pack(">i", len(window))
+                + (bytes([comp]) if comp != _COMP_NONE else b"")
+                + section,
+            )
 
 
 class _Server(socketserver.ThreadingTCPServer):
@@ -207,6 +277,9 @@ class MiniBroker:
         self.lock = threading.Lock()
         self.fetches = 0
         self.fail_first = fail_first_fetches
+        # wire-vs-raw byte accounting (compression effectiveness pins)
+        self.produced_raw = self.produced_wire = 0
+        self.fetched_raw = self.fetched_wire = 0
         self._server = _Server(("127.0.0.1", 0), _Handler)
         self._server.broker = self  # type: ignore[attr-defined]
         self.port = self._server.server_address[1]
@@ -221,7 +294,11 @@ class MiniBroker:
 
 
 def produce(
-    df: DataFrame, topic: str, port: int, n_partitions: int
+    df: DataFrame,
+    topic: str,
+    port: int,
+    n_partitions: int,
+    compression: str | None = None,
 ) -> None:
     """Ship a (key binary, value binary) frame to the broker from
     executor tasks; records route by int(key) mod n_partitions (the
@@ -250,16 +327,30 @@ def produce(
             by_part.setdefault(part, []).append(
                 (bytes(r["key"]), bytes(r["value"]))
             )
+        comp = {None: None, "none": _COMP_NONE, "snappy": _COMP_SNAPPY}[
+            compression
+        ]
         for part, recs in by_part.items():
-            body = [
-                bytes([_OP_PRODUCE]),
-                struct.pack(">H", len(topic.encode())),
-                topic.encode(),
-                struct.pack(">qii", pid, part, len(recs)),
-            ]
-            for key, val in recs:
-                body.append(_pack_bytes(key))
-                body.append(_pack_bytes(val))
+            section = b"".join(
+                _pack_bytes(key) + _pack_bytes(val) for key, val in recs
+            )
+            if comp is None:  # legacy v1 frame, wire-identical to r11
+                body = [
+                    bytes([_OP_PRODUCE]),
+                    struct.pack(">H", len(topic.encode())),
+                    topic.encode(),
+                    struct.pack(">qii", pid, part, len(recs)),
+                    section,
+                ]
+            else:  # v2: compression flag + sealed record section
+                body = [
+                    bytes([_OP_PRODUCE2]),
+                    struct.pack(">H", len(topic.encode())),
+                    topic.encode(),
+                    bytes([comp]),
+                    struct.pack(">qii", pid, part, len(recs)),
+                    _seal_section(section, comp),
+                ]
             _rpc(port, b"".join(body))  # base offset ack discarded
 
     df.foreachPartition(_send)
@@ -279,6 +370,8 @@ class KafkaWireReader(DataSourceReader):
         self.topic = options.get("topic")
         self.port = int(options.get("port", 0))
         self.n_parts = int(options.get("partitions", 1))
+        self.comp = {None: _COMP_NONE, "none": _COMP_NONE,
+                     "snappy": _COMP_SNAPPY}[options.get("compression")]
         if not self.topic or not self.port:
             raise ValueError("kafkawire requires 'topic' and 'port'")
 
@@ -293,9 +386,21 @@ class KafkaWireReader(DataSourceReader):
             + struct.pack(">i", partition.part)
             + struct.pack(">q", 0)
         )
+        if self.comp != _COMP_NONE:
+            # opting into compression requires the explicit limit
+            # field first (the optional-field wire order)
+            body += struct.pack(">i", -1) + bytes([self.comp])
         resp = _rpc(self.port, body)
         (count,) = struct.unpack_from(">i", resp, 0)
         pos = 4
+        if self.comp != _COMP_NONE:
+            if resp[pos] != self.comp:
+                raise ValueError(
+                    f"broker answered compression {resp[pos]}, "
+                    f"consumer asked {self.comp}"
+                )
+            resp = _open_section(resp[pos + 1 :], self.comp)
+            pos = 0
         for _ in range(count):
             (off,) = struct.unpack_from(">q", resp, pos)
             pos += 8
@@ -336,11 +441,16 @@ def roundtrip(
     topic: str,
     n_partitions: int = _KW_PARTS,
     fail_first_fetches: int = 0,
+    compression: str | None = None,
+    wire_stats: dict | None = None,
 ) -> DataFrame:
     """encode → produce over TCP → fetch over TCP → decode; returns the
     decoded frame MATERIALIZED (localCheckpoint) so the broker can be
     torn down before the caller executes the plan — the conf-window
-    lesson: a lazy frame over a dead socket fails at collect time."""
+    lesson: a lazy frame over a dead socket fails at collect time.
+    With *compression*, both hops ride the snappy-framed sections; a
+    caller-supplied *wire_stats* dict receives the broker's raw/wire
+    byte counters before teardown."""
     register_kafka_wire(spark)
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in payload.schema
@@ -352,18 +462,29 @@ def roundtrip(
             topic,
             broker.port,
             n_partitions,
+            compression=compression,
         )
-        raw = (
+        reader = (
             spark.read.format("kafkawire")
             .option("topic", topic)
             .option("port", str(broker.port))
             .option("partitions", str(n_partitions))
-            .load()
         )
+        if compression:
+            reader = reader.option("compression", compression)
+        raw = reader.load()
         decoded = decode_kafka_value(
             raw.withColumnRenamed("kpart", "partition"),
             spark.createDataFrame([], schema_ddl).schema,
         ).localCheckpoint(eager=True)
+        if wire_stats is not None:
+            with broker.lock:
+                wire_stats.update(
+                    produced_raw=broker.produced_raw,
+                    produced_wire=broker.produced_wire,
+                    fetched_raw=broker.fetched_raw,
+                    fetched_wire=broker.fetched_wire,
+                )
     finally:
         broker.stop()
     return decoded
@@ -401,6 +522,65 @@ def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = roundtrip(
         spark, payload, key_col="event_id", topic="events-r11"
     )
+    return (
+        decoded.select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.col("partition").cast("long").alias("kpart"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "kafka_wire_snappy",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           CAST(event_id % 4 AS BIGINT) AS kpart
+    FROM events
+    WHERE event_id % 7 = 5
+    ORDER BY event_id
+    """,
+)
+def kafka_wire_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compression.type=snappy parity over the wire twin: the producer
+    seals each record batch with the from-scratch snappy codec +
+    big-endian CRC32 of the uncompressed section, the broker verifies
+    and unpacks it, and the consumer fetch asks for (and verifies) the
+    compressed response — both hops of the socket path ride compressed
+    frames, and the decoded rows still match DuckDB recomputing the
+    subset from parquet. The in-query pin raises unless the wire
+    actually shrank on BOTH hops (the JSON-encoded events batch is
+    compressible), so a silent fall-back to the uncompressed path
+    cannot pass. Reference analogue: none; Kafka's producer/consumer
+    compression, framed per this repo's Avro-snappy rule."""
+    from fluent_bit_filter_math_spark.functions import exact_cents
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 5)
+    payload = ev.select(
+        "event_id",
+        "user_id",
+        exact_cents(F.col("value")).alias("cents"),
+    )
+    stats: dict = {}
+    decoded = roundtrip(
+        spark,
+        payload,
+        key_col="event_id",
+        topic="events-snappy",
+        compression="snappy",
+        wire_stats=stats,
+    )
+    if not (
+        0 < stats["produced_wire"] < stats["produced_raw"]
+        and 0 < stats["fetched_wire"] < stats["fetched_raw"]
+    ):
+        raise RuntimeError(
+            f"compression ineffective or bypassed: {stats}"
+        )
     return (
         decoded.select(
             "event_id",

@@ -1123,3 +1123,138 @@ class TestTfHistory:
 
         with pytest.raises(FileNotFoundError):
             tf_history(str(tmp_path / "absent"))
+
+
+class TestKafkaWireCompression:
+    def _broker_rt(self, spark, compression):
+        from fluent_bit_filter_math_spark.sources.kafka_wire import (
+            MiniBroker,
+            produce,
+            register_kafka_wire,
+        )
+
+        register_kafka_wire(spark)
+        broker = MiniBroker()
+        df = spark.createDataFrame(
+            [(str(i).encode(), f'{{"n": {i}, "pad": "xyxyxyxyxy"}}'
+              .encode()) for i in range(200)],
+            "key binary, value binary",
+        ).coalesce(2)
+        produce(df, "t", broker.port, 2, compression=compression)
+        return broker
+
+    def test_compressed_roundtrip_and_wire_shrinks(self, spark):
+        broker = self._broker_rt(spark, "snappy")
+        try:
+            raw = (
+                spark.read.format("kafkawire")
+                .option("topic", "t")
+                .option("port", str(broker.port))
+                .option("partitions", "2")
+                .option("compression", "snappy")
+                .load()
+            )
+            rows = raw.collect()
+            assert len(rows) == 200
+            assert broker.produced_wire < broker.produced_raw
+            assert broker.fetched_wire < broker.fetched_raw
+        finally:
+            broker.stop()
+
+    def test_compressed_produce_plain_fetch_interop(self, spark):
+        # storage is decoded: a legacy consumer reads a snappy
+        # producer's records unchanged
+        broker = self._broker_rt(spark, "snappy")
+        try:
+            raw = (
+                spark.read.format("kafkawire")
+                .option("topic", "t")
+                .option("port", str(broker.port))
+                .option("partitions", "2")
+                .load()
+            )
+            assert raw.count() == 200
+        finally:
+            broker.stop()
+
+    def test_v2_uncompressed_form(self, spark):
+        broker = self._broker_rt(spark, "none")
+        try:
+            assert broker.produced_wire == broker.produced_raw
+            raw = (
+                spark.read.format("kafkawire")
+                .option("topic", "t")
+                .option("port", str(broker.port))
+                .option("partitions", "2")
+                .load()
+            )
+            assert raw.count() == 200
+        finally:
+            broker.stop()
+
+    def test_idempotent_replay_under_compression(self, spark):
+        from fluent_bit_filter_math_spark.sources.kafka_wire import (
+            MiniBroker,
+            produce,
+        )
+
+        broker = MiniBroker()
+        try:
+            df = spark.createDataFrame(
+                [(b"1", b"a"), (b"3", b"b")], "key binary, value binary"
+            ).coalesce(1)
+            produce(df, "t", broker.port, 2, compression="snappy")
+            produce(df, "t", broker.port, 2, compression="snappy")
+            total = sum(len(v) for v in broker.logs.values())
+            assert total == 2  # the replay deduped, compressed or not
+        finally:
+            broker.stop()
+
+    def test_section_crc_guard(self):
+        from fluent_bit_filter_math_spark.sources.kafka_wire import (
+            _COMP_SNAPPY,
+            _open_section,
+            _seal_section,
+        )
+
+        raw = b"some record bytes " * 20
+        wire = _seal_section(raw, _COMP_SNAPPY)
+        assert _open_section(wire, _COMP_SNAPPY) == raw
+        bad = bytearray(wire)
+        bad[-1] ^= 1  # flip a CRC bit
+        with pytest.raises(ValueError, match="CRC"):
+            _open_section(bytes(bad), _COMP_SNAPPY)
+        with pytest.raises(ValueError):
+            _open_section(wire[:3], _COMP_SNAPPY)
+
+    def test_malformed_batch_dropped_not_appended(self, spark):
+        import socket
+        import struct as st
+
+        from fluent_bit_filter_math_spark.sources.kafka_wire import (
+            _COMP_SNAPPY,
+            _OP_PRODUCE2,
+            _rpc,
+            _seal_section,
+            MiniBroker,
+        )
+
+        broker = MiniBroker()
+        try:
+            # claim 3 records but seal only 1 — count/section mismatch
+            sec = _seal_section(
+                st.pack(">i", 1) + b"k" + st.pack(">i", 1) + b"v",
+                _COMP_SNAPPY,
+            )
+            body = (
+                bytes([_OP_PRODUCE2])
+                + st.pack(">H", 1) + b"t"
+                + bytes([_COMP_SNAPPY])
+                + st.pack(">qii", 0, 0, 3)
+                + sec
+            )
+            ack = _rpc(broker.port, body)
+            assert st.unpack(">q", ack)[0] == -1
+            assert broker.logs.get(("t", 0), []) == []
+        finally:
+            broker.stop()
