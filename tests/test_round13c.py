@@ -1258,3 +1258,99 @@ class TestKafkaWireCompression:
             assert broker.logs.get(("t", 0), []) == []
         finally:
             broker.stop()
+
+
+class TestDmlTrajectoryModel:
+    """Model-based pin of the WHOLE DML surface: a seeded random
+    sequence of append / DV-delete / update / restore / compact ops
+    runs against the real table AND a naive in-memory dict model;
+    after every op the snapshot must equal the model, and at the end
+    three random historical versions must equal the model's remembered
+    snapshots. Interactions no single-feature test covers (delete→
+    restore→update→compact chains) fall out of the randomization."""
+
+    def _run(self, spark, tmp_path, seed):
+        import random
+
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            tf_compact,
+            tf_update,
+        )
+
+        rng = random.Random(seed)
+        t = str(tmp_path / f"model{seed}")
+        model: dict[int, int] = {}
+        # keyed by the table's ACTUAL version — a restore to an
+        # equivalent state is a version-preserving no-op, so "one op =
+        # one version" does not hold
+        history: dict[int, dict[int, int]] = {}
+        next_key = 0
+
+        def snap():
+            return {
+                r["k"]: r["v"] for r in tf_read(spark, t).collect()
+            }
+
+        def do_append():
+            nonlocal next_key
+            n = rng.randint(5, 40)
+            lo = next_key
+            next_key += n
+            df = spark.range(lo, lo + n).select(
+                F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+            )
+            tf_append(df.coalesce(1), t)
+            model.update({k: k * 7 for k in range(lo, lo + n)})
+
+        def do_delete():
+            if not model:
+                return do_append()
+            cut = rng.choice(sorted(model))
+            tf_delete(spark, t, [("k", ">=", cut)])
+            for k in [k for k in model if k >= cut]:
+                del model[k]
+
+        def do_update():
+            if not model:
+                return do_append()
+            cut = rng.choice(sorted(model))
+            delta = rng.randint(1, 1000)
+            tf_update(
+                spark, t, [("k", "<=", cut)], {"v": F.col("v") + delta}
+            )
+            for k in [k for k in model if k <= cut]:
+                model[k] += delta
+
+        def do_restore():
+            if len(history) < 2:
+                return do_append()
+            v = rng.choice(sorted(history))
+            tf_restore(t, v)
+            model.clear()
+            model.update(history[v])
+
+        def do_compact():
+            if not history:
+                return do_append()
+            tf_compact(spark, t, n_files=rng.randint(1, 3))
+
+        do_append()  # v0
+        history[latest_version(t)] = dict(model)
+        assert snap() == model
+        ops = [do_append, do_delete, do_update, do_restore, do_compact]
+        for _ in range(8):
+            rng.choice(ops)()
+            history[latest_version(t)] = dict(model)
+            assert snap() == model, f"seed {seed} diverged"
+        # time travel: three random recorded versions must equal the
+        # model's remembered snapshots (restores/compacts included)
+        for v in rng.sample(sorted(history), 3):
+            got = {
+                r["k"]: r["v"]
+                for r in tf_read(spark, t, version=v).collect()
+            }
+            assert got == history[v], f"seed {seed} time travel v{v}"
+
+    @pytest.mark.parametrize("seed", [11, 23, 47])
+    def test_trajectory(self, spark, tmp_path, seed):
+        self._run(spark, tmp_path, seed)
