@@ -1354,3 +1354,191 @@ class TestDmlTrajectoryModel:
     @pytest.mark.parametrize("seed", [11, 23, 47])
     def test_trajectory(self, spark, tmp_path, seed):
         self._run(spark, tmp_path, seed)
+
+
+# ---------------------------------------------------------------------------
+# Whole-type-system Avro roundtrip property: random SCHEMAS (not just
+# random values) over the full implemented surface — primitives,
+# logical types, multi-branch unions, arrays, maps, enums, fixed,
+# nested records — encoded and decoded through every codec. Each
+# single-feature test pins its corner; this pins the COMPOSITIONS
+# (a nullable array of records holding enum+fixed fields inside a
+# snappy block) no hand-written case enumerates.
+# ---------------------------------------------------------------------------
+_avro_names = iter(range(10**9))
+
+
+def _scalar_schemas():
+    return st.sampled_from(
+        [
+            "long",
+            "int",
+            "double",
+            "float",
+            "boolean",
+            "string",
+            "bytes",
+            {"type": "int", "logicalType": "date"},
+            {"type": "long", "logicalType": "timestamp-micros"},
+        ]
+    )
+
+
+def _named_schema(kind):
+    n = f"N{next(_avro_names)}"
+    if kind == "enum":
+        return {"type": "enum", "name": n, "symbols": ["A", "B", "C"]}
+    return {"type": "fixed", "name": n, "size": 3}
+
+
+def _schema_strategy(depth=2):
+    base = _scalar_schemas() | st.sampled_from(["enum", "fixed"]).map(
+        _named_schema
+    )
+    if depth == 0:
+        return base
+    sub = _schema_strategy(depth - 1)
+    return (
+        base
+        | st.builds(lambda s: {"type": "array", "items": s}, sub)
+        | st.builds(lambda s: {"type": "map", "values": s}, sub)
+        | st.builds(lambda s: ["null", s], base)
+        | st.builds(
+            lambda a, b: {
+                "type": "record",
+                "name": f"R{next(_avro_names)}",
+                "fields": [
+                    {"name": "a", "type": a},
+                    {"name": "b", "type": b},
+                ],
+            },
+            sub,
+            base,
+        )
+    )
+
+
+def _value_for(schema, rng):
+    from fluent_bit_filter_math_spark.sources.avro_ocf import _base_type
+
+    if isinstance(schema, list):  # union: pick any branch's value
+        return _value_for(rng.choice(schema), rng)
+    base = _base_type(schema)
+    lt = (
+        schema.get("logicalType") if isinstance(schema, dict) else None
+    )
+    if lt == "date":
+        return datetime.date(2020, 1, 1) + datetime.timedelta(
+            days=rng.randrange(1000)
+        )
+    if lt == "timestamp-micros":
+        return datetime.datetime(2021, 3, 4) + datetime.timedelta(
+            microseconds=rng.randrange(10**9)
+        )
+    if base == "null":
+        return None
+    if base == "boolean":
+        return rng.random() < 0.5
+    if base == "int":
+        return rng.randrange(-(2**30), 2**30)
+    if base == "long":
+        return rng.randrange(-(2**40), 2**40)
+    if base in ("float", "double"):
+        # float32-exact values so the float branch roundtrips bitwise
+        return float(rng.randrange(-(2**20), 2**20)) / 4.0
+    if base == "string":
+        return "".join(rng.choice("abcá漢 xyz") for _ in range(rng.randrange(8)))
+    if base == "bytes":
+        return bytes(rng.randrange(256) for _ in range(rng.randrange(8)))
+    if base == "enum":
+        return rng.choice(schema["symbols"])
+    if base == "fixed":
+        return bytes(rng.randrange(256) for _ in range(schema["size"]))
+    if base == "array":
+        return [
+            _value_for(schema["items"], rng)
+            for _ in range(rng.randrange(4))
+        ]
+    if base == "map":
+        return {
+            f"k{i}": _value_for(schema["values"], rng)
+            for i in range(rng.randrange(4))
+        }
+    if base == "record":
+        return {
+            f["name"]: _value_for(f["type"], rng) for f in schema["fields"]
+        }
+    raise AssertionError(schema)
+
+
+def _normalize(schema, v):
+    """What the decoder hands back for an encoded *v* (tuples for
+    records, lists for arrays)."""
+    from fluent_bit_filter_math_spark.sources.avro_ocf import _base_type
+
+    if isinstance(schema, list):
+        # decode returns the branch value; match on the branch the
+        # encoder's type witness picks (first accepting)
+        from fluent_bit_filter_math_spark.sources.avro_ocf import (
+            _branch_accepts,
+        )
+
+        for b in schema:
+            if _branch_accepts(b, v):
+                return _normalize(b, v)
+        raise AssertionError((schema, v))
+    base = _base_type(schema)
+    if base == "record":
+        return tuple(
+            _normalize(f["type"], v[f["name"]]) for f in schema["fields"]
+        )
+    if base == "array":
+        return [_normalize(schema["items"], x) for x in v]
+    if base == "map":
+        return {k: _normalize(schema["values"], x) for k, x in v.items()}
+    if base == "fixed" or base == "bytes":
+        return bytes(v)
+    return v
+
+
+class TestAvroSchemaFuzz:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(_schema_strategy(), min_size=1, max_size=4),
+        st.integers(0, 2**32 - 1),
+        st.sampled_from(["null", "deflate", "snappy"]),
+    )
+    def test_random_schema_roundtrip(self, field_types, seed, codec):
+        import random
+        import tempfile
+
+        rng = random.Random(seed)
+        schema = {
+            "type": "record",
+            "name": "Root",
+            "fields": [
+                {"name": f"f{i}", "type": t}
+                for i, t in enumerate(field_types)
+            ],
+        }
+        rows = [
+            {
+                f"f{i}": _value_for(t, rng)
+                for i, t in enumerate(field_types)
+            }
+            for _ in range(rng.randrange(1, 12))
+        ]
+        want = [
+            tuple(
+                _normalize(t, row[f"f{i}"])
+                for i, t in enumerate(field_types)
+            )
+            for row in rows
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "f.avro")
+            write_ocf_shard(
+                p, rows, codec=codec, schema_json=json.dumps(schema)
+            )
+            got = [tuple(r) for r in read_ocf_file(p)]
+        assert got == want
