@@ -399,11 +399,29 @@ def _branch_accepts(branch, v) -> bool:
 
 def _enc_any(typ, v) -> bytes:
     if isinstance(typ, list):
+        # The type witness is a shallow test: a dict can match a MAP
+        # branch by type yet fail inside (string map values offered a
+        # long-valued map) while a later RECORD branch would encode it
+        # fine. Try the next accepting branch when the chosen one's
+        # encode raises (ADVICE r13 #4) — still deterministic: the
+        # FIRST branch that accepts AND encodes wins, so task retries
+        # re-produce identical bytes.
+        first_err: Exception | None = None
         for idx, branch in enumerate(typ):
             if _branch_accepts(branch, v):
                 if _base_type(branch) == "null":
                     return _zigzag_encode(idx)
-                return _zigzag_encode(idx) + _enc_any(branch, v)
+                try:
+                    return _zigzag_encode(idx) + _enc_any(branch, v)
+                except (ValueError, TypeError, KeyError, OverflowError,
+                        struct.error) as exc:
+                    if first_err is None:
+                        first_err = exc
+        if first_err is not None:
+            raise ValueError(
+                f"every accepting union branch of {typ!r} failed to "
+                f"encode {type(v).__name__} value {v!r}"
+            ) from first_err
         raise ValueError(
             f"no union branch of {typ!r} accepts "
             f"{type(v).__name__} value {v!r}"

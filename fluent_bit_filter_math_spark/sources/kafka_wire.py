@@ -82,6 +82,11 @@ def _seal_section(raw: bytes, comp: int) -> bytes:
     intent, one shared idiom in this repo)."""
     if comp == _COMP_NONE:
         return raw
+    if comp != _COMP_SNAPPY:
+        # mirror _open_section: an unknown flag must never be echoed
+        # back as a snappy-sealed section carrying the bogus flag
+        # (ADVICE r13 #3) — the broker validates before sealing
+        raise ValueError(f"unknown compression flag {comp}")
     from fluent_bit_filter_math_spark.sources import snappy_codec
 
     return (
@@ -174,6 +179,11 @@ class _Handler(socketserver.BaseRequestHandler):
             if op == _OP_PRODUCE2:
                 comp = payload[pos]
                 pos += 1
+                if comp not in (_COMP_NONE, _COMP_SNAPPY):
+                    # unknown flag: explicit protocol error BEFORE any
+                    # section parse (real Kafka: UNSUPPORTED_COMPRESSION_TYPE)
+                    _send_frame(self.request, struct.pack(">q", -1))
+                    return
             (pid, part, count) = struct.unpack_from(">qii", payload, pos)
             pos += 16
             try:
@@ -235,6 +245,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 # asks gets the snappy-framed response; absent = the
                 # legacy uncompressed format (old clients unchanged)
                 comp = payload[pos]
+                if comp not in (_COMP_NONE, _COMP_SNAPPY):
+                    # answer a protocol error (count −1), never a
+                    # snappy-sealed section echoing the bogus flag
+                    _send_frame(self.request, struct.pack(">i", -1))
+                    return
             frm = max(0, frm)
             with broker.lock:
                 log = broker.logs.get((topic, part), [])
@@ -392,6 +407,11 @@ class KafkaWireReader(DataSourceReader):
             body += struct.pack(">i", -1) + bytes([self.comp])
         resp = _rpc(self.port, body)
         (count,) = struct.unpack_from(">i", resp, 0)
+        if count < 0:
+            raise ValueError(
+                "broker answered a protocol error to the fetch "
+                "(unsupported compression flag)"
+            )
         pos = 4
         if self.comp != _COMP_NONE:
             if resp[pos] != self.comp:

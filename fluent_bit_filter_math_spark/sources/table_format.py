@@ -367,6 +367,7 @@ def _commit_with_rebase(
     action: str,
     read_version: int,
     max_retries: int,
+    revalidate=None,
 ) -> int:
     """Optimistic-concurrency commit with bounded retry-with-rebase
     (Delta's commitLoop): stage once, then try versions until one
@@ -376,7 +377,16 @@ def _commit_with_rebase(
     (*read_version*); any commit that landed after that changed the
     live set it meant to replace, so rebasing would delete unseen data
     — raise :class:`ConcurrentOverwrite` instead and let the caller
-    re-read."""
+    re-read.
+
+    *revalidate*: appends validated CHECK constraints against the
+    snapshot at *read_version*; an interleaved ``constraint`` commit
+    means rows validated pre-constraint would land post-constraint
+    (ADVICE r13 #2 — Delta treats metadata changes as conflicting
+    with every concurrent txn). Before each rebased publish attempt,
+    any ``constraint`` commit in the not-yet-scanned interleave range
+    triggers *revalidate()* (which re-reads the NOW-active constraint
+    set and raises :class:`ConstraintViolation` on a miss)."""
     if action != "append":
         # An overwrite must land at exactly read_version+1: a commit
         # at that slot OR any later head means the live set changed
@@ -409,8 +419,19 @@ def _commit_with_rebase(
             pass  # accelerator only — never fail the durable commit
         return read_version + 1
     attempt = 0
+    validated_through = read_version
     version = max(latest_version(table_path), read_version) + 1
     while True:
+        if revalidate is not None and version - 1 > validated_through:
+            interleaved = False
+            for v in range(validated_through + 1, version):
+                with open(_log_path(table_path, v)) as f:
+                    if json.load(f).get("action") == "constraint":
+                        interleaved = True
+                        break
+            if interleaved:
+                revalidate()  # raises ConstraintViolation on a miss
+            validated_through = version - 1
         try:
             _publish(table_path, version, add, remove, schema, action)
             return version
@@ -427,11 +448,23 @@ def tf_append(df: DataFrame, table_path: str, max_retries: int = 5) -> int:
     automatically (a blind append is order-independent) up to
     *max_retries* times."""
     _validate_constraints(df, table_path, "append")
+    logical_df = df
     df = _to_physical_df(df, tf_column_mapping(table_path))
     add, schema = _stage(df, table_path)
     read_version = latest_version(table_path)
     return _commit_with_rebase(
-        table_path, add, [], schema, "append", read_version, max_retries
+        table_path,
+        add,
+        [],
+        schema,
+        "append",
+        read_version,
+        max_retries,
+        # re-run against the NOW-active constraint set if a constraint
+        # commit interleaves before the rebased publish lands
+        revalidate=lambda: _validate_constraints(
+            logical_df, table_path, "append (rebased)"
+        ),
     )
 
 
@@ -509,6 +542,69 @@ def tf_restore(table_path: str, version: int) -> int:
             )
     if not adds and not remove and not dv_actions:
         return head  # the head already IS the target state
+    # CHECK constraints guard every path that makes rows LIVE, and a
+    # restore can resurrect rows deleted before a constraint was added
+    # (ADVICE r13 #2b). Validate exactly the becoming-live delta —
+    # re-added files (their target DV applied) plus positions a DV
+    # detach un-hides — never the whole snapshot (cost stays O(diff)).
+    cons = tf_constraints(table_path)
+    if cons:
+        revived_pairs = []
+        for act in dv_actions:
+            rel = act["path"]
+            if rel in {a["path"] for a in adds}:
+                continue  # re-adds validate below with their DV applied
+            want = (
+                set(int(i) for i in _dv_indexes(table_path, act["dv"]))
+                if act["dv"]
+                else set()
+            )
+            have = (
+                set(
+                    int(i)
+                    for i in _dv_indexes(table_path, act["prev_dv"])
+                )
+                if act["prev_dv"]
+                else set()
+            )
+            if have - want:
+                revived_pairs.append((rel, sorted(have - want)))
+        if adds or revived_pairs:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "tf_restore needs an active SparkSession to "
+                    "validate CHECK constraints over resurrected rows"
+                )
+            frames = []
+            if adds:
+                frames.append(
+                    _read_entries(
+                        spark,
+                        table_path,
+                        [
+                            (a["path"], {}, target_live[a["path"]][2])
+                            for a in adds
+                        ],
+                        True,
+                    )
+                )
+            if revived_pairs:
+                frames.append(
+                    _rows_at_positions(spark, table_path, revived_pairs)
+                )
+            becoming_live = frames[0]
+            for fr in frames[1:]:
+                becoming_live = becoming_live.unionByName(
+                    fr, allowMissingColumns=True
+                )
+            _validate_constraints(
+                _to_logical_df(
+                    becoming_live, tf_column_mapping(table_path)
+                ),
+                table_path,
+                "restore",
+            )
     payload = json.dumps(
         {
             "version": head + 1,
@@ -709,7 +805,10 @@ def tf_column_mapping(
     table_path: str, version: int | None = None
 ) -> dict[str, str]:
     """The {logical: physical} column mapping in force at *version*
-    (default: head). Empty dict = identity (never renamed)."""
+    (default: head). Empty dict = identity (never renamed). Both
+    ``rename`` commits and ``schema`` commits (ADD COLUMN re-using a
+    retired name gets a FRESH physical name, Delta's column-mapping
+    id discipline) can replace the mapping."""
     head = latest_version(table_path)
     v = head if version is None else version
     if version is None:
@@ -720,7 +819,9 @@ def tf_column_mapping(
         for w in range(start, head + 1):
             with open(_log_path(table_path, w)) as f:
                 commit = json.load(f)
-            if commit.get("action") == "rename":
+            if commit.get("action") in ("rename", "schema") and (
+                "mapping" in commit
+            ):
                 mapping = dict(commit["mapping"])
         _MAPPING_CACHE[table_path] = (head + 1, dict(mapping))
         return mapping
@@ -728,7 +829,9 @@ def tf_column_mapping(
     for w in range(0, v + 1):
         with open(_log_path(table_path, w)) as f:
             commit = json.load(f)
-        if commit.get("action") == "rename":
+        if commit.get("action") in ("rename", "schema") and (
+            "mapping" in commit
+        ):
             mapping = dict(commit["mapping"])
     return mapping
 
@@ -2536,10 +2639,18 @@ def _rows_at_positions(
     spark: SparkSession, table_path: str, pairs: list[tuple[str, list]]
 ) -> DataFrame:
     """Rows of each (rel file, [row positions]) — one scan over the
-    involved files, one broadcast semi-join on (file, row_index)."""
+    involved files, one broadcast semi-join on (file, row_index).
+
+    Always mergeSchema: the position set can span files written under
+    DIFFERENT writer schemas (an update chasing rows into files an
+    earlier update created, a CDF range crossing an evolution commit).
+    Letting Spark infer one generation's schema would silently DROP
+    columns the other generations carry from the returned images
+    (ADVICE r13 #1) — union by name with NULL-fill, like
+    :func:`_read_entries` does."""
     import pyspark.sql.functions as F
 
-    df = spark.read.parquet(
+    df = spark.read.option("mergeSchema", "true").parquet(
         *(os.path.join(table_path, rel) for rel, _ in pairs)
     )
     sel = spark.createDataFrame(

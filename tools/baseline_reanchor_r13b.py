@@ -18,28 +18,68 @@ history; the aggregate shift is printed and recorded in BASELINE.md.
 
 Do NOT run this to absorb a code regression: the justification above
 is a machine-wide, plan-invariant shift with evidence. A mover whose
-plan changed is a regression, not an era shift.
+plan changed is a regression, not an era shift — and since r14 the
+tool ENFORCES that (ADVICE r13 #5): every query whose anchor would
+move is checked against the PLANS.md fingerprint (its shuf/bhj/smj/
+py/pushed/wscg row) recorded at the last commit that touched
+BASELINE.md; a changed fingerprint is refused unless that query is
+explicitly forced with --force-plan-changed <query> (repeatable)
+after a human triage.
 
 Usage: python tools/baseline_reanchor_r13b.py [--apply]
+           [--force-plan-changed QUERY]...
 """
 
 from __future__ import annotations
 
 import json
 import re
+import subprocess
 import sys
 
 ROW = re.compile(r"^\| (\S+) \| ([\d.]+) \| ([\d.]+) \| (\d+) \|$")
+PLAN_ROW = re.compile(r"^\| (\S+) \| (.+) \|$")
+
+
+def _plan_fingerprints(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in text.splitlines():
+        m = PLAN_ROW.match(line)
+        if m and m.group(1) not in ("query", "---"):
+            out.setdefault(m.group(1), m.group(2))
+    return out
+
+
+def _anchor_era_plans() -> dict[str, str]:
+    """PLANS.md as of the last commit that touched BASELINE.md — the
+    fingerprints the current anchors were accepted under."""
+    ref = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", "BASELINE.md"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    if not ref:
+        return {}
+    shown = subprocess.run(
+        ["git", "show", f"{ref}:PLANS.md"], capture_output=True, text=True
+    )
+    return _plan_fingerprints(shown.stdout) if shown.returncode == 0 else {}
 
 
 def main(argv: list[str]) -> int:
     apply = "--apply" in argv
+    forced: set[str] = set()
+    for i, a in enumerate(argv):
+        if a == "--force-plan-changed" and i + 1 < len(argv):
+            forced.add(argv[i + 1])
     detail = json.load(open("BENCH_DETAIL.json"))
     warm, cold = detail["warm"], detail["cold"]
+    old_plans = _anchor_era_plans()
+    new_plans = _plan_fingerprints(open("PLANS.md").read())
     lines = open("BASELINE.md").read().splitlines(keepends=True)
     seen: set[str] = set()
     old_total = new_total = 0.0
     changed = 0
+    refused: list[str] = []
     for i, line in enumerate(lines):
         m = ROW.match(line.rstrip("\n"))
         if not m:
@@ -56,6 +96,16 @@ def main(argv: list[str]) -> int:
         w, c = warm.get(q), cold.get(q)
         if w is None:
             continue
+        old_fp, new_fp = old_plans.get(q), new_plans.get(q)
+        if (
+            q not in forced
+            and old_fp is not None
+            and new_fp is not None
+            and old_fp != new_fp
+            and abs(w - aw) > 1e-9
+        ):
+            refused.append(q)
+            continue  # plan changed since the anchor: not an era shift
         old_total += aw
         new_total += w
         nc = c if c is not None else ac
@@ -64,6 +114,11 @@ def main(argv: list[str]) -> int:
             changed += 1
             if apply:
                 lines[i] = newline
+    if refused:
+        print(
+            f"REFUSED {len(refused)} plan-changed mover(s) — triage, "
+            f"then --force-plan-changed per query: {sorted(refused)}"
+        )
     print(
         f"{changed} rows re-anchored; aggregate warm "
         f"{old_total:.1f}s (old era) -> {new_total:.1f}s (this era), "
