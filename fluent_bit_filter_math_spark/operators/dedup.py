@@ -1572,3 +1572,147 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("chunk_fp"))
         .limit(CDC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# SUBSTRING-level dedup WITH TRIMMING (VERDICT r13 #3; the Lee et al.
+# 2022 "Deduplicating Training Data Makes Language Models Better"
+# ExactSubstr shape): instead of flagging whole documents, find every
+# duplicated token run of >= K tokens across the corpus and emit the
+# documents with those runs REMOVED — the curation step that keeps a
+# mostly-unique document while cutting its boilerplate/quoted spans.
+#
+# Rule (deterministic, both engines): a K-token gram occurring >= 2
+# times in the corpus marks all K positions of each occurrence as
+# covered; a document's trimmed text is its uncovered tokens in
+# original order. (Lee et al. keep one canonical occurrence; removing
+# every occurrence is the stricter published variant — fully
+# order-independent, so it needs no tie-break between documents and
+# distributes without coordination.)
+#
+# Scale shape: gram -> occurrence-count is a word-count aggregate
+# (map-side combinable); coverage is one shuffle join of gram
+# occurrences against the duplicated-gram set (volume = duplicated
+# occurrences x K, bounded by the corpus's duplication rate, never
+# n^2); the trim is a per-doc sort-and-concat. The hot-shingle df-cap
+# from dedup_ngram_jaccard transfers verbatim: grams in > N docs can
+# be dropped from the OCCURRENCE side only when N >= 2 keeps the
+# decision identical (every such gram is already duplicated).
+# The output hashes the trimmed text (md5, DuckDB-parity) so the
+# oracle gate covers the reconstruction byte for byte, not just the
+# counts.
+# ---------------------------------------------------------------------------
+_TRIM_K = _SPAN_K  # 8-token runs, the span-flagging threshold reused
+
+
+@register(
+    "dedup_substring_trim",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_D_TOKENS} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM t, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+    ),
+    g AS (
+      SELECT doc_id, i AS s,
+             array_to_string(t[i:i + {_TRIM_K - 1}], ' ') AS gram
+      FROM t, LATERAL (
+        SELECT unnest(range(1, len(t) - {_TRIM_K - 2})) AS i
+      ) u
+      WHERE len(t) >= {_TRIM_K}
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, s + j AS pos
+      FROM g JOIN dup USING (gram),
+           LATERAL (SELECT unnest(range(0, {_TRIM_K})) AS j) u
+    ),
+    kept AS (
+      SELECT w.doc_id, w.pos, w.w
+      FROM w ANTI JOIN cov USING (doc_id, pos)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(w, ' ' ORDER BY pos) AS trimmed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(agg.trimmed, '')) AS trimmed_hash
+    FROM t LEFT JOIN agg USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _TRIM_K
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    words = toks.select(
+        "doc_id", F.posexplode("t").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    # grams with their 1-based start positions (the span_corpus gram
+    # builder, keeping the offset the trim arithmetic needs)
+    gram_arr = F.when(
+        F.size("t") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (k - 1)),
+            lambda i: F.struct(
+                i.alias("s"),
+                F.concat_ws(" ", F.slice("t", i, k)).alias("gram"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<s:int,gram:string>>")
+    )
+    grams = toks.select(
+        "doc_id", F.explode(gram_arr).alias("g")
+    ).select("doc_id", F.col("g.s").alias("s"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")  # shuffle join on gram; exchange reused
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = words.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w"))
+                ),
+                lambda x: x["w"],
+            ),
+        ).alias("trimmed"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.md5(
+                F.encode(F.coalesce(F.col("trimmed"), F.lit("")), "utf-8")
+            ).alias("trimmed_hash"),
+        )
+    )

@@ -3722,3 +3722,195 @@ def mm_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " y_sum long, rgb_checksum long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PERCEPTUAL-HASH near-dup detection (VERDICT r13 #4) — MinHash-LSH's
+# multimodal twin: dHash over the DECODED pixel plane (the real PNG
+# path: encode → CRC chunk walk → inflate → un-filter → pixels), then
+# a band-bucketed Hamming join instead of the quadratic all-pairs
+# scan.
+#
+# dHash (the published difference-hash recipe): area-mean downsample
+# the plane to an 8×8 grid (integer means — exact in both engines),
+# then one bit per horizontally-adjacent cell pair (cell > right
+# neighbour), 8 rows × 7 comparisons = 56 bits. Integer end to end,
+# so the full-value-hash oracle gate applies.
+#
+# Near-dup ground truth is constructed, not hoped for: every asset
+# ships with a PERTURBED TWIN (every 37th payload byte replaced —
+# the re-encoded-thumbnail stand-in), whose plane differs in a few
+# pixels and whose dHash lands within a few bits.
+#
+# EXACT recall by pigeonhole: 56 bits split into 8 bands of 7; a pair
+# at Hamming distance ≤ 7 cannot differ in all 8 bands, so it
+# collides on at least one band bucket — the banded join finds every
+# qualifying pair, then the exact bit_count(xor) filter is the truth
+# (candidates are a superset; the verify is JVM-side codegen). At
+# 100 TB the band join is the scale path: candidate volume is
+# Σ_bucket |bucket|², governed by band width — the same recall/cost
+# dial as MinHash-LSH's (bands, rows) — while the quadratic scan the
+# oracle runs is O(n²) and exists only as the sf0.01 truth.
+#
+# Dims guard: the 8×8 grid needs w ≥ 8 and h ≥ 8 (no empty area
+# blocks), i.e. payload length % 16 ≥ 4 and % 12 ≥ 6 — applied
+# identically in the oracle.
+# ---------------------------------------------------------------------------
+_PHASH_STEP = 37  # twin perturbation stride (bytes)
+_PHASH_MAXH = 7   # Hamming threshold; = bands - 1 → pigeonhole-exact
+
+
+def _dhash_plane(plane) -> int:
+    """56-bit dHash of an (h, w) uint8 plane: integer area means on an
+    8×8 grid, row-wise gradient bits."""
+    import numpy as np
+
+    h, w = plane.shape
+    p = plane.astype(np.int64)
+    cells = [[0] * 8 for _ in range(8)]
+    for r in range(8):
+        y0, y1 = r * h // 8, (r + 1) * h // 8
+        for c in range(8):
+            x0, x1 = c * w // 8, (c + 1) * w // 8
+            blk = p[y0:y1, x0:x1]
+            cells[r][c] = int(blk.sum()) // blk.size
+    out = 0
+    for r in range(8):
+        for c in range(7):
+            if cells[r][c] > cells[r][c + 1]:
+                out |= 1 << (r * 7 + c)
+    return out
+
+
+def _phash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, hashes = [], []
+        for i, payload in zip(pdf["asset_id"], pdf["payload"]):
+            b = bytes(payload)
+            tw = bytearray(b)
+            tw[::_PHASH_STEP] = b"x" * len(tw[::_PHASH_STEP])
+            for v, data in ((0, b), (1, bytes(tw))):
+                _, _, plane = _png_decode_plane(_png_build(data))
+                ids.append(int(i) * 2 + v)
+                hashes.append(_dhash_plane(plane))
+        yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+
+def _phash_duck_pix(v: str, ii: str) -> str:
+    """DuckDB pixel expression: variant *v*'s plane value at in-block
+    offset *ii* (block geometry columns y0/x0/bw in scope)."""
+    j = f"(((y0 + ({ii}) // bw) * w + x0 + ({ii}) % bw) % n)"
+    return (
+        f"CASE WHEN {v} = 1 AND {j} % {_PHASH_STEP} = 0 THEN 120 "
+        f"ELSE ord(text[{j} + 1]) END"
+    )
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, strlen(text) AS n,
+             4 + strlen(text) % {_PNG_W_MOD} AS w,
+             2 + strlen(text) % {_PNG_H_MOD} AS h
+      FROM documents
+      WHERE {_ASCII_GUARD_SQL}
+        AND strlen(text) % {_PNG_H_MOD} >= 6
+        AND strlen(text) % {_PNG_W_MOD} >= 4
+    ),
+    a AS (
+      SELECT doc_id * 2 + v AS aid, v, text, n, w, h
+      FROM d, (VALUES (0), (1)) t(v)
+    ),
+    cells AS (
+      SELECT aid, rc // 8 AS r, rc % 8 AS c,
+             list_aggregate(list_transform(range(0, bs),
+                 ii -> {_phash_duck_pix('v', 'ii')}), 'sum') // bs AS m
+      FROM a,
+           LATERAL (SELECT unnest(range(0, 64)) AS rc) u,
+           LATERAL (SELECT (rc // 8 * h) // 8 AS y0,
+                           ((rc // 8 + 1) * h) // 8 AS y1,
+                           (rc % 8 * w) // 8 AS x0,
+                           ((rc % 8 + 1) * w) // 8 AS x1) g,
+           LATERAL (SELECT x1 - x0 AS bw,
+                           (y1 - y0) * (x1 - x0) AS bs) s
+    ),
+    hashes AS (
+      SELECT l.aid,
+             CAST(SUM(CASE WHEN l.m > r2.m
+                           THEN 1::BIGINT << (l.r * 7 + l.c)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM cells l
+      JOIN cells r2 ON l.aid = r2.aid AND l.r = r2.r AND r2.c = l.c + 1
+      WHERE l.c < 7
+      GROUP BY l.aid
+    )
+    SELECT p.aid AS a, q.aid AS b,
+           CAST(bit_count(xor(p.dhash, q.dhash)) AS BIGINT) AS hamming
+    FROM hashes p JOIN hashes q ON p.aid < q.aid
+    WHERE bit_count(xor(p.dhash, q.dhash)) <= {_PHASH_MAXH}
+    ORDER BY a, b
+    """,
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = _ascii_assets(spark, sf_dir).filter(
+        (F.octet_length("payload") % _PNG_H_MOD >= 6)
+        & (F.octet_length("payload") % _PNG_W_MOD >= 4)
+    )
+    hashes = assets.mapInPandas(
+        _phash_batches, schema="asset_id long, dhash long"
+    )
+    # 8 bands × 7 bits: the LSH bucketing whose collision is exact for
+    # Hamming ≤ 7 (pigeonhole); candidates dedup through distinct()
+    bands = hashes.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("dhash"), 7 * b)
+                            % F.lit(128)
+                        ).alias("bval"),
+                    )
+                    for b in range(8)
+                )
+            )
+        ).alias("bb"),
+    ).select(
+        "asset_id", "dhash", F.col("bb.band").alias("band"),
+        F.col("bb.bval").alias("bval"),
+    )
+    x = bands.select(
+        F.col("asset_id").alias("a"),
+        F.col("dhash").alias("ha"),
+        "band",
+        "bval",
+    )
+    y = bands.select(
+        F.col("asset_id").alias("b"),
+        F.col("dhash").alias("hb"),
+        "band",
+        "bval",
+    )
+    cand = (
+        x.join(y, ["band", "bval"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("long"),
+        )
+        .filter(F.col("hamming") <= _PHASH_MAXH)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )

@@ -2295,3 +2295,220 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, vid, dq, score) for r, vid, _, dq, score in selected],
         "rank long, vec_id long, dist_q long, mmr_score long",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED IVF index in the commit-log table format (VERDICT r13 #2):
+# the index STOPS being a per-query rebuild. Centroids and postings
+# live as two table-format tables; an incremental vector batch is
+# assigned against the PERSISTED centroids and appended to the
+# postings table (one commit, cost ∝ batch, the dedup_incremental
+# discipline); the probe reads ONLY the index tables — the embeddings
+# table is scanned once per BUILD BATCH, never per query and never
+# for the corpus at probe time (pinned structurally: the probe path
+# below touches tf_read/tf_scan frames exclusively).
+#
+# The postings land range-partitioned on the cell id, so every add
+# action carries a tight per-file [cell_min, cell_max] — tf_scan's
+# in-log data skipping then turns a cell probe into file pruning
+# (pinned in-query: each probed cell's scan keeps < the live file
+# count), which is exactly the partitionBy(cell)+partition-pruning
+# read a 100 TB deployment runs; NPROBE/K of the postings are read.
+# Centroid choice is deterministic (K lowest salted-hash vec_ids OF
+# THE INITIAL BATCH — frozen at index creation, the real IVF
+# lifecycle: later batches adopt the existing cells), so the DuckDB
+# oracle rebuilds the identical index from the raw table.
+# ---------------------------------------------------------------------------
+_ANNP_SALT = "annp:"
+
+
+@register(
+    "sim_ann_persisted",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % 4 <> 0
+      ORDER BY CAST('0x' || substr(md5('{_ANNP_SALT}' ||
+               CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+      LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                     v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings v, cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(
+                   q.embedding::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                   a.vec_id
+             ) AS BIGINT) AS rank
+      FROM probes p
+      JOIN assign a ON p.cell = a.cell
+      JOIN embeddings q ON q.vec_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_history,
+        tf_pruned_files,
+        tf_read,
+        tf_scan,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = scratch_dir("ann-persisted")
+    cent_path = os.path.join(base, "centroids")
+    post_path = os.path.join(base, "postings")
+
+    # ---- index CREATION from the initial batch (vec_id % 4 != 0) ----
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    h = hash60(
+        F.concat(F.lit(_ANNP_SALT), F.col("vec_id").cast("string"))
+    )
+    cent = (
+        initial.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"))
+    )
+    tf_append(cent.coalesce(1), cent_path)
+
+    def _assign(batch: DataFrame, cents: DataFrame) -> DataFrame:
+        """Nearest persisted centroid per vector — broadcast K rows
+        against the streaming batch, map-side-combinable max_by."""
+        return (
+            batch.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "cid",
+                cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("cos"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("cell", "vec_id", "embedding")
+        )
+
+    pcent = tf_read(spark, cent_path)  # the PERSISTED centroids
+    tf_append(
+        _assign(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+
+    # ---- INCREMENTAL maintenance: one batch, one commit, cost ∝ batch
+    increment = emb.filter(F.col("vec_id") % 4 == 0)
+    tf_append(
+        _assign(increment, pcent).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    head = tf_history(post_path)[0]
+    if head["n_removed"] != 0 or head["n_added"] > IVF_K:
+        raise RuntimeError(
+            "incremental index append not batch-bounded: "
+            f"{head['n_added']} added, {head['n_removed']} removed"
+        )
+
+    # ---- PROBE: index tables only (centroids + postings) ----
+    queries = (
+        tf_read(spark, post_path)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cid")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(pcent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+        )
+        .select(
+            "query_id", "qe", F.col("cid").alias("cell"),
+            F.row_number().over(wp).alias("prn"),
+        )
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .drop("prn")
+    )
+    # the probed cells: ≤ N_QUERIES × NPROBE driver-side scalars
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    n_live = len(
+        tf_pruned_files(post_path, [])[0]
+    )
+    scans = []
+    for cell in cells:
+        kept, total = tf_pruned_files(post_path, [("cell", "=", cell)])
+        if not 0 < len(kept) < total:
+            raise RuntimeError(
+                f"cell probe not pruned by the in-log stats: "
+                f"{len(kept)}/{total} files for cell {cell}"
+            )
+        scans.append(tf_scan(spark, post_path, [("cell", "=", cell)]))
+    cand = scans[0]
+    for s in scans[1:]:
+        cand = cand.unionByName(s)
+    if latest_version(post_path) != 1 or n_live < 2:
+        raise RuntimeError("postings table shape unexpected")
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )

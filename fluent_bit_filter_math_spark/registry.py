@@ -67,6 +67,77 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
+    # --- round 14 rotation (composition from tools/green_age.py) ---
+    # 50-slot window = 6 never-checked r14 queries (ADD/DROP COLUMN,
+    # type widening,
+    # substring-trim dedup, perceptual-hash dedup, persisted ANN
+    # index, CDF→MERGE medallion hop) + 19 changed-path re-verifies
+    # (every table-format query rides the new schema-ops read/write
+    # wiring + the fused update scan + Arrow DV frames; the two
+    # RPC-trimmed TWS processors; the flag-validating kafka wire; the
+    # union-fallback Avro codec) + the COMPLETE 19-query r6-era cohort
+    # + the 7 alphabetically-first r7-era greens (green_age queue
+    # head) — so no query in the corpus has a newest driver green
+    # older than r7 going into r15.
+    # tier 2a: new this round.
+    "io_table_format_add_column",
+    "io_table_format_widen_type",
+    "stream_cdf_apply_merge",
+    "dedup_substring_trim",
+    "mm_phash_dedup",
+    "sim_ann_persisted",
+    # tier 2b: changed-path re-verifies.
+    "io_table_format_update",
+    "io_table_format_delete",
+    "io_table_format_restore",
+    "io_table_format_merge",
+    "io_table_format_constraint",
+    "io_table_format_rename",
+    "io_table_format_cdf",
+    "io_table_format_snapshot",
+    "io_table_format_skipping",
+    "io_table_format_zorder_compact",
+    "stream_table_format_cdf",
+    "stream_table_format_sink",
+    "stream_table_format_source",
+    "stream_tws_type_stats",
+    "stream_tws_idle_close",
+    "kafka_wire_snappy",
+    "stream_kafka_wire_fold",
+    "io_avro_nullable",
+    "io_avro_roundtrip",
+    # tier 3: the complete r6-era cohort (19, alphabetical).
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sessionize_events",
+    "stream_latest_state_per_user",
+    "text_doc_freq",
+    "text_lm_score",
+    "text_tfidf_topterms",
+    "ts_interpolate_linear",
+    "udaf_group_ols",
+    "window_value_fns",
+    # tier 3b: r7-era queue head (alphabetical; the rest of the r7
+    # cohort heads the r15 rotation).
+    "agg_approx_quantiles",
+    "agg_exact_moments",
+    "agg_median_disc",
+    "agg_winsorized_stats",
+    "cdc_snapshot_diff",
+    "dedup_url_canonical",
+    # (dq_volume_anomaly_days displaced past slot 50 by the late-r14
+    # io_table_format_widen_type insertion — it heads the r15 queue)
+    # --- end of the 50-slot r14 window; r13's window follows as the
+    # overflow queue (already all r13-green, benched every round) ---
     # --- round 13 rotation (composition from tools/green_age.py) ---
     # 50-slot window = 14 tier-2 (5 never-checked r13 ops incl. the
     # late io_table_format_merge:

@@ -488,19 +488,23 @@ class _TypeStatsProcessor(StatefulProcessor):
             for et, grp in pdf.groupby("event_type"):
                 n, c = agg.get(et, (0, 0))
                 agg[et] = (n + len(grp), c + int(grp["cents"].sum()))
-        for et, (n, c) in agg.items():
-            # getValue() answers None for an absent key: one RPC per
-            # map entry, not containsKey()+getValue()
-            prev = self._by_type.getValue((et,))
-            if prev is not None:
-                n, c = n + int(prev[0]), c + int(prev[1])
-            self._by_type.updateValue((et,), (n, c))
-        out = [
-            (key[0], k[0], int(v[0]), int(v[1]))
+        # BULK READ via the server-side iterator (one paginated
+        # round-trip stream for the whole map) instead of one getValue
+        # RPC per touched entry — with E entry types that replaces E
+        # request/response cycles per key per batch, the cross-key RPC
+        # lever VERDICT r13 #5 asked for; the emit reuses the merged
+        # dict, dropping the old second iteration too.
+        merged = {
+            k[0]: (int(v[0]), int(v[1]))
             for k, v in self._by_type.iterator()
-        ]
+        }
+        for et, (n, c) in agg.items():
+            pn, pc = merged.get(et, (0, 0))
+            merged[et] = (pn + n, pc + c)
+            self._by_type.updateValue((et,), merged[et])
         yield pd.DataFrame(
-            out, columns=["user_id", "event_type", "n_events", "total_cents"]
+            [(key[0], et, v[0], v[1]) for et, v in merged.items()],
+            columns=["user_id", "event_type", "n_events", "total_cents"],
         )
 
     def close(self) -> None:
@@ -601,26 +605,30 @@ class _IdleCloseProcessor(StatefulProcessor):
                     .max()
                 ),
             )
-        # Re-arm: drop every armed timer for this key via the server's
-        # timer listing (ListTimers iteration through the wire shim),
-        # not the state-tracked copy — the pattern that stays correct
-        # even if state and timer registry ever diverge (e.g. after a
-        # partial replay). Drain the listing FIRST: ListTimerIterator
-        # fetches batches lazily from a server-side iterator, and
-        # deleting mid-iteration would mutate the very store a
-        # multi-batch listing is still reading.
-        for armed in list(self._handle.listTimers()):
-            self._handle.deleteTimer(int(armed))
-        timer_ms = last_ms + _TWS_IDLE_GAP_MS
-        self._handle.registerTimer(timer_ms)
-        self._tot.update((n, cents, last_ms, timer_ms))
+        # Re-arm from the STATE-TRACKED timer (r13 carried a ListTimers
+        # drain per key per batch — 1+ extra RPCs — to stay correct if
+        # state and registry ever diverged; the same guarantee now
+        # costs zero listing RPCs because handleExpiredTimer ignores
+        # any timer that does not match the state's armed timestamp,
+        # so a stray registry entry can fire but never close a key
+        # early). An unchanged deadline skips both timer RPCs.
+        new_timer = last_ms + _TWS_IDLE_GAP_MS
+        if new_timer != timer_ms:
+            if timer_ms:
+                self._handle.deleteTimer(timer_ms)
+            self._handle.registerTimer(new_timer)
+        self._tot.update((n, cents, last_ms, new_timer))
         return iter([])
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
         row = self._tot.get()  # None => state already closed
         if row is None:
             return iter([])
-        n, cents, last_ms, _ = (int(x) for x in row)
+        n, cents, last_ms, timer_ms = (int(x) for x in row)
+        # stale-timer guard (see handleInputRows): only the timer the
+        # state armed may close the key
+        if int(expiredTimerInfo.getExpiryTimeInMs()) != timer_ms:
+            return iter([])
         self._tot.clear()
         return iter(
             [
