@@ -2403,38 +2403,18 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf_append(cent.coalesce(1), cent_path)
 
-    def _assign(batch: DataFrame, cents: DataFrame) -> DataFrame:
-        """Nearest persisted centroid per vector — broadcast K rows
-        against the streaming batch, map-side-combinable max_by."""
-        return (
-            batch.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "embedding",
-                "cid",
-                cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
-            )
-            .groupBy("vec_id")
-            .agg(
-                F.max_by(
-                    F.col("cid"),
-                    F.struct(F.col("cos"), (-F.col("cid")).alias("nc")),
-                ).alias("cell"),
-                F.first("embedding").alias("embedding"),
-            )
-            .select("cell", "vec_id", "embedding")
-        )
-
     pcent = tf_read(spark, cent_path)  # the PERSISTED centroids
     tf_append(
-        _assign(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
         post_path,
     )
 
     # ---- INCREMENTAL maintenance: one batch, one commit, cost ∝ batch
     increment = emb.filter(F.col("vec_id") % 4 == 0)
     tf_append(
-        _assign(increment, pcent).repartitionByRange(IVF_K, "cell"),
+        _assign_cells(increment, pcent).repartitionByRange(
+            IVF_K, "cell"
+        ),
         post_path,
     )
     head = tf_history(post_path)[0]
@@ -2509,6 +2489,338 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED IVF+PQ (the composed FAISS-style index, persisted): the
+# r14 persisted-IVF tables grow the PQ layer — THREE commit-log
+# tables: centroids (frozen at creation from the initial batch),
+# codebooks (PQ_M × PQ_K subspace entries, trained once on the seed
+# sample), and postings carrying (cell, vec_id, code0..3, embedding).
+# The probe is TWO-PASS, which is the point of PQ at scale:
+#   pass 1 — ADC over the probed cells reading ONLY the code columns
+#     (Catalyst prunes the 64-float embedding out of the parquet scan;
+#     the per-cell file pruning rides the in-log stats exactly like
+#     sim_ann_persisted) → PQ_CAND pool per query;
+#   pass 2 — fetch the POOL MEMBERS' true vectors by id from the same
+#     pruned cells (a pushed IN filter over ≤ N_QUERIES·PQ_CAND ids —
+#     driver-bounded by constants, the random-access-by-id a vector
+#     store serves) and re-rank with exact cosine.
+# Incremental maintenance assigns+encodes a new batch against the
+# PERSISTED centroids/codebooks and appends one commit (cost ∝ batch,
+# pinned ≤ IVF_K files, 0 removed).
+# ---------------------------------------------------------------------------
+
+
+def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest persisted centroid per vector — broadcast K rows against
+    the streaming batch, map-side-combinable max_by."""
+    return (
+        batch.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("cos"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("cell", "vec_id", "embedding")
+    )
+
+
+def _annp_pq_oracle() -> str:
+    h = (
+        "CAST('0x' || substr(md5('"
+        + _ANNP_SALT
+        + "' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN m = {m} THEN code END) AS code{m}"
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"{_pq_duck_sq('qv.v', m * PQ_SUB, f'd{m}.sub')}"
+        for m in range(PQ_M)
+    )
+    dec_joins = " ".join(
+        f"JOIN cb d{m} ON d{m}.m = {m} AND d{m}.code = c.code{m}"
+        for m in range(PQ_M)
+    )
+    enc_dist = (
+        f"list_aggregate(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i]) "
+        f"* (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i])), 'sum')"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % 4 <> 0
+      ORDER BY {h}, vec_id LIMIT {IVF_K}
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                     v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings v, cent c
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT m, vec_id AS code,
+             v[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sub
+      FROM emb, UNNEST(range(0, {PQ_M})) t(m)
+      WHERE vec_id < {PQ_K}
+    ),
+    enc_long AS (
+      SELECT e.vec_id, cb.m, cb.code,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                                ORDER BY {enc_dist}, cb.code) AS rn
+      FROM emb e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, {code_cols} FROM enc_long WHERE rn = 1 GROUP BY vec_id
+    ),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    adc AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {adc} AS adc_d
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN emb qv ON qv.vec_id = p.query_id
+      {dec_joins}
+      WHERE c.vec_id <> p.query_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {PQ_CAND}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT pool.query_id, pool.neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY pool.query_id
+               ORDER BY list_cosine_similarity(
+                   qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+                   pool.neighbor_id
+             ) AS BIGINT) AS rank
+      FROM pool
+      JOIN embeddings qe ON qe.vec_id = pool.query_id
+      JOIN embeddings ce ON ce.vec_id = pool.neighbor_id
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register("sim_ann_persisted_pq", oracle=_annp_pq_oracle())
+def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+        tf_history,
+        tf_pruned_files,
+        tf_read,
+        tf_scan,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = scratch_dir("ann-persisted-pq")
+    cent_path = os.path.join(base, "centroids")
+    cb_path = os.path.join(base, "codebooks")
+    post_path = os.path.join(base, "postings")
+
+    # ---- creation: centroids (initial batch) + codebooks (seed rows)
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    h = hash60(
+        F.concat(F.lit(_ANNP_SALT), F.col("vec_id").cast("string"))
+    )
+    cent = (
+        initial.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"))
+    )
+    tf_append(cent.coalesce(1), cent_path)
+    seeds = emb.filter(F.col("vec_id") < PQ_K)
+    cb_long = None
+    for m in range(PQ_M):
+        part = seeds.select(
+            F.lit(m).alias("m"),
+            F.col("vec_id").alias("code"),
+            F.transform(
+                _pq_sub(F.col("embedding"), m),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+        cb_long = part if cb_long is None else cb_long.unionAll(part)
+    tf_append(cb_long.coalesce(1), cb_path)
+
+    # the PERSISTED index state everything below runs from
+    pcent = tf_read(spark, cent_path)
+    pcb = tf_read(spark, cb_path)
+    cb_row = pcb.agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("m") == m,
+                        F.struct(
+                            F.col("code").alias("code"),
+                            F.col("sub").alias("sub"),
+                        ),
+                    )
+                )
+            ).alias(f"cb{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+    def _ingest(batch: DataFrame) -> None:
+        enc = _pq_encode(
+            _assign_cells(batch, pcent).crossJoin(F.broadcast(cb_row))
+        )
+        tf_append(
+            enc.select(
+                "cell",
+                "vec_id",
+                *(f"code{m}" for m in range(PQ_M)),
+                "embedding",
+            ).repartitionByRange(IVF_K, "cell"),
+            post_path,
+        )
+
+    _ingest(initial)
+    # ---- incremental maintenance: one batch, one commit, cost ∝ batch
+    _ingest(emb.filter(F.col("vec_id") % 4 == 0))
+    head = tf_history(post_path)[0]
+    if head["n_removed"] != 0 or head["n_added"] > IVF_K:
+        raise RuntimeError(
+            "incremental index append not batch-bounded: "
+            f"{head['n_added']} added, {head['n_removed']} removed"
+        )
+
+    # ---- probe pass 0: route queries to NPROBE cells (index tables only)
+    queries = (
+        tf_read(spark, post_path)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cid")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(pcent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+        )
+        .select(
+            "query_id", "qe", F.col("cid").alias("cell"),
+            F.row_number().over(wp).alias("prn"),
+        )
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .drop("prn")
+    )
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+
+    def _cells_scan(columns: list[str]) -> DataFrame:
+        out = None
+        for cell in cells:
+            kept, total = tf_pruned_files(
+                post_path, [("cell", "=", cell)]
+            )
+            if not 0 < len(kept) < total:
+                raise RuntimeError(
+                    f"cell probe not pruned: {len(kept)}/{total} files"
+                )
+            s = tf_scan(spark, post_path, [("cell", "=", cell)]).select(
+                *columns
+            )
+            out = s if out is None else out.unionByName(s)
+        return out
+
+    # ---- pass 1: ADC over CODE COLUMNS ONLY (embedding pruned out)
+    code_cols = ["cell", "vec_id"] + [f"code{m}" for m in range(PQ_M)]
+    cand = (
+        F.broadcast(probes)
+        .join(_cells_scan(code_cols), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(cb_row))
+        .withColumn("adc_d", _pq_adc("qe"))
+    )
+    w_pool = Window.partitionBy("query_id").orderBy("adc_d", "vec_id")
+    pool = (
+        cand.withColumn("rn", F.row_number().over(w_pool))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    pool_rows = pool.collect()  # ≤ N_QUERIES · PQ_CAND: constant-bounded
+    ids = sorted({r["neighbor_id"] for r in pool_rows})
+
+    # ---- pass 2: fetch the pool's TRUE vectors by id (pushed IN
+    # filter over the same pruned cells), exact-cosine re-rank
+    fetch = (
+        _cells_scan(["vec_id", "embedding"])
+        .filter(F.col("vec_id").isin(ids))
+        .withColumnRenamed("embedding", "ce")
+    )
+    pool_df = spark.createDataFrame(
+        [(r["query_id"], r["neighbor_id"]) for r in pool_rows],
+        "query_id long, neighbor_id long",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc(cosine(F.col("qe"), F.col("ce"))), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(pool_df)
+        .join(
+            fetch, F.col("neighbor_id") == F.col("vec_id")
+        )
+        .join(
+            F.broadcast(queries.select("query_id", "qe")), "query_id"
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w_rank).cast("long").alias("rank"),
         )
         .filter(F.col("rank") <= TOP_K)
     )

@@ -68,7 +68,7 @@ _LOADED = False
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
     # --- round 14 rotation (composition from tools/green_age.py) ---
-    # 50-slot window = 6 never-checked r14 queries (ADD/DROP COLUMN,
+    # 50-slot window = 7 never-checked r14 queries (ADD/DROP COLUMN,
     # type widening,
     # substring-trim dedup, perceptual-hash dedup, persisted ANN
     # index, CDF→MERGE medallion hop) + 19 changed-path re-verifies
@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_substring_trim",
     "mm_phash_dedup",
     "sim_ann_persisted",
+    "sim_ann_persisted_pq",
     # tier 2b: changed-path re-verifies.
     "io_table_format_update",
     "io_table_format_delete",
@@ -133,9 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "agg_median_disc",
     "agg_winsorized_stats",
     "cdc_snapshot_diff",
-    "dedup_url_canonical",
-    # (dq_volume_anomaly_days displaced past slot 50 by the late-r14
-    # io_table_format_widen_type insertion — it heads the r15 queue)
+    # (dedup_url_canonical + dq_volume_anomaly_days displaced past
+    # slot 50 by the late-r14 io_table_format_widen_type and
+    # sim_ann_persisted_pq insertions — they head the r15 queue)
     # --- end of the 50-slot r14 window; r13's window follows as the
     # overflow queue (already all r13-green, benched every round) ---
     # --- round 13 rotation (composition from tools/green_age.py) ---

@@ -4470,9 +4470,10 @@ def stream_cdf_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     across BOTH logs. Bronze history = append, append, DV delete,
     append; the stream (changefeed=true, version-rate-limited so the
     run is genuinely multi-batch — pinned ≥2 epochs) delivers inserts
-    and position-recovered deletes; the sink applies each bronze
-    commit's changes as ONE idempotent tf_merge keyed by event_id,
-    with the bronze version as the merge's txn id — so a REPLAYED
+    and position-recovered deletes; the sink NET-CHANGE-collapses each
+    epoch (latest change per key by bronze version — the published
+    Delta-CDF-consumer pattern) into ONE idempotent tf_merge keyed by
+    event_id, with the epoch's highest bronze version as the txn id — so a REPLAYED
     foreachBatch epoch (pinned in-query by re-invoking the sink with
     the last batch) is a version-preserving no-op on silver, the same
     contract tf_append_batch gives plain appends. The silver snapshot
@@ -4528,34 +4529,43 @@ def stream_cdf_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # foreachBatch discipline for multi-action sinks)
         batch_df.persist()
         try:
-            # one tf_merge per BRONZE VERSION, in version order, keyed
-            # by that version as the txn id: ordering inside a multi-
-            # version epoch stays correct (a delete after an insert of
-            # the same key must win) and a replayed epoch re-presents
-            # already-committed versions, which the txn guard turns
-            # into no-ops
-            versions = sorted(
-                r["_commit_version"]
-                for r in batch_df.select("_commit_version")
-                .distinct()
-                .collect()
+            # NET-CHANGE COLLAPSE (the published Delta-CDF-consumer
+            # pattern): a multi-version epoch applies as ONE merge of
+            # each key's LATEST change — a delete after an insert of
+            # the same key wins through the version order, and the
+            # epoch's highest bronze version is the merge's txn id
+            # (versions partition across epochs, so ids are unique per
+            # epoch and a REPLAYED epoch re-presents a committed id —
+            # the no-op guard). One merge per epoch instead of one per
+            # version: at a 1000-commit backlog that is the difference
+            # between O(epochs) and O(commits) rewrite jobs.
+            vmax_row = batch_df.agg(
+                F.max("_commit_version").alias("v")
+            ).collect()[0]
+            if vmax_row["v"] is None:
+                return  # empty epoch
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("event_id").orderBy(
+                F.col("_commit_version").desc()
             )
-            for v in versions:
-                ch = (
-                    batch_df.filter(F.col("_commit_version") == v)
-                    .filter(
-                        F.col("_change_type").isin("insert", "delete")
-                    )
-                    .select(
-                        "event_id",
-                        "user_id",
-                        "value",
-                        (F.col("_change_type") == "delete").alias(
-                            "_delete"
-                        ),
-                    )
+            net = (
+                batch_df.filter(
+                    F.col("_change_type").isin("insert", "delete")
                 )
-                tf_merge(spark, silver, ch, "event_id", batch_id=int(v))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "event_id",
+                    "user_id",
+                    "value",
+                    (F.col("_change_type") == "delete").alias("_delete"),
+                )
+            )
+            tf_merge(
+                spark, silver, net, "event_id",
+                batch_id=int(vmax_row["v"]),
+            )
         finally:
             batch_df.unpersist()
         last_batch.append((batch_df, batch_id))
