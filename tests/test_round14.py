@@ -839,3 +839,169 @@ class TestWidenColumn:
         got = {r["k"]: (r["v"], r["w"]) for r in tf.tf_read(spark, t).collect()}
         assert got[0] == (9, 2) and got[7] == (7, 7 + (1 << 40))
         assert got[3] == (3, None)
+
+
+class TestSchemaEvolutionTrajectoryModel:
+    """Model-based pin of the DDL × DML surface: a seeded random
+    sequence of append / add / drop / re-add / widen / rename /
+    delete / update / compact runs against the real table AND a naive
+    in-memory model; after every op the snapshot must equal the model
+    (columns and values), and at the end two random historical
+    versions must equal the model's remembered snapshots under their
+    OWN schema. Interactions no single-feature test covers (drop →
+    re-add → update-the-reborn-column → compact → time-travel) fall
+    out of the randomization."""
+
+    def _run(self, spark, tmp_path, seed):
+        import random
+
+        rng = random.Random(seed)
+        t = str(tmp_path / f"evo{seed}")
+        # model: column order list [(logical, type)], rows k -> {col: v}
+        cols: list[tuple[str, str]] = [("v", "bigint")]
+        rows: dict[int, dict] = {}
+        history: dict[int, tuple[list, dict]] = {}
+        next_key = 0
+        name_pool = ["w", "x", "y"]
+
+        def _mkdf(batch: dict[int, dict]):
+            schema = "k bigint, " + ", ".join(
+                f"{n} {ty}" for n, ty in cols
+            )
+            data = [
+                tuple([k] + [batch[k].get(n) for n, _ in cols])
+                for k in sorted(batch)
+            ]
+            return spark.createDataFrame(data, schema)
+
+        def snap(version=None):
+            df = tf.tf_read(spark, t, version=version)
+            got_cols = [c for c in df.columns if c != "k"]
+            got_rows = {
+                r["k"]: {c: r[c] for c in got_cols}
+                for r in df.collect()
+            }
+            return got_cols, got_rows
+
+        def do_append():
+            nonlocal next_key
+            n = rng.randint(4, 12)
+            lo = next_key
+            next_key += n
+            batch = {}
+            for k in range(lo, lo + n):
+                vals = {}
+                for name, ty in cols:
+                    if rng.random() < 0.15:
+                        vals[name] = None
+                    elif ty == "bigint" and rng.random() < 0.3:
+                        vals[name] = k + (1 << 40)
+                    else:
+                        vals[name] = (k * 13 + len(name)) % 1_000_000
+                batch[k] = vals
+            tf.tf_append(_mkdf(batch).coalesce(1), t)
+            rows.update(batch)
+
+        def do_add():
+            free = [n for n in name_pool if n not in dict(cols)]
+            if not free:
+                return do_append()
+            name = rng.choice(free)
+            ty = rng.choice(["int", "bigint"])
+            tf.tf_add_column(t, name, ty)
+            cols.append((name, ty))
+            for vals in rows.values():
+                vals.setdefault(name, None)
+
+        def do_drop():
+            droppable = [n for n, _ in cols]
+            if len(droppable) < 1 or len(cols) < 2:
+                return do_add()
+            name = rng.choice(droppable)
+            tf.tf_drop_column(t, name)
+            cols[:] = [(n, ty) for n, ty in cols if n != name]
+            for vals in rows.values():
+                vals.pop(name, None)
+
+        def do_widen():
+            narrow = [n for n, ty in cols if ty == "int"]
+            if not narrow:
+                return do_add()
+            name = rng.choice(narrow)
+            tf.tf_widen_column(t, name, "bigint")
+            cols[:] = [
+                (n, "bigint" if n == name else ty) for n, ty in cols
+            ]
+
+        def do_rename():
+            cands = [n for n, _ in cols]
+            free = [
+                n for n in ("r1", "r2", "r3")
+                if n not in dict(cols)
+            ]
+            if not cands or not free:
+                return do_append()
+            old, new = rng.choice(cands), free[0]
+            tf.tf_rename_column(t, old, new)
+            cols[:] = [
+                (new if n == old else n, ty) for n, ty in cols
+            ]
+            for vals in rows.values():
+                if old in vals:
+                    vals[new] = vals.pop(old)
+
+        def do_delete():
+            if not rows:
+                return do_append()
+            cut = rng.choice(sorted(rows))
+            tf.tf_delete(spark, t, [("k", ">=", cut)])
+            for k in [k for k in rows if k >= cut]:
+                del rows[k]
+
+        def do_update():
+            if not rows or not cols:
+                return do_append()
+            name, ty = rng.choice(cols)
+            cut = rng.choice(sorted(rows))
+            val = rng.randint(0, 999)
+            tf.tf_update(
+                spark, t, [("k", "<=", cut)], {name: F.lit(val)}
+            )
+            for k in [k for k in rows if k <= cut]:
+                rows[k][name] = val
+
+        def do_compact():
+            if not history:
+                return do_append()
+            tf.tf_compact(spark, t, n_files=rng.randint(1, 2))
+
+        do_append()
+        history[tf.latest_version(t)] = (
+            [n for n, _ in cols], {k: dict(v) for k, v in rows.items()}
+        )
+        ops = [do_append, do_add, do_drop, do_widen, do_rename,
+               do_delete, do_update, do_compact]
+        for step in range(8):
+            rng.choice(ops)()
+            history[tf.latest_version(t)] = (
+                [n for n, _ in cols],
+                {k: dict(v) for k, v in rows.items()},
+            )
+            got_cols, got_rows = snap()
+            assert sorted(got_cols) == sorted(n for n, _ in cols), (
+                f"seed {seed} step {step} columns"
+            )
+            assert got_rows == rows, f"seed {seed} step {step} values"
+        for v in rng.sample(sorted(history), 2):
+            want_cols, want_rows = history[v]
+            got_cols, got_rows = snap(version=v)
+            assert sorted(got_cols) == sorted(want_cols), (
+                f"seed {seed} time travel v{v} columns"
+            )
+            assert got_rows == want_rows, (
+                f"seed {seed} time travel v{v} values"
+            )
+
+    @pytest.mark.parametrize("seed", [3, 17, 61])
+    def test_trajectory(self, spark, tmp_path, seed):
+        self._run(spark, tmp_path, seed)
