@@ -291,7 +291,11 @@ def _ensure_loaded() -> None:
     missing = [n for n in _PRIORITY if n not in _QUERIES]
     if missing:
         raise RuntimeError(f"_PRIORITY names unknown queries: {missing}")
-    ordered = list(_PRIORITY) + [n for n in _QUERIES if n not in _PRIORITY]
+    # dedupe, first occurrence wins: the list keeps prior rounds'
+    # rotation blocks for provenance, and a query named in both the
+    # current window and an older block takes its CURRENT slot
+    prio = list(dict.fromkeys(_PRIORITY))
+    ordered = prio + [n for n in _QUERIES if n not in _PRIORITY]
     _QUERIES = {n: _QUERIES[n] for n in ordered}
     _ORACLES = {n: _ORACLES[n] for n in ordered if n in _ORACLES}
     _LOADED = True
