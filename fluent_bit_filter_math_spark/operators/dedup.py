@@ -289,18 +289,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_jaccard(cand, arrays)
 
 
-def _verify_jaccard(cand: DataFrame, arrays: DataFrame) -> DataFrame:
+def _verify_jaccard(
+    cand: DataFrame, arrays: DataFrame, arrays_b: DataFrame | None = None
+) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the per-doc
     shingle arrays; shared by the prefix-filter and LSH paths.
 
     A size-ratio prefilter runs first: J(a,b) ≥ τ forces
     τ·|b| ≤ |a| ≤ |b|/τ, so integer size comparison kills most false
     candidates before the O(|a|+|b|) array intersection touches them.
+
+    *arrays_b*: the doc_b side's arrays when the two sides live in
+    different frames (cross-side probes: a new batch's in-flight
+    shingles vs a PERSISTED corpus index table); defaults to *arrays*.
     """
     sa = arrays.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
-    sb = arrays.select(
+    sb = (arrays if arrays_b is None else arrays_b).select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
     na, nb = F.size("sh_a"), F.size("sh_b")
@@ -433,9 +439,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEW_BATCH_SOURCE = "src0"
 
 
-@register(
-    "dedup_incremental",
-    oracle=f"""
+# Shared by dedup_incremental and dedup_incremental_persisted: the
+# persisted band index materializes EXACTLY the signatures/bands/hashes
+# the in-flight variant computes, so both reduce to the same brute-force
+# batch-vs-corpus SQL.
+_INCREMENTAL_ORACLE = f"""
     WITH newdocs AS (
       SELECT doc_id, text FROM documents WHERE source = '{NEW_BATCH_SOURCE}'
     ),
@@ -471,8 +479,10 @@ NEW_BATCH_SOURCE = "src0"
     FROM newdocs d
     LEFT JOIN corpus_hashes ch ON md5(d.text) = ch.h
     LEFT JOIN near ON near.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     new_h = docs.filter(F.col("source") == NEW_BATCH_SOURCE).select(
@@ -523,6 +533,180 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PERSISTED MinHash-LSH band index (VERDICT r14 #1) — the corpus-side
+# twin of sim_ann_persisted: dedup_incremental above still recomputes
+# the corpus's signatures and bands on every run, the one cost that
+# scales with CORPUS size instead of batch size at 100 TB. Here the
+# corpus index lives as three commit-log tables:
+#
+#   bands  — (band, key, doc_id) postings, range-partitioned on
+#            (band, key) so every add action carries tight per-file
+#            band stats; a band's probe scan FILE-PRUNES via the
+#            in-log stats (the partitionBy(band) layout a 100 TB
+#            deployment runs — 1/n_bands of the postings per scan);
+#   hashes — the corpus's distinct content hashes (the exact-dup
+#            anti-probe set);
+#   arrays — per-doc shingle arrays, range-partitioned on doc_id
+#            (what exact-Jaccard verification of candidates needs —
+#            persisted so verification never re-shingles the corpus).
+#
+# The PROBE path touches tf_read/tf_scan frames exclusively on the
+# corpus side (pinned structurally: `documents` is only read under
+# the batch's pushed source filter) — the corpus table is NEVER
+# rescanned on probe. Index MAINTENANCE appends the deduped batch's
+# own bands/hashes/arrays as one commit per table, cost ∝ batch and
+# pinned ≤ n_bands files added / 0 removed. The probe reads the
+# snapshot pinned at creation time, so the maintenance commit cannot
+# leak the batch into its own candidate set (snapshot isolation by
+# explicit version, the sim_ann_persisted discipline).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_incremental_persisted", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        _probe_cell_scans,
+    )
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_history,
+        tf_read,
+    )
+
+    n_bands = MINHASH_K // LSH_ROWS_PER_BAND
+    base = scratch_dir("lsh-band-index")
+    bands_path = os.path.join(base, "bands")
+    hashes_path = os.path.join(base, "hashes")
+    arrays_path = os.path.join(base, "arrays")
+
+    docs = table(spark, sf_dir, "documents")
+
+    def _doc_arrays(side: DataFrame) -> DataFrame:
+        return (
+            side.repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            )
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .select("doc_id", _shingles(F.col("toks")).alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+
+    def _band_keys(arrays: DataFrame) -> DataFrame:
+        sig = arrays.select(
+            "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
+        )
+        return _band_frame(sig, "doc_id")
+
+    # ---- index CREATION: the corpus is scanned ONCE, here ----
+    corpus = docs.filter(F.col("source") != NEW_BATCH_SOURCE)
+    corpus_arrays = _doc_arrays(corpus)
+    tf_append(
+        _band_keys(corpus_arrays).repartitionByRange(
+            n_bands, "band", "key"
+        ),
+        bands_path,
+    )
+    tf_append(
+        corpus.select(F.md5("text").alias("h")).distinct().coalesce(1),
+        hashes_path,
+    )
+    tf_append(
+        corpus_arrays.repartitionByRange(n_bands, "doc_id"), arrays_path
+    )
+    v_bands = latest_version(bands_path)
+    v_arrays = latest_version(arrays_path)
+    v_hashes = latest_version(hashes_path)
+
+    # ---- batch-side frames: the ONLY `documents` reads on the probe
+    # path, all under the pushed source = NEW_BATCH_SOURCE filter ----
+    batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
+    batch_arrays = _doc_arrays(batch)
+    batch_bands = _band_keys(batch_arrays)
+    batch_h = batch.select("doc_id", F.md5("text").alias("h"))
+
+    # ---- PROBE against the creation snapshot (corpus side = index
+    # tables only; per-band scans ride the in-log file pruning) ----
+    corp_bands = _probe_cell_scans(
+        spark,
+        bands_path,
+        list(range(n_bands)),
+        col="band",
+        version=v_bands,
+    )
+    a = batch_bands.alias("a")
+    b = corp_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    near = (
+        _verify_jaccard(
+            cand, batch_arrays, tf_read(spark, arrays_path, v_arrays)
+        )
+        .groupBy("doc_a")
+        .agg(F.count("*").alias("n_near_dups"))
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+    corp_h = tf_read(spark, hashes_path, v_hashes).withColumn(
+        "exact_hit", F.lit(1)
+    )
+    exact = batch_h.join(corp_h, "h", "left").select(
+        "doc_id", F.coalesce("exact_hit", F.lit(0)).alias("is_exact_dup")
+    )
+    out = (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).alias(
+                "n_near_dups"
+            ),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("is_exact_dup") == 0)
+                & (F.col("n_near_dups") == 0)
+            ).cast("int"),
+        )
+    )
+
+    # ---- INCREMENTAL MAINTENANCE: the batch joins the index — one
+    # commit per table, cost ∝ batch, never a corpus rewrite ----
+    tf_append(
+        batch_bands.repartitionByRange(n_bands, "band", "key"),
+        bands_path,
+    )
+    head = tf_history(bands_path)[0]
+    if head["n_removed"] != 0 or head["n_added"] > n_bands:
+        raise RuntimeError(
+            "band-index maintenance not batch-bounded: "
+            f"{head['n_added']} added, {head['n_removed']} removed"
+        )
+    tf_append(batch_h.select("h").distinct().coalesce(1), hashes_path)
+    tf_append(
+        batch_arrays.repartitionByRange(n_bands, "doc_id"), arrays_path
+    )
+    if latest_version(bands_path) != v_bands + 1:
+        raise RuntimeError("band-index log shape unexpected")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -2382,7 +2382,6 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf_history,
         tf_pruned_files,
         tf_read,
-        tf_scan,
     )
 
     emb = _emb(spark, sf_dir)
@@ -2457,18 +2456,7 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_live = len(
         tf_pruned_files(post_path, [])[0]
     )
-    scans = []
-    for cell in cells:
-        kept, total = tf_pruned_files(post_path, [("cell", "=", cell)])
-        if not 0 < len(kept) < total:
-            raise RuntimeError(
-                f"cell probe not pruned by the in-log stats: "
-                f"{len(kept)}/{total} files for cell {cell}"
-            )
-        scans.append(tf_scan(spark, post_path, [("cell", "=", cell)]))
-    cand = scans[0]
-    for s in scans[1:]:
-        cand = cand.unionByName(s)
+    cand = _probe_cell_scans(spark, post_path, cells)
     if latest_version(post_path) != 1 or n_live < 2:
         raise RuntimeError("postings table shape unexpected")
     scored = (
@@ -2513,6 +2501,55 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PERSISTED centroids/codebooks and appends one commit (cost ∝ batch,
 # pinned ≤ IVF_K files, 0 removed).
 # ---------------------------------------------------------------------------
+
+
+def _probe_cell_scans(
+    spark: SparkSession,
+    post_path: str,
+    cells: list,
+    columns: list[str] | None = None,
+    col: str = "cell",
+    version: int | None = None,
+) -> DataFrame:
+    """Union of per-probed-cell snapshot scans riding the in-log stats
+    file pruning. Pruning is asserted in AGGREGATE: at least one probed
+    cell must keep fewer files than it inspected (the partitionBy(cell)
+    layout's whole point at scale). When NO cell prunes — e.g. a tiny
+    scale factor's repartitionByRange collapsed a commit's postings
+    into one file so every cell lives in every file — the probe
+    degrades to the (still row-correct) unpruned scans with a logged
+    warning instead of aborting (ADVICE r14 #4): tf_scan applies the
+    cell predicate as a real Spark filter either way, so skipping is a
+    performance lever, never a correctness gate."""
+    import warnings
+
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_pruned_files,
+        tf_scan,
+    )
+
+    any_pruned = False
+    out = None
+    for cell in cells:
+        kept, total = tf_pruned_files(
+            post_path, [(col, "=", cell)], version=version
+        )
+        if len(kept) < total:
+            any_pruned = True
+        s = tf_scan(
+            spark, post_path, [(col, "=", cell)], version=version
+        )
+        if columns is not None:
+            s = s.select(*columns)
+        out = s if out is None else out.unionByName(s)
+    if not any_pruned:
+        warnings.warn(
+            f"ANN probe over {post_path}: no probed cell pruned any "
+            "file via in-log stats — postings likely collapsed into "
+            "one file; falling back to full (row-filtered) scans",
+            stacklevel=2,
+        )
+    return out
 
 
 def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
@@ -2650,9 +2687,7 @@ def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_filter_math_spark.sources.table_format import (
         tf_append,
         tf_history,
-        tf_pruned_files,
         tf_read,
-        tf_scan,
     )
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -2762,20 +2797,7 @@ def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _cells_scan(columns: list[str]) -> DataFrame:
-        out = None
-        for cell in cells:
-            kept, total = tf_pruned_files(
-                post_path, [("cell", "=", cell)]
-            )
-            if not 0 < len(kept) < total:
-                raise RuntimeError(
-                    f"cell probe not pruned: {len(kept)}/{total} files"
-                )
-            s = tf_scan(spark, post_path, [("cell", "=", cell)]).select(
-                *columns
-            )
-            out = s if out is None else out.unionByName(s)
-        return out
+        return _probe_cell_scans(spark, post_path, cells, columns)
 
     # ---- pass 1: ADC over CODE COLUMNS ONLY (embedding pruned out)
     code_cols = ["cell", "vec_id"] + [f"code{m}" for m in range(PQ_M)]

@@ -91,6 +91,100 @@ def latest_version(table_path: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# PROTOCOL / FEATURE VERSIONING (Delta's protocol action, VERDICT r14
+# #4): the log carries features a naive reader would silently misread —
+# ignoring a ``delete`` action's deletion vectors resurrects rows,
+# ignoring a ``rename`` mapping misnames columns, ignoring a widen
+# payload mis-types them. Every feature-introducing commit therefore
+# records ``min_reader_version``; a reader whose READER_VERSION is
+# below the log's requirement REFUSES at resolve time instead of
+# misreading. Legacy commits (pre-protocol logs) infer their
+# requirement from content, so (a) old logs still read and (b) an old
+# reader still refuses a log whose features it predates even when the
+# writer forgot the explicit marker.
+# ---------------------------------------------------------------------------
+READER_VERSION = 4  # what THIS build understands
+
+_FEATURE_BASE = 1  # plain add/remove replay
+_FEATURE_DV = 2  # deletion vectors ride `dv` actions
+_FEATURE_COLUMN_METADATA = 3  # rename mapping + ADD/DROP projection
+_FEATURE_TYPE_WIDENING = 4  # widen payloads change the read schema
+
+
+class ProtocolUnsupported(Exception):
+    """The log requires a newer reader than this build: refusing loudly
+    beats resurrecting deleted rows or mis-typing widened columns."""
+
+
+def _commit_min_reader(commit: dict) -> int:
+    """A commit's reader requirement: the explicit marker when present,
+    else inferred from the features its payload actually uses."""
+    req = int(commit.get("min_reader_version", _FEATURE_BASE))
+    if commit.get("dv"):
+        req = max(req, _FEATURE_DV)
+    action = commit.get("action")
+    if action == "rename":
+        req = max(req, _FEATURE_COLUMN_METADATA)
+    if action == "schema":
+        req = max(
+            req,
+            _FEATURE_TYPE_WIDENING
+            if commit.get("widen_columns")
+            else _FEATURE_COLUMN_METADATA,
+        )
+    return req
+
+
+# prefix-max of per-commit requirements, incrementally extended — the
+# committed_batch_ids cache discipline (commits are immutable)
+_PROTO_CACHE: dict[str, list[int]] = {}
+
+
+def required_reader_version(
+    table_path: str, version: int | None = None
+) -> int:
+    """The minimum reader version able to correctly resolve the
+    snapshot at *version* (default: head) — the running maximum of the
+    commit prefix's requirements (a feature, once introduced, shapes
+    every later snapshot's live state)."""
+    head = latest_version(table_path)
+    v = head if version is None else version
+    if v < 0:
+        return _FEATURE_BASE
+    key = os.path.abspath(table_path)
+    pm = _PROTO_CACHE.setdefault(key, [])
+    for w in range(len(pm), head + 1):
+        try:
+            with open(_log_path(table_path, w)) as f:
+                r = _commit_min_reader(json.load(f))
+        except FileNotFoundError:
+            # a head ahead of the visible files (racing writer /
+            # eventually-consistent listing): judge what is readable;
+            # the replay itself will surface the missing commit where
+            # it matters
+            break
+        pm.append(max(r, pm[-1] if pm else _FEATURE_BASE))
+    if not pm:
+        return _FEATURE_BASE
+    return pm[min(v, len(pm) - 1)]
+
+
+def _check_protocol(
+    table_path: str,
+    version: int | None = None,
+    supported: int | None = None,
+) -> None:
+    sup = READER_VERSION if supported is None else supported
+    req = required_reader_version(table_path, version)
+    if req > sup:
+        raise ProtocolUnsupported(
+            f"table at {table_path} requires reader version {req} "
+            f"(this reader supports {sup}): refusing to read rather "
+            "than silently misreading a feature this build predates"
+        )
+
+
+# ---------------------------------------------------------------------------
 # LOG CHECKPOINTS — Delta's `_last_checkpoint` recipe: without them,
 # every snapshot read replays the WHOLE commit chain, so metadata cost
 # grows linearly with table age (a streaming sink committing every
@@ -169,6 +263,10 @@ def _resolve_live(
     checkpoint ≤ version when one exists. A ``dv`` commit action
     attaches/replaces a file's deletion vector without touching the
     file itself (Delta's row-level-delete recipe)."""
+    # the protocol gate guards every read AND write path (writers
+    # resolve before staging): a build that cannot read a feature
+    # must not commit on top of it either
+    _check_protocol(table_path, version)
     live: dict[str, tuple[str, dict, str | None]] = {}
     schema = ""
     start = 0
@@ -388,7 +486,18 @@ def _commit_with_rebase(
     with every concurrent txn). Before each rebased publish attempt,
     any ``constraint`` commit in the not-yet-scanned interleave range
     triggers *revalidate()* (which re-reads the NOW-active constraint
-    set and raises :class:`ConstraintViolation` on a miss)."""
+    set and raises :class:`ConstraintViolation` on a miss).
+
+    An interleaved ``schema`` or ``rename`` commit (ADD/DROP/WIDEN or
+    a column-mapping change landing between staging and publish) is a
+    harder conflict: the append's files were written under the STALE
+    column state — a dropped column's values would be silently hidden,
+    a widened column's narrow values would bypass the write-boundary
+    cast, a renamed mapping would orphan the physical name. Re-staging
+    here would mean re-deriving the physical projection mid-commit, so
+    the rebase refuses instead: :class:`ConcurrentOverwrite` is raised
+    and the caller re-reads the (now evolved) table state and retries
+    the whole append (ADVICE r14 #1)."""
     if action != "append":
         # An overwrite must land at exactly read_version+1: a commit
         # at that slot OR any later head means the live set changed
@@ -425,14 +534,23 @@ def _commit_with_rebase(
     validated_through = read_version
     version = max(latest_version(table_path), read_version) + 1
     while True:
-        if revalidate is not None and version - 1 > validated_through:
+        if version - 1 > validated_through:
             interleaved = False
             for v in range(validated_through + 1, version):
                 with open(_log_path(table_path, v)) as f:
-                    if json.load(f).get("action") == "constraint":
-                        interleaved = True
-                        break
-            if interleaved:
+                    act = json.load(f).get("action")
+                if act in ("schema", "rename"):
+                    # metadata changed under the staged files — the
+                    # physical projection baked into them is stale
+                    raise ConcurrentOverwrite(
+                        f"append staged against version {read_version} "
+                        f"but a {act!r} commit landed at version {v}: "
+                        "column state changed under the writer — "
+                        "re-read and retry the append"
+                    )
+                if act == "constraint":
+                    interleaved = True
+            if interleaved and revalidate is not None:
                 revalidate()  # raises ConstraintViolation on a miss
             validated_through = version - 1
         try:
@@ -452,6 +570,10 @@ def tf_append(df: DataFrame, table_path: str, max_retries: int = 5) -> int:
     Losing an optimistic-concurrency race to another writer rebases
     automatically (a blind append is order-independent) up to
     *max_retries* times."""
+    # blind appends skip snapshot resolution, so gate them here: a
+    # writer that cannot READ a feature (column mapping, widening)
+    # would stage physically-wrong files under it
+    _check_protocol(table_path)
     _validate_constraints(df, table_path, "append")
     logical_df = df
     df = _to_physical_df(
@@ -641,6 +763,11 @@ def tf_restore(table_path: str, version: int) -> int:
             "remove": remove,
             "dv": dv_actions,
             "schema": target_schema,
+            **(
+                {"min_reader_version": _FEATURE_DV}
+                if dv_actions
+                else {}
+            ),
         },
         sort_keys=True,
     )
@@ -986,6 +1113,7 @@ def tf_rename_column(table_path: str, old: str, new: str) -> int:
             "add": [],
             "remove": [],
             "mapping": mapping,
+            "min_reader_version": _FEATURE_COLUMN_METADATA,
         },
         sort_keys=True,
     )
@@ -1170,8 +1298,20 @@ def _union_schema_of(
                         f"column {name!r}: unmergeable writer types "
                         f"{types[name]!r} vs {typ!r}"
                     )
-                # cross-family (int vs float/double) → double
+                # cross-family (int vs float/double) → double, but
+                # ONLY for int types double holds exactly: bigint has
+                # 63 value bits vs double's 53-bit mantissa, so a
+                # bigint-vs-float conflict would silently lose
+                # precision above 2^53 — refuse it, matching
+                # _WIDEN_OK's deliberate exclusion of bigint->double
+                # (ADVICE r14 #3)
                 if fam_a != fam_b:
+                    if "bigint" in (types[name], typ):
+                        raise ValueError(
+                            f"column {name!r}: unmergeable writer "
+                            f"types {types[name]!r} vs {typ!r} — "
+                            "bigint does not fit a double exactly"
+                        )
                     types[name] = "double"
                 else:
                     types[name] = (
@@ -1365,6 +1505,12 @@ def tf_drop_column(table_path: str, name: str) -> int:
 def _publish_schema_commit(
     table_path: str, head: int, payload: dict
 ) -> int:
+    payload.setdefault(
+        "min_reader_version",
+        _FEATURE_TYPE_WIDENING
+        if payload.get("widen_columns")
+        else _FEATURE_COLUMN_METADATA,
+    )
     body = json.dumps(payload, sort_keys=True)
     path = _log_path(table_path, head + 1)
     try:
@@ -1615,6 +1761,7 @@ def tf_delete(
             "remove": [],
             "dv": dv_actions,
             "schema": schema,
+            "min_reader_version": _FEATURE_DV,
         },
         sort_keys=True,
     )
@@ -1799,6 +1946,11 @@ def tf_update(
             "remove": [],
             "dv": dv_actions,
             "schema": schema,
+            **(
+                {"min_reader_version": _FEATURE_DV}
+                if dv_actions
+                else {}
+            ),
         },
         sort_keys=True,
     )
@@ -2148,7 +2300,7 @@ def io_table_format_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scanned prefix never changes — each call reads only NEW versions,
 # keeping the per-epoch cost O(new commits) instead of re-opening every
 # commit file every micro-batch (O(versions²) over a stream's life).
-_BATCH_ID_CACHE: dict[str, tuple[int, set[int]]] = {}
+_BATCH_ID_CACHE: dict[tuple[str, str], tuple[int, set[int]]] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -2196,10 +2348,10 @@ def tf_merge(
     read_version = latest_version(table_path)
     if read_version < 0:
         raise FileNotFoundError(f"no table at {table_path}")
-    if batch_id is not None and batch_id in committed_batch_ids(
+    if batch_id is not None and batch_id in committed_merge_txn_ids(
         table_path
     ):
-        return read_version, 0, 0  # replayed epoch: no-op
+        return read_version, 0, 0  # replayed merge txn: no-op
     # the merge plan runs in PHYSICAL column space (files, stats);
     # the change batch and key arrive logical
     mapping = tf_column_mapping(table_path, version=read_version)
@@ -2279,7 +2431,10 @@ def tf_merge(
             read_version,
             0,
             extra=(
-                {"batch_id": int(batch_id)}
+                # merge txns are namespaced apart from append epoch
+                # ids: the same integer may legitimately appear as
+                # both without either replay guard firing on the other
+                {"merge_txn_id": int(batch_id)}
                 if batch_id is not None
                 else None
             ),
@@ -3175,6 +3330,113 @@ def io_table_format_widen_type(
 
 
 @register(
+    "io_table_format_protocol",
+    oracle="""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    live AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey % 100 AS INT) AS cnt,
+             o_totalprice AS price
+      FROM orders, m WHERE o_orderkey <= (3 * mx) // 4
+    )
+    SELECT CAST(k % 4 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+           CAST(SUM(CAST(floor(price * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(MAX(k) AS BIGINT) AS max_key,
+           4 AS min_reader
+    FROM live GROUP BY 1 ORDER BY shard
+    """,
+)
+def io_table_format_protocol(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Protocol/feature versioning (VERDICT r14 #4 — Delta's protocol
+    action): a log that grows deletion vectors and type widening must
+    refuse readers that predate those features instead of letting them
+    silently resurrect DV-deleted rows or mis-type widened columns.
+    Trajectory: two plain appends (base protocol), a DV range delete
+    (bumps the requirement to the DV feature), a cnt int->bigint widen
+    (bumps it to type widening). Pinned in-query:
+
+    * the requirement climbs exactly 1 -> _FEATURE_DV ->
+      _FEATURE_TYPE_WIDENING as each feature lands;
+    * PRE-FEATURE SNAPSHOTS STAY OLD-READER-READABLE — the requirement
+      is computed over the snapshot's own commit prefix, so version
+      v_pre still reports the base level after the head has evolved;
+    * an artificially-downgraded reader RAISES ProtocolUnsupported on
+      the evolved head (never misreads);
+    * this build reads the head fine, and the final aggregate must
+      match the oracle's closed form — i.e. the DV rows are really
+      gone and the widened column really sums (the features the
+      protocol guards are simultaneously exercised).
+    Reference analogue: none; Delta protocol versions
+    (minReaderVersion), re-expressed over the JSON commit log."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.functions import exact_cents
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    mx = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    base = scratch_dir("table-format-protocol")
+    tpath = os.path.join(base, "orders_proto")
+    df = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 100).cast("int").alias("cnt"),
+        F.col("o_totalprice").alias("price"),
+    )
+    half, cut = mx // 2, (3 * mx) // 4
+    tf_append(df.filter(F.col("k") <= half).coalesce(1), tpath)
+    tf_append(df.filter(F.col("k") > half).coalesce(1), tpath)
+    if required_reader_version(tpath) != _FEATURE_BASE:
+        raise RuntimeError("plain appends must stay at base protocol")
+    v_pre = latest_version(tpath)
+
+    tf_delete(spark, tpath, [("k", ">", cut)])
+    if required_reader_version(tpath) != _FEATURE_DV:
+        raise RuntimeError("DV delete did not bump the protocol")
+    tf_widen_column(tpath, "cnt", "bigint")
+    if required_reader_version(tpath) != _FEATURE_TYPE_WIDENING:
+        raise RuntimeError("widen did not bump the protocol")
+    # pre-feature snapshots remain readable by pre-feature readers
+    if required_reader_version(tpath, v_pre) != _FEATURE_BASE:
+        raise RuntimeError("old snapshot's requirement escalated")
+    _check_protocol(tpath, v_pre, supported=_FEATURE_BASE)  # no raise
+    # a downgraded reader must refuse the evolved head loudly
+    try:
+        _check_protocol(tpath, supported=_FEATURE_DV)
+    except ProtocolUnsupported:
+        pass
+    else:
+        raise RuntimeError(
+            "downgraded reader accepted a log with type widening"
+        )
+
+    got = tf_read(spark, tpath)
+    return (
+        got.groupBy((F.col("k") % 4).cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cnt").cast("long").alias("sum_cnt"),
+            F.sum(exact_cents(F.col("price")))
+            .cast("long")
+            .alias("total_cents"),
+            F.max("k").cast("long").alias("max_key"),
+        )
+        .withColumn(
+            "min_reader",
+            F.lit(required_reader_version(tpath)).cast("int"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
     "io_table_format_cdf",
     oracle="""
     WITH m AS (SELECT MAX(event_id) AS mx FROM events),
@@ -3245,19 +3507,35 @@ def io_table_format_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def committed_batch_ids(table_path: str) -> set[int]:
-    """Streaming-sink replay guard: the set of foreachBatch epoch ids
-    already committed to the log (incrementally maintained)."""
-    key = os.path.abspath(table_path)
+def _committed_txn_ids(table_path: str, id_key: str) -> set[int]:
+    """Incrementally-maintained set of txn ids recorded under *id_key*
+    in the log. Append epochs (``batch_id``) and merge txns
+    (``merge_txn_id``) live in SEPARATE namespaces: a table fed by both
+    foreachBatch appends (epoch ids 0,1,2,...) and CDF merges keyed by
+    bronze versions must never no-op a legitimate merge whose id
+    happens to collide with a prior append epoch (ADVICE r14 #2)."""
+    key = (os.path.abspath(table_path), id_key)
     start, seen = _BATCH_ID_CACHE.get(key, (0, set()))
     head = latest_version(table_path)
     for v in range(start, head + 1):
         with open(_log_path(table_path, v)) as f:
-            b = json.load(f).get("batch_id")
+            b = json.load(f).get(id_key)
         if b is not None:
             seen.add(int(b))
     _BATCH_ID_CACHE[key] = (head + 1, seen)
     return set(seen)
+
+
+def committed_batch_ids(table_path: str) -> set[int]:
+    """Streaming-sink replay guard: the set of foreachBatch epoch ids
+    already committed to the log (incrementally maintained)."""
+    return _committed_txn_ids(table_path, "batch_id")
+
+
+def committed_merge_txn_ids(table_path: str) -> set[int]:
+    """Merge replay guard: txn ids of idempotent MERGEs already in the
+    log — a namespace disjoint from append epoch ids."""
+    return _committed_txn_ids(table_path, "merge_txn_id")
 
 
 def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None:
@@ -3269,6 +3547,7 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
     committed version, or None when the epoch was already in the log."""
     if batch_id in committed_batch_ids(table_path):
         return None
+    _check_protocol(table_path)  # the tf_append gate, same reason
     _validate_constraints(df, table_path, "streaming append")
     df = _to_physical_df(
         df,
@@ -3778,6 +4057,8 @@ def tf_history(table_path: str) -> list[dict]:
             row["restored_version"] = commit["restored_version"]
         if "batch_id" in commit:
             row["batch_id"] = commit["batch_id"]
+        if "merge_txn_id" in commit:
+            row["merge_txn_id"] = commit["merge_txn_id"]
         if commit.get("set"):
             row["constraints_set"] = sorted(commit["set"])
         if commit.get("drop"):

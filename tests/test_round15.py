@@ -1,0 +1,457 @@
+"""Round 15, part 1: the ADVICE r14 fixes.
+
+1. Append rebase treats interleaved ``schema``/``rename`` commits as
+   conflicts (stale physical projection must never publish),
+2. tf_merge txn ids are namespaced apart from append epoch ids (a
+   merge whose txn id collides with a prior append epoch must run),
+3. _union_schema_of refuses bigint-vs-float family conflicts (silent
+   precision loss above 2^53) while still promoting ≤int to double,
+4. the persisted-ANN probe degrades to a warned full scan when no
+   probed cell prunes, instead of aborting.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+import pyspark.sql.functions as F
+
+from fluent_bit_filter_math_spark.sources import table_format as tf
+
+
+# ---------------------------------------------------------------------------
+# 1 — interleaved metadata commits conflict with a staged append
+# ---------------------------------------------------------------------------
+class TestAppendRebaseMetadataConflict:
+    def _staged(self, tmp_path, spark):
+        t = str(tmp_path / "t")
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        tf.tf_append(df, t)
+        more = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") + 100).alias("v")
+        )
+        read_version = tf.latest_version(t)
+        add, schema = tf._stage(
+            tf._to_physical_df(more, tf.tf_column_mapping(t)), t
+        )
+        return t, add, schema, read_version
+
+    def test_interleaved_schema_commit_raises(self, tmp_path, spark):
+        t, add, schema, rv = self._staged(tmp_path, spark)
+        # a DROP COLUMN lands between this writer's stage and publish:
+        # its staged files still carry the dropped column's physical
+        # values — publishing would resurrect them under a stale state
+        tf.tf_drop_column(t, "v")
+        with pytest.raises(tf.ConcurrentOverwrite, match="schema"):
+            tf._commit_with_rebase(t, add, [], schema, "append", rv, 5)
+
+    def test_interleaved_rename_commit_raises(self, tmp_path, spark):
+        t, add, schema, rv = self._staged(tmp_path, spark)
+        tf.tf_rename_column(t, "v", "val")
+        with pytest.raises(tf.ConcurrentOverwrite, match="rename"):
+            tf._commit_with_rebase(t, add, [], schema, "append", rv, 5)
+
+    def test_interleaved_plain_append_still_rebases(self, tmp_path, spark):
+        t, add, schema, rv = self._staged(tmp_path, spark)
+        other = spark.range(3).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        tf.tf_append(other, t)  # a blind append conflicts with nothing
+        v = tf._commit_with_rebase(t, add, [], schema, "append", rv, 5)
+        assert v == tf.latest_version(t)
+        assert tf.tf_read(spark, t).count() == 10 + 3 + 5
+
+    def test_fresh_append_after_schema_commit_lands(self, tmp_path, spark):
+        # the conflict is about STAGED-THEN-EVOLVED, not about the
+        # evolved table being unwritable: a retry that re-reads (a new
+        # tf_append call) stages under the new column state and lands
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.range(4).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            t,
+        )
+        tf.tf_drop_column(t, "v")
+        tf.tf_append(spark.range(2).select(F.col("id").alias("k")), t)
+        got = tf.tf_read(spark, t)
+        assert got.columns == ["k"]
+        assert got.count() == 6
+
+
+# ---------------------------------------------------------------------------
+# 2 — merge txn ids and append epoch ids are disjoint namespaces
+# ---------------------------------------------------------------------------
+class TestMergeTxnNamespace:
+    def test_merge_id_colliding_with_append_epoch_runs(
+        self, tmp_path, spark
+    ):
+        t = str(tmp_path / "t")
+        # epoch 7 lands via the streaming append path
+        tf.tf_append_batch(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            t,
+            batch_id=7,
+        )
+        assert 7 in tf.committed_batch_ids(t)
+        # a merge whose txn id is ALSO 7 must not be swallowed
+        ch = spark.createDataFrame(
+            [(3, 999, False)], "k long, v long, _delete boolean"
+        )
+        v, rewritten, _ = tf.tf_merge(spark, t, ch, "k", batch_id=7)
+        assert rewritten > 0
+        assert [
+            r.v for r in tf.tf_read(spark, t).filter("k = 3").collect()
+        ] == [999]
+        # ... and is idempotent within ITS OWN namespace
+        v2, rw2, _ = tf.tf_merge(spark, t, ch, "k", batch_id=7)
+        assert v2 == v and rw2 == 0
+        assert 7 in tf.committed_merge_txn_ids(t)
+        # the merge txn id never leaks into the append-epoch namespace
+        tf._BATCH_ID_CACHE.clear()
+        assert tf.committed_batch_ids(t) == {7}
+        assert tf.committed_merge_txn_ids(t) == {7}
+
+    def test_append_epoch_colliding_with_merge_txn_runs(
+        self, tmp_path, spark
+    ):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.createDataFrame([(1, 10)], "k long, v long"), t
+        )
+        ch = spark.createDataFrame(
+            [(2, 20, False)], "k long, v long, _delete boolean"
+        )
+        tf.tf_merge(spark, t, ch, "k", batch_id=5)
+        # an append epoch 5 after merge txn 5 must still append
+        out = tf.tf_append_batch(
+            spark.createDataFrame([(9, 90)], "k long, v long"),
+            t,
+            batch_id=5,
+        )
+        assert out is not None
+        assert tf.tf_read(spark, t).count() == 3
+
+    def test_history_surfaces_merge_txn_id(self, tmp_path, spark):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.createDataFrame([(1, 10)], "k long, v long"), t
+        )
+        ch = spark.createDataFrame(
+            [(1, 11, False)], "k long, v long, _delete boolean"
+        )
+        tf.tf_merge(spark, t, ch, "k", batch_id=12)
+        head = tf.tf_history(t)[0]
+        assert head["merge_txn_id"] == 12
+        assert "batch_id" not in head
+
+
+# ---------------------------------------------------------------------------
+# 3 — bigint-vs-float writer conflicts refuse to promote
+# ---------------------------------------------------------------------------
+class TestUnionSchemaBigintFloat:
+    def test_bigint_vs_double_raises(self):
+        with pytest.raises(ValueError, match="bigint"):
+            tf._union_schema_of(["`a` bigint", "`a` double"], {})
+
+    def test_double_vs_bigint_raises(self):
+        with pytest.raises(ValueError, match="bigint"):
+            tf._union_schema_of(["`a` double", "`a` bigint"], {})
+
+    def test_bigint_vs_float_raises(self):
+        with pytest.raises(ValueError, match="bigint"):
+            tf._union_schema_of(["`a` float", "`a` bigint"], {})
+
+    def test_int_vs_float_still_promotes_to_double(self):
+        assert (
+            tf._union_schema_of(["`a` int", "`a` float"], {})
+            == "`a` double"
+        )
+
+    def test_int_family_still_promotes_up(self):
+        assert (
+            tf._union_schema_of(["`a` int", "`a` bigint"], {})
+            == "`a` bigint"
+        )
+
+    def test_widen_override_still_applies(self):
+        assert (
+            tf._union_schema_of(
+                ["`a` int", "`a` smallint"], {"a": "bigint"}
+            )
+            == "`a` bigint"
+        )
+
+
+# ---------------------------------------------------------------------------
+# 4 — unpruned ANN probe degrades with a warning, never aborts
+# ---------------------------------------------------------------------------
+class TestProbeScanFallback:
+    def test_single_file_postings_warn_not_raise(self, tmp_path, spark):
+        from fluent_bit_filter_math_spark.operators.similarity import (
+            _probe_cell_scans,
+        )
+
+        t = str(tmp_path / "post")
+        # one file holding every cell: no per-cell pruning possible
+        df = spark.createDataFrame(
+            [(c, c * 10 + i) for c in range(3) for i in range(4)],
+            "cell long, vec_id long",
+        ).coalesce(1)
+        tf.tf_append(df, t)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = _probe_cell_scans(spark, t, [0, 2])
+            rows = sorted(
+                (r.cell, r.vec_id) for r in out.collect()
+            )
+        assert any("no probed cell pruned" in str(x.message) for x in w)
+        # row-correct despite zero pruning: only cells 0 and 2
+        assert rows == sorted(
+            [(0, i) for i in range(4)] + [(2, 20 + i) for i in range(4)]
+        )
+
+    def test_probe_cell_scans_respects_pinned_version(
+        self, tmp_path, spark
+    ):
+        from fluent_bit_filter_math_spark.operators.similarity import (
+            _probe_cell_scans,
+        )
+
+        t = str(tmp_path / "post")
+        tf.tf_append(
+            spark.createDataFrame(
+                [(0, 1), (1, 2)], "cell long, vec_id long"
+            ),
+            t,
+        )
+        v0 = tf.latest_version(t)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            pinned = _probe_cell_scans(spark, t, [0, 1], version=v0)
+        # a later append must be invisible to the pinned probe
+        tf.tf_append(
+            spark.createDataFrame([(0, 99)], "cell long, vec_id long"),
+            t,
+        )
+        assert sorted(r.vec_id for r in pinned.collect()) == [1, 2]
+
+    def test_partitioned_postings_prune_silently(self, tmp_path, spark):
+        from fluent_bit_filter_math_spark.operators.similarity import (
+            _probe_cell_scans,
+        )
+
+        t = str(tmp_path / "post")
+        df = spark.createDataFrame(
+            [(c, c * 10 + i) for c in range(4) for i in range(8)],
+            "cell long, vec_id long",
+        ).repartitionByRange(4, "cell")
+        tf.tf_append(df, t)
+        kept, total = tf.tf_pruned_files(t, [("cell", "=", 0)])
+        assert len(kept) < total  # the layout prunes here
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = _probe_cell_scans(spark, t, [0])
+            n = out.count()
+        assert n == 8
+        assert not any(
+            "no probed cell pruned" in str(x.message) for x in w
+        )
+
+
+# ---------------------------------------------------------------------------
+# 5 — the persisted MinHash-LSH band index (VERDICT r14 #1)
+# ---------------------------------------------------------------------------
+class TestDedupIncrementalPersisted:
+    def test_equals_in_flight_variant(self, spark, sf_dir):
+        from fluent_bit_filter_math_spark.operators.dedup import (
+            dedup_incremental,
+            dedup_incremental_persisted,
+        )
+
+        live = {
+            r.doc_id: (r.is_exact_dup, r.n_near_dups, r.keep)
+            for r in dedup_incremental(spark, sf_dir).collect()
+        }
+        pers = {
+            r.doc_id: (r.is_exact_dup, r.n_near_dups, r.keep)
+            for r in dedup_incremental_persisted(spark, sf_dir).collect()
+        }
+        assert pers == live and len(pers) > 0
+
+    def test_probe_never_rescans_corpus(self, spark, sf_dir):
+        """Every `documents` parquet scan in the probe plan carries the
+        batch's pushed source filter — the corpus side reads index
+        tables exclusively (VERDICT r14 #1 pin (a))."""
+        import re
+
+        from fluent_bit_filter_math_spark.operators.dedup import (
+            NEW_BATCH_SOURCE,
+            dedup_incremental_persisted,
+        )
+        from tests.test_plans import plan_of
+
+        plan = plan_of(dedup_incremental_persisted(spark, sf_dir))
+        doc_scans = [
+            m
+            for m in re.findall(
+                r"Scan parquet[^\n]*\n(?:.+\n)*?(?=\n|\Z)", plan
+            )
+            if "documents" in m
+        ]
+        # the plan reads documents somewhere (the batch side) ...
+        assert "documents" in plan
+        # ... but every such scan is the batch's: each PushedFilters
+        # block on a documents scan mentions the source equality
+        blocks = re.split(r"\(\d+\) Scan parquet", plan)
+        doc_blocks = [b for b in blocks if "documents" in b.split("\n")[1] if len(b.split("\n")) > 1]
+        for b in blocks:
+            lines = b.split("\n")
+            if not lines or "documents" not in lines[0]:
+                continue
+            pushed = next(
+                (ln for ln in lines if "PushedFilters" in ln), ""
+            )
+            assert f"EqualTo(source,{NEW_BATCH_SOURCE})" in pushed, (
+                "a documents scan without the batch source filter "
+                "reached the probe plan:\n" + b[:500]
+            )
+
+    def test_maintenance_is_batch_bounded_and_snapshot_isolated(
+        self, spark, sf_dir, monkeypatch
+    ):
+        """Pin (b): the maintenance append adds <= n_bands files and
+        removes none; the probe's candidate set reads the pre-
+        maintenance snapshot (the batch never matches itself)."""
+        from fluent_bit_filter_math_spark.operators import dedup as dd
+
+        calls = []
+        orig = tf.tf_history
+
+        def spy(path):
+            out = orig(path)
+            calls.append((path, out[0]))
+            return out
+
+        monkeypatch.setattr(
+            "fluent_bit_filter_math_spark.sources.table_format"
+            ".tf_history",
+            spy,
+        )
+        # the in-query RuntimeError pins both bounds; reaching a
+        # DataFrame without raising IS the assertion
+        df = dd.dedup_incremental_persisted(spark, sf_dir)
+        assert df.count() > 0
+        bands_heads = [
+            h for p, h in calls if p.endswith("bands")
+        ]
+        assert bands_heads, "maintenance pin did not run"
+        head = bands_heads[-1]
+        assert head["n_removed"] == 0
+        assert head["n_added"] <= dd.MINHASH_K // dd.LSH_ROWS_PER_BAND
+
+
+# ---------------------------------------------------------------------------
+# 6 — protocol / feature versioning (VERDICT r14 #4)
+# ---------------------------------------------------------------------------
+class TestProtocolVersioning:
+    def _dv_table(self, tmp_path, spark):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.range(20).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            t,
+        )
+        tf.tf_delete(spark, t, [("k", ">", 15)])
+        return t
+
+    def test_downgraded_reader_refuses_dv_log(
+        self, tmp_path, spark, monkeypatch
+    ):
+        t = self._dv_table(tmp_path, spark)
+        monkeypatch.setattr(tf, "READER_VERSION", 1)
+        with pytest.raises(tf.ProtocolUnsupported):
+            tf.tf_read(spark, t).collect()
+        # scans and writes go through the same gate
+        with pytest.raises(tf.ProtocolUnsupported):
+            tf.tf_scan(spark, t, [("k", "=", 3)])
+        with pytest.raises(tf.ProtocolUnsupported):
+            tf.tf_append(
+                spark.createDataFrame([(99, 0)], "k long, v long"), t
+            )
+
+    def test_time_travel_to_prefeature_snapshot_allowed(
+        self, tmp_path, spark, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            t,
+        )
+        v0 = tf.latest_version(t)
+        tf.tf_delete(spark, t, [("k", ">", 5)])
+        monkeypatch.setattr(tf, "READER_VERSION", 1)
+        # the pre-DV snapshot's prefix requires only the base level
+        assert tf.tf_read(spark, t, version=v0).count() == 10
+        with pytest.raises(tf.ProtocolUnsupported):
+            tf.tf_read(spark, t).collect()
+
+    def test_legacy_commit_without_marker_is_inferred(
+        self, tmp_path, spark
+    ):
+        import json as _json
+
+        t = self._dv_table(tmp_path, spark)
+        # strip the explicit marker to simulate a pre-protocol log
+        head = tf.latest_version(t)
+        p = tf._log_path(t, head)
+        commit = _json.load(open(p))
+        assert commit.pop("min_reader_version") == tf._FEATURE_DV
+        with open(p, "w") as f:
+            f.write(_json.dumps(commit, sort_keys=True))
+        tf._PROTO_CACHE.clear()
+        assert tf.required_reader_version(t) == tf._FEATURE_DV
+
+    def test_requirement_monotone_over_features(self, tmp_path, spark):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.range(8).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("int").alias("c"),
+            ),
+            t,
+        )
+        assert tf.required_reader_version(t) == tf._FEATURE_BASE
+        tf.tf_rename_column(t, "c", "cnt")
+        assert (
+            tf.required_reader_version(t) == tf._FEATURE_COLUMN_METADATA
+        )
+        tf.tf_widen_column(t, "cnt", "bigint")
+        assert (
+            tf.required_reader_version(t) == tf._FEATURE_TYPE_WIDENING
+        )
+        # monotone: a later plain append never lowers the requirement
+        tf.tf_append(
+            spark.createDataFrame([(99, 1)], "k long, cnt long"), t
+        )
+        assert (
+            tf.required_reader_version(t) == tf._FEATURE_TYPE_WIDENING
+        )
+
+    def test_old_logs_still_read_at_current_version(
+        self, tmp_path, spark
+    ):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.createDataFrame([(1, 2)], "k long, v long"), t
+        )
+        assert tf.required_reader_version(t) == 1
+        assert tf.tf_read(spark, t).count() == 1
