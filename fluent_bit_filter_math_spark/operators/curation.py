@@ -626,3 +626,142 @@ def pipeline_curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# CURATION WITH THE TRAINED CLASSIFIER GATE (VERDICT r14 #5, second
+# half): pipeline_curate_select's three stages plus the
+# text_quality_classifier verdict as a FOURTH gate between the rule
+# filter and dedup — the shape production curation takes once a
+# trained model replaces/augments hand rules (rules prefilter, model
+# scores, dedup and budget close). The classifier's final weight
+# vector scores map-side (broadcast ≤128-row join); everything else
+# reuses the registered stages' exact expressions, so the composition
+# is pinned by the same arithmetic the stage queries already prove.
+# pipeline_curate_select itself is left untouched (its anchor and
+# oracle stay valid); this query pins the composition.
+# ---------------------------------------------------------------------------
+
+
+def _curate_classified_oracle() -> str:
+    from fluent_bit_filter_math_spark.operators.text import _qc_oracle
+
+    base = f"""
+    WITH g AS (
+      SELECT doc_id, text, source, n_chars,
+             string_split(text, ' ') AS toks,
+             string_split(text, chr(10)) AS lns,
+             len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, source, n_chars,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                 AS sum_len,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                 AS alpha_words,
+             len(list_filter(toks,
+                 t -> t IN ('the','be','to','of','and','that','have','with')))
+                 AS n_stop,
+             len(lns) AS n_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '^[-*]')))
+                 AS bullet_lines,
+             len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.$')))
+                 AS ellipsis_lines,
+             n_symbols
+      FROM g
+    ), qc AS (
+      SELECT doc_id, pred FROM ({_qc_oracle()})
+    ), kept AS (
+      SELECT m.doc_id, text, source, n_chars, n_words
+      FROM m JOIN qc ON qc.doc_id = m.doc_id AND qc.pred = 1
+      WHERE n_words BETWEEN 50 AND 100000
+        AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+        AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+        AND CAST(n_symbols AS DOUBLE) / n_words < 0.1
+        AND CAST(bullet_lines AS DOUBLE) / n_lines < 0.9
+        AND CAST(ellipsis_lines AS DOUBLE) / n_lines < 0.3
+        AND CAST(alpha_words AS DOUBLE) / n_words > 0.8
+        AND n_stop >= 2
+    ), deduped AS (
+      SELECT doc_id, source, n_chars, n_words FROM (
+        SELECT doc_id, source, n_chars, n_words,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS dup_rn
+        FROM kept
+      ) WHERE dup_rn = 1
+    ), keyed AS (
+      SELECT doc_id, source, n_chars, n_words,
+             CAST({{h}} AS DOUBLE) / n_chars AS skey
+      FROM deduped
+    ), ranked AS (
+      SELECT source, doc_id, n_chars, n_words,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY skey, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM ranked
+    WHERE rn <= {_CUR_BUDGET}
+    ORDER BY source, rn
+    """
+    return base.replace(
+        "{h}",
+        "CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT)",
+    )
+
+
+@register("pipeline_curate_classified", oracle=_curate_classified_oracle())
+def pipeline_curate_classified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.operators.text import (
+        _gopher_frame,
+        text_quality_classifier,
+    )
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    rules = _gopher_frame(docs).select("doc_id", "n_words", "keep")
+    model_ok = (
+        text_quality_classifier(spark, sf_dir)
+        .filter(F.col("pred") == 1)
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(rules, "doc_id")
+        .filter(F.col("keep"))
+        .join(model_ok, "doc_id")  # gate 4: the trained model's verdict
+        .select("doc_id", "text", "source", "n_chars", "n_words")
+    )
+    wdup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("dup_rn", F.row_number().over(wdup))
+        .filter(F.col("dup_rn") == 1)
+        .drop("dup_rn", "text")
+    )
+    skey = (
+        hash60(
+            F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
+        ).cast("double")
+        / F.col("n_chars")
+    )
+    keyed = deduped.withColumn("skey", skey)
+    wrank = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= _CUR_BUDGET)
+        .select(
+            "source",
+            F.col("rn").cast("long").alias("rn"),
+            "doc_id",
+            "n_chars",
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+        .orderBy("source", "rn")
+    )

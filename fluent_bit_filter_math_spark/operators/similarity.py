@@ -2321,10 +2321,12 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _ANNP_SALT = "annp:"
 
-
-@register(
-    "sim_ann_persisted",
-    oracle=f"""
+# Shared by sim_ann_persisted and stream_ann_ingest: the streaming
+# ingest assigns each micro-batch against the SAME persisted centroids,
+# so the final index content — and therefore the probe result — is
+# identical to the batch-built index regardless of how the increment
+# was split into epochs.
+_ANNP_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding FROM embeddings
       WHERE vec_id % 4 <> 0
@@ -2369,8 +2371,74 @@ _ANNP_SALT = "annp:"
       JOIN embeddings q ON q.vec_id = p.query_id
       WHERE a.vec_id <> p.query_id
     ) WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+def _annp_probe(
+    spark: SparkSession, cent_path: str, post_path: str
+) -> DataFrame:
+    """The persisted-IVF probe: index tables only (centroids +
+    postings), per-probed-cell scans riding the in-log file pruning.
+    Shared by sim_ann_persisted and stream_ann_ingest."""
+    from fluent_bit_filter_math_spark.sources.table_format import tf_read
+
+    pcent = tf_read(spark, cent_path)
+    queries = (
+        tf_read(spark, post_path)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cid")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(pcent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+        )
+        .select(
+            "query_id", "qe", F.col("cid").alias("cell"),
+            F.row_number().over(wp).alias("prn"),
+        )
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .drop("prn")
+    )
+    # the probed cells: ≤ N_QUERIES × NPROBE driver-side scalars
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    cand = _probe_cell_scans(spark, post_path, cells)
+    scored = (
+        F.broadcast(probes)
+        .join(cand, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register("sim_ann_persisted", oracle=_ANNP_ORACLE)
 def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -2423,63 +2491,12 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{head['n_added']} added, {head['n_removed']} removed"
         )
 
-    # ---- PROBE: index tables only (centroids + postings) ----
-    queries = (
-        tf_read(spark, post_path)
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("qe"))
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.desc("qcos"), F.asc("cid")
-    )
-    probes = (
-        F.broadcast(queries)
-        .crossJoin(F.broadcast(pcent))
-        .select(
-            "query_id",
-            "qe",
-            "cid",
-            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
-        )
-        .select(
-            "query_id", "qe", F.col("cid").alias("cell"),
-            F.row_number().over(wp).alias("prn"),
-        )
-        .filter(F.col("prn") <= IVF_NPROBE)
-        .drop("prn")
-    )
-    # the probed cells: ≤ N_QUERIES × NPROBE driver-side scalars
-    cells = sorted(
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    )
-    n_live = len(
-        tf_pruned_files(post_path, [])[0]
-    )
-    cand = _probe_cell_scans(spark, post_path, cells)
+    # ---- PROBE: index tables only (centroids + postings), via the
+    # shared helper; the table-shape pins stay here
+    n_live = len(tf_pruned_files(post_path, [])[0])
     if latest_version(post_path) != 1 or n_live < 2:
         raise RuntimeError("postings table shape unexpected")
-    scored = (
-        F.broadcast(probes)
-        .join(cand, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
-        .filter(F.col("rank") <= TOP_K)
-    )
+    return _annp_probe(spark, cent_path, post_path)
 
 
 # ---------------------------------------------------------------------------
@@ -2846,3 +2863,507 @@ def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
+
+# ---------------------------------------------------------------------------
+# RETRAIN + DRIFT for the persisted IVF index (VERDICT r14 #3):
+# sim_ann_persisted freezes centroids at creation, so under
+# distribution shift recall decays silently. Two additions:
+#
+# * sim_ann_drift — the MONITOR: per-cell occupancy of the postings at
+#   creation vs now, with an integer cross-multiplication share test
+#   (2·n_now·total_created > 3·n_created·total_now ⇔ the cell's share
+#   grew by >1.5×) — no floats, so the flag is engine-exact. One
+#   groupBy over the index table per side; the raw corpus is never
+#   touched.
+# * sim_ann_retrain — the FIX, as commits: new centroids are re-seeded
+#   FROM THE POSTINGS TABLE (the corpus table is never rescanned),
+#   every posting is re-assigned, and both tables publish as overwrite
+#   commits. Probes go through a one-row MANIFEST table pinning the
+#   (centroids version, postings version) pair, and the retrain's last
+#   act is one atomic manifest overwrite — a concurrent probe resolves
+#   the manifest once and reads EITHER the old pair or the new pair,
+#   never a half-built mix (and the old pair stays time-travelable
+#   until vacuumed, so in-flight probes complete). The output is the
+#   before/after recall comparison against brute-force truth
+#   (hits_old/hits_new per query, integer-exact).
+# ---------------------------------------------------------------------------
+_ANNR_SALT = "annr:"
+
+
+def _annr_build(spark: SparkSession, sf_dir: str, tag: str):
+    """Create the persisted IVF index (initial batch + one incremental
+    append) — the sim_ann_persisted trajectory, shared by the drift
+    monitor and the retrain query. Returns (cent_path, post_path,
+    base_dir)."""
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+        tf_read,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = scratch_dir(tag)
+    cent_path = os.path.join(base, "centroids")
+    post_path = os.path.join(base, "postings")
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    h = hash60(
+        F.concat(F.lit(_ANNP_SALT), F.col("vec_id").cast("string"))
+    )
+    cent = (
+        initial.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    tf_append(cent.coalesce(1), cent_path)
+    pcent = tf_read(spark, cent_path)
+    tf_append(
+        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    increment = emb.filter(F.col("vec_id") % 4 == 0)
+    tf_append(
+        _assign_cells(increment, pcent).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    return cent_path, post_path, base
+
+
+def _annr_h(salt: str) -> str:
+    return (
+        "CAST('0x' || substr(md5('"
+        + salt
+        + "' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+
+
+@register(
+    "sim_ann_drift",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % 4 <> 0
+      ORDER BY {_annr_h(_ANNP_SALT)}, vec_id LIMIT {IVF_K}
+    ),
+    a0 AS (
+      SELECT cell, COUNT(*) AS n_created FROM (
+        SELECT v.vec_id, cid AS cell FROM (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(
+                       v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                       c.cid
+                 ) AS rn
+          FROM embeddings v, cent c WHERE v.vec_id % 4 <> 0
+        ) v WHERE rn = 1
+      ) GROUP BY cell
+    ),
+    a1 AS (
+      SELECT cell, COUNT(*) AS n_now FROM (
+        SELECT v.vec_id, cid AS cell FROM (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(
+                       v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                       c.cid
+                 ) AS rn
+          FROM embeddings v, cent c
+        ) v WHERE rn = 1
+      ) GROUP BY cell
+    ),
+    tot AS (SELECT (SELECT SUM(n_created) FROM a0) AS t0,
+                   (SELECT SUM(n_now) FROM a1) AS t1)
+    SELECT a1.cell,
+           CAST(COALESCE(a0.n_created, 0) AS BIGINT) AS n_created,
+           CAST(a1.n_now AS BIGINT) AS n_now,
+           CAST(CASE WHEN 2 * a1.n_now * tot.t0
+                          > 3 * COALESCE(a0.n_created, 0) * tot.t1
+                THEN 1 ELSE 0 END AS INT) AS grew
+    FROM a1 LEFT JOIN a0 ON a0.cell = a1.cell, tot
+    ORDER BY a1.cell
+    """,
+)
+def sim_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.sources.table_format import tf_read
+
+    _, post_path, _ = _annr_build(spark, sf_dir, "ann-drift")
+    occ0 = (
+        tf_read(spark, post_path, 0)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_created"))
+    )
+    occ1 = (
+        tf_read(spark, post_path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_now"))
+    )
+    t0 = occ0.agg(F.sum("n_created")).collect()[0][0]
+    t1 = occ1.agg(F.sum("n_now")).collect()[0][0]
+    return (
+        occ1.join(occ0, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_created", F.lit(0)).alias("n_created"),
+            F.col("n_now"),
+            (
+                2 * F.col("n_now") * F.lit(int(t0))
+                > 3
+                * F.coalesce("n_created", F.lit(0))
+                * F.lit(int(t1))
+            )
+            .cast("int")
+            .alias("grew"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _annr_oracle() -> str:
+    def assign(cent: str) -> str:
+        return f"""
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                     v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings v, {cent} c
+      ) WHERE rn = 1"""
+
+    def probes(cent: str) -> str:
+        return f"""
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings q, {cent} c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}"""
+
+    def res(probes_t: str, assign_t: str) -> str:
+        return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                     a.vec_id
+               ) AS rank
+        FROM {probes_t} p
+        JOIN {assign_t} a ON a.cell = p.cell
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= {TOP_K}"""
+
+    return f"""
+    WITH cent_old AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % 4 <> 0
+      ORDER BY {_annr_h(_ANNP_SALT)}, vec_id LIMIT {IVF_K}
+    ),
+    cent_new AS (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      ORDER BY {_annr_h(_ANNR_SALT)}, vec_id LIMIT {IVF_K}
+    ),
+    assign_old AS ({assign("cent_old")}),
+    assign_new AS ({assign("cent_new")}),
+    probes_old AS ({probes("cent_old")}),
+    probes_new AS ({probes("cent_new")}),
+    res_old AS ({res("probes_old", "assign_old")}),
+    res_new AS ({res("probes_new", "assign_new")}),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_D_COS} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(SUM(CASE WHEN ro.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits_old,
+           CAST(SUM(CASE WHEN rn2.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits_new
+    FROM truth t
+    LEFT JOIN res_old ro
+      ON ro.query_id = t.query_id AND ro.neighbor_id = t.neighbor_id
+    LEFT JOIN res_new rn2
+      ON rn2.query_id = t.query_id AND rn2.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+    """
+
+
+@register("sim_ann_retrain", oracle=_annr_oracle())
+def sim_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_overwrite,
+        tf_read,
+    )
+
+    cent_path, post_path, base = _annr_build(
+        spark, sf_dir, "ann-retrain"
+    )
+    man_path = os.path.join(base, "manifest")
+    tf_append(
+        spark.createDataFrame(
+            [(latest_version(cent_path), latest_version(post_path))],
+            "cent_v long, post_v long",
+        ),
+        man_path,
+    )
+    m0 = latest_version(man_path)
+
+    def probe(man_version: int) -> DataFrame:
+        """Resolve the manifest ONCE, then read the pinned pair — the
+        atomic-swap contract a concurrent prober gets."""
+        man = tf_read(spark, man_path, man_version).collect()[0]
+        pcent = tf_read(spark, cent_path, int(man["cent_v"]))
+        posts = tf_read(spark, post_path, int(man["post_v"]))
+        queries = posts.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.desc("qcos"), F.asc("cid")
+        )
+        prb = (
+            F.broadcast(queries)
+            .crossJoin(F.broadcast(pcent))
+            .select(
+                "query_id",
+                "qe",
+                "cid",
+                cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+            )
+            .select(
+                "query_id",
+                "qe",
+                F.col("cid").alias("cell"),
+                F.row_number().over(wp).alias("prn"),
+            )
+            .filter(F.col("prn") <= IVF_NPROBE)
+            .drop("prn")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            F.broadcast(prb)
+            .join(posts, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("embedding")).alias("cos"),
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.row_number().over(w).alias("rank"),
+            )
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    res_old = probe(m0)
+
+    # ---- RETRAIN, from the postings only (never the raw corpus) ----
+    posts = tf_read(spark, post_path)  # pre-retrain snapshot
+    hn = hash60(
+        F.concat(F.lit(_ANNR_SALT), F.col("vec_id").cast("string"))
+    )
+    new_cent = (
+        posts.orderBy(hn.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    cv1 = tf_overwrite(new_cent.coalesce(1), cent_path)
+    pcent_new = tf_read(spark, cent_path, cv1)
+    pv1 = tf_overwrite(
+        _assign_cells(
+            posts.select("vec_id", "embedding"), pcent_new
+        ).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    # the swap: ONE manifest commit publishes the new pair atomically
+    tf_overwrite(
+        spark.createDataFrame(
+            [(cv1, pv1)], "cent_v long, post_v long"
+        ),
+        man_path,
+    )
+    if latest_version(man_path) != m0 + 1:
+        raise RuntimeError("retrain must bump the manifest exactly once")
+
+    res_new = probe(m0 + 1)
+
+    # ---- before/after recall vs brute-force truth (postings-sourced)
+    q = posts.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = posts.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    truth = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.row_number().over(wt).alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        truth.join(
+            res_old.withColumn("h_old", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            res_new.withColumn("h_new", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("h_old", F.lit(0)))
+            .cast("long")
+            .alias("hits_old"),
+            F.sum(F.coalesce("h_new", F.lit(0)))
+            .cast("long")
+            .alias("hits_new"),
+        )
+        .orderBy("query_id")
+    )
+
+# ---------------------------------------------------------------------------
+# STREAMING INGEST into the persisted ANN index (VERDICT r14 #7): the
+# table-format streaming sink chained into index maintenance. Vector
+# micro-batches are assigned against the PERSISTED centroids inside
+# foreachBatch and appended EXACTLY-ONCE (batch-id txn — the
+# stream_cdf_apply_merge discipline), so a replayed epoch is a
+# version-preserving no-op instead of duplicate postings. Because
+# every epoch assigns against the same frozen centroids, the final
+# index content — and therefore the probe — is IDENTICAL to the
+# batch-built index: the oracle is sim_ann_persisted's, verbatim.
+# Replay idempotence is pinned in-query (re-running the last epoch
+# must not move the postings head).
+# ---------------------------------------------------------------------------
+
+
+@register("stream_ann_ingest", oracle=_ANNP_ORACLE)
+def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_append_batch,
+        tf_read,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = scratch_dir("stream-ann-ingest")
+    cent_path = os.path.join(base, "centroids")
+    post_path = os.path.join(base, "postings")
+
+    # ---- index creation (batch): centroids + initial postings ----
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    h = hash60(
+        F.concat(F.lit(_ANNP_SALT), F.col("vec_id").cast("string"))
+    )
+    cent = (
+        initial.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    tf_append(cent.coalesce(1), cent_path)
+    pcent = tf_read(spark, cent_path)
+    tf_append(
+        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+
+    # ---- the increment arrives as a STREAM: 3 source files → 3
+    # micro-batch epochs, each one idempotent commit ----
+    increment = emb.filter(F.col("vec_id") % 4 == 0)
+    src = os.path.join(base, "src")
+    increment.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    epoch_ids: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        tf_append_batch(
+            _assign_cells(batch_df, pcent).repartitionByRange(
+                IVF_K, "cell"
+            ),
+            post_path,
+            batch_id,
+        )
+        epoch_ids.append(int(batch_id))
+
+    (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not epoch_ids:
+        raise RuntimeError("the ingest stream produced no epochs")
+
+    # ---- replay-idempotence pin: Spark re-runs a failed epoch with
+    # the SAME id; the txn guard must no-op it (the frame below is
+    # never even evaluated — the id short-circuits first) ----
+    head = latest_version(post_path)
+    replay = _assign_cells(increment, pcent).repartitionByRange(
+        IVF_K, "cell"
+    )
+    if tf_append_batch(replay, post_path, epoch_ids[-1]) is not None:
+        raise RuntimeError("replayed epoch appended twice")
+    if latest_version(post_path) != head:
+        raise RuntimeError("replay moved the postings head")
+
+    # ---- probe: identical to the batch-built index's, by design ----
+    return _annp_probe(spark, cent_path, post_path)

@@ -1820,3 +1820,178 @@ def text_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+# ---------------------------------------------------------------------------
+# QUALITY-CLASSIFIER TRAIN + SCORE (VERDICT r14 #5) — the missing
+# LLM-curation stage: a fastText-style LINEAR classifier over the
+# hashing-vectorizer feature space, trained distributed and scored
+# map-side. The learner is a batch PERCEPTRON, chosen deliberately:
+# every quantity is an INTEGER (tf counts, ±1 labels, weight sums), so
+# training rounds are exact in any aggregation order and the DuckDB
+# oracle replays them bitwise (the emb_pca_power_iteration discipline,
+# with no fixed-point scaling even needed).
+#
+#   round 1: w0 = 0 → every margin is 0 → every doc misclassified →
+#            w1[b] = Σ_d y_d·tf_db (one aggregate);
+#   round r: margin_d = Σ_b w[b]·tf_db (broadcast-w join, map-side
+#            partial agg); misclassified = y·margin ≤ 0;
+#            w += Σ_mis y_d·tf_db.
+#
+# Scale shape: the corpus feature matrix (doc, bucket, tf) is built
+# ONCE (one explode + one aggregate, materialized like the shingle
+# index); each round touches it twice with a ≤_HV_D-row broadcast
+# weight vector — the corpus is never reshuffled, and the scoring pass
+# a production pipeline runs (margin under the final w) is exactly the
+# last round's map-side join. The training labels are a cheap held
+# rule (n_words ≥ threshold — the Gopher length gate), the standard
+# bootstrap for quality classifiers trained to imitate a rule set.
+# Absent from the reference (single-record scope, math.c:322-353).
+# ---------------------------------------------------------------------------
+_QC_SALT = "qc:"
+_QC_ROUNDS = 3
+_QC_MIN_WORDS = 50
+
+
+def _qc_oracle() -> str:
+    h = duck_hash60(f"'{_QC_SALT}' || t")
+    sql = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    coo AS (
+      SELECT doc_id, ({h}) % {_HV_D} AS bucket, COUNT(*) AS tf
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= {_QC_MIN_WORDS}
+                  THEN 1 ELSE -1 END AS y
+      FROM documents
+    ),
+    w1 AS (
+      SELECT bucket, SUM(y * tf) AS w
+      FROM coo JOIN lab USING (doc_id) GROUP BY bucket
+    )"""
+    prev = "w1"
+    for r in range(2, _QC_ROUNDS + 1):
+        sql += f""",
+    m{r} AS (
+      SELECT coo.doc_id, SUM({prev}.w * coo.tf) AS margin
+      FROM coo JOIN {prev} USING (bucket) GROUP BY coo.doc_id
+    ),
+    up{r} AS (
+      SELECT bucket, SUM(y * tf) AS dw
+      FROM coo
+      JOIN lab USING (doc_id)
+      JOIN m{r} USING (doc_id)
+      WHERE y * m{r}.margin <= 0
+      GROUP BY bucket
+    ),
+    w{r} AS (
+      SELECT COALESCE({prev}.bucket, up{r}.bucket) AS bucket,
+             COALESCE({prev}.w, 0) + COALESCE(up{r}.dw, 0) AS w
+      FROM {prev} FULL JOIN up{r} ON {prev}.bucket = up{r}.bucket
+    )"""
+        prev = f"w{r}"
+    sql += f""",
+    mf AS (
+      SELECT coo.doc_id, SUM({prev}.w * coo.tf) AS margin
+      FROM coo JOIN {prev} USING (bucket) GROUP BY coo.doc_id
+    )
+    SELECT lab.doc_id,
+           CAST(lab.y AS INT) AS label,
+           CAST(COALESCE(mf.margin, 0) AS BIGINT) AS margin,
+           CAST(CASE WHEN COALESCE(mf.margin, 0) > 0 THEN 1 ELSE -1 END
+                AS INT) AS pred,
+           CAST(CASE WHEN (CASE WHEN COALESCE(mf.margin, 0) > 0
+                           THEN 1 ELSE -1 END) = lab.y
+                THEN 1 ELSE 0 END AS INT) AS correct
+    FROM lab LEFT JOIN mf ON mf.doc_id = lab.doc_id
+    ORDER BY lab.doc_id
+    """
+    return sql
+
+
+@register("text_quality_classifier", oracle=_qc_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    coo = (
+        tok.select(
+            "doc_id",
+            F.pmod(
+                hash60(F.concat(F.lit(_QC_SALT), F.col("t"))),
+                F.lit(_HV_D),
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+        # 2·rounds consumers: materialize once (the shingle-index
+        # rule) so every round reuses the matrix instead of
+        # re-exploding the corpus
+        .localCheckpoint(eager=True)
+    )
+    lab = docs.select(
+        "doc_id",
+        F.when(
+            F.size(tokens(F.col("text"))) >= _QC_MIN_WORDS, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("y"),
+    )
+    # round 1: zero weights → all misclassified → one aggregate
+    w = (
+        coo.join(lab, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("tf")).alias("w"))
+    )
+
+    def margins(wf: DataFrame) -> DataFrame:
+        return (
+            coo.join(F.broadcast(wf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("tf")).alias("margin"))
+        )
+
+    for _ in range(2, _QC_ROUNDS + 1):
+        w = w.localCheckpoint(eager=True)  # ≤ _HV_D rows per round
+        m = margins(w)
+        mis = (
+            lab.join(m, "doc_id", "left")
+            .filter(
+                F.col("y") * F.coalesce("margin", F.lit(0)) <= 0
+            )
+            .select("doc_id", "y")
+        )
+        dw = (
+            coo.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("tf")).alias("dw"))
+        )
+        # USING-column full join: Spark emits ONE coalesced `bucket`
+        w = w.join(dw, "bucket", "full").select(
+            "bucket",
+            (
+                F.coalesce("w", F.lit(0)) + F.coalesce("dw", F.lit(0))
+            ).alias("w"),
+        )
+    w = w.localCheckpoint(eager=True)
+    mf = margins(w)
+    margin = F.coalesce("margin", F.lit(0))
+    pred = F.when(margin > 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        lab.join(mf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("label"),
+            margin.cast("long").alias("margin"),
+            pred.cast("int").alias("pred"),
+            F.when(pred == F.col("y"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("correct"),
+        )
+        .orderBy("doc_id")
+    )

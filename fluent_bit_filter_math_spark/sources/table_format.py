@@ -4076,12 +4076,86 @@ def tf_history(table_path: str) -> list[dict]:
     return out
 
 
+_PIN_DIR = "_pins"
+
+
+def tf_pin_snapshot(table_path: str, version: int | None = None) -> str:
+    """Durably pin the snapshot at *version* (default: head) against
+    VACUUM: a long-running reader registers its read version before
+    planning, and :func:`tf_vacuum` extends its retention down to the
+    oldest pin, so the reader's files survive until it unpins
+    (Iceberg's referenced-snapshot protection; the fix for VERDICT r14
+    #6 — retention alone let a vacuum delete files a running query had
+    already planned against). Returns the pin id. Pins are FILES under
+    the log (one tiny JSON each), so they protect across processes,
+    crash-orphaned pins are visible/inspectable, and creating one
+    never contends with commits."""
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    v = head if version is None else version
+    if not 0 <= v <= head:
+        raise ValueError(f"version {v} outside [0, {head}]")
+    pin_dir = os.path.join(table_path, _PIN_DIR)
+    os.makedirs(pin_dir, exist_ok=True)
+    pin_id = f"pin-{uuid.uuid4().hex[:12]}"
+    with open(os.path.join(pin_dir, f"{pin_id}.json"), "x") as f:
+        f.write(json.dumps({"version": v}))
+        f.flush()
+        os.fsync(f.fileno())
+    return pin_id
+
+
+def tf_unpin_snapshot(table_path: str, pin_id: str) -> None:
+    """Release a pin created by :func:`tf_pin_snapshot` (idempotent)."""
+    try:
+        os.remove(os.path.join(table_path, _PIN_DIR, f"{pin_id}.json"))
+    except FileNotFoundError:
+        pass
+
+
+def _pinned_versions(table_path: str) -> list[int]:
+    pin_dir = os.path.join(table_path, _PIN_DIR)
+    if not os.path.isdir(pin_dir):
+        return []
+    out = []
+    for f in os.listdir(pin_dir):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(pin_dir, f)) as fh:
+                out.append(int(json.load(fh)["version"]))
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn/foreign pin file: never a reason to delete
+    return sorted(out)
+
+
 def tf_vacuum(table_path: str, keep_from_version: int) -> list[str]:
     """Physically delete data files not live in ANY snapshot >=
     *keep_from_version* (retention cutoff). Time travel to vacuumed
     versions then fails at scan time — exactly Delta/Iceberg VACUUM /
-    expire_snapshots semantics. Returns the deleted relative paths."""
+    expire_snapshots semantics. Returns the deleted relative paths.
+
+    Two reader-safety guards (VERDICT r14 #6):
+
+    * retention is EXTENDED down to the oldest active snapshot pin
+      (:func:`tf_pin_snapshot`) — a pinned reader completes; an
+      unpinned reader holding a stale plan fails LOUDLY at scan time
+      on the missing file (``ignoreMissingFiles`` stays false), never
+      silently reads wrong data;
+    * ``keep_from_version`` beyond the head is refused — the old
+      behavior's empty keep-range would have deleted every live file
+      (Delta's retentionDurationCheck, version-addressed)."""
     head = latest_version(table_path)
+    if keep_from_version > head:
+        raise ValueError(
+            f"keep_from_version {keep_from_version} is beyond head "
+            f"{head}: this would vacuum every live file — pass a "
+            "committed version"
+        )
+    pins = _pinned_versions(table_path)
+    if pins:
+        keep_from_version = min(keep_from_version, pins[0])
     keep: set[str] = set()
     for v in range(max(0, keep_from_version), head + 1):
         _, live = _resolve_live(table_path, v)
