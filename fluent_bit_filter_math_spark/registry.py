@@ -67,6 +67,74 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
+    # --- round 15 rotation (composition from tools/green_age.py) ---
+    # 50-slot window = 7 never-checked r15 queries (persisted LSH
+    # band index, table-format protocol versioning, IVF drift monitor
+    # + retrain, streaming ANN ingest, quality classifier + the
+    # classified curation pipeline) + 21 changed-path re-verifies
+    # (every table-format query rides the new protocol gate, the
+    # append-path gate, and the merge-txn namespace; the persisted
+    # ANN family rides the _probe_cell_scans/_annp_probe refactor;
+    # the Jaccard/LSH dedup family rides the two-sided
+    # _verify_jaccard signature) + the 22-query head of the r7-era
+    # cohort (oldest driver greens in the corpus per green_age.py).
+    # tier 2a: new this round.
+    "dedup_incremental_persisted",
+    "io_table_format_protocol",
+    "io_table_format_bloom_skip",
+    "sim_ann_drift",
+    "sim_ann_retrain",
+    "stream_ann_ingest",
+    "text_quality_classifier",
+    "pipeline_curate_classified",
+    # tier 2b: changed-path re-verifies.
+    "io_table_format_update",
+    "io_table_format_delete",
+    "io_table_format_restore",
+    "io_table_format_merge",
+    "io_table_format_constraint",
+    "io_table_format_rename",
+    "io_table_format_cdf",
+    "io_table_format_snapshot",
+    "io_table_format_skipping",
+    "io_table_format_zorder_compact",
+    "io_table_format_add_column",
+    "io_table_format_widen_type",
+    "stream_table_format_cdf",
+    "stream_table_format_sink",
+    "stream_table_format_source",
+    "stream_cdf_apply_merge",
+    "sim_ann_persisted",
+    "sim_ann_persisted_pq",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_incremental",
+    # tier 3: r7-era queue head (alphabetical, 22).
+    "dedup_url_canonical",
+    "dq_volume_anomaly_days",
+    "emb_centroid_by_label",
+    "emb_norm_arrow",
+    "er_fuzzy_match_parts",
+    "fn_math_suite",
+    "graph_bfs_hops",
+    "graph_reach_recursive_cte",
+    "graph_triangle_count",
+    "io_schema_evolution",
+    "join_null_safe",
+    "layout_zorder_prune",
+    "mm_decode",
+    "mm_frame_sample",
+    "pipeline_dataset_card",
+    "pysink_fold_roundtrip",
+    "q12_late_priority",
+    "q13_order_distribution",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "rollup_incremental_refresh",
+    # (rollup_time_grains displaced past slot 50 by the late
+    # io_table_format_bloom_skip insertion — it heads the r16 queue)
+    # --- end of the 50-slot r15 window; earlier rotations follow as
+    # the overflow queue (already driver-green, benched every round) ---
     # --- round 14 rotation (composition from tools/green_age.py) ---
     # 50-slot window = 7 never-checked r14 queries (ADD/DROP COLUMN,
     # type widening,

@@ -34,6 +34,8 @@ chain, exactly like Delta/Iceberg metadata handling.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import uuid
@@ -388,11 +390,71 @@ def _file_stats(path: str) -> dict:
     return out
 
 
-def _stage(df: DataFrame, table_path: str) -> tuple[list[dict], str]:
+# ---------------------------------------------------------------------------
+# BLOOM-FILTER FILE SKIPPING (Delta's bloom filter index): min/max
+# stats cannot prune POINT LOOKUPS on high-cardinality columns (a
+# content hash's min/max spans the whole keyspace in every file), so
+# an add action may also carry a tiny per-column bloom filter. An
+# equality predicate whose value the bloom rules out prunes the file;
+# false positives only cost a scan, never correctness. ~10 bits/value
+# with k=7 hashes ≈ 1% fpp — Delta's default. From scratch: k md5-
+# derived bit positions, the repo's portable-hash discipline.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
+
+
+def _bloom_positions(value, m: int):
+    s = str(value)
+    for i in range(_BLOOM_K):
+        h = int(hashlib.md5(f"bf{i}:{s}".encode()).hexdigest()[:15], 16)
+        yield h % m
+
+
+def _bloom_build(values) -> dict:
+    vals = list(values)
+    m = max(64, _BLOOM_BITS_PER_VALUE * len(vals))
+    bits = bytearray((m + 7) // 8)
+    for v in vals:
+        if v is None:
+            continue  # NULL never matches an equality predicate
+        for pos in _bloom_positions(v, m):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode(),
+    }
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    try:
+        m = int(bloom["m"])
+        bits = base64.b64decode(bloom["b64"])
+    except (KeyError, ValueError, TypeError):
+        return True  # malformed bloom: never a reason to prune
+    return all(
+        bits[pos // 8] & (1 << (pos % 8))
+        for pos in _bloom_positions(value, m)
+    )
+
+
+def _stage(
+    df: DataFrame,
+    table_path: str,
+    bloom_columns: tuple[str, ...] = (),
+) -> tuple[list[dict], str]:
     """Write *df* as parquet under a fresh UUID subdir; return the
     staged ``add`` actions ({"path": rel, "stats": per-column min/max})
     and the schema DDL. Staged files are invisible until a commit
-    references them (readers never list)."""
+    references them (readers never list).
+
+    *bloom_columns*: columns to index with a per-file bloom filter,
+    stored INSIDE the column's stats entry so it rides add actions,
+    checkpoints, and restore commits with zero extra plumbing. The
+    column read here is a local single-column pyarrow scan of a file
+    this process just wrote; on a cluster the writer task builds the
+    bloom for the one file it writes, like the footer stats."""
     sub = f"data-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table_path, sub)
     df.write.parquet(out)
@@ -401,12 +463,16 @@ def _stage(df: DataFrame, table_path: str) -> tuple[list[dict], str]:
         if not f.endswith(".parquet"):
             continue
         rel = os.path.join(sub, f)
-        adds.append(
-            {
-                "path": rel,
-                "stats": _file_stats(os.path.join(table_path, rel)),
-            }
-        )
+        stats = _file_stats(os.path.join(table_path, rel))
+        for col in bloom_columns:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                os.path.join(table_path, rel), columns=[col]
+            )
+            bloom = _bloom_build(tbl.column(col).to_pylist())
+            stats.setdefault(col, {})["bloom"] = bloom
+        adds.append({"path": rel, "stats": stats})
     return adds, df.schema.simpleString()
 
 
@@ -565,24 +631,35 @@ def _commit_with_rebase(
             version = latest_version(table_path) + 1
 
 
-def tf_append(df: DataFrame, table_path: str, max_retries: int = 5) -> int:
+def tf_append(
+    df: DataFrame,
+    table_path: str,
+    max_retries: int = 5,
+    bloom_columns: tuple[str, ...] = (),
+) -> int:
     """Append *df* as a new commit; returns the committed version.
     Losing an optimistic-concurrency race to another writer rebases
     automatically (a blind append is order-independent) up to
-    *max_retries* times."""
+    *max_retries* times. *bloom_columns* additionally index the named
+    columns with per-file bloom filters for point-lookup skipping."""
     # blind appends skip snapshot resolution, so gate them here: a
     # writer that cannot READ a feature (column mapping, widening)
     # would stage physically-wrong files under it
     _check_protocol(table_path)
     _validate_constraints(df, table_path, "append")
     logical_df = df
+    mapping = tf_column_mapping(table_path)
     df = _to_physical_df(
         df,
-        tf_column_mapping(table_path),
+        mapping,
         _schema_ops(table_path)[1],
         _widened(table_path),
     )
-    add, schema = _stage(df, table_path)
+    add, schema = _stage(
+        df,
+        table_path,
+        tuple(mapping.get(c, c) for c in bloom_columns),
+    )
     read_version = latest_version(table_path)
     return _commit_with_rebase(
         table_path,
@@ -2042,7 +2119,17 @@ def _file_survives(stats: dict, predicates: list[tuple]) -> bool:
 
     for col, op, val in predicates:
         st = stats.get(col)
-        if not st or "min" not in st:
+        if not st:
+            continue
+        # bloom check first: it prunes point lookups min/max cannot
+        # (a content hash's min/max spans the keyspace in every file)
+        if (
+            op == "="
+            and "bloom" in st
+            and not _bloom_might_contain(st["bloom"], val)
+        ):
+            return False
+        if "min" not in st:
             continue
         lo, hi = st["min"], st["max"]
         # cross-type guard: stats harvested as str can't bound numbers
@@ -2070,10 +2157,13 @@ def tf_pruned_files(
     table_path: str,
     predicates: list[tuple],
     version: int | None = None,
+    ignore_bloom: bool = False,
 ) -> tuple[list[str], int]:
     """(surviving absolute file paths, total live file count) for a
     snapshot under *predicates* — the driver-side skipping decision,
-    O(live files) over the in-log stats, no file I/O."""
+    O(live files) over the in-log stats, no file I/O. *ignore_bloom*
+    answers "what would min/max stats alone keep?" — the lever tests
+    and in-query pins use to prove a bloom actually pruned."""
     for col, op, _ in predicates:
         if op not in _OPS:
             raise ValueError(f"unsupported skipping op {op!r} on {col}")
@@ -2083,10 +2173,19 @@ def tf_pruned_files(
         predicates, tf_column_mapping(table_path, version=v)
     )
     files, _, _ = _resolve(table_path, v)
+
+    def _eff(stats: dict) -> dict:
+        if not ignore_bloom:
+            return stats
+        return {
+            c: {k: x for k, x in st.items() if k != "bloom"}
+            for c, st in stats.items()
+        }
+
     kept = [
         os.path.join(table_path, rel)
         for rel, stats, _ in files
-        if _file_survives(stats, predicates)
+        if _file_survives(_eff(stats), predicates)
     ]
     return kept, len(files)
 
@@ -3434,6 +3533,83 @@ def io_table_format_protocol(
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "io_table_format_bloom_skip",
+    oracle="""
+    WITH tgt AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id IN (7, 23)
+    )
+    SELECT DISTINCT d.doc_id, d.n_chars
+    FROM documents d JOIN tgt ON md5(d.text) = tgt.h
+    ORDER BY d.doc_id
+    """,
+)
+def io_table_format_bloom_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BLOOM-FILTER FILE SKIPPING (Delta's bloom filter index): the
+    point-lookup pruning lever min/max stats cannot provide. The table
+    lands as six HASH-SPREAD chunks (doc_id % 6), so every file's
+    content-hash min/max spans essentially the whole md5 keyspace and
+    interval stats keep ALL files for any point lookup — pinned
+    in-query via tf_pruned_files(ignore_bloom=True). Each add action
+    carries a ~10-bit/value k=7 bloom over the hash column; the same
+    lookups then file-prune through the bloom (pinned in aggregate:
+    at least one lookup prunes at least one file — per-file false
+    positives are possible by design and only cost a scan). At 100 TB
+    this is the needle-in-haystack read: O(live files) driver-side
+    bit tests instead of scanning every file whose interval matches.
+    Reference analogue: none; Delta bloom filter indexes over the
+    JSON commit log."""
+    import pyspark.sql.functions as F
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h"), "n_chars"
+    )
+    base = scratch_dir("table-format-bloom")
+    tpath = os.path.join(base, "docs_bloom")
+    for i in range(6):
+        tf_append(
+            docs.filter(F.col("doc_id") % 6 == i).coalesce(1),
+            tpath,
+            bloom_columns=("h",),
+        )
+    # the two lookup keys: ≤2 driver-side scalars (the point-lookup
+    # client a vector/dedup store serves)
+    targets = sorted(
+        {
+            r["h"]
+            for r in docs.filter(
+                F.col("doc_id").isin([7, 23])
+            ).collect()
+        }
+    )
+    pruned_somewhere = False
+    out = None
+    for h in targets:
+        kept_nb, total = tf_pruned_files(
+            tpath, [("h", "=", h)], ignore_bloom=True
+        )
+        if len(kept_nb) != total:
+            raise RuntimeError(
+                "min/max stats unexpectedly pruned a random-md5 point "
+                f"lookup: {len(kept_nb)}/{total}"
+            )
+        kept, _ = tf_pruned_files(tpath, [("h", "=", h)])
+        if len(kept) < total:
+            pruned_somewhere = True
+        s = tf_scan(spark, tpath, [("h", "=", h)]).select(
+            "doc_id", "n_chars"
+        )
+        out = s if out is None else out.unionByName(s)
+    if not pruned_somewhere:
+        raise RuntimeError("no bloom pruned any file on any lookup")
+    return out.distinct().orderBy("doc_id")
 
 
 @register(

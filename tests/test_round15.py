@@ -600,3 +600,78 @@ class TestRound15NewQueries:
         assert all(r.doc_id in ok for r in sel)
         # and the rule-only pipeline still runs unchanged
         assert len(pipeline_curate_select(spark, sf_dir).collect()) > 0
+
+
+# ---------------------------------------------------------------------------
+# 9 — bloom-filter file skipping
+# ---------------------------------------------------------------------------
+class TestBloomSkipping:
+    def test_bloom_prunes_point_lookup_minmax_cannot(
+        self, tmp_path, spark
+    ):
+        t = str(tmp_path / "t")
+        # two files whose k ranges interleave: min/max spans both
+        tf.tf_append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(0, 100, 2)],
+                "k long, s string",
+            ).coalesce(1),
+            t,
+            bloom_columns=("s",),
+        )
+        tf.tf_append(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(1, 100, 2)],
+                "k long, s string",
+            ).coalesce(1),
+            t,
+            bloom_columns=("s",),
+        )
+        kept_nb, total = tf.tf_pruned_files(
+            t, [("s", "=", "v42")], ignore_bloom=True
+        )
+        assert len(kept_nb) == total == 2  # interval stats: no help
+        kept, _ = tf.tf_pruned_files(t, [("s", "=", "v42")])
+        assert len(kept) == 1  # the bloom rules out the odd file
+        got = tf.tf_scan(spark, t, [("s", "=", "v42")]).collect()
+        assert [(r.k, r.s) for r in got] == [(42, "v42")]
+
+    def test_bloom_never_prunes_a_present_value(self, tmp_path, spark):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.createDataFrame(
+                [(i, f"x{i}") for i in range(50)], "k long, s string"
+            ).coalesce(1),
+            t,
+            bloom_columns=("s",),
+        )
+        for i in (0, 17, 49):
+            kept, total = tf.tf_pruned_files(t, [("s", "=", f"x{i}")])
+            assert len(kept) == total == 1  # no false negatives, ever
+
+    def test_bloom_rides_checkpoint_and_restore(self, tmp_path, spark):
+        t = str(tmp_path / "t")
+        tf.tf_append(
+            spark.createDataFrame(
+                [(1, "only")], "k long, s string"
+            ).coalesce(1),
+            t,
+            bloom_columns=("s",),
+        )
+        v0 = tf.latest_version(t)
+        tf.tf_overwrite(
+            spark.createDataFrame([(2, "other")], "k long, s string"), t
+        )
+        tf.tf_restore(t, v0)  # re-adds v0's file + its stats
+        kept, total = tf.tf_pruned_files(t, [("s", "=", "absent")])
+        assert total == 1 and len(kept) == 0  # bloom survived restore
+
+    def test_null_values_never_set_bits(self):
+        b = tf._bloom_build(["a", None, "b"])
+        assert tf._bloom_might_contain(b, "a")
+        assert tf._bloom_might_contain(b, "b")
+        assert not tf._bloom_might_contain(b, "None")
+
+    def test_malformed_bloom_keeps_file(self):
+        assert tf._bloom_might_contain({"m": "junk"}, "x")
+        assert tf._bloom_might_contain({}, "x")
