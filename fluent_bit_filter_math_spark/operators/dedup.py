@@ -606,9 +606,16 @@ def dedup_incremental_persisted(
         )
         return _band_frame(sig, "doc_id")
 
-    # ---- index CREATION: the corpus is scanned ONCE, here ----
+    # ---- index CREATION: the corpus is scanned ONCE, here. The
+    # session's cached shingle index supplies the corpus arrays (the
+    # cache IS that one corpus scan, materialized); creation writes
+    # execute eagerly, so nothing of this reaches the probe plan ----
     corpus = docs.filter(F.col("source") != NEW_BATCH_SOURCE)
-    corpus_arrays = _doc_arrays(corpus)
+    corpus_arrays = (
+        _shingle_index(spark, sf_dir)[0]
+        .filter(F.col("source") != NEW_BATCH_SOURCE)
+        .select("doc_id", "sh")
+    )
     tf_append(
         _band_keys(corpus_arrays).repartitionByRange(
             n_bands, "band", "key"
