@@ -565,51 +565,50 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_incremental_persisted", oracle=_INCREMENTAL_ORACLE)
-def dedup_incremental_persisted(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+_LSH_N_BANDS = MINHASH_K // LSH_ROWS_PER_BAND
+
+
+def _lsh_doc_arrays(spark: SparkSession, side: DataFrame) -> DataFrame:
+    """Per-doc shingle arrays for one side (the heavy projection,
+    repartitioned first — the _docs_shingled discipline)."""
+    return (
+        side.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def _lsh_band_keys(arrays: DataFrame) -> DataFrame:
+    sig = arrays.select(
+        "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
+    )
+    return _band_frame(sig, "doc_id")
+
+
+def _lsh_index_create(spark: SparkSession, sf_dir: str, tag: str):
+    """Create the persisted MinHash-LSH corpus index: bands / hashes /
+    shingle-arrays as three commit-log tables. The corpus is scanned
+    ONCE, here; the session's cached shingle index supplies the corpus
+    arrays (the cache IS that one corpus scan, materialized); creation
+    writes execute eagerly, so nothing of this reaches any probe plan.
+    Returns (paths, creation versions) as two dicts keyed
+    bands/hashes/arrays."""
     import os
 
-    from fluent_bit_filter_math_spark.operators.similarity import (
-        _probe_cell_scans,
-    )
     from fluent_bit_filter_math_spark.scratch import scratch_dir
     from fluent_bit_filter_math_spark.sources.table_format import (
         latest_version,
         tf_append,
-        tf_history,
-        tf_read,
     )
 
-    n_bands = MINHASH_K // LSH_ROWS_PER_BAND
-    base = scratch_dir("lsh-band-index")
-    bands_path = os.path.join(base, "bands")
-    hashes_path = os.path.join(base, "hashes")
-    arrays_path = os.path.join(base, "arrays")
-
+    base = scratch_dir(tag)
+    paths = {
+        k: os.path.join(base, k) for k in ("bands", "hashes", "arrays")
+    }
     docs = table(spark, sf_dir, "documents")
-
-    def _doc_arrays(side: DataFrame) -> DataFrame:
-        return (
-            side.repartition(
-                spark.sparkContext.defaultParallelism, "doc_id"
-            )
-            .select("doc_id", tokens(F.col("text")).alias("toks"))
-            .select("doc_id", _shingles(F.col("toks")).alias("sh"))
-            .filter(F.size("sh") > 0)
-        )
-
-    def _band_keys(arrays: DataFrame) -> DataFrame:
-        sig = arrays.select(
-            "doc_id", F.array(*_minhash_sig(F.col("sh"))).alias("sig")
-        )
-        return _band_frame(sig, "doc_id")
-
-    # ---- index CREATION: the corpus is scanned ONCE, here. The
-    # session's cached shingle index supplies the corpus arrays (the
-    # cache IS that one corpus scan, materialized); creation writes
-    # execute eagerly, so nothing of this reaches the probe plan ----
     corpus = docs.filter(F.col("source") != NEW_BATCH_SOURCE)
     corpus_arrays = (
         _shingle_index(spark, sf_dir)[0]
@@ -617,37 +616,46 @@ def dedup_incremental_persisted(
         .select("doc_id", "sh")
     )
     tf_append(
-        _band_keys(corpus_arrays).repartitionByRange(
-            n_bands, "band", "key"
+        _lsh_band_keys(corpus_arrays).repartitionByRange(
+            _LSH_N_BANDS, "band", "key"
         ),
-        bands_path,
+        paths["bands"],
     )
     tf_append(
         corpus.select(F.md5("text").alias("h")).distinct().coalesce(1),
-        hashes_path,
+        paths["hashes"],
     )
     tf_append(
-        corpus_arrays.repartitionByRange(n_bands, "doc_id"), arrays_path
+        corpus_arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+        paths["arrays"],
     )
-    v_bands = latest_version(bands_path)
-    v_arrays = latest_version(arrays_path)
-    v_hashes = latest_version(hashes_path)
+    versions = {k: latest_version(p) for k, p in paths.items()}
+    return paths, versions
 
-    # ---- batch-side frames: the ONLY `documents` reads on the probe
-    # path, all under the pushed source = NEW_BATCH_SOURCE filter ----
-    batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
-    batch_arrays = _doc_arrays(batch)
-    batch_bands = _band_keys(batch_arrays)
-    batch_h = batch.select("doc_id", F.md5("text").alias("h"))
 
-    # ---- PROBE against the creation snapshot (corpus side = index
-    # tables only; per-band scans ride the in-log file pruning) ----
+def _lsh_probe(
+    spark: SparkSession,
+    paths: dict,
+    versions: dict,
+    batch_arrays: DataFrame,
+    batch_bands: DataFrame,
+    batch_h: DataFrame,
+) -> DataFrame:
+    """Probe one batch against the PINNED index snapshot (corpus side =
+    index tables only; per-band scans ride the in-log file pruning).
+    Returns the per-doc verdict frame (doc_id, is_exact_dup,
+    n_near_dups, keep)."""
+    from fluent_bit_filter_math_spark.operators.similarity import (
+        _probe_cell_scans,
+    )
+    from fluent_bit_filter_math_spark.sources.table_format import tf_read
+
     corp_bands = _probe_cell_scans(
         spark,
-        bands_path,
-        list(range(n_bands)),
+        paths["bands"],
+        list(range(_LSH_N_BANDS)),
         col="band",
-        version=v_bands,
+        version=versions["bands"],
     )
     a = batch_bands.alias("a")
     b = corp_bands.alias("b")
@@ -665,19 +673,21 @@ def dedup_incremental_persisted(
     )
     near = (
         _verify_jaccard(
-            cand, batch_arrays, tf_read(spark, arrays_path, v_arrays)
+            cand,
+            batch_arrays,
+            tf_read(spark, paths["arrays"], versions["arrays"]),
         )
         .groupBy("doc_a")
         .agg(F.count("*").alias("n_near_dups"))
         .withColumnRenamed("doc_a", "doc_id")
     )
-    corp_h = tf_read(spark, hashes_path, v_hashes).withColumn(
-        "exact_hit", F.lit(1)
-    )
+    corp_h = tf_read(
+        spark, paths["hashes"], versions["hashes"]
+    ).withColumn("exact_hit", F.lit(1))
     exact = batch_h.join(corp_h, "h", "left").select(
         "doc_id", F.coalesce("exact_hit", F.lit(0)).alias("is_exact_dup")
     )
-    out = (
+    return (
         exact.join(near, "doc_id", "left")
         .select(
             "doc_id",
@@ -695,25 +705,155 @@ def dedup_incremental_persisted(
         )
     )
 
+
+@register("dedup_incremental_persisted", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_history,
+    )
+
+    paths, versions = _lsh_index_create(spark, sf_dir, "lsh-band-index")
+    docs = table(spark, sf_dir, "documents")
+
+    # ---- batch-side frames: the ONLY `documents` reads on the probe
+    # path, all under the pushed source = NEW_BATCH_SOURCE filter ----
+    batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
+    batch_arrays = _lsh_doc_arrays(spark, batch)
+    batch_bands = _lsh_band_keys(batch_arrays)
+    batch_h = batch.select("doc_id", F.md5("text").alias("h"))
+
+    out = _lsh_probe(
+        spark, paths, versions, batch_arrays, batch_bands, batch_h
+    )
+
     # ---- INCREMENTAL MAINTENANCE: the batch joins the index — one
     # commit per table, cost ∝ batch, never a corpus rewrite ----
     tf_append(
-        batch_bands.repartitionByRange(n_bands, "band", "key"),
-        bands_path,
+        batch_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+        paths["bands"],
     )
-    head = tf_history(bands_path)[0]
-    if head["n_removed"] != 0 or head["n_added"] > n_bands:
+    head = tf_history(paths["bands"])[0]
+    if head["n_removed"] != 0 or head["n_added"] > _LSH_N_BANDS:
         raise RuntimeError(
             "band-index maintenance not batch-bounded: "
             f"{head['n_added']} added, {head['n_removed']} removed"
         )
-    tf_append(batch_h.select("h").distinct().coalesce(1), hashes_path)
     tf_append(
-        batch_arrays.repartitionByRange(n_bands, "doc_id"), arrays_path
+        batch_h.select("h").distinct().coalesce(1), paths["hashes"]
     )
-    if latest_version(bands_path) != v_bands + 1:
+    tf_append(
+        batch_arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+        paths["arrays"],
+    )
+    if latest_version(paths["bands"]) != versions["bands"] + 1:
         raise RuntimeError("band-index log shape unexpected")
     return out
+
+
+# ---------------------------------------------------------------------------
+# STREAMING DEDUP INGEST against the persisted band index — the dedup
+# twin of stream_ann_ingest, closing the symmetric lifecycle story:
+# BOTH persisted indexes (vectors and text) now take their batches
+# from streams exactly-once. Each micro-batch of new documents
+#   1. probes the CREATION-version index snapshot (batch-vs-corpus
+#      only — epochs never match each other, so the verdict set is
+#      split-invariant and equals dedup_incremental's oracle exactly),
+#   2. lands its verdicts in a results table with the epoch id as the
+#      txn (replay = version-preserving no-op),
+#   3. appends its own bands/hashes/arrays to the index under the SAME
+#      epoch txn id per table — index maintenance is exactly-once too.
+# Replay idempotence across all four tables is pinned in-query.
+# ---------------------------------------------------------------------------
+
+
+@register("stream_dedup_ingest", oracle=_INCREMENTAL_ORACLE)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append_batch,
+        tf_read,
+    )
+
+    paths, versions = _lsh_index_create(
+        spark, sf_dir, "lsh-stream-ingest"
+    )
+    results_path = os.path.join(
+        os.path.dirname(paths["bands"]), "results"
+    )
+
+    # ---- the batch arrives as a STREAM: 2 source files → 2 epochs
+    # (enough to prove cross-epoch exactly-once; each epoch runs a
+    # full probe + 4 commits, so epoch count is the cost knob) ----
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
+    base = scratch_dir("lsh-stream-src")
+    src = os.path.join(base, "src")
+    batch.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    epoch_ids: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        arrays = _lsh_doc_arrays(spark, batch_df)
+        bands = _lsh_band_keys(arrays)
+        h = batch_df.select("doc_id", F.md5("text").alias("h"))
+        verdicts = _lsh_probe(
+            spark, paths, versions, arrays, bands, h
+        )
+        tf_append_batch(verdicts, results_path, batch_id)
+        # index maintenance, exactly-once per table under the epoch id
+        tf_append_batch(
+            bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+            paths["bands"],
+            batch_id,
+        )
+        tf_append_batch(
+            h.select("h").distinct().coalesce(1),
+            paths["hashes"],
+            batch_id,
+        )
+        tf_append_batch(
+            arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+            paths["arrays"],
+            batch_id,
+        )
+        epoch_ids.append(int(batch_id))
+
+    (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not epoch_ids:
+        raise RuntimeError("the ingest stream produced no epochs")
+
+    # ---- replay-idempotence pin: re-running the last epoch must not
+    # move ANY of the four tables (the frames are never evaluated —
+    # the txn id short-circuits first) ----
+    heads = {
+        k: latest_version(p)
+        for k, p in {**paths, "results": results_path}.items()
+    }
+    noop = spark.createDataFrame([], "doc_id long")
+    for tpath in (results_path, *paths.values()):
+        if tf_append_batch(noop, tpath, epoch_ids[-1]) is not None:
+            raise RuntimeError("replayed epoch appended twice")
+    for k, p in {**paths, "results": results_path}.items():
+        if latest_version(p) != heads[k]:
+            raise RuntimeError(f"replay moved the {k} table head")
+    return tf_read(spark, results_path).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     # cohort (oldest driver greens in the corpus per green_age.py).
     # tier 2a: new this round.
     "dedup_incremental_persisted",
+    "stream_dedup_ingest",
     "io_table_format_protocol",
     "io_table_format_bloom_skip",
     "sim_ann_drift",
@@ -130,9 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "q13_order_distribution",
     "q20_part_promotion",
     "q21_waiting_supplier",
-    "rollup_incremental_refresh",
-    # (rollup_time_grains displaced past slot 50 by the late
-    # io_table_format_bloom_skip insertion — it heads the r16 queue)
+    # (rollup_incremental_refresh + rollup_time_grains displaced past
+    # slot 50 by the late io_table_format_bloom_skip and
+    # stream_dedup_ingest insertions — they head the r16 queue)
     # --- end of the 50-slot r15 window; earlier rotations follow as
     # the overflow queue (already driver-green, benched every round) ---
     # --- round 14 rotation (composition from tools/green_age.py) ---

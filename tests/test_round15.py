@@ -675,3 +675,24 @@ class TestBloomSkipping:
     def test_malformed_bloom_keeps_file(self):
         assert tf._bloom_might_contain({"m": "junk"}, "x")
         assert tf._bloom_might_contain({}, "x")
+
+
+# ---------------------------------------------------------------------------
+# 10 — streaming dedup ingest (the band-index twin of stream_ann_ingest)
+# ---------------------------------------------------------------------------
+class TestStreamDedupIngest:
+    def test_streamed_verdicts_equal_batch_variant(self, spark, sf_dir):
+        from fluent_bit_filter_math_spark.operators.dedup import (
+            dedup_incremental,
+            stream_dedup_ingest,
+        )
+
+        live = {
+            r.doc_id: (r.is_exact_dup, r.n_near_dups, r.keep)
+            for r in dedup_incremental(spark, sf_dir).collect()
+        }
+        streamed = {
+            r.doc_id: (r.is_exact_dup, r.n_near_dups, r.keep)
+            for r in stream_dedup_ingest(spark, sf_dir).collect()
+        }
+        assert streamed == live and len(streamed) > 0
