@@ -465,6 +465,8 @@ def _stage(
         rel = os.path.join(sub, f)
         stats = _file_stats(os.path.join(table_path, rel))
         for col in bloom_columns:
+            if col not in df.columns:
+                continue  # e.g. a rewrite that dropped the column
             import pyarrow.parquet as pq
 
             tbl = pq.read_table(
@@ -474,6 +476,29 @@ def _stage(
             stats.setdefault(col, {})["bloom"] = bloom
         adds.append({"path": rel, "stats": stats})
     return adds, df.schema.simpleString()
+
+
+def _live_bloom_columns(
+    table_path: str, version: int | None = None
+) -> tuple[str, ...]:
+    """Physical columns ANY live file blooms. Every rewrite path
+    (compact / merge / update images / overwrite) and every later
+    append re-indexes these, so OPTIMIZE or a trickle of writes can
+    never silently shed the table's point-lookup pruning — the bloom
+    property is TABLE-LEVEL once introduced, like Delta's bloom index
+    config. (Ignoring a bloom is always SAFE — performance only — so
+    this is not a protocol-versioned feature.)"""
+    head = latest_version(table_path)
+    if head < 0:
+        return ()
+    v = head if version is None else version
+    files, _, _ = _resolve(table_path, v)
+    cols: set[str] = set()
+    for _, stats, _ in files:
+        for c, st in stats.items():
+            if isinstance(st, dict) and "bloom" in st:
+                cols.add(c)
+    return tuple(sorted(cols))
 
 
 def _publish(
@@ -658,7 +683,12 @@ def tf_append(
     add, schema = _stage(
         df,
         table_path,
-        tuple(mapping.get(c, c) for c in bloom_columns),
+        tuple(
+            dict.fromkeys(
+                tuple(mapping.get(c, c) for c in bloom_columns)
+                + _live_bloom_columns(table_path)
+            )
+        ),
     )
     read_version = latest_version(table_path)
     return _commit_with_rebase(
@@ -696,7 +726,9 @@ def tf_overwrite(df: DataFrame, table_path: str) -> int:
         _schema_ops(table_path)[1],
         _widened(table_path),
     )
-    add, schema = _stage(df, table_path)
+    add, schema = _stage(
+        df, table_path, _live_bloom_columns(table_path)
+    )
     return _commit_with_rebase(
         table_path, add, remove, schema, "overwrite", read_version, 0
     )
@@ -1996,6 +2028,7 @@ def tf_update(
         add, schema = _stage(
             _to_physical_df(updated, mapping, dropped, widened),
             table_path,
+            _live_bloom_columns(table_path, read_version),
         )
     finally:
         matched.unpersist()
@@ -2519,7 +2552,9 @@ def tf_merge(
     _validate_constraints(
         _to_logical_df(merged, mapping), table_path, "merge"
     )
-    add, out_schema = _stage(merged, table_path)
+    add, out_schema = _stage(
+        merged, table_path, _live_bloom_columns(table_path, read_version)
+    )
     return (
         _commit_with_rebase(
             table_path,
@@ -3731,7 +3766,9 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
         _schema_ops(table_path)[1],
         _widened(table_path),
     )
-    add, schema = _stage(df, table_path)
+    add, schema = _stage(
+        df, table_path, _live_bloom_columns(table_path)
+    )
     version = latest_version(table_path) + 1
     payload = {
         "version": version,
@@ -3833,7 +3870,9 @@ def tf_compact(
         rewritten = snap.coalesce(max(1, n_files))
     # compaction is pure layout: every row was validated by the write
     # that introduced it, so no constraint pass here
-    add, schema = _stage(rewritten, table_path)
+    add, schema = _stage(
+        rewritten, table_path, _live_bloom_columns(table_path, head)
+    )
     version = head + 1
     _publish(table_path, version, add, remove, schema, "compact")
     try:

@@ -696,3 +696,41 @@ class TestStreamDedupIngest:
             for r in stream_dedup_ingest(spark, sf_dir).collect()
         }
         assert streamed == live and len(streamed) > 0
+
+
+class TestBloomTableLevelProperty:
+    def test_bloom_survives_every_rewrite_path(self, tmp_path, spark):
+        """Once a table blooms a column, compaction, merges, plain
+        appends, streaming appends, and overwrites all keep indexing
+        it — OPTIMIZE can never silently shed point-lookup pruning."""
+        t = str(tmp_path / "t")
+        mk = lambda lo, hi: spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "k long, s string"
+        ).coalesce(1)
+        tf.tf_append(mk(0, 40), t, bloom_columns=("s",))
+        tf.tf_append(mk(40, 80), t)  # no explicit param: inferred
+        assert tf._live_bloom_columns(t) == ("s",)
+        # a probe for an absent value prunes BOTH files via blooms
+        kept, total = tf.tf_pruned_files(t, [("s", "=", "absent")])
+        assert total == 2 and len(kept) == 0
+        # compaction rewrites everything — blooms must be rebuilt
+        tf.tf_compact(spark, t)
+        kept, total = tf.tf_pruned_files(t, [("s", "=", "absent")])
+        assert total == 1 and len(kept) == 0
+        kept, _ = tf.tf_pruned_files(t, [("s", "=", "v63")])
+        assert len(kept) == 1  # present values always kept
+        # a merge rewrite keeps the property too
+        ch = spark.createDataFrame(
+            [(63, "v63x", False)], "k long, s string, _delete boolean"
+        )
+        tf.tf_merge(spark, t, ch, "k")
+        assert tf._live_bloom_columns(t) == ("s",)
+        kept, total = tf.tf_pruned_files(t, [("s", "=", "absent")])
+        assert len(kept) == 0 and total >= 1
+        # streaming append inherits it as well
+        tf.tf_append_batch(mk(80, 90), t, batch_id=0)
+        assert tf._live_bloom_columns(t) == ("s",)
+        # overwrite replaces content but keeps the table-level property
+        tf.tf_overwrite(mk(0, 10), t)
+        kept, total = tf.tf_pruned_files(t, [("s", "=", "absent")])
+        assert total == 1 and len(kept) == 0
