@@ -857,6 +857,232 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CROSS-EPOCH streaming dedup ingest (VERDICT r15 #2) — the production
+# variant of stream_dedup_ingest: that query probes the CREATION-version
+# snapshot only, so two copies of the same new document arriving in two
+# different micro-batches both pass. Here each epoch probes the index
+# HEAD at epoch start = creation snapshot ∪ every earlier epoch's
+# appended bands/hashes/arrays (the version the previous epoch's
+# maintenance commit published), so an intra-stream duplicate is caught
+# in whichever epoch arrives SECOND — exactly once.
+#
+# The fixture has no duplicate pair inside the src0 batch at sf0.01, so
+# the straddling pair is CONSTRUCTED deterministically from fixture
+# data: epoch 0 is the src0 batch verbatim (all even doc_ids), epoch 1
+# is the same texts re-keyed to doc_id + _XE_OFFSET (odd, and far past
+# every fixture id so twin ids can never collide with a CORPUS doc_id
+# in the oracle's shared size table) — every
+# epoch-1 doc is an exact duplicate of its epoch-0 twin and a Jaccard-1
+# near-dup of it, none of which the creation snapshot contains. The
+# oracle is closed-form: even docs score against the corpus (the plain
+# incremental oracle); odd docs score against corpus ∪ the even batch.
+# Epoch order is pinned in-sink (epoch parity must match doc_id
+# parity — the query raises rather than silently drifting off the
+# oracle), and the twin-caught-exactly-once + replay-idempotence pins
+# run in-query. Replay safety holds even though the probe version is
+# the live head: tf_append_batch short-circuits on a committed epoch id
+# BEFORE the verdict frame is ever evaluated, so a replayed epoch can
+# never score against (or re-append) its own commits.
+# ---------------------------------------------------------------------------
+
+# odd (keeps the parity pin: twins land in epoch 1) and far beyond any
+# fixture doc_id at every SF, so the oracle's unioned size table never
+# mixes a twin's shingle count with a real corpus doc's
+_XE_OFFSET = 100_000_001
+
+_XEPOCH_ORACLE = f"""
+    WITH newdocs AS (
+      SELECT doc_id, text FROM documents WHERE source = '{NEW_BATCH_SOURCE}'
+    ),
+    ep2 AS (SELECT doc_id + {_XE_OFFSET} AS doc_id, text FROM newdocs),
+    corpus_hashes AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE source <> '{NEW_BATCH_SOURCE}'
+    ),
+    sh_corpus AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM documents
+      WHERE source <> '{NEW_BATCH_SOURCE}'
+    ),
+    sh_ep1 AS (
+      SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM documents
+      WHERE source = '{NEW_BATCH_SOURCE}'
+    ),
+    sh_ep2 AS (SELECT doc_id + {_XE_OFFSET} AS doc_id, s FROM sh_ep1),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM (
+        SELECT * FROM sh_corpus UNION ALL
+        SELECT * FROM sh_ep1 UNION ALL SELECT * FROM sh_ep2
+      ) GROUP BY doc_id
+    ),
+    pairs AS (
+      -- epoch 0 probes the corpus; epoch 1 probes corpus ∪ epoch 0
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh_ep1 a JOIN sh_corpus b ON a.s = b.s GROUP BY 1, 2
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, COUNT(*)
+      FROM sh_ep2 a
+      JOIN (SELECT * FROM sh_corpus UNION ALL SELECT * FROM sh_ep1) b
+        ON a.s = b.s
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_a AS doc_id, COUNT(*) AS n
+      FROM pairs
+      JOIN sizes sa ON pairs.doc_a = sa.doc_id
+      JOIN sizes sb ON pairs.doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)
+                >= {JACCARD_THRESHOLD}
+      GROUP BY doc_a
+    ),
+    verdict_base AS (
+      SELECT d.doc_id,
+             CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup
+      FROM newdocs d
+      LEFT JOIN corpus_hashes ch ON md5(d.text) = ch.h
+      UNION ALL
+      -- every odd doc's text is already in the index via its twin
+      SELECT d.doc_id, 1 AS is_exact_dup FROM ep2 d
+    )
+    SELECT v.doc_id,
+           v.is_exact_dup,
+           CAST(COALESCE(near.n, 0) AS BIGINT) AS n_near_dups,
+           CASE WHEN v.is_exact_dup = 0 AND COALESCE(near.n, 0) = 0
+                THEN 1 ELSE 0 END AS keep
+    FROM verdict_base v
+    LEFT JOIN near ON near.doc_id = v.doc_id
+    """
+
+
+@register("stream_dedup_ingest_xepoch", oracle=_XEPOCH_ORACLE)
+def stream_dedup_ingest_xepoch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import time
+
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append_batch,
+        tf_read,
+    )
+
+    paths, _ = _lsh_index_create(spark, sf_dir, "lsh-xepoch-ingest")
+    results_path = os.path.join(
+        os.path.dirname(paths["bands"]), "results"
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
+    twin = batch.select(
+        (F.col("doc_id") + _XE_OFFSET).alias("doc_id"),
+        *[c for c in batch.columns if c != "doc_id"],
+    ).select(*batch.columns)
+    base = scratch_dir("lsh-xepoch-src")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    # one flat file per epoch with PINNED mtimes: the file stream
+    # admits files in mtime order, so b0 (even ids) is epoch 0 and b1
+    # (odd twins) epoch 1 — the split the oracle encodes
+    now = time.time()
+    for name, df_ep, age in (("b0", batch, 60.0), ("b1", twin, 0.0)):
+        stage = os.path.join(base, f"stage-{name}")
+        df_ep.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dest = os.path.join(src, f"{name}.parquet")
+        os.rename(os.path.join(stage, part), dest)
+        os.utime(dest, (now - age, now - age))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    epoch_ids: list[int] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        parities = sorted(
+            r[0]
+            for r in batch_df.select(
+                (F.col("doc_id") % 2).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        if parities != [batch_id % 2]:
+            raise RuntimeError(
+                f"epoch {batch_id} carries doc parities {parities}: "
+                "the file-stream order drifted off the oracle's split"
+            )
+        # probe the index HEAD at epoch start: creation ∪ every
+        # earlier epoch's maintenance commits — the cross-epoch read
+        vnow = {k: latest_version(p) for k, p in paths.items()}
+        arrays = _lsh_doc_arrays(spark, batch_df)
+        bands = _lsh_band_keys(arrays)
+        h = batch_df.select("doc_id", F.md5("text").alias("h"))
+        verdicts = _lsh_probe(spark, paths, vnow, arrays, bands, h)
+        tf_append_batch(verdicts, results_path, batch_id)
+        tf_append_batch(
+            bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+            paths["bands"],
+            batch_id,
+        )
+        tf_append_batch(
+            h.select("h").distinct().coalesce(1),
+            paths["hashes"],
+            batch_id,
+        )
+        tf_append_batch(
+            arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+            paths["arrays"],
+            batch_id,
+        )
+        epoch_ids.append(int(batch_id))
+
+    (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if len(epoch_ids) != 2:
+        raise RuntimeError(
+            f"expected 2 ingest epochs, saw {epoch_ids}"
+        )
+
+    out = tf_read(spark, results_path)
+    # the straddling-duplicate pin: every odd (second-epoch) doc must
+    # be flagged exactly once — as an exact dup of its earlier twin —
+    # which the creation-snapshot-only variant can NEVER produce when
+    # its text is absent from the corpus
+    n_odd = out.filter(F.col("doc_id") % 2 == 1).count()
+    n_odd_caught = out.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("is_exact_dup") == 1)
+    ).count()
+    if n_odd == 0 or n_odd_caught != n_odd:
+        raise RuntimeError(
+            f"cross-epoch duplicates not caught: {n_odd_caught}/{n_odd}"
+        )
+
+    # replay-idempotence pin across all four tables (the epoch id
+    # short-circuits before any frame evaluation)
+    heads = {
+        k: latest_version(p)
+        for k, p in {**paths, "results": results_path}.items()
+    }
+    noop = spark.createDataFrame([], "doc_id long")
+    for tpath in (results_path, *paths.values()):
+        if tf_append_batch(noop, tpath, epoch_ids[-1]) is not None:
+            raise RuntimeError("replayed epoch appended twice")
+    for k, p in {**paths, "results": results_path}.items():
+        if latest_version(p) != heads[k]:
+            raise RuntimeError(f"replay moved the {k} table head")
+    return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash — 16-bit signature from per-token hash bit-planes.
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 16

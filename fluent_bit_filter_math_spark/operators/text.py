@@ -1995,3 +1995,308 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CLASSIFIER LIFECYCLE: convergence-stopped training + held-out eval
+# (VERDICT r15 #6). text_quality_classifier runs a FIXED 3 rounds; here
+# training EARLY-STOPS on the integer stop rule the data pins: after
+# each update round, ONE scalar (the misclassified count under the new
+# weights) reaches the driver, and the loop stops at the first round
+# that fails to improve it — keeping the previous (best-so-far)
+# weights. On non-separable hashed features the perceptron oscillates
+# rather than converging to zero, so no-improvement IS the convergence
+# event (the graph_pagerank_converged discipline: an integer scalar per
+# round, never a float tolerance). The stopping round is a pure
+# function of the data: the DuckDB oracle unrolls all _QCE_MAX_ROUNDS
+# rounds, rebuilds the per-round count sequence, and selects the SAME
+# stop round closed-form — training replays bitwise because every
+# quantity is an integer (aggregation-order-proof).
+#
+# Evaluation is leak-proof: weights train on sample_split_assign's
+# 'train' grid cells (hash-mod buckets < 800) and the confusion matrix
+# is computed ONLY on 'test' cells (>= 900) — doc_ids the trainer never
+# saw, by the same hash both engines share. Output: one row of exact
+# integer counts (tp/fp/fn/tn) plus precision/recall/F1 derived from
+# those ints with identical two-operand IEEE arithmetic in both
+# engines. Scale shape unchanged: the (doc, bucket, tf) matrix is
+# built once; each round is two broadcast-weight passes over it; eval
+# adds one map-side pass over the test rows.
+# ---------------------------------------------------------------------------
+_QCE_MAX_ROUNDS = 6
+
+
+def _qce_oracle() -> str:
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        SPLIT_KEY,
+        TRAIN_PERMILLE,
+        VAL_PERMILLE,
+    )
+
+    h = duck_hash60(f"'{_QC_SALT}' || t")
+    sh = duck_hash60(f"'{SPLIT_KEY}' || CAST(doc_id AS VARCHAR)")
+    R = _QCE_MAX_ROUNDS
+    sql = f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    coo AS MATERIALIZED (
+      SELECT doc_id, ({h}) % {_HV_D} AS bucket, COUNT(*) AS tf
+      FROM tok WHERE t <> '' GROUP BY 1, 2
+    ),
+    lab AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= {_QC_MIN_WORDS}
+                  THEN 1 ELSE -1 END AS y,
+             ({sh}) % 1000 AS cell
+      FROM documents
+    ),
+    tr AS MATERIALIZED (SELECT doc_id, y FROM lab WHERE cell < {TRAIN_PERMILLE}),
+    te AS MATERIALIZED (SELECT doc_id, y FROM lab WHERE cell >= {VAL_PERMILLE}),
+    w1 AS MATERIALIZED (
+      SELECT bucket, SUM(y * tf) AS w
+      FROM coo JOIN tr USING (doc_id) GROUP BY bucket
+    )"""
+    prev = "w1"
+    for r in range(2, R + 1):
+        sql += f""",
+    m{r} AS MATERIALIZED (
+      SELECT coo.doc_id, SUM({prev}.w * coo.tf) AS margin
+      FROM coo JOIN {prev} USING (bucket) GROUP BY coo.doc_id
+    ),
+    up{r} AS MATERIALIZED (
+      SELECT bucket, SUM(y * tf) AS dw
+      FROM coo
+      JOIN tr USING (doc_id)
+      JOIN m{r} USING (doc_id)
+      WHERE y * m{r}.margin <= 0
+      GROUP BY bucket
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT COALESCE({prev}.bucket, up{r}.bucket) AS bucket,
+             COALESCE({prev}.w, 0) + COALESCE(up{r}.dw, 0) AS w
+      FROM {prev} FULL JOIN up{r} ON {prev}.bucket = up{r}.bucket
+    )"""
+        prev = f"w{r}"
+    # per-round misclassified counts c_r = |{train docs: y·margin(w_r)
+    # <= 0}| (docs with no shared bucket have margin 0 → misclassified)
+    sql += f""",
+    m{R + 1} AS MATERIALIZED (
+      SELECT coo.doc_id, SUM(w{R}.w * coo.tf) AS margin
+      FROM coo JOIN w{R} USING (bucket) GROUP BY coo.doc_id
+    )"""
+    for r in range(1, R + 1):
+        sql += f""",
+    c{r} AS MATERIALIZED (
+      SELECT COUNT(*) AS n FROM tr
+      LEFT JOIN m{r + 1} USING (doc_id)
+      WHERE y * COALESCE(m{r + 1}.margin, 0) <= 0
+    )"""
+    counts_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, (SELECT n FROM c{r}) AS n"
+        for r in range(1, R + 1)
+    )
+    allw_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, bucket, w FROM w{r}" for r in range(1, R + 1)
+    )
+    sql += f""",
+    counts AS MATERIALIZED ({counts_union}),
+    stopr AS (
+      -- first round that fails to improve on its predecessor keeps
+      -- the predecessor; a monotone run keeps the last round
+      SELECT CAST(COALESCE(MIN(a.r) - 1, {R}) AS BIGINT) AS ru
+      FROM counts a JOIN counts b ON b.r = a.r - 1
+      WHERE a.n >= b.n
+    ),
+    allw AS MATERIALIZED ({allw_union}),
+    fw AS MATERIALIZED (
+      SELECT bucket, w FROM allw WHERE r = (SELECT ru FROM stopr)
+    ),
+    mt AS (
+      SELECT coo.doc_id, SUM(fw.w * coo.tf) AS margin
+      FROM coo JOIN fw USING (bucket)
+      JOIN te USING (doc_id) GROUP BY coo.doc_id
+    ),
+    ev AS (
+      SELECT te.y,
+             CASE WHEN COALESCE(mt.margin, 0) > 0 THEN 1 ELSE -1 END
+               AS pred
+      FROM te LEFT JOIN mt USING (doc_id)
+    ),
+    conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN y = -1 AND pred = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN y = 1 AND pred = -1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN y = -1 AND pred = -1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM ev
+    )
+    SELECT (SELECT ru FROM stopr) AS rounds_used,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_train,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS n_test,
+           tp, fp, fn, tn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)
+                END AS f1
+    FROM conf
+    """
+    return sql
+
+
+@register("text_classifier_eval", oracle=_qce_oracle())
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fluent_bit_filter_math_spark.operators.sampling import (
+        SPLIT_KEY,
+        TRAIN_PERMILLE,
+        VAL_PERMILLE,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).filter(F.col("t") != "")
+    coo = (
+        tok.select(
+            "doc_id",
+            F.pmod(
+                hash60(F.concat(F.lit(_QC_SALT), F.col("t"))),
+                F.lit(_HV_D),
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    cell = F.pmod(
+        hash60(
+            F.concat(F.lit(SPLIT_KEY), F.col("doc_id").cast("string"))
+        ),
+        F.lit(1000),
+    )
+    lab = docs.select(
+        "doc_id",
+        F.when(
+            F.size(tokens(F.col("text"))) >= _QC_MIN_WORDS, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("y"),
+        cell.alias("cell"),
+    )
+    tr = lab.filter(F.col("cell") < TRAIN_PERMILLE).select(
+        "doc_id", "y"
+    ).localCheckpoint(eager=True)
+    te = lab.filter(F.col("cell") >= VAL_PERMILLE).select("doc_id", "y")
+
+    def margins(wf: DataFrame) -> DataFrame:
+        return (
+            coo.join(F.broadcast(wf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("tf")).alias("margin"))
+        )
+
+    def n_mis(wf: DataFrame) -> int:
+        # the per-round stop scalar: ONE bounded integer to the driver
+        return (
+            tr.join(margins(wf), "doc_id", "left")
+            .filter(
+                F.col("y") * F.coalesce("margin", F.lit(0)) <= 0
+            )
+            .count()
+        )
+
+    w = (
+        coo.join(tr, "doc_id")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("y") * F.col("tf")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    best_mis = n_mis(w)
+    rounds_used = 1
+    for r in range(2, _QCE_MAX_ROUNDS + 1):
+        m = margins(w)
+        mis = (
+            tr.join(m, "doc_id", "left")
+            .filter(
+                F.col("y") * F.coalesce("margin", F.lit(0)) <= 0
+            )
+            .select("doc_id", "y")
+        )
+        dw = (
+            coo.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("tf")).alias("dw"))
+        )
+        w_new = (
+            w.join(dw, "bucket", "full")
+            .select(
+                "bucket",
+                (
+                    F.coalesce("w", F.lit(0))
+                    + F.coalesce("dw", F.lit(0))
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_mis = n_mis(w_new)
+        if new_mis >= best_mis:
+            break  # no improvement: keep the best-so-far weights
+        w, best_mis, rounds_used = w_new, new_mis, r
+
+    mt = (
+        coo.join(F.broadcast(w), "bucket")
+        .join(te.select("doc_id"), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("tf")).alias("margin"))
+    )
+    pred = F.when(
+        F.coalesce("margin", F.lit(0)) > 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    ev = te.join(mt, "doc_id", "left").select(
+        "y", pred.alias("pred")
+    )
+    conf = ev.agg(
+        F.sum(((F.col("y") == 1) & (F.col("pred") == 1)).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("y") == -1) & (F.col("pred") == 1)).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("y") == 1) & (F.col("pred") == -1)).cast("int"))
+        .cast("long")
+        .alias("fn"),
+        F.sum(((F.col("y") == -1) & (F.col("pred") == -1)).cast("int"))
+        .cast("long")
+        .alias("tn"),
+    )
+    n_train = tr.count()
+    n_test = te.count()
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    prec = F.when(tp + fp == 0, F.lit(0.0)).otherwise(
+        tp.cast("double") / (tp + fp)
+    )
+    rec = F.when(tp + fn == 0, F.lit(0.0)).otherwise(
+        tp.cast("double") / (tp + fn)
+    )
+    f1 = F.when(2 * tp + fp + fn == 0, F.lit(0.0)).otherwise(
+        (2 * tp).cast("double") / (2 * tp + fp + fn)
+    )
+    return conf.select(
+        F.lit(rounds_used).cast("long").alias("rounds_used"),
+        F.lit(n_train).cast("long").alias("n_train"),
+        F.lit(n_test).cast("long").alias("n_test"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -404,8 +404,30 @@ _BLOOM_BITS_PER_VALUE = 10
 _BLOOM_K = 7
 
 
-def _bloom_positions(value, m: int):
-    s = str(value)
+def _bloom_key(value) -> str:
+    """Canonical hash key: numerically-equal values of DIFFERENT
+    runtime types (int 7 / float 7.0 / bool True / Decimal('7')) must
+    hash to the SAME bit positions on both build and probe, or a typed
+    equality literal falsely prunes a file that holds matching rows —
+    violating the 'false positives only' contract (ADVICE r15 #1; the
+    min/max path already guards cross-type comparisons). Every numeric
+    funnels through repr(float(v)); collisions between DISTINCT huge
+    ints that round to the same float only cost a kept file, never a
+    wrong prune, because equal values always canonicalize equally."""
+    import decimal
+
+    if isinstance(value, bool):
+        value = int(value)
+    if isinstance(value, (int, float, decimal.Decimal)):
+        try:
+            return repr(float(value))
+        except (OverflowError, ValueError):
+            return str(value)
+    return str(value)
+
+
+def _bloom_positions(value, m: int, scheme: str = "n1"):
+    s = _bloom_key(value) if scheme == "n1" else str(value)
     for i in range(_BLOOM_K):
         h = int(hashlib.md5(f"bf{i}:{s}".encode()).hexdigest()[:15], 16)
         yield h % m
@@ -423,6 +445,10 @@ def _bloom_build(values) -> dict:
     return {
         "m": m,
         "k": _BLOOM_K,
+        # hash-scheme tag: probes of a bloom persisted BEFORE the
+        # numeric canonicalization fall back to the legacy str() key,
+        # so old index tables keep pruning instead of mis-pruning
+        "h": "n1",
         "b64": base64.b64encode(bytes(bits)).decode(),
     }
 
@@ -433,9 +459,14 @@ def _bloom_might_contain(bloom: dict, value) -> bool:
         bits = base64.b64decode(bloom["b64"])
     except (KeyError, ValueError, TypeError):
         return True  # malformed bloom: never a reason to prune
+    if len(bits) * 8 < m:
+        # truncated/corrupt payload: degrading to 'keep the file' is
+        # the guard's contract — never IndexError the read path
+        return True
+    scheme = bloom.get("h", "legacy")
     return all(
         bits[pos // 8] & (1 << (pos % 8))
-        for pos in _bloom_positions(value, m)
+        for pos in _bloom_positions(value, m, scheme)
     )
 
 
@@ -451,31 +482,55 @@ def _stage(
 
     *bloom_columns*: columns to index with a per-file bloom filter,
     stored INSIDE the column's stats entry so it rides add actions,
-    checkpoints, and restore commits with zero extra plumbing. The
-    column read here is a local single-column pyarrow scan of a file
-    this process just wrote; on a cluster the writer task builds the
-    bloom for the one file it writes, like the footer stats."""
+    checkpoints, and restore commits with zero extra plumbing. Blooms
+    are built EXECUTOR-SIDE (VERDICT r15 #3): one task per staged file
+    does the single-column scan of the file it owns — the cluster
+    shape where the writer that produced a file indexes it — and the
+    driver collects only the tiny (file, col) -> bloom dicts, never
+    re-reading staged data; wall time stays flat in file count. The
+    footer min/max harvest stays driver-side: it reads parquet FOOTERS
+    only (metadata, not data)."""
     sub = f"data-{uuid.uuid4().hex[:12]}"
     out = os.path.join(table_path, sub)
     df.write.parquet(out)
+    files = [
+        f for f in sorted(os.listdir(out)) if f.endswith(".parquet")
+    ]
+    bloom_cols = tuple(c for c in bloom_columns if c in df.columns)
+    blooms: dict[str, dict[str, dict]] = {}
+    if bloom_cols and files:
+        sc = df.sparkSession.sparkContext
+        paths = [os.path.join(table_path, sub, f) for f in files]
+        built = sc.parallelize(paths, len(paths)).map(
+            _file_bloom_builder(bloom_cols)
+        ).collect()
+        blooms = {os.path.basename(p): b for p, b in built}
     adds = []
-    for f in sorted(os.listdir(out)):
-        if not f.endswith(".parquet"):
-            continue
+    for f in files:
         rel = os.path.join(sub, f)
         stats = _file_stats(os.path.join(table_path, rel))
-        for col in bloom_columns:
-            if col not in df.columns:
-                continue  # e.g. a rewrite that dropped the column
-            import pyarrow.parquet as pq
-
-            tbl = pq.read_table(
-                os.path.join(table_path, rel), columns=[col]
-            )
-            bloom = _bloom_build(tbl.column(col).to_pylist())
+        for col, bloom in blooms.get(f, {}).items():
             stats.setdefault(col, {})["bloom"] = bloom
         adds.append({"path": rel, "stats": stats})
     return adds, df.schema.simpleString()
+
+
+def _file_bloom_builder(bloom_cols: tuple[str, ...]):
+    """Per-file bloom task body (runs on executors): read each indexed
+    column of ONE staged file through pyarrow — the same read path the
+    driver-side build used, so the bloom bytes are identical — and
+    return the small (path, {col: bloom}) pair."""
+
+    def _build(path: str):
+        import pyarrow.parquet as pq
+
+        out = {}
+        for col in bloom_cols:
+            tbl = pq.read_table(path, columns=[col])
+            out[col] = _bloom_build(tbl.column(col).to_pylist())
+        return path, out
+
+    return _build
 
 
 def _live_bloom_columns(
@@ -672,13 +727,19 @@ def tf_append(
     # would stage physically-wrong files under it
     _check_protocol(table_path)
     _validate_constraints(df, table_path, "append")
+    # pin ALL metadata reads to the version sampled BEFORE staging:
+    # sampling read_version after the stage left a window where a
+    # rename/schema commit could land with version <= read_version and
+    # escape the interleave scan in _commit_with_rebase — physically
+    # stale files committing silently (ADVICE r15 #2, TOCTOU)
+    read_version = latest_version(table_path)
     logical_df = df
-    mapping = tf_column_mapping(table_path)
+    mapping = tf_column_mapping(table_path, version=read_version)
     df = _to_physical_df(
         df,
         mapping,
-        _schema_ops(table_path)[1],
-        _widened(table_path),
+        _schema_ops(table_path, read_version)[1],
+        _widened(table_path, read_version),
     )
     add, schema = _stage(
         df,
@@ -686,11 +747,10 @@ def tf_append(
         tuple(
             dict.fromkeys(
                 tuple(mapping.get(c, c) for c in bloom_columns)
-                + _live_bloom_columns(table_path)
+                + _live_bloom_columns(table_path, version=read_version)
             )
         ),
     )
-    read_version = latest_version(table_path)
     return _commit_with_rebase(
         table_path,
         add,
@@ -3718,19 +3778,25 @@ def io_table_format_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _committed_txn_ids(table_path: str, id_key: str) -> set[int]:
+def _committed_txn_ids(
+    table_path: str, id_key: str, action: str | None = None
+) -> set[int]:
     """Incrementally-maintained set of txn ids recorded under *id_key*
-    in the log. Append epochs (``batch_id``) and merge txns
-    (``merge_txn_id``) live in SEPARATE namespaces: a table fed by both
-    foreachBatch appends (epoch ids 0,1,2,...) and CDF merges keyed by
-    bronze versions must never no-op a legitimate merge whose id
-    happens to collide with a prior append epoch (ADVICE r14 #2)."""
-    key = (os.path.abspath(table_path), id_key)
+    in the log (optionally only on commits whose ``action`` matches).
+    Append epochs (``batch_id``) and merge txns (``merge_txn_id``) live
+    in SEPARATE namespaces: a table fed by both foreachBatch appends
+    (epoch ids 0,1,2,...) and CDF merges keyed by bronze versions must
+    never no-op a legitimate merge whose id happens to collide with a
+    prior append epoch (ADVICE r14 #2)."""
+    key = (os.path.abspath(table_path), id_key, action)
     start, seen = _BATCH_ID_CACHE.get(key, (0, set()))
     head = latest_version(table_path)
     for v in range(start, head + 1):
         with open(_log_path(table_path, v)) as f:
-            b = json.load(f).get(id_key)
+            commit = json.load(f)
+        if action is not None and commit.get("action") != action:
+            continue
+        b = commit.get(id_key)
         if b is not None:
             seen.add(int(b))
     _BATCH_ID_CACHE[key] = (head + 1, seen)
@@ -3745,8 +3811,15 @@ def committed_batch_ids(table_path: str) -> set[int]:
 
 def committed_merge_txn_ids(table_path: str) -> set[int]:
     """Merge replay guard: txn ids of idempotent MERGEs already in the
-    log — a namespace disjoint from append epoch ids."""
-    return _committed_txn_ids(table_path, "merge_txn_id")
+    log — a namespace disjoint from append epoch ids. Transition rule
+    (ADVICE r15 #5): merges committed BEFORE the namespace split
+    recorded their id under ``batch_id`` on the merge commit itself;
+    those ids stay replay-protected by unioning in batch_ids that ride
+    commits whose action is 'merge' (append epochs are untouched — the
+    action filter keeps the namespaces disjoint)."""
+    return _committed_txn_ids(table_path, "merge_txn_id") | (
+        _committed_txn_ids(table_path, "batch_id", action="merge")
+    )
 
 
 def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None:
@@ -3760,36 +3833,37 @@ def tf_append_batch(df: DataFrame, table_path: str, batch_id: int) -> int | None
         return None
     _check_protocol(table_path)  # the tf_append gate, same reason
     _validate_constraints(df, table_path, "streaming append")
+    # metadata pinned to a pre-stage read_version + the rebase commit
+    # path: the tf_append TOCTOU fix (ADVICE r15 #2) applies here too,
+    # and the rebase's interleave scan now refuses a schema/rename
+    # commit landing between staging and publish instead of silently
+    # committing physically-stale epoch files
+    read_version = latest_version(table_path)
+    logical_df = df
     df = _to_physical_df(
         df,
-        tf_column_mapping(table_path),
-        _schema_ops(table_path)[1],
-        _widened(table_path),
+        tf_column_mapping(table_path, version=read_version),
+        _schema_ops(table_path, read_version)[1],
+        _widened(table_path, read_version),
     )
     add, schema = _stage(
-        df, table_path, _live_bloom_columns(table_path)
+        df,
+        table_path,
+        _live_bloom_columns(table_path, version=read_version),
     )
-    version = latest_version(table_path) + 1
-    payload = {
-        "version": version,
-        "action": "append",
-        "add": add,
-        "remove": [],
-        "schema": schema,
-        "batch_id": int(batch_id),
-    }
-    os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
-    try:
-        with open(_log_path(table_path, version), "x") as f:
-            f.write(json.dumps(payload, sort_keys=True))
-            f.flush()
-            os.fsync(f.fileno())
-    except FileExistsError as exc:
-        raise CommitConflict(
-            f"version {version} already committed"
-        ) from exc
-    _maybe_checkpoint(table_path, version)
-    return version
+    return _commit_with_rebase(
+        table_path,
+        add,
+        [],
+        schema,
+        "append",
+        read_version,
+        max_retries=5,
+        revalidate=lambda: _validate_constraints(
+            logical_df, table_path, "streaming append (rebased)"
+        ),
+        extra={"batch_id": int(batch_id)},
+    )
 
 
 def tf_compact(
