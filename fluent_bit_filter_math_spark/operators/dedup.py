@@ -1083,6 +1083,123 @@ def stream_dedup_ingest_xepoch(
 
 
 # ---------------------------------------------------------------------------
+# INDEX-TABLE MAINTENANCE on the LSH band index itself (VERDICT r15
+# #4): the persisted postings grow one commit per ingested batch
+# forever, so a real deployment periodically compacts them — and until
+# now nothing proved a probe SURVIVES that. This query walks the full
+# lifecycle ON the index tables: create → probe → compact (sort-
+# clustered on the probe key, so the rewrite RESTORES the per-band
+# file pruning) → vacuum (creation files physically reclaimed) →
+# checkpoint → probe again at the compacted head. Pins, all in-query:
+#   * the compacted bands table still FILE-PRUNES every probed band
+#     (kept < total via the in-log stats — the whole point of
+#     clustering the rewrite on (band, key));
+#   * vacuum physically removed at least one pre-compact file, and
+#     the post-vacuum probe never touches a reclaimed path;
+#   * the post-maintenance probe is ROW-IDENTICAL to the pre-compact
+#     probe (compaction is pure layout — verified with a two-sided
+#     exceptAll over the bounded verdict frames);
+#   * maintenance appends stay batch-bounded AFTER the compaction.
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_index_maintenance", oracle=_INCREMENTAL_ORACLE)
+def dedup_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_compact,
+        tf_history,
+        tf_pruned_files,
+        tf_vacuum,
+    )
+
+    paths, versions = _lsh_index_create(
+        spark, sf_dir, "lsh-index-maint"
+    )
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
+    batch_arrays = _lsh_doc_arrays(spark, batch).localCheckpoint(
+        eager=True
+    )
+    batch_bands = _lsh_band_keys(batch_arrays)
+    batch_h = batch.select("doc_id", F.md5("text").alias("h"))
+
+    before = (
+        _lsh_probe(
+            spark, paths, versions, batch_arrays, batch_bands, batch_h
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- COMPACT each index table, clustered on its probe key so the
+    # rewrite keeps (restores) the pruning layout ----
+    tf_compact(
+        spark, paths["bands"], cluster_by=("band", "key"),
+        n_files=_LSH_N_BANDS,
+    )
+    tf_compact(spark, paths["hashes"], n_files=1)
+    tf_compact(
+        spark, paths["arrays"], cluster_by=("doc_id",),
+        n_files=_LSH_N_BANDS,
+    )
+
+    # ---- VACUUM: creation-era files are dead post-compact; reclaim
+    # them and pin that something was actually deleted ----
+    removed = 0
+    for p in paths.values():
+        removed += len(tf_vacuum(p, latest_version(p)))
+    if removed == 0:
+        raise RuntimeError(
+            "vacuum after compaction reclaimed nothing — the walk "
+            "did not exercise file deletion"
+        )
+
+    # ---- probe pruning survives the rewrite: every probed band keeps
+    # a strict subset of the compacted files ----
+    vnow = {k: latest_version(p) for k, p in paths.items()}
+    for band in range(_LSH_N_BANDS):
+        kept, total = tf_pruned_files(
+            paths["bands"], [("band", "=", band)], version=vnow["bands"]
+        )
+        if total > 1 and len(kept) >= total:
+            raise RuntimeError(
+                f"band {band} probe does not file-prune after "
+                f"compaction ({len(kept)}/{total} files kept)"
+            )
+
+    after = _lsh_probe(
+        spark, paths, vnow, batch_arrays, batch_bands, batch_h
+    ).localCheckpoint(eager=True)
+    # compaction is pure layout: byte-identical verdicts
+    if (
+        before.exceptAll(after).count() != 0
+        or after.exceptAll(before).count() != 0
+    ):
+        raise RuntimeError(
+            "probe output changed across compact+vacuum"
+        )
+
+    # ---- maintenance stays batch-bounded on the compacted table ----
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        tf_append,
+    )
+
+    tf_append(
+        batch_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+        paths["bands"],
+    )
+    head = tf_history(paths["bands"])[0]
+    if head["n_removed"] != 0 or head["n_added"] > _LSH_N_BANDS:
+        raise RuntimeError(
+            "post-compact maintenance not batch-bounded: "
+            f"{head['n_added']} added, {head['n_removed']} removed"
+        )
+    return after
+
+
+# ---------------------------------------------------------------------------
 # SimHash — 16-bit signature from per-token hash bit-planes.
 # ---------------------------------------------------------------------------
 _SIMHASH_BITS = 16

@@ -2500,6 +2500,102 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# INDEX-TABLE MAINTENANCE on the persisted IVF index (VERDICT r15 #4,
+# the ANN twin of dedup_index_maintenance): ingest → compact the
+# postings sort-clustered on `cell` (the probe key) → vacuum the
+# pre-compact generations → checkpoint → probe again. Pins, in-query:
+# every centroid cell still file-prunes on the compacted layout
+# (kept < total via in-log stats), vacuum physically reclaimed files,
+# and the post-maintenance probe is row-identical to the pre-compact
+# probe (compaction is pure layout).
+# ---------------------------------------------------------------------------
+
+
+@register("sim_ann_maintenance", oracle=_ANNP_ORACLE)
+def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_compact,
+        tf_pruned_files,
+        tf_read,
+        tf_vacuum,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = scratch_dir("ann-maint")
+    cent_path = os.path.join(base, "centroids")
+    post_path = os.path.join(base, "postings")
+
+    # creation + incremental maintenance (the sim_ann_persisted walk)
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    h = hash60(
+        F.concat(F.lit(_ANNP_SALT), F.col("vec_id").cast("string"))
+    )
+    cent = (
+        initial.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"))
+    )
+    tf_append(cent.coalesce(1), cent_path)
+    pcent = tf_read(spark, cent_path)
+    tf_append(
+        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    increment = emb.filter(F.col("vec_id") % 4 == 0)
+    tf_append(
+        _assign_cells(increment, pcent).repartitionByRange(
+            IVF_K, "cell"
+        ),
+        post_path,
+    )
+
+    before = _annp_probe(spark, cent_path, post_path).localCheckpoint(
+        eager=True
+    )
+
+    # compact the postings clustered on the probe key; vacuum both
+    # tables down to the compacted generation
+    tf_compact(
+        spark, post_path, cluster_by=("cell",), n_files=IVF_K
+    )
+    removed = len(tf_vacuum(post_path, latest_version(post_path)))
+    removed += len(tf_vacuum(cent_path, latest_version(cent_path)))
+    if removed == 0:
+        raise RuntimeError(
+            "vacuum after postings compaction reclaimed nothing"
+        )
+
+    # pruning survives the rewrite for EVERY cell
+    cids = sorted(r["cid"] for r in pcent.select("cid").collect())
+    for cid in cids:
+        kept, total = tf_pruned_files(post_path, [("cell", "=", cid)])
+        if total > 1 and len(kept) >= total:
+            raise RuntimeError(
+                f"cell {cid} probe does not file-prune after "
+                f"compaction ({len(kept)}/{total} files kept)"
+            )
+
+    after = _annp_probe(spark, cent_path, post_path).localCheckpoint(
+        eager=True
+    )
+    if (
+        before.exceptAll(after).count() != 0
+        or after.exceptAll(before).count() != 0
+    ):
+        raise RuntimeError(
+            "ANN probe output changed across compact+vacuum"
+        )
+    return after
+
+
+# ---------------------------------------------------------------------------
 # PERSISTED IVF+PQ (the composed FAISS-style index, persisted): the
 # r14 persisted-IVF tables grow the PQ layer — THREE commit-log
 # tables: centroids (frozen at creation from the initial batch),
@@ -3268,6 +3364,390 @@ def sim_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+# ---------------------------------------------------------------------------
+# PQ CODEBOOK RETRAIN (VERDICT r15 #7), composing with sim_ann_retrain:
+# that query retrains IVF centroids only — the persisted IVF-PQ index
+# keeps its creation-time codebooks forever, so ADC quantization error
+# drifts as the data does. Here the CODEBOOKS retrain from the
+# postings' stored vectors (the corpus table is never rescanned):
+# re-pick PQ_K codebook seeds from the postings under a retrain salt,
+# RENUMBER codes 0..PQ_K-1 (the positional contract _pq_adc's decode
+# indexing requires), re-encode every posting map-side against the new
+# broadcast codebook row, and publish codebooks + postings + the
+# one-row manifest in ONE atomic swap (the sim_ann_retrain rule: a
+# concurrent probe resolves the manifest once and sees the old pair or
+# the new pair, never new codes under old codebooks). Cells and
+# centroids are untouched — this is the codebook half of the index
+# lifecycle, orthogonal to the centroid half.
+#
+# Gated output: per-query ADC-vs-exact AGREEMENT@K before vs after —
+# |ADC top-K ∩ exact-cosine top-K| within the probed cells, integer-
+# exact in both engines (the 'does the compressed ranking still agree
+# with the exact one' number a codebook retrain exists to improve).
+# ---------------------------------------------------------------------------
+_ANNRPQ_SALT = "annrpq:"
+
+
+def _annr_pq_oracle() -> str:
+    from fluent_bit_filter_math_spark.functions import duck_hash60
+
+    h = (
+        "CAST('0x' || substr(md5('"
+        + _ANNP_SALT
+        + "' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    )
+    hr = duck_hash60(
+        f"'{_ANNRPQ_SALT}' || CAST(vec_id AS VARCHAR)"
+    )
+    enc_dist = (
+        f"list_aggregate(list_transform(range(1, {PQ_SUB + 1}), "
+        f"i -> (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i]) "
+        f"* (e.v[cb.m * {PQ_SUB} + i] - cb.sub[i])), 'sum')"
+    )
+
+    def codes_cte(cb: str) -> str:
+        code_cols = ", ".join(
+            f"MAX(CASE WHEN m = {m} THEN code END) AS code{m}"
+            for m in range(PQ_M)
+        )
+        return f"""(
+      SELECT vec_id, {code_cols} FROM (
+        SELECT e.vec_id, cb.m, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, cb.m
+                                  ORDER BY {enc_dist}, cb.code) AS rn
+        FROM emb e CROSS JOIN {cb} cb
+      ) WHERE rn = 1 GROUP BY vec_id
+    )"""
+
+    def adc_cte(cb: str, codes: str) -> str:
+        adc = " + ".join(
+            f"{_pq_duck_sq('qv.v', m * PQ_SUB, f'd{m}.sub')}"
+            for m in range(PQ_M)
+        )
+        dec_joins = " ".join(
+            f"JOIN {cb} d{m} ON d{m}.m = {m} AND d{m}.code = c.code{m}"
+            for m in range(PQ_M)
+        )
+        return f"""(
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {adc}, c.vec_id) AS rn
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
+        JOIN {codes} c ON c.vec_id = a.vec_id
+        JOIN emb qv ON qv.vec_id = p.query_id
+        {dec_joins}
+        WHERE c.vec_id <> p.query_id
+      ) WHERE rn <= {TOP_K}
+    )"""
+
+    return f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+      SELECT vec_id AS cid, embedding FROM embeddings
+      WHERE vec_id % 4 <> 0
+      ORDER BY {h}, vec_id LIMIT {IVF_K}
+    ),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(
+                     v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings v, cent c
+      ) WHERE rn = 1
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT m, vec_id AS code,
+             v[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sub
+      FROM emb, UNNEST(range(0, {PQ_M})) t(m)
+      WHERE vec_id < {PQ_K}
+    ),
+    nseed AS MATERIALIZED (
+      SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY {hr}, vec_id) - 1
+               AS code
+      FROM emb QUALIFY code < {PQ_K}
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT m, code, v[m * {PQ_SUB} + 1 : (m + 1) * {PQ_SUB}] AS sub
+      FROM nseed, UNNEST(range(0, {PQ_M})) t(m)
+    ),
+    codes0 AS MATERIALIZED {codes_cte("cb0")},
+    codes1 AS MATERIALIZED {codes_cte("cb1")},
+    probes AS MATERIALIZED (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                     c.cid
+               ) AS rn
+        FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    res0 AS MATERIALIZED {adc_cte("cb0", "codes0")},
+    res1 AS MATERIALIZED {adc_cte("cb1", "codes1")},
+    truth AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(
+                     qv.v, e2.v) DESC, a.vec_id) AS rn
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
+        JOIN emb e2 ON e2.vec_id = a.vec_id
+        JOIN emb qv ON qv.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rn <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(SUM(CASE WHEN r0.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits_old,
+           CAST(SUM(CASE WHEN r1.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS hits_new
+    FROM truth t
+    LEFT JOIN res0 r0
+      ON r0.query_id = t.query_id AND r0.neighbor_id = t.neighbor_id
+    LEFT JOIN res1 r1
+      ON r1.query_id = t.query_id AND r1.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id ORDER BY t.query_id
+    """
+
+
+@register("sim_ann_retrain_pq", oracle=_annr_pq_oracle())
+def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from fluent_bit_filter_math_spark.functions import hash60
+    from fluent_bit_filter_math_spark.scratch import scratch_dir
+    from fluent_bit_filter_math_spark.sources.table_format import (
+        latest_version,
+        tf_append,
+        tf_overwrite,
+        tf_read,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    base = scratch_dir("ann-retrain-pq")
+    cent_path = os.path.join(base, "centroids")
+    cb_path = os.path.join(base, "codebooks")
+    post_path = os.path.join(base, "postings")
+    man_path = os.path.join(base, "manifest")
+
+    # ---- creation: centroids + v0 codebooks (seed rows, code=vec_id)
+    initial = emb.filter(F.col("vec_id") % 4 != 0)
+    h = hash60(
+        F.concat(F.lit(_ANNP_SALT), F.col("vec_id").cast("string"))
+    )
+    cent = (
+        initial.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"))
+    )
+    tf_append(cent.coalesce(1), cent_path)
+    pcent = tf_read(spark, cent_path)
+    seeds = emb.filter(F.col("vec_id") < PQ_K)
+    cb_long = None
+    for m in range(PQ_M):
+        part = seeds.select(
+            F.lit(m).alias("m"),
+            F.col("vec_id").alias("code"),
+            F.transform(
+                _pq_sub(F.col("embedding"), m),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+        cb_long = part if cb_long is None else cb_long.unionAll(part)
+    cb_v0 = tf_overwrite(cb_long.coalesce(1), cb_path)
+
+    def _cb_row(version: int):
+        pcb = tf_read(spark, cb_path, version)
+        return pcb.agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("m") == m,
+                            F.struct(
+                                F.col("code").alias("code"),
+                                F.col("sub").alias("sub"),
+                            ),
+                        )
+                    )
+                ).alias(f"cb{m}")
+                for m in range(PQ_M)
+            ]
+        )
+
+    enc0 = _pq_encode(
+        _assign_cells(emb, pcent).crossJoin(
+            F.broadcast(_cb_row(cb_v0))
+        )
+    )
+    post_v0 = tf_overwrite(
+        enc0.select(
+            "cell",
+            "vec_id",
+            *(f"code{m}" for m in range(PQ_M)),
+            "embedding",
+        ).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    tf_append(
+        spark.createDataFrame(
+            [(cb_v0, post_v0)], "cb_v long, post_v long"
+        ),
+        man_path,
+    )
+    m0 = latest_version(man_path)
+
+    # the probe routing is centroid-only — identical before/after
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cid")
+    )
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(pcent))
+        .select(
+            "query_id",
+            "qe",
+            "cid",
+            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+        )
+        .select(
+            "query_id", "qe", F.col("cid").alias("cell"),
+            F.row_number().over(wp).alias("prn"),
+        )
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .drop("prn")
+    )
+
+    def agreement(man_version: int) -> DataFrame:
+        """|ADC top-K ∩ exact top-K| per query against the manifest-
+        pinned (codebooks, postings) pair — resolved ONCE, the
+        atomic-swap read contract."""
+        man = tf_read(spark, man_path, man_version).collect()[0]
+        posts = tf_read(spark, post_path, int(man["post_v"]))
+        cbr = _cb_row(int(man["cb_v"]))
+        cand = (
+            F.broadcast(probes)
+            .join(posts, "cell")
+            .filter(F.col("vec_id") != F.col("query_id"))
+        )
+        w_adc = Window.partitionBy("query_id").orderBy(
+            "adc_d", "vec_id"
+        )
+        res = (
+            cand.crossJoin(F.broadcast(cbr))
+            .withColumn("adc_d", _pq_adc("qe"))
+            .withColumn("rn", F.row_number().over(w_adc))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        w_ex = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("vec_id")
+        )
+        truth = (
+            cand.withColumn(
+                "cos", cosine(F.col("qe"), F.col("embedding"))
+            )
+            .withColumn("rn", F.row_number().over(w_ex))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        return (
+            truth.join(
+                res.withColumn("hit", F.lit(1)),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("long")
+                .alias("hits")
+            )
+        )
+
+    h_old = agreement(m0).localCheckpoint(eager=True)
+
+    # ---- RETRAIN: new codebooks from the POSTINGS' stored vectors,
+    # codes renumbered 0..PQ_K-1 (the positional decode contract) ----
+    posts_pre = tf_read(spark, post_path)
+    hr = hash60(
+        F.concat(F.lit(_ANNRPQ_SALT), F.col("vec_id").cast("string"))
+    )
+    # distributed TakeOrdered first (never a global-window pass over
+    # the postings), then the renumbering window runs on PQ_K rows
+    w_seed = Window.orderBy("hseed", "vec_id")
+    nseed = (
+        posts_pre.select("vec_id", "embedding", hr.alias("hseed"))
+        .orderBy("hseed", "vec_id")
+        .limit(PQ_K)
+        .withColumn("code", F.row_number().over(w_seed) - 1)
+    )
+    cb_new = None
+    for m in range(PQ_M):
+        part = nseed.select(
+            F.lit(m).alias("m"),
+            "code",
+            F.transform(
+                _pq_sub(F.col("embedding"), m),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+        cb_new = part if cb_new is None else cb_new.unionAll(part)
+    cb_v1 = tf_overwrite(cb_new.coalesce(1), cb_path)
+    reenc = _pq_encode(
+        posts_pre.select("cell", "vec_id", "embedding").crossJoin(
+            F.broadcast(_cb_row(cb_v1))
+        )
+    )
+    post_v1 = tf_overwrite(
+        reenc.select(
+            "cell",
+            "vec_id",
+            *(f"code{m}" for m in range(PQ_M)),
+            "embedding",
+        ).repartitionByRange(IVF_K, "cell"),
+        post_path,
+    )
+    # the swap: ONE manifest commit publishes the new pair atomically
+    tf_overwrite(
+        spark.createDataFrame(
+            [(cb_v1, post_v1)], "cb_v long, post_v long"
+        ),
+        man_path,
+    )
+    if latest_version(man_path) != m0 + 1:
+        raise RuntimeError(
+            "PQ retrain must bump the manifest exactly once"
+        )
+
+    h_new = agreement(m0 + 1)
+    return (
+        h_old.withColumnRenamed("hits", "hits_old")
+        .join(
+            h_new.withColumnRenamed("hits", "hits_new"), "query_id"
+        )
+        .orderBy("query_id")
+    )
+
 
 # ---------------------------------------------------------------------------
 # STREAMING INGEST into the persisted ANN index (VERDICT r14 #7): the

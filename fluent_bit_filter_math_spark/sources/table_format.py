@@ -3871,6 +3871,7 @@ def tf_compact(
     table_path: str,
     zorder_by: tuple[str, str] | None = None,
     n_files: int = 1,
+    cluster_by: tuple[str, ...] | None = None,
 ) -> int:
     """Small-file compaction as ONE commit: read the live snapshot,
     rewrite it as a right-sized file set, publish add(compacted) +
@@ -3885,7 +3886,15 @@ def tf_compact(
     operators/storage.py): every compacted file then covers a NARROW
     rectangle of BOTH dimensions, so the stats recorded in its add
     action let :func:`tf_scan` skip files for predicates on either
-    column — compaction and data skipping composed."""
+    column — compaction and data skipping composed.
+
+    With *cluster_by* (mutually exclusive with zorder_by), the rewrite
+    range-partitions + sorts on the named columns directly — Iceberg's
+    sort-based rewrite / Delta OPTIMIZE with clustering columns. This
+    is the right rewrite for LEXICOGRAPHIC probe patterns (an index
+    table probed by its leading key, e.g. LSH (band, key) postings or
+    IVF cell postings), and it works on string keys where the Morton
+    interleave's numeric min/max normalization does not."""
     import pyspark.sql.functions as F
 
     head = latest_version(table_path)
@@ -3912,7 +3921,15 @@ def tf_compact(
         _widen_map,
     )
     remove = [rel for rel, _, _ in entries]
-    if zorder_by is not None:
+    if zorder_by is not None and cluster_by is not None:
+        raise ValueError("zorder_by and cluster_by are exclusive")
+    if cluster_by is not None:
+        _m = tf_column_mapping(table_path, version=head)
+        phys = [_m.get(c, c) for c in cluster_by]
+        rewritten = snap.repartitionByRange(
+            max(1, n_files), *phys
+        ).sortWithinPartitions(*phys)
+    elif zorder_by is not None:
         from fluent_bit_filter_math_spark.operators.storage import (
             _znorm,
             _zvalue,
