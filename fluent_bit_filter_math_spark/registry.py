@@ -67,6 +67,71 @@ _LOADED = False
 # Everything past the 50-slot window stays registered and benched; the
 # next round's rotation brings representatives back.
 _PRIORITY: tuple[str, ...] = (
+    # --- round 16 rotation (composition from tools/green_age.py) ---
+    # 50-slot window = 5 never-checked r16 queries (cross-epoch
+    # streaming dedup, both index-table maintenance walks, PQ codebook
+    # retrain, classifier eval) + 25 changed-path re-verifies (every
+    # table-format query rides the bloom type-canonicalization, the
+    # append TOCTOU pinning, the legacy merge-txn transition, the
+    # executor-side bloom build, and the cluster_by compaction path;
+    # both persisted index families + their streams ride tf_append/
+    # tf_append_batch's new rebase path) + the 20-query head of the
+    # r7-era cohort (oldest driver greens per green_age.py).
+    # tier 2a: new this round.
+    "stream_dedup_ingest_xepoch",
+    "dedup_index_maintenance",
+    "sim_ann_maintenance",
+    "sim_ann_retrain_pq",
+    "text_classifier_eval",
+    # tier 2b: changed-path re-verifies.
+    "io_table_format_bloom_skip",
+    "io_table_format_skipping",
+    "io_table_format_protocol",
+    "io_table_format_update",
+    "io_table_format_delete",
+    "io_table_format_restore",
+    "io_table_format_merge",
+    "io_table_format_constraint",
+    "io_table_format_rename",
+    "io_table_format_cdf",
+    "io_table_format_snapshot",
+    "io_table_format_zorder_compact",
+    "io_table_format_add_column",
+    "io_table_format_widen_type",
+    "stream_table_format_cdf",
+    "stream_table_format_sink",
+    "stream_table_format_source",
+    "stream_cdf_apply_merge",
+    "dedup_incremental_persisted",
+    "stream_dedup_ingest",
+    "sim_ann_persisted",
+    "sim_ann_persisted_pq",
+    "sim_ann_drift",
+    "sim_ann_retrain",
+    "stream_ann_ingest",
+    # tier 3: r7-era queue head (alphabetical, 20).
+    "rollup_incremental_refresh",
+    "rollup_time_grains",
+    "sample_weighted_bernoulli",
+    "semdedup_cluster_prune",
+    "sim_ann_pq",
+    "sketch_cms_heavy_hitters",
+    "stream_cms_sketch",
+    "stream_distinct_users_hourly",
+    "stream_foreachbatch_merge",
+    "stream_mem_source_fold",
+    "stream_rollup_hour_to_day",
+    "stream_session_window_user",
+    "stream_stateful_sessions",
+    "stream_stateful_user_totals",
+    "stream_stream_full_outer",
+    "stream_stream_left_outer",
+    "stream_topk_trending",
+    "subq_lateral_topk",
+    "text_bm25_topk",
+    "text_chunk_documents",
+    # --- end of the 50-slot r16 window; earlier rotations follow as
+    # the overflow queue (already driver-green, benched every round) ---
     # --- round 15 rotation (composition from tools/green_age.py) ---
     # 50-slot window = 7 never-checked r15 queries (persisted LSH
     # band index, table-format protocol versioning, IVF drift monitor

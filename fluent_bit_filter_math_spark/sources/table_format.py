@@ -499,11 +499,18 @@ def _stage(
     bloom_cols = tuple(c for c in bloom_columns if c in df.columns)
     blooms: dict[str, dict[str, dict]] = {}
     if bloom_cols and files:
-        sc = df.sparkSession.sparkContext
+        builder = _file_bloom_builder(bloom_cols)
         paths = [os.path.join(table_path, sub, f) for f in files]
-        built = sc.parallelize(paths, len(paths)).map(
-            _file_bloom_builder(bloom_cols)
-        ).collect()
+        if len(paths) == 1:
+            # a single staged file: one bounded local read (the same
+            # constant work as its footer-stats harvest) — a Python
+            # task launch costs more than the read it would save
+            built = [builder(paths[0])]
+        else:
+            sc = df.sparkSession.sparkContext
+            built = sc.parallelize(paths, len(paths)).map(
+                builder
+            ).collect()
         blooms = {os.path.basename(p): b for p, b in built}
     adds = []
     for f in files:
