@@ -92,6 +92,21 @@ def _gen(spark) -> None:
         out = p if out is None else out.unionAll(p)
     out.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
 
+    orders = table(spark, SF01, "orders")
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    # stride a multiple of 4 * 7 * 11 = 308 (the merge/delete
+    # quartile + mod-7 update + mod-11 delete selectors keep their
+    # per-copy densities)
+    ostride = ((max_ok // 308) + 1) * 308
+    out = None
+    for k in range(COPIES):
+        p = orders.select(
+            (F.col("o_orderkey") + k * ostride).alias("o_orderkey"),
+            *[c for c in orders.columns if c != "o_orderkey"],
+        ).select(*orders.columns)
+        out = p if out is None else out.unionAll(p)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "orders.parquet"))
+
     ev = table(spark, SF01, "events")
     max_eid = ev.agg(F.max("event_id")).collect()[0][0]
     estride = ((max_eid // 4800) + 1) * 4800
