@@ -615,12 +615,19 @@ def _lsh_index_create(spark: SparkSession, sf_dir: str, tag: str):
         .filter(F.col("source") != NEW_BATCH_SOURCE)
         .select("doc_id", "sh")
     )
-    tf_append(
-        _lsh_band_keys(corpus_arrays).repartitionByRange(
-            _LSH_N_BANDS, "band", "key"
-        ),
-        paths["bands"],
-    )
+    # materialize the banded minhash ONCE: repartitionByRange's range-
+    # sampling pass otherwise re-runs the whole k-minhash computation a
+    # second time before the exchange (guide §2.4 — remove redundant
+    # passes; measured r16). The persist is released as soon as the
+    # append lands; file layout is unchanged (same sampler, same data).
+    corpus_bands = _lsh_band_keys(corpus_arrays).persist()
+    try:
+        tf_append(
+            corpus_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+            paths["bands"],
+        )
+    finally:
+        corpus_bands.unpersist()
     tf_append(
         corpus.select(F.md5("text").alias("h")).distinct().coalesce(1),
         paths["hashes"],
@@ -722,8 +729,18 @@ def dedup_incremental_persisted(
     # ---- batch-side frames: the ONLY `documents` reads on the probe
     # path, all under the pushed source = NEW_BATCH_SOURCE filter ----
     batch = docs.filter(F.col("source") == NEW_BATCH_SOURCE)
-    batch_arrays = _lsh_doc_arrays(spark, batch)
-    batch_bands = _lsh_band_keys(batch_arrays)
+    # the batch's shingle arrays and band keys feed the probe AND the
+    # maintenance appends below — materialize each once (r16; the lazy
+    # frames re-ran tokenize+shingle+minhash per consuming job). The
+    # batch is ingest-bounded by design, so the checkpoint is too; the
+    # exact-dup side (batch_h) stays lazy so the probe plan keeps its
+    # pushed-filter documents scan (the test_round15 corpus-rescan pin).
+    batch_arrays = _lsh_doc_arrays(spark, batch).localCheckpoint(
+        eager=True
+    )
+    batch_bands = _lsh_band_keys(batch_arrays).localCheckpoint(
+        eager=True
+    )
     batch_h = batch.select("doc_id", F.md5("text").alias("h"))
 
     out = _lsh_probe(
@@ -804,8 +821,14 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_ids: list[int] = []
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        arrays = _lsh_doc_arrays(spark, batch_df)
-        bands = _lsh_band_keys(arrays)
+        # epoch-scoped materialization (r16): arrays/bands feed the
+        # probe and two of the four exactly-once appends — lazy frames
+        # re-ran the shingle+minhash pipeline per consuming job, and
+        # each range-append added a sampling pass on top (guide §2.4)
+        arrays = _lsh_doc_arrays(spark, batch_df).localCheckpoint(
+            eager=True
+        )
+        bands = _lsh_band_keys(arrays).localCheckpoint(eager=True)
         h = batch_df.select("doc_id", F.md5("text").alias("h"))
         verdicts = _lsh_probe(
             spark, paths, versions, arrays, bands, h
@@ -1018,8 +1041,12 @@ def stream_dedup_ingest_xepoch(
         # probe the index HEAD at epoch start: creation ∪ every
         # earlier epoch's maintenance commits — the cross-epoch read
         vnow = {k: latest_version(p) for k, p in paths.items()}
-        arrays = _lsh_doc_arrays(spark, batch_df)
-        bands = _lsh_band_keys(arrays)
+        # epoch-scoped materialization, same rationale as
+        # stream_dedup_ingest's sink (r16)
+        arrays = _lsh_doc_arrays(spark, batch_df).localCheckpoint(
+            eager=True
+        )
+        bands = _lsh_band_keys(arrays).localCheckpoint(eager=True)
         h = batch_df.select("doc_id", F.md5("text").alias("h"))
         verdicts = _lsh_probe(spark, paths, vnow, arrays, bands, h)
         tf_append_batch(verdicts, results_path, batch_id)
@@ -1123,7 +1150,11 @@ def dedup_index_maintenance(
     batch_arrays = _lsh_doc_arrays(spark, batch).localCheckpoint(
         eager=True
     )
-    batch_bands = _lsh_band_keys(batch_arrays)
+    # bands feed BOTH probes and the post-compact maintenance append
+    # (whose range sampling would re-run the minhash) — once, not 4x
+    batch_bands = _lsh_band_keys(batch_arrays).localCheckpoint(
+        eager=True
+    )
     batch_h = batch.select("doc_id", F.md5("text").alias("h"))
 
     before = (

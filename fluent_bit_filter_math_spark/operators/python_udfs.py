@@ -256,11 +256,17 @@ def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the Arrow round-trip bitwise.
 # ---------------------------------------------------------------------------
 def _reconcile(key: Tuple, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+    # each side arrives PRE-AGGREGATED to at most one (n, cents) row
+    # per key (guide §2.3 — aggregate before you shuffle: the cogroup
+    # previously shipped every event/order row through the shuffle and
+    # the Arrow boundary just so this kernel could count+sum). The
+    # kernel reconciles the partial sums — integer-exact, so the
+    # output is bit-identical to the row-shipping version.
     return pd.DataFrame(
         {
             "user_id": [key[0]],
-            "n_events": [len(ev)],
-            "n_orders": [len(od)],
+            "n_events": [int(ev["n"].sum()) if len(ev) else 0],
+            "n_orders": [int(od["n"].sum()) if len(od) else 0],
             "event_cents": [int(ev["cents"].sum()) if len(ev) else 0],
             "order_cents": [int(od["cents"].sum()) if len(od) else 0],
         }
@@ -302,9 +308,20 @@ def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_cents(F.col("o_totalprice")).alias("cents"),
         )
     )
+    # aggregate BEFORE the cogroup shuffle (guide §2.3): built-in
+    # count/sum do partial map-side aggregation, so one (n, cents) row
+    # per key crosses the exchange and the Arrow boundary instead of
+    # every event/order row; both aggregations hash-partition on
+    # user_id, so the cogroup reuses their partitioning
+    ev_agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    od_agg = od.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
     return (
-        ev.groupBy("user_id")
-        .cogroup(od.groupBy("user_id"))
+        ev_agg.groupBy("user_id")
+        .cogroup(od_agg.groupBy("user_id"))
         .applyInPandas(
             _reconcile,
             schema=(

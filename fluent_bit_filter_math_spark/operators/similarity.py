@@ -2409,6 +2409,9 @@ def _annp_probe(
         )
         .filter(F.col("prn") <= IVF_NPROBE)
         .drop("prn")
+        # two consumers (the cell collect and the broadcast probe join)
+        # — materialize the ≤ N_QUERIES×NPROBE routing frame once (r16)
+        .localCheckpoint(eager=True)
     )
     # the probed cells: ≤ N_QUERIES × NPROBE driver-side scalars
     cells = sorted(
@@ -2472,16 +2475,14 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pcent = tf_read(spark, cent_path)  # the PERSISTED centroids
     tf_append(
-        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(_assign_cells(initial, pcent)),
         post_path,
     )
 
     # ---- INCREMENTAL maintenance: one batch, one commit, cost ∝ batch
     increment = emb.filter(F.col("vec_id") % 4 == 0)
     tf_append(
-        _assign_cells(increment, pcent).repartitionByRange(
-            IVF_K, "cell"
-        ),
+        _ranged_once(_assign_cells(increment, pcent)),
         post_path,
     )
     head = tf_history(post_path)[0]
@@ -2545,14 +2546,12 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_append(cent.coalesce(1), cent_path)
     pcent = tf_read(spark, cent_path)
     tf_append(
-        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(_assign_cells(initial, pcent)),
         post_path,
     )
     increment = emb.filter(F.col("vec_id") % 4 == 0)
     tf_append(
-        _assign_cells(increment, pcent).repartitionByRange(
-            IVF_K, "cell"
-        ),
+        _ranged_once(_assign_cells(increment, pcent)),
         post_path,
     )
 
@@ -2638,23 +2637,16 @@ def _probe_cell_scans(
 
     from fluent_bit_filter_math_spark.sources.table_format import (
         tf_pruned_files,
-        tf_scan,
+        tf_scan_any,
     )
 
     any_pruned = False
-    out = None
     for cell in cells:
         kept, total = tf_pruned_files(
             post_path, [(col, "=", cell)], version=version
         )
         if len(kept) < total:
             any_pruned = True
-        s = tf_scan(
-            spark, post_path, [(col, "=", cell)], version=version
-        )
-        if columns is not None:
-            s = s.select(*columns)
-        out = s if out is None else out.unionByName(s)
     if not any_pruned:
         warnings.warn(
             f"ANN probe over {post_path}: no probed cell pruned any "
@@ -2662,7 +2654,16 @@ def _probe_cell_scans(
             "one file; falling back to full (row-filtered) scans",
             stacklevel=2,
         )
-    return out
+    # ONE scan over the union of surviving files with a pushed IN
+    # predicate (r16): row-identical to the old per-cell scan union —
+    # stats/bloom skipping has no false negatives, so a file pruned
+    # for a cell holds no rows of that cell — while a file serving
+    # several probed cells is read once, not once per cell, and the
+    # plan stays one scan node instead of |cells|.
+    s = tf_scan_any(spark, post_path, col, cells, version=version)
+    if columns is not None:
+        s = s.select(*columns)
+    return s
 
 
 def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
@@ -2685,6 +2686,20 @@ def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
             F.first("embedding").alias("embedding"),
         )
         .select("cell", "vec_id", "embedding")
+    )
+
+
+def _ranged_once(df: DataFrame) -> DataFrame:
+    """Materialize an assign/encode frame ONCE before its range-
+    partitioned postings append: repartitionByRange's range-sampling
+    pass otherwise recomputes the whole child (K-way cosine assignment,
+    PQ encoding) a second time before the exchange (guide §2.4 — remove
+    redundant passes; r16). Callers pass batch-/index-bounded frames,
+    so the checkpoint is bounded too; the sampler sees identical data,
+    so the produced file layout (and its in-log pruning stats) is
+    unchanged."""
+    return df.localCheckpoint(eager=True).repartitionByRange(
+        IVF_K, "cell"
     )
 
 
@@ -2860,12 +2875,14 @@ def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _assign_cells(batch, pcent).crossJoin(F.broadcast(cb_row))
         )
         tf_append(
-            enc.select(
-                "cell",
-                "vec_id",
-                *(f"code{m}" for m in range(PQ_M)),
-                "embedding",
-            ).repartitionByRange(IVF_K, "cell"),
+            _ranged_once(
+                enc.select(
+                    "cell",
+                    "vec_id",
+                    *(f"code{m}" for m in range(PQ_M)),
+                    "embedding",
+                )
+            ),
             post_path,
         )
 
@@ -2904,6 +2921,9 @@ def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prn") <= IVF_NPROBE)
         .drop("prn")
+        # two consumers (cell collect + the ADC candidate join) — one
+        # evaluation of the bounded routing frame (r16)
+        .localCheckpoint(eager=True)
     )
     cells = sorted(
         r["cell"] for r in probes.select("cell").distinct().collect()
@@ -3018,12 +3038,12 @@ def _annr_build(spark: SparkSession, sf_dir: str, tag: str):
     tf_append(cent.coalesce(1), cent_path)
     pcent = tf_read(spark, cent_path)
     tf_append(
-        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(_assign_cells(initial, pcent)),
         post_path,
     )
     increment = emb.filter(F.col("vec_id") % 4 == 0)
     tf_append(
-        _assign_cells(increment, pcent).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(_assign_cells(increment, pcent)),
         post_path,
     )
     return cent_path, post_path, base
@@ -3298,9 +3318,9 @@ def sim_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv1 = tf_overwrite(new_cent.coalesce(1), cent_path)
     pcent_new = tf_read(spark, cent_path, cv1)
     pv1 = tf_overwrite(
-        _assign_cells(
-            posts.select("vec_id", "embedding"), pcent_new
-        ).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(
+            _assign_cells(posts.select("vec_id", "embedding"), pcent_new)
+        ),
         post_path,
     )
     # the swap: ONE manifest commit publishes the new pair atomically
@@ -3596,12 +3616,14 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     post_v0 = tf_overwrite(
-        enc0.select(
-            "cell",
-            "vec_id",
-            *(f"code{m}" for m in range(PQ_M)),
-            "embedding",
-        ).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(
+            enc0.select(
+                "cell",
+                "vec_id",
+                *(f"code{m}" for m in range(PQ_M)),
+                "embedding",
+            )
+        ),
         post_path,
     )
     tf_append(
@@ -3635,6 +3657,9 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prn") <= IVF_NPROBE)
         .drop("prn")
+        # consumed by 2 agreement passes × 2 rankings each (r16):
+        # materialize the bounded routing frame once
+        .localCheckpoint(eager=True)
     )
 
     def agreement(man_version: int) -> DataFrame:
@@ -3648,6 +3673,10 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(probes)
             .join(posts, "cell")
             .filter(F.col("vec_id") != F.col("query_id"))
+            # the ADC ranking and the exact ranking both consume the
+            # same bounded candidate pool — one postings join, not two
+            # (r16)
+            .localCheckpoint(eager=True)
         )
         w_adc = Window.partitionBy("query_id").orderBy(
             "adc_d", "vec_id"
@@ -3719,12 +3748,14 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     post_v1 = tf_overwrite(
-        reenc.select(
-            "cell",
-            "vec_id",
-            *(f"code{m}" for m in range(PQ_M)),
-            "embedding",
-        ).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(
+            reenc.select(
+                "cell",
+                "vec_id",
+                *(f"code{m}" for m in range(PQ_M)),
+                "embedding",
+            )
+        ),
         post_path,
     )
     # the swap: ONE manifest commit publishes the new pair atomically
@@ -3797,7 +3828,7 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_append(cent.coalesce(1), cent_path)
     pcent = tf_read(spark, cent_path)
     tf_append(
-        _assign_cells(initial, pcent).repartitionByRange(IVF_K, "cell"),
+        _ranged_once(_assign_cells(initial, pcent)),
         post_path,
     )
 
@@ -3815,9 +3846,7 @@ def stream_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         tf_append_batch(
-            _assign_cells(batch_df, pcent).repartitionByRange(
-                IVF_K, "cell"
-            ),
+            _ranged_once(_assign_cells(batch_df, pcent)),
             post_path,
             batch_id,
         )

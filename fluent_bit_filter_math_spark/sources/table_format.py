@@ -1777,12 +1777,31 @@ def _positions_df(
     )
 
 
+def _snapshot_struct(schema: str | None):
+    """Parse the commit log's stored schema (``simpleString`` form,
+    ``struct<k:bigint,...>``) into a StructType for the parquet
+    reader — ``reader.schema(str)`` accepts DDL strings only, and the
+    log stores ``df.schema.simpleString()``. Returns None when the
+    string cannot be parsed; the caller then falls back to footer
+    inference (never wrong, just one extra driver job)."""
+    if not schema:
+        return None
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    try:
+        dt = _parse_datatype_string(schema)
+    except Exception:
+        return None
+    return dt if isinstance(dt, StructType) else None
+
+
 def _read_entries(
     spark: SparkSession,
     table_path: str,
     entries: list[tuple[str, dict, str | None]],
     evolved: bool,
     read_schema: str | None = None,
+    snapshot_schema: str | None = None,
 ) -> DataFrame:
     """Scan [(rel, stats, dv)] with deletion vectors applied. Files
     without a DV ride the same single scan (they match no DV row, so
@@ -1790,7 +1809,12 @@ def _read_entries(
     DV the plan is the plain parquet scan, join-free. *read_schema*
     (a widened table's explicit union schema) replaces mergeSchema:
     the reader promotes narrow files natively and NULL-fills absent
-    columns, still one scan."""
+    columns, still one scan. *snapshot_schema* (the commit log's own
+    DDL for a NON-evolved snapshot) is handed to the reader so Spark
+    skips the footer schema-inference job — the log already knows the
+    schema, exactly why Delta/Iceberg readers never infer (r16; one
+    saved driver job per snapshot read, and the per-cell probe scans
+    issue dozens)."""
     import pyspark.sql.functions as F
 
     reader = spark.read
@@ -1798,6 +1822,10 @@ def _read_entries(
         reader = reader.schema(read_schema)
     elif evolved:
         reader = reader.option("mergeSchema", "true")
+    else:
+        snap = _snapshot_struct(snapshot_schema)
+        if snap is not None:
+            reader = reader.schema(snap)
     df = reader.parquet(
         *(os.path.join(table_path, rel) for rel, _, _ in entries)
     )
@@ -1873,6 +1901,11 @@ def tf_delete(
         )
     elif evolved:
         reader = reader.option("mergeSchema", "true")
+    else:
+        # the log knows the snapshot schema — skip footer inference
+        _snap = _snapshot_struct(schema)
+        if _snap is not None:
+            reader = reader.schema(_snap)
     scan = reader.parquet(
         *(os.path.join(table_path, rel) for rel, _, _ in cand)
     )
@@ -2007,6 +2040,11 @@ def tf_update(
         )
     elif evolved:
         reader = reader.option("mergeSchema", "true")
+    else:
+        # the log knows the snapshot schema — skip footer inference
+        _snap = _snapshot_struct(schema)
+        if _snap is not None:
+            reader = reader.schema(_snap)
     scan = reader.parquet(
         *(os.path.join(table_path, rel) for rel, _, _ in cand)
     )
@@ -2187,6 +2225,7 @@ def tf_read(
                     if widened
                     else None
                 ),
+                snapshot_schema=schema,
             ),
             added,
             dropped,
@@ -2331,6 +2370,7 @@ def tf_scan(
                 if widened
                 else None
             ),
+            snapshot_schema=schema,
         )
     df = _apply_schema_ops_physical(df, added, dropped, widened)
     for col, op, val in predicates:
@@ -2344,6 +2384,60 @@ def tf_scan(
                 ">=": c >= val,
             }[op]
         )
+    return _to_logical_df(df, mapping)
+
+
+def tf_scan_any(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with data skipping for a DISJUNCTIVE point lookup
+    (``col IN values``): a file survives when ANY value's stats/bloom
+    test keeps it; the survivors are read ONCE with the IN predicate
+    applied as a real Spark filter. Row-identical to unioning per-value
+    :func:`tf_scan` calls — min/max and bloom skipping never yield
+    false negatives, so a file pruned for value v holds no v rows —
+    while each file is planned and scanned once instead of once per
+    probed value (r16: the ANN/LSH probes issue NPROBE/n_bands of
+    these per query; the union plan grew linearly in probe width)."""
+    import pyspark.sql.functions as F
+
+    head = latest_version(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no table at {table_path}")
+    v = head if version is None else version
+    mapping = tf_column_mapping(table_path, version=v)
+    added, dropped = _schema_ops(table_path, v)
+    widened = _widened(table_path, v)
+    pcol = _phys_predicates([(col, "=", None)], mapping)[0][0]
+    files, schema, evolved = _resolve(table_path, v)
+    kept = [
+        (rel, stats, dv)
+        for rel, stats, dv in files
+        if any(
+            _file_survives(stats, [(pcol, "=", val)]) for val in values
+        )
+    ]
+    if not kept or not values:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = _read_entries(
+            spark,
+            table_path,
+            kept,
+            evolved,
+            read_schema=(
+                _wide_read_schema(table_path, v, widened)
+                if widened
+                else None
+            ),
+            snapshot_schema=schema,
+        )
+    df = _apply_schema_ops_physical(df, added, dropped, widened)
+    df = df.filter(F.col(pcol).isin(list(values)))
     return _to_logical_df(df, mapping)
 
 
@@ -2602,6 +2696,7 @@ def tf_merge(
                     if widened
                     else None
                 ),
+                snapshot_schema=schema,
             ),
             added,
             dropped,
@@ -3905,7 +4000,7 @@ def tf_compact(
     import pyspark.sql.functions as F
 
     head = latest_version(table_path)
-    entries, _, evolved = _resolve(table_path, head)
+    entries, snap_schema, evolved = _resolve(table_path, head)
     # DVs applied: compaction materializes the LOGICAL snapshot, so the
     # rewritten files carry no deletion vectors (the rewrite is also
     # how a heavily-deleted file sheds its DV weight) and no tombstoned
@@ -3923,6 +4018,7 @@ def tf_compact(
                 if _widen_map
                 else None
             ),
+            snapshot_schema=snap_schema,
         ),
         *_schema_ops(table_path, head),
         _widen_map,
@@ -4688,11 +4784,16 @@ class TableFormatStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _TfFilePartition):
+        # Arrow batches, not pickled rows (guide §4: every Python-path
+        # row crossing the boundary as a tuple pays pickle both ways;
+        # the datasource API accepts pyarrow RecordBatches directly —
+        # the mem_input reader's existing discipline). Measured r16:
+        # the tuple path serialized every streamed table row through
+        # Python object construction; batches keep the columnar buffers
+        # intact end to end.
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.path)
-        for batch in tbl.to_batches():
-            yield from zip(*[c.to_pylist() for c in batch.columns])
+        yield from pq.read_table(partition.path).to_batches()
 
     def commit(self, end):
         # offsets live in the engine's checkpoint, not the log; still
@@ -4859,7 +4960,11 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
         return parts
 
     def read(self, partition: _TfChangePartition):
+        # Same Arrow-batch discipline as the plain reader (guide §4):
+        # the two change-metadata columns are appended as constant
+        # arrays per batch instead of per-row tuple tails.
         import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(partition.path)
@@ -4870,11 +4975,19 @@ class TableFormatCdfStreamReader(TableFormatStreamReader):
                 mask[pos] = False
                 pos = np.nonzero(mask)[0]
             tbl = tbl.take(pos)
-        tail = (partition.change_type, partition.version)
+        names = tbl.column_names + ["_change_type", "_commit_version"]
         for batch in tbl.to_batches():
-            cols = [c.to_pylist() for c in batch.columns]
-            for row in zip(*cols):
-                yield row + tail
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [
+                    pa.array([partition.change_type] * n),
+                    pa.array(
+                        np.full(n, partition.version, dtype=np.int64)
+                    ),
+                ],
+                names=names,
+            )
 
 
 class TableFormatDataSource(DataSource):

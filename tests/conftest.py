@@ -20,3 +20,13 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+def reader_rows(reader, partition):
+    """Materialize a datasource reader's output as plain tuples — the
+    table-format readers yield pyarrow RecordBatches since r16 (Arrow
+    batches instead of pickled rows, guide §4)."""
+    rows = []
+    for batch in reader.read(partition):
+        rows.extend(zip(*(c.to_pylist() for c in batch.columns)))
+    return rows

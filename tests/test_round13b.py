@@ -19,6 +19,7 @@ import os
 import pyspark.sql.functions as F
 import pytest
 
+from tests.conftest import reader_rows
 from fluent_bit_filter_math_spark.sources.table_format import (
     ConcurrentOverwrite,
     _dv_indexes,
@@ -289,7 +290,7 @@ class TestCdfStreamReader:
         r.initialOffset()
         rows = []
         for p in r.partitions({"version": lo}, {"version": hi}):
-            rows.extend(r.read(p))
+            rows.extend(reader_rows(r, p))
         return rows
 
     def test_delete_then_overwrite_excludes_dv_rows(

@@ -16,6 +16,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import reader_rows
 from fluent_bit_filter_math_spark.sources import snappy_codec
 from fluent_bit_filter_math_spark.sources.avro_ocf import (
     _enc_any,
@@ -431,7 +432,7 @@ class TestTfRestore:
         r = TableFormatCdfStreamReader({"path": t})
         rows = []
         for p in r.partitions({"version": 2}, {"version": 3}):
-            rows.extend(r.read(p))
+            rows.extend(reader_rows(r, p))
         got = {(v, ct, vals[0]) for *vals, ct, v in rows}
         want = {
             (r["_commit_version"], r["_change_type"], r["k"])
@@ -610,7 +611,7 @@ class TestTfUpdate:
         r = TableFormatCdfStreamReader({"path": t})
         rows = []
         for p in r.partitions({"version": v - 1}, {"version": v}):
-            rows.extend(r.read(p))
+            rows.extend(reader_rows(r, p))
         got = {(ct, vals[0], vals[1]) for *vals, ct, _v in rows}
         want = {
             (r2["_change_type"], r2["k"], r2["v"]) for r2 in ch.collect()
@@ -830,7 +831,7 @@ class TestCheckConstraints:
         r = TableFormatStreamReader({"path": t})
         rows = []
         for p in r.partitions({"version": -1}, {"version": 2}):
-            rows.extend(r.read(p))
+            rows.extend(reader_rows(r, p))
         assert len(rows) == 150  # the metadata commit emitted nothing
 
     def test_time_travel_and_cdf_unperturbed(self, spark, tmp_path):
@@ -1049,7 +1050,7 @@ class TestColumnMapping:
         r = TableFormatStreamReader({"path": t})
         rows = []
         for p in r.partitions({"version": -1}, {"version": 2}):
-            rows.extend(r.read(p))
+            rows.extend(reader_rows(r, p))
         assert len(rows) == 130  # the rename version emitted nothing
 
     def test_zorder_compact_through_logical_names(self, spark, tmp_path):
