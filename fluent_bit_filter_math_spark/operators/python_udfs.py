@@ -313,15 +313,39 @@ def udaf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per key crosses the exchange and the Arrow boundary instead of
     # every event/order row; both aggregations hash-partition on
     # user_id, so the cogroup reuses their partitioning
-    ev_agg = ev.groupBy("user_id").agg(
-        F.count("*").alias("n"), F.sum("cents").alias("cents")
-    )
-    od_agg = od.groupBy("user_id").agg(
-        F.count("*").alias("n"), F.sum("cents").alias("cents")
-    )
+    # pin the cogroup stage's parallelism (guide §2): the kernel's cost
+    # is PER GROUP (one Python call + pandas frame per user), not per
+    # byte, but AQE coalescing sizes partitions by bytes — the
+    # pre-aggregated frames are ~50 KB, under the 1 MB minPartitionSize
+    # floor, so AQE folded the stage into ONE partition and all |users|
+    # kernel calls ran serially (measured: 1500 groups in 1 partition,
+    # ~4.7 s; 32-way, sub-second). A plain post-agg repartition by the
+    # same key+count is pruned as redundant at physical planning, so
+    # the shape is TWO-LEVEL: a scan-partition-local partial aggregate
+    # (map-side, one row per (pid, user)), then an explicit
+    # repartition(n, user_id) — child partitioning differs, so the
+    # exchange survives, and REPARTITION_BY_NUM origin is exempt from
+    # AQE coalescing — then the final merge aggregate and both cogroup
+    # sides reuse that partitioning with no further exchange. Integer
+    # partial sums merge exactly (bit-identical output). Scale: every
+    # exchange still carries one-row-per-user partials, and the Python
+    # stage's partition count tracks the session shuffle setting.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.spark_partition_id().alias("__pid"), "user_id"
+            )
+            .agg(F.count("*").alias("pn"), F.sum("cents").alias("pc"))
+            .repartition(n_shuffle, "user_id")
+            .groupBy("user_id")
+            .agg(F.sum("pn").alias("n"), F.sum("pc").alias("cents"))
+        )
+
     return (
-        ev_agg.groupBy("user_id")
-        .cogroup(od_agg.groupBy("user_id"))
+        _per_user(ev).groupBy("user_id")
+        .cogroup(_per_user(od).groupBy("user_id"))
         .applyInPandas(
             _reconcile,
             schema=(

@@ -2260,37 +2260,47 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    pool = (
+    # ONE cluster job: the TakeOrderedAndProject pool cut — the corpus
+    # is touched exactly once. The greedy selection itself runs over a
+    # frame bounded by the MMR_POOL contract (≤ 50 rows of short
+    # integer arrays), so it is a driver-side scalar computation in
+    # the same class as the watermark cutoffs and BPE argmax rows:
+    # collecting the pool ONCE and looping in Python replaces the old
+    # per-round Spark job (broadcast join + shuffle + limit-1 collect,
+    # MMR_K − 1 = 7 scheduler round-trips over a 50-row frame; guide
+    # §5 — the driver should do no DATA work, but this is not data
+    # work, it is the argmax over an already-reduced bounded pool).
+    # Python ints are exact, so every score is bit-identical to the
+    # old per-round aggregate.
+    pool_rows = (
         q.crossJoin(F.broadcast(cent))
         .select("vec_id", "xq", _d2(F.col("xq"), F.col("carr")).alias("dq"))
         .orderBy("dq", "vec_id")
         .limit(MMR_POOL)
-        .localCheckpoint(eager=True)  # the greedy loop re-reads it K times
+        .collect()
     )
-    first = pool.orderBy("dq", "vec_id").limit(1).collect()[0]
-    selected = [(1, first.vec_id, first.xq, first.dq, None)]
+    pool_py = [(r.vec_id, list(r.xq), r.dq) for r in pool_rows]
+
+    def _pd2(a: list, b: list) -> int:
+        return sum((x - c) * (x - c) for x, c in zip(a, b))
+
+    first = min(pool_py, key=lambda t: (t[2], t[0]))
+    selected = [(1, first[0], first[1], first[2], None)]
+    chosen = {first[0]}
     for r in range(2, MMR_K + 1):
-        sel_df = spark.createDataFrame(
-            [(vid, xq) for _, vid, xq, _, _ in selected],
-            "svec_id long, sxq array<long>",
-        )
-        cand = (
-            pool.filter(
-                ~F.col("vec_id").isin([vid for _, vid, _, _, _ in selected])
-            )
-            .crossJoin(F.broadcast(sel_df))
-            .groupBy("vec_id", "xq", "dq")
-            .agg(
-                (
-                    F.min(_d2(F.col("xq"), F.col("sxq"))) - F.col("dq")
-                ).cast("long").alias("score")
-            )
-            .orderBy(F.desc("score"), F.asc("vec_id"))
-            .limit(1)
-        )
-        # ONE row per round to the driver — the BPE argmax discipline.
-        w = cand.collect()[0]
-        selected.append((r, w.vec_id, w.xq, w.dq, w.score))
+        best = None
+        for vid, xq, dq in pool_py:
+            if vid in chosen:
+                continue
+            score = min(
+                _pd2(xq, sxq) for _, _, sxq, _, _ in selected
+            ) - dq
+            # (score DESC, vec_id ASC) tie-break, exactly the old
+            # orderBy(desc(score), asc(vec_id)).limit(1)
+            if best is None or (-score, vid) < (-best[3], best[0]):
+                best = (vid, xq, dq, score)
+        selected.append((r, best[0], best[1], best[2], best[3]))
+        chosen.add(best[0])
     return spark.createDataFrame(
         [(r, vid, dq, score) for r, vid, _, dq, score in selected],
         "rank long, vec_id long, dist_q long, mmr_score long",

@@ -106,6 +106,171 @@ class TestSnapshotStruct:
         assert sorted(got.collect()) == sorted(df.collect())
 
 
+class TestMmrDriverGreedy:
+    def test_matches_spark_side_greedy(self, spark, sf_dir):
+        """The driver-side greedy loop must pick exactly what the old
+        per-round Spark argmax picked: re-run the old formulation over
+        the same pool here and compare the full (rank, vec_id, dist_q,
+        score) table."""
+        from fluent_bit_filter_math_spark.operators.similarity import (
+            MMR_K,
+            MMR_POOL,
+            sim_mmr_diversify,
+        )
+        from fluent_bit_filter_math_spark.sources import table
+
+        got = sim_mmr_diversify(spark, sf_dir).collect()
+        assert [r["rank"] for r in got] == list(range(1, MMR_K + 1))
+
+        # old Spark-side greedy, reproduced verbatim on the same pool
+        emb = table(spark, sf_dir, "embeddings")
+        micro = lambda e: F.floor(  # noqa: E731
+            e.cast("double") * 1000000 + F.lit(0.5)
+        ).cast("long")
+        q = emb.select(
+            "vec_id", F.transform("embedding", micro).alias("xq")
+        )
+        cent = (
+            emb.filter(F.col("label") == 0)
+            .select(F.posexplode("embedding").alias("dim", "e"))
+            .groupBy("dim")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(micro(F.col("e"))).alias("s"),
+            )
+            .select(
+                F.struct("dim", F.expr("s div n").alias("c")).alias("dc")
+            )
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("dc")), lambda x: x["c"]
+                ).alias("carr")
+            )
+        )
+
+        def _d2(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        pool = (
+            q.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "xq",
+                _d2(F.col("xq"), F.col("carr")).alias("dq"),
+            )
+            .orderBy("dq", "vec_id")
+            .limit(MMR_POOL)
+            .localCheckpoint(eager=True)
+        )
+        first = pool.orderBy("dq", "vec_id").limit(1).collect()[0]
+        selected = [(1, first.vec_id, first.xq, first.dq, None)]
+        for r in range(2, MMR_K + 1):
+            sel_df = spark.createDataFrame(
+                [(vid, xq) for _, vid, xq, _, _ in selected],
+                "svec_id long, sxq array<long>",
+            )
+            w = (
+                pool.filter(
+                    ~F.col("vec_id").isin(
+                        [vid for _, vid, _, _, _ in selected]
+                    )
+                )
+                .crossJoin(F.broadcast(sel_df))
+                .groupBy("vec_id", "xq", "dq")
+                .agg(
+                    (
+                        F.min(_d2(F.col("xq"), F.col("sxq")))
+                        - F.col("dq")
+                    )
+                    .cast("long")
+                    .alias("score")
+                )
+                .orderBy(F.desc("score"), F.asc("vec_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            selected.append((r, w.vec_id, w.xq, w.dq, w.score))
+        want = [
+            (r, vid, dq, score) for r, vid, _, dq, score in selected
+        ]
+        assert [
+            (r["rank"], r["vec_id"], r["dist_q"], r["mmr_score"])
+            for r in got
+        ] == want
+
+
+class TestCogroupParallelism:
+    def test_kernel_stage_not_coalesced_to_one(self, spark, sf_dir):
+        """AQE sizes partitions by bytes, but the cogroup kernel's cost
+        is per GROUP: the two-level partial + REPARTITION_BY_NUM shape
+        must keep the FlatMapCoGroupsInPandas stage at the session
+        shuffle-partition count (AQE folded the byte-tiny exchanges to
+        ONE partition before, serializing every per-user kernel call)."""
+        from fluent_bit_filter_math_spark.operators.python_udfs import (
+            udaf_cogroup_reconcile,
+        )
+
+        df = udaf_cogroup_reconcile(spark, sf_dir)
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        parts = (
+            df.select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        n_users = df.count()
+        # every shuffle partition that owns ≥1 user must survive as
+        # its own task — with users ≫ partitions that is all of them
+        assert parts == min(n_shuffle, n_users)
+
+    def test_partial_merge_is_exact(self, spark, sf_dir):
+        """The two-level (pid, user) partial → merge must reproduce the
+        direct per-user aggregate bit-for-bit."""
+        from fluent_bit_filter_math_spark.functions import exact_cents
+        from fluent_bit_filter_math_spark.operators.python_udfs import (
+            udaf_cogroup_reconcile,
+        )
+        from fluent_bit_filter_math_spark.sources import table
+
+        got = {
+            r["user_id"]: (
+                r["n_events"],
+                r["n_orders"],
+                r["event_cents"],
+                r["order_cents"],
+            )
+            for r in udaf_cogroup_reconcile(spark, sf_dir).collect()
+        }
+        ev = (
+            table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(exact_cents(F.col("value"))).alias("c"),
+            )
+        )
+        od = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey") < 150)
+            .groupBy(F.col("o_custkey").alias("user_id"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(exact_cents(F.col("o_totalprice"))).alias("c"),
+            )
+        )
+        want = {}
+        for r in ev.collect():
+            want[r["user_id"]] = [r["n"], 0, r["c"], 0]
+        for r in od.collect():
+            want.setdefault(r["user_id"], [0, 0, 0, 0])
+            want[r["user_id"]][1] = r["n"]
+            want[r["user_id"]][3] = r["c"]
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+
 class TestArrowStreamReaderRows:
     def test_plain_reader_yields_batches_with_same_rows(
         self, spark, tmp_path
