@@ -2231,7 +2231,16 @@ CDC_TOPK = 15
     """,
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Repartition BEFORE the rolling-hash projection (guide §2.5 input
+    # skew; the _docs_shingled discipline at the top of this file):
+    # documents.parquet is one row group ⇒ a 1-partition scan, and the
+    # cut-position filter evaluates one md5 per BYTE of every document
+    # — all of it on a single core without this (3.68 s warm baseline).
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     n = F.length("text")
     # Cut positions: 1-based offset p means "cut after byte p"; the
     # window is text[p-W+1 .. p]. range is empty when the doc is
@@ -2355,8 +2364,14 @@ _TRIM_K = _SPAN_K  # 8-token runs, the span-flagging threshold reused
 )
 def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _TRIM_K
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
+    # Repartition before tokenization (guide §2.5; _docs_shingled
+    # discipline): the 1-partition documents scan feeds TWO duplicated
+    # consumers (positions and grams), each building O(tokens·K) gram
+    # strings — single-core without this.
+    toks = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.split("text", " ").alias("t"))
     )
     words = toks.select(
         "doc_id", F.posexplode("t").alias("pos0", "w")

@@ -2347,6 +2347,13 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5, so the 3.2M hash evaluations run cluster-wide instead of
     # inside the |groups|-partition window layout (measured 11.5 s ->
     # ~2 s at sf0.1; the window-derived v is only joined per index).
+    # NOTE (r16, measured): fusing the point-estimate sum into this
+    # aggregate is a plan no-op — DataFrame subtree reuse duplicates the
+    # subtree per consumer and Catalyst prunes the fused column from the
+    # index-generator branch, so `pt` keeps its own scan either way
+    # (plans/r16/agg_bootstrap_ci_before.txt vs _after.txt differ only
+    # in expression IDs). Left as two aggregates; the events scan is
+    # not where this query's time goes (see the broadcast note below).
     counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     idxs = counts.select(
         "event_type",
@@ -2383,9 +2390,17 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("point_mean")
     )
+    # Broadcast the |ev|-row value side, NOT the 32·|ev| probe side
+    # (guide §3.1 — estimates after explode are badly wrong): the
+    # planner sizes probe off the 5-row counts table and picked it as
+    # the build side, collecting all 32·n md5-hashed rows to the driver
+    # and shipping them to every executor, while the genuinely small
+    # (event_type, idx, cents) frame streamed. The hint flips it: v2
+    # (|ev| rows, a few MB) broadcasts once and the hash-heavy probe
+    # never leaves its 64 map partitions.
     means = (
         probe.join(
-            v2,
+            F.broadcast(v2),
             (F.col("event_type") == F.col("e2"))
             & (F.col("tgt") == F.col("tgt2")),
         )
@@ -2604,12 +2619,20 @@ def agg_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wt = sum((h >= F.lit(t)).cast("int") for t in _POIS_T)
+    # Repartition BEFORE the ×B explode and the per-(row,b) md5 (guide
+    # §2.5 input skew / §1.2 algorithm first): events.parquet is one
+    # 2 MB row group, so the scan is ONE partition and the 32·|ev| hash
+    # evaluations all ran on a single core (measured 3.98 s warm; the
+    # shuffle moves only |ev| 3-column rows). Same discipline as
+    # agg_bootstrap_ci's pre-md5 repartition; deterministic hash key,
+    # not round-robin, per SPARK-38388.
     w = (
         ev.select(
             "event_type",
             exact_cents(F.col("value")).alias("cents"),
             "event_id",
         )
+        .repartition(64, "event_id")
         .select("event_type", "cents", "event_id", bs)
         .select("event_type", "cents", "b", wt.alias("wt"))
     )

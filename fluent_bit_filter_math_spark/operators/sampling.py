@@ -665,19 +665,34 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.floor(d * float(_KC_SCALE) + F.lit(0.5)).cast("long")
 
+    from fluent_bit_filter_math_spark.ckpt import release_local_checkpoint
+
     seed = emb.filter(F.col("vec_id") == 0).select("vec_id", "v").collect()[0]
     out_rows = [(1, seed["vec_id"], 0)]
+    # per-round eager checkpoint (the pagerank_converged lineage rule;
+    # guide §5 localCheckpoint): the lazy unroll re-evaluated round r's
+    # whole least()-chain — r dot-products against 64-element literal
+    # arrays per row, and a freshly codegen'd r-deep expression tree —
+    # on every argmax pass (O(K²·n·d) compute + K recompilations).
+    # Materializing each round's (vec_id, v, dfp) keeps every round's
+    # job one NEW distance per row (O(K·n·d) total); blocks are
+    # released as soon as the next round lands.
     cur = emb.select(
         "vec_id", "v", dist_fp(seed["v"]).alias("dfp")
-    )
+    ).localCheckpoint(eager=True)
     for r in range(2, _KC_K + 1):
         far = cur.orderBy(F.desc("dfp"), F.asc("vec_id")).limit(1).collect()[0]
         out_rows.append((r, far["vec_id"], far["dfp"]))
-        cur = cur.select(
+        if r == _KC_K:
+            break  # no further argmax reads this state
+        nxt = cur.select(
             "vec_id",
             "v",
             F.least(F.col("dfp"), dist_fp(far["v"])).alias("dfp"),
-        )
+        ).localCheckpoint(eager=True)
+        release_local_checkpoint(cur)
+        cur = nxt
+    release_local_checkpoint(cur)
     return spark.createDataFrame(
         out_rows, "sel_round int, vec_id long, radius_fp long"
     ).orderBy("sel_round")

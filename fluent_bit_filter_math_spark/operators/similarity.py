@@ -1945,8 +1945,17 @@ def emb_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in range(_JL_K)
     ]
-    proj = emb.select("vec_id", q.alias("q")).select(
-        "vec_id", "q", F.array(*ys).alias("y")
+    # Repartition before the 16 per-row projection folds (guide §2.5:
+    # the 1-row-group embeddings scan is ONE partition, so the K·D
+    # lambda arithmetic ran single-core) and materialize proj ONCE —
+    # it feeds both pair sides, and subtree duplication otherwise
+    # re-projects the whole corpus per side.
+    proj = (
+        emb.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", q.alias("q"))
+        .select("vec_id", "q", F.array(*ys).alias("y"))
+        .localCheckpoint(eager=True)
     )
     a = proj.select(
         F.col("vec_id").alias("vec_a"),

@@ -680,9 +680,17 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.lit(1) - F.lit(2) * F.pmod(h, F.lit(2))
 
-    z = ev.agg(
-        *[F.sum(sign(r)).alias(f"z{r}") for r in range(_AMS_R)],
-        F.count("*").alias("n"),
+    # Repartition before the 17-hash-per-row sketch update (guide §2.5:
+    # the 1-row-group events scan is ONE partition, so all _AMS_R·|ev|
+    # md5s of the partial aggregate ran single-core; the shuffle moves
+    # only the user_id column and the 17 partial sums merge to one row).
+    z = (
+        ev.select("user_id")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .agg(
+            *[F.sum(sign(r)).alias(f"z{r}") for r in range(_AMS_R)],
+            F.count("*").alias("n"),
+        )
     )
     sq = F.sort_array(
         F.array(*[F.col(f"z{r}") * F.col(f"z{r}") for r in range(_AMS_R)])

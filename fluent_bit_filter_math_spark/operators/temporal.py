@@ -1353,7 +1353,12 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluent_bit_filter_math_spark.functions import hash60
 
     ev = table(spark, sf_dir, "events")
-    pts = ev.select(
+    # Repartition BEFORE the two per-row md5s (guide §2.5 input skew:
+    # events.parquet is one row group ⇒ a 1-partition scan, so the
+    # coordinate hashes ran single-core), and materialize `cells` ONCE
+    # (guide §2.4): it feeds BOTH join sides, and DataFrame subtree
+    # duplication otherwise re-scans and re-hashes per side.
+    pts = ev.select("event_id").repartition(64, "event_id").select(
         "event_id",
         F.pmod(
             hash60(F.concat(F.lit("x:"), F.col("event_id").cast("string"))),
@@ -1370,7 +1375,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "py",
         F.expr(f"px div {_SP_R}").alias("cx"),
         F.expr(f"py div {_SP_R}").alias("cy"),
-    )
+    ).localCheckpoint(eager=True)
     offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
     probe = (
         cells.withColumn("ox", F.explode(offs))

@@ -106,6 +106,48 @@ class TestSnapshotStruct:
         assert sorted(got.collect()) == sorted(df.collect())
 
 
+class TestCatalogSchemaCache:
+    def test_cached_read_schema_and_rows_identical(self, spark, sf_dir):
+        """The per-path schema cache must hand later reads exactly the
+        schema the first read inferred — names, types, nullability —
+        and the same rows (metadata-only cache, never data)."""
+        from fluent_bit_filter_math_spark.sources.catalog import (
+            _SCHEMA_CACHE,
+            TABLES,
+            table,
+        )
+
+        for name in TABLES:
+            _SCHEMA_CACHE.pop(
+                next(
+                    (
+                        p
+                        for p in _SCHEMA_CACHE
+                        if p.endswith(f"/{name}.parquet")
+                    ),
+                    "",
+                ),
+                None,
+            )
+            first = table(spark, sf_dir, name)  # infers + populates
+            again = table(spark, sf_dir, name)  # cached schema
+            assert first.schema == again.schema, name
+            assert sorted(map(tuple, first.limit(3).collect())) == sorted(
+                map(tuple, again.limit(3).collect())
+            ), name
+
+    def test_events_nanos_ts_still_converted(self, spark, sf_dir):
+        """The nanos→µs timestamp conversion must survive the cached
+        path (ts arrives as TimestampNTZ/Timestamp, not bigint)."""
+        from fluent_bit_filter_math_spark.sources.catalog import table
+
+        df = table(spark, sf_dir, "events")
+        df2 = table(spark, sf_dir, "events")
+        for frame in (df, df2):
+            assert dict(frame.dtypes)["ts"] != "bigint"
+        assert df.schema == df2.schema
+
+
 class TestMmrDriverGreedy:
     def test_matches_spark_side_greedy(self, spark, sf_dir):
         """The driver-side greedy loop must pick exactly what the old
