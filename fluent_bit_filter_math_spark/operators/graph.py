@@ -83,6 +83,15 @@ def _edge_index(
         bwd = pairs.select(
             (2 * F.col("s") + 1).alias("src"), (2 * F.col("p")).alias("dst")
         )
+        # Measured-and-rejected (r16, guide §2.4): hash-partitioning
+        # this cache by src with an explicit partition count. It makes
+        # deg's groupBy exchange-free and src-joins reusable, but an
+        # explicit n is exempt from AQE coalescing, so every per-round
+        # job of the many-small-jobs consumers (pagerank_converged's 8
+        # round jobs) schedules n tasks over KB-sized partitions —
+        # solo-measured converged 3.7 s → 5.7 s min. AQE's coalesced
+        # sizing of the union/aggregate exchanges is the adaptive
+        # behavior we want at every scale; left alone.
         edges = fwd.unionAll(bwd).cache()
         deg = edges.groupBy("src").agg(F.count("*").alias("d")).cache()
         _EDGE_CACHE[key] = (edges, deg)
@@ -145,9 +154,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank_fp")
     )
     for _ in range(PR_ITERS):
+        # Broadcast the NODE-sized sides, never the edge list (r16,
+        # guide §3.1 — the planner's estimate picked the edge table as
+        # the build side, collecting+shipping |E| rows per round while
+        # the |V|-row rank table streamed; |V| ≤ |E| by construction,
+        # so whenever any side fits in a broadcast it is this one).
         contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .join(F.broadcast(deg), "src")
             .select("dst", F.expr("rank_fp div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -285,6 +299,12 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     n_rounds = PRC_MAX_ROUNDS
     for i in range(1, PRC_MAX_ROUNDS + 1):
+        # Measured-and-rejected (r16): F.broadcast hints on the
+        # node-sized sides here — unlike graph_pagerank's single lazy
+        # plan, every round is its OWN job, so hinting the loop-variant
+        # checkpointed rank table adds a driver collect + broadcast
+        # build per round (solo 3.7 s → 6.2 s min). The planner's
+        # cached-edges broadcast amortizes better per-job; left alone.
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(deg, "src")
@@ -396,12 +416,19 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the min-union) — materialize the one-row-per-reached-node
         # state each round, the HITS/WL/hyperanf lineage rule (r11:
         # the lazy unroll compiled 17 exchanges, this form 3).
-        dist = (
+        nxt = (
             dist.unionByName(expanded)
             .groupBy("id")
             .agg(F.min("hops").alias("hops"))
             .localCheckpoint(eager=True)
         )
+        # the new snapshot was the old one's last reader: free its
+        # blocks now (ADVICE r12 / pagerank_converged discipline —
+        # r16: solo reps rose 4.1→8.1 s as leaked per-round snapshots
+        # accumulated across calls). round-0 dist is the lazy frontier
+        # (not a checkpoint root), where release is a safe no-op.
+        release_local_checkpoint(dist)
+        dist = nxt
     return (
         nodes.join(dist, "id", "left_outer")
         .select(
@@ -1316,6 +1343,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p", F.lit(HITS_SCALE).cast("long").alias("h")
     )
     a = None
+    prev_araw = prev_hraw = None
     for _ in range(HITS_ITERS):
         # Materialize each half-step's raw-sum table before the max
         # crossJoin: the normalization reads the SAME frame twice (raw
@@ -1330,6 +1358,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("h").cast("long").alias("raw"))
             .localCheckpoint(eager=True)
         )
+        # araw's materialization was the last read of the PREVIOUS
+        # half-step's hraw (h derives lazily from it) — free the
+        # superseded snapshot (ADVICE r12 release discipline; r16:
+        # these leaked one node-sized snapshot per half-step per call).
+        if prev_hraw is not None:
+            release_local_checkpoint(prev_hraw)
         amax = araw.agg(F.max("raw").alias("m"))
         a = (
             araw.crossJoin(F.broadcast(amax))
@@ -1341,6 +1375,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("a").cast("long").alias("raw"))
             .localCheckpoint(eager=True)
         )
+        # hraw's materialization was the last read of the PRIOR araw
+        # — but the FINAL iteration's araw feeds the returned frame
+        # (_top(a, ...)), so only predecessors are released.
+        if prev_araw is not None:
+            release_local_checkpoint(prev_araw)
+        prev_araw, prev_hraw = araw, hraw
         hmax = hraw.agg(F.max("raw").alias("m"))
         h = (
             hraw.crossJoin(F.broadcast(hmax))
@@ -1598,10 +1638,10 @@ def _ppr_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             # engine bounds work (and a no-op for correctness — zero
             # mass contributes zero).
             edges.join(
-                ranks.filter(F.col("rank_fp") > 0),
+                F.broadcast(ranks.filter(F.col("rank_fp") > 0)),
                 edges["src"] == F.col("node"),
             )
-            .join(deg, "src")
+            .join(F.broadcast(deg), "src")
             .select("dst", F.expr("rank_fp div d").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -2101,6 +2141,7 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("forest_weight"),
     )
     forest = None
+    prev_lab = prev_forest = None
     for rnd in range(1, BORUVKA_ROUNDS + 1):
         la = lab.select(F.col("v").alias("a"), F.col("c").alias("ca"))
         lb = lab.select(F.col("v").alias("b"), F.col("c").alias("cb"))
@@ -2176,8 +2217,28 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_forest_edges",
                 "forest_weight",
             )
+            # ONE-row materialization per round (r16, guide §5): left
+            # lazy, the returned union re-aggregated every round's lab
+            # AND forest snapshot at force time, which also pinned all
+            # of them in storage for the life of the frame. A 1-row
+            # checkpoint lets each round's state be freed as soon as
+            # its successor lands (ADVICE r12 release discipline).
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(summary)
+        # summary was the last reader of the superseded round state:
+        # prior lab/forest (this round's lab/forest replaced them) and
+        # this round's picks (consumed by forest, comp and summary).
+        if prev_lab is not None:
+            release_local_checkpoint(prev_lab)
+        if prev_forest is not None:
+            release_local_checkpoint(prev_forest)
+        release_local_checkpoint(picks)
+        prev_lab, prev_forest = lab, forest
+    # the final round's snapshots feed nothing after its summary
+    release_local_checkpoint(lab)
+    release_local_checkpoint(forest)
+    release_local_checkpoint(ew)
     return out.orderBy("mst_round")
 
 
