@@ -2007,28 +2007,56 @@ _SWEEP_MOD = 8  # vec_id % MOD == 0 → in the calibration sample
     """,
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fluent_bit_filter_math_spark.functions import cosine
+    from fluent_bit_filter_math_spark.functions import dot, norm
 
-    emb = (
+    base = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % _SWEEP_MOD == 0)
         .select("vec_id", "embedding")
     )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    # The streamed side of the pair join does ~n_sample/2 sequential-fold
+    # cosines PER ROW over a one-row-group local scan (guide §2.5: work ≫
+    # shuffle bytes); the broadcast side stays on the bare scan so the
+    # build pays no exchange.
+    a = base.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        norm(F.col("embedding")).alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        norm(F.col("embedding")).alias("nb"),
+    )
+    # dot/(na·nb) is cosine()'s exact IEEE expression with the two norms
+    # evaluated once per VECTOR instead of once per PAIR (guide §2.3).
+    # The sentinel coalesce makes bkt provably non-null: without it the
+    # outer bkt >= t_pct join infers isnotnull(bkt) and pushes the whole
+    # cosine into the pair-join CONDITION, evaluating it a second time
+    # for every ordered pair (plan: the before-file's BNLJ node 9 carries
+    # the full aggregate(zip_with(...)) expression; cosine is never null
+    # here — embeddings are non-null — so -101 never occurs and no
+    # threshold matches it).
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     buckets = (
-        a.join(b, F.col("ia") < F.col("ib"))
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
         .select(
-            F.floor(cosine(F.col("ea"), F.col("eb")) * 100)
-            .cast("long")
-            .alias("bkt")
+            F.coalesce(
+                F.floor(cos * 100).cast("long"), F.lit(-101)
+            ).alias("bkt")
         )
         .groupBy("bkt")
         .agg(F.count("*").alias("n"))
     )
-    thresholds = spark.createDataFrame(
-        [(t,) for t in _SWEEP_PCTS], "t_pct long"
-    )
+    # spark.range is a pure-JVM scan; createDataFrame would plan the
+    # 11-row thresholds table as a Python-RDD scan whose 32 tasks each
+    # round-trip a Python worker (guide §4 — keep the boundary out of
+    # query paths). range(40, 95, 5) enumerates _SWEEP_PCTS exactly.
+    thresholds = spark.range(
+        _SWEEP_PCTS[0], _SWEEP_PCTS[-1] + 1, _SWEEP_PCTS[1] - _SWEEP_PCTS[0]
+    ).select(F.col("id").alias("t_pct"))
     return (
         thresholds.join(
             F.broadcast(buckets), F.col("bkt") >= F.col("t_pct"), "left"

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fluent_bit_filter_math_spark.functions import cosine
+from fluent_bit_filter_math_spark.functions import cosine, dot, norm
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
 
@@ -48,13 +48,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
-    """query × corpus cosine scores (queries broadcast, self-pairs out)."""
+    """query × corpus cosine scores (queries broadcast, self-pairs out).
+
+    Norms are projected once per VECTOR before the pair join —
+    dot/(qn·cn) is cosine()'s exact IEEE expression, so scores are
+    bit-identical while the per-pair work drops from 3 array folds to 1
+    (guide §2.3); every corpus row joins every query row, so the
+    precompute always pays (unlike the selective bucket join in
+    sim_ann_bucketed, where most corpus rows match nothing and a
+    pre-join norm would do MORE fold work — measured +28%, reverted).
+    Measured-and-rejected here: repartitioning the one-row-group corpus
+    scan before the pair join (the change-11 rule) — topk/range were
+    flat but the added exchange more than doubled the composed
+    sim_recall_audit (solo min 1.40 → 2.95 s; without it 1.28 s)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        norm(F.col("embedding")).alias("cn"),
     )
     return (
         F.broadcast(q)
@@ -62,7 +78,7 @@ def _scored(spark: SparkSession, sf_dir: str, n_queries: int) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qe"), F.col("ce")).alias("cos"),
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cos"),
         )
     )
 
@@ -338,15 +354,28 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         emb.orderBy(h.asc(), F.col("vec_id").asc())
         .limit(IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            norm(F.col("embedding")).alias("cn"),
+        )
     )
     # Assignment: broadcast the K centroids; max_by is partially
     # aggregatable, so the corpus-side shuffle carries one row per vector.
-    crossed = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+    # The corpus side does K sequential-fold dots per row over a one-
+    # row-group local scan — repartition first (work ≫ bytes, change-11
+    # rule); norms are projected once per vector/centroid, so
+    # dot/(en·cn) is cosine() bit-for-bit at a third of the fold work.
+    crossed = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (dot(F.col("embedding"), F.col("cemb")) / (F.col("en") * F.col("cn"))).alias("cos"),
+        )
     )
     assign = crossed.groupBy("vec_id").agg(
         F.max_by(
@@ -355,7 +384,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("embedding").alias("ce"),
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
     probes = (
@@ -364,11 +395,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qe",
+            "qn",
             "cid",
-            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+            (dot(F.col("qe"), F.col("cemb")) / (F.col("qn") * F.col("cn"))).alias("qcos"),
         )
         .select(
-            "query_id", "qe", F.col("cid").alias("cell"),
+            "query_id", "qe", "qn", F.col("cid").alias("cell"),
             F.row_number().over(wp).alias("prn"),
         )
         .filter(F.col("prn") <= IVF_NPROBE)
@@ -376,12 +408,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(probes)
-        .join(assign, "cell")
+        .join(assign.withColumn("cen", norm(F.col("ce"))), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("ce")).alias("cos"),
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cen"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -871,7 +903,13 @@ def _pq_adc(qe: str = "qe") -> F.Column:
 def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     cb_row = _pq_codebook_row(emb)
-    enc = _pq_encode(emb.crossJoin(F.broadcast(cb_row)))
+    # The per-vector encode (PQ_M·PQ_K subspace sqdists + argmin sorts)
+    # runs on a one-row-group local scan — repartition first so the
+    # heavy projection is core-parallel (change-11 rule: work ≫ bytes).
+    enc = _pq_encode(
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .crossJoin(F.broadcast(cb_row))
+    )
 
     # ADC against the broadcast query set: distance to the DECODED code,
     # summed in fixed subspace order (engine-exact).
@@ -1406,13 +1444,25 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         emb.orderBy(h.asc(), F.col("vec_id").asc())
         .limit(IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            norm(F.col("embedding")).alias("cn"),
+        )
     )
-    crossed = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+    # Parallelize the one-row-group scan feeding the K-way assignment and
+    # project per-vector norms once: dot/(en·cn) is cosine() bit-for-bit
+    # at a third of the per-pair fold work (change-11 + guide §2.3).
+    crossed = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("en"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (dot(F.col("embedding"), F.col("cemb")) / (F.col("en") * F.col("cn"))).alias("cos"),
+        )
     )
     assign = crossed.groupBy("vec_id").agg(
         F.max_by(
@@ -1421,10 +1471,20 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("embedding").alias("embedding"),
     )
     cb_row = _pq_codebook_row(emb)
-    enc = _pq_encode(assign.crossJoin(F.broadcast(cb_row)))
+    # The assignment's tiny post-shuffle output AQE-coalesces to one
+    # partition; re-spread it so the PQ encode runs core-parallel (the
+    # change-7 discipline — explicit repartition is exempt from AQE
+    # coalescing).
+    enc = _pq_encode(
+        assign.repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        ).crossJoin(F.broadcast(cb_row))
+    )
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm(F.col("embedding")).alias("qn"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cid"))
     probes = (
@@ -1433,12 +1493,14 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qe",
+            "qn",
             "cid",
-            cosine(F.col("qe"), F.col("cemb")).alias("qcos"),
+            (dot(F.col("qe"), F.col("cemb")) / (F.col("qn") * F.col("cn"))).alias("qcos"),
         )
         .select(
             "query_id",
             "qe",
+            "qn",
             F.col("cid").alias("cell"),
             F.row_number().over(wp).alias("prn"),
         )
@@ -2687,14 +2749,28 @@ def _probe_cell_scans(
 
 def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest persisted centroid per vector — broadcast K rows against
-    the streaming batch, map-side-combinable max_by."""
+    the streaming batch, map-side-combinable max_by. Norms are projected
+    once per vector/centroid before the cross join: dot/(en·cn) is
+    cosine()'s exact IEEE expression, so assignments are bit-identical
+    at a third of the per-pair fold work (guide §2.3). Partitioning is
+    deliberately untouched — the output feeds _ranged_once, whose
+    range-sampled file layout must stay stable."""
     return (
-        batch.crossJoin(F.broadcast(cents))
+        batch.select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("_en")
+        )
+        .crossJoin(
+            F.broadcast(
+                cents.select(
+                    "cid", "cemb", norm(F.col("cemb")).alias("_cn")
+                )
+            )
+        )
         .select(
             "vec_id",
             "embedding",
             "cid",
-            cosine(F.col("embedding"), F.col("cemb")).alias("cos"),
+            (dot(F.col("embedding"), F.col("cemb")) / (F.col("_en") * F.col("_cn"))).alias("cos"),
         )
         .groupBy("vec_id")
         .agg(
