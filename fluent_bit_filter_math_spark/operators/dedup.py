@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.concurrency import overlap
 from fluent_bit_filter_math_spark.functions import duck_hash60, hash60, tokens
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
@@ -620,22 +621,32 @@ def _lsh_index_create(spark: SparkSession, sf_dir: str, tag: str):
     # second time before the exchange (guide §2.4 — remove redundant
     # passes; measured r16). The persist is released as soon as the
     # append lands; file layout is unchanged (same sampler, same data).
+    # The three creation appends land on three DISTINCT tables with no
+    # dependency on each other, so they overlap (guide §2.6; measured:
+    # creation min 4.9 -> 2.5 s at sf0.1) — each table still gets
+    # exactly its one serial commit.
     corpus_bands = _lsh_band_keys(corpus_arrays).persist()
     try:
-        tf_append(
-            corpus_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
-            paths["bands"],
+        overlap(
+            lambda: tf_append(
+                corpus_bands.repartitionByRange(
+                    _LSH_N_BANDS, "band", "key"
+                ),
+                paths["bands"],
+            ),
+            lambda: tf_append(
+                corpus.select(F.md5("text").alias("h"))
+                .distinct()
+                .coalesce(1),
+                paths["hashes"],
+            ),
+            lambda: tf_append(
+                corpus_arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+                paths["arrays"],
+            ),
         )
     finally:
         corpus_bands.unpersist()
-    tf_append(
-        corpus.select(F.md5("text").alias("h")).distinct().coalesce(1),
-        paths["hashes"],
-    )
-    tf_append(
-        corpus_arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
-        paths["arrays"],
-    )
     versions = {k: latest_version(p) for k, p in paths.items()}
     return paths, versions
 
@@ -748,10 +759,22 @@ def dedup_incremental_persisted(
     )
 
     # ---- INCREMENTAL MAINTENANCE: the batch joins the index — one
-    # commit per table, cost ∝ batch, never a corpus rewrite ----
-    tf_append(
-        batch_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
-        paths["bands"],
+    # commit per table, cost ∝ batch, never a corpus rewrite. The
+    # three appends land on three DISTINCT tables (guide §2.6), so
+    # they overlap; the batch-bounded pin reads the bands head after
+    # all three have settled (each table still gets one commit) ----
+    overlap(
+        lambda: tf_append(
+            batch_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+            paths["bands"],
+        ),
+        lambda: tf_append(
+            batch_h.select("h").distinct().coalesce(1), paths["hashes"]
+        ),
+        lambda: tf_append(
+            batch_arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+            paths["arrays"],
+        ),
     )
     head = tf_history(paths["bands"])[0]
     if head["n_removed"] != 0 or head["n_added"] > _LSH_N_BANDS:
@@ -759,13 +782,6 @@ def dedup_incremental_persisted(
             "band-index maintenance not batch-bounded: "
             f"{head['n_added']} added, {head['n_removed']} removed"
         )
-    tf_append(
-        batch_h.select("h").distinct().coalesce(1), paths["hashes"]
-    )
-    tf_append(
-        batch_arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
-        paths["arrays"],
-    )
     if latest_version(paths["bands"]) != versions["bands"] + 1:
         raise RuntimeError("band-index log shape unexpected")
     return out
@@ -833,22 +849,29 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdicts = _lsh_probe(
             spark, paths, versions, arrays, bands, h
         )
-        tf_append_batch(verdicts, results_path, batch_id)
-        # index maintenance, exactly-once per table under the epoch id
-        tf_append_batch(
-            bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
-            paths["bands"],
-            batch_id,
-        )
-        tf_append_batch(
-            h.select("h").distinct().coalesce(1),
-            paths["hashes"],
-            batch_id,
-        )
-        tf_append_batch(
-            arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
-            paths["arrays"],
-            batch_id,
+        # verdicts + index maintenance: four exactly-once commits on
+        # four DISTINCT tables, one per table per epoch — overlapped
+        # (guide §2.6). The probe inside the verdicts append reads the
+        # CREATION-version snapshot (pinned file lists; appends never
+        # remove files), so racing it with this epoch's own appends
+        # cannot change what it sees.
+        overlap(
+            lambda: tf_append_batch(verdicts, results_path, batch_id),
+            lambda: tf_append_batch(
+                bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+                paths["bands"],
+                batch_id,
+            ),
+            lambda: tf_append_batch(
+                h.select("h").distinct().coalesce(1),
+                paths["hashes"],
+                batch_id,
+            ),
+            lambda: tf_append_batch(
+                arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+                paths["arrays"],
+                batch_id,
+            ),
         )
         epoch_ids.append(int(batch_id))
 
@@ -1049,21 +1072,29 @@ def stream_dedup_ingest_xepoch(
         bands = _lsh_band_keys(arrays).localCheckpoint(eager=True)
         h = batch_df.select("doc_id", F.md5("text").alias("h"))
         verdicts = _lsh_probe(spark, paths, vnow, arrays, bands, h)
-        tf_append_batch(verdicts, results_path, batch_id)
-        tf_append_batch(
-            bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
-            paths["bands"],
-            batch_id,
-        )
-        tf_append_batch(
-            h.select("h").distinct().coalesce(1),
-            paths["hashes"],
-            batch_id,
-        )
-        tf_append_batch(
-            arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
-            paths["arrays"],
-            batch_id,
+        # four distinct-table exactly-once commits per epoch,
+        # overlapped (guide §2.6). The cross-epoch contract is
+        # untouched: vnow was sampled at EPOCH START above, the probe's
+        # reads are pinned to it (file lists resolve from the log entry
+        # and appends never remove files), and foreachBatch serializes
+        # epochs, so epoch N+1's vnow still sees every commit below.
+        overlap(
+            lambda: tf_append_batch(verdicts, results_path, batch_id),
+            lambda: tf_append_batch(
+                bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
+                paths["bands"],
+                batch_id,
+            ),
+            lambda: tf_append_batch(
+                h.select("h").distinct().coalesce(1),
+                paths["hashes"],
+                batch_id,
+            ),
+            lambda: tf_append_batch(
+                arrays.repartitionByRange(_LSH_N_BANDS, "doc_id"),
+                paths["arrays"],
+                batch_id,
+            ),
         )
         epoch_ids.append(int(batch_id))
 
@@ -1165,22 +1196,32 @@ def dedup_index_maintenance(
     )
 
     # ---- COMPACT each index table, clustered on its probe key so the
-    # rewrite keeps (restores) the pruning layout ----
-    tf_compact(
-        spark, paths["bands"], cluster_by=("band", "key"),
-        n_files=_LSH_N_BANDS,
-    )
-    tf_compact(spark, paths["hashes"], n_files=1)
-    tf_compact(
-        spark, paths["arrays"], cluster_by=("doc_id",),
-        n_files=_LSH_N_BANDS,
+    # rewrite keeps (restores) the pruning layout. Three distinct
+    # tables, three independent rewrites — overlapped (guide §2.6) ----
+    overlap(
+        lambda: tf_compact(
+            spark, paths["bands"], cluster_by=("band", "key"),
+            n_files=_LSH_N_BANDS,
+        ),
+        lambda: tf_compact(spark, paths["hashes"], n_files=1),
+        lambda: tf_compact(
+            spark, paths["arrays"], cluster_by=("doc_id",),
+            n_files=_LSH_N_BANDS,
+        ),
     )
 
     # ---- VACUUM: creation-era files are dead post-compact; reclaim
-    # them and pin that something was actually deleted ----
-    removed = 0
-    for p in paths.values():
-        removed += len(tf_vacuum(p, latest_version(p)))
+    # them and pin that something was actually deleted (per-table
+    # vacuums are independent metadata+unlink walks — overlapped) ----
+    removed = sum(
+        len(r)
+        for r in overlap(
+            *[
+                (lambda p=p: tf_vacuum(p, latest_version(p)))
+                for p in paths.values()
+            ]
+        )
+    )
     if removed == 0:
         raise RuntimeError(
             "vacuum after compaction reclaimed nothing — the walk "
@@ -1203,10 +1244,15 @@ def dedup_index_maintenance(
     after = _lsh_probe(
         spark, paths, vnow, batch_arrays, batch_bands, batch_h
     ).localCheckpoint(eager=True)
-    # compaction is pure layout: byte-identical verdicts
-    if (
-        before.exceptAll(after).count() != 0
-        or after.exceptAll(before).count() != 0
+    # compaction is pure layout: byte-identical verdicts. The two
+    # symmetric-difference counts read only the two checkpointed
+    # frames — independent actions, overlapped.
+    if any(
+        n != 0
+        for n in overlap(
+            lambda: before.exceptAll(after).count(),
+            lambda: after.exceptAll(before).count(),
+        )
     ):
         raise RuntimeError(
             "probe output changed across compact+vacuum"

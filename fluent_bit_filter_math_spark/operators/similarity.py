@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluent_bit_filter_math_spark.concurrency import overlap
 from fluent_bit_filter_math_spark.functions import cosine, dot, norm
 from fluent_bit_filter_math_spark.registry import register
 from fluent_bit_filter_math_spark.sources import table
@@ -2641,12 +2642,18 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # compact the postings clustered on the probe key; vacuum both
-    # tables down to the compacted generation
+    # tables down to the compacted generation (two distinct tables —
+    # independent unlink walks, overlapped per guide §2.6)
     tf_compact(
         spark, post_path, cluster_by=("cell",), n_files=IVF_K
     )
-    removed = len(tf_vacuum(post_path, latest_version(post_path)))
-    removed += len(tf_vacuum(cent_path, latest_version(cent_path)))
+    removed = sum(
+        len(r)
+        for r in overlap(
+            lambda: tf_vacuum(post_path, latest_version(post_path)),
+            lambda: tf_vacuum(cent_path, latest_version(cent_path)),
+        )
+    )
     if removed == 0:
         raise RuntimeError(
             "vacuum after postings compaction reclaimed nothing"
@@ -2665,9 +2672,14 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = _annp_probe(spark, cent_path, post_path).localCheckpoint(
         eager=True
     )
-    if (
-        before.exceptAll(after).count() != 0
-        or after.exceptAll(before).count() != 0
+    # both symmetric-difference counts read only checkpointed frames —
+    # independent actions, overlapped
+    if any(
+        n != 0
+        for n in overlap(
+            lambda: before.exceptAll(after).count(),
+            lambda: after.exceptAll(before).count(),
+        )
     ):
         raise RuntimeError(
             "ANN probe output changed across compact+vacuum"

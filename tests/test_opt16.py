@@ -329,3 +329,71 @@ class TestArrowStreamReaderRows:
         assert sorted(rows) == sorted(
             (row["k"], row["v"]) for row in df.collect()
         )
+
+
+class TestOverlap:
+    """`concurrency.overlap` — the §2.6 independent-action pool the
+    lifecycle walks use for distinct-table appends/compacts/vacuums."""
+
+    def test_results_in_call_order(self):
+        from fluent_bit_filter_math_spark.concurrency import overlap
+
+        assert overlap(lambda: 1, lambda: "b", lambda: [3]) == [
+            1,
+            "b",
+            [3],
+        ]
+        assert overlap() == []
+        assert overlap(lambda: 7) == [7]
+
+    def test_first_failure_raised_after_all_settle(self):
+        from fluent_bit_filter_math_spark.concurrency import overlap
+
+        settled = []
+
+        def ok(tag):
+            def _t():
+                settled.append(tag)
+                return tag
+
+            return _t
+
+        def boom(msg):
+            def _t():
+                settled.append(msg)
+                raise ValueError(msg)
+
+            return _t
+
+        with pytest.raises(ValueError, match="first"):
+            overlap(ok("a"), boom("first"), boom("second"), ok("b"))
+        # every sibling ran to completion before the raise
+        assert sorted(settled) == ["a", "b", "first", "second"]
+
+    def test_overlapped_appends_commit_once_per_table(
+        self, spark, tmp_path
+    ):
+        from fluent_bit_filter_math_spark.concurrency import overlap
+        from fluent_bit_filter_math_spark.sources.table_format import (
+            latest_version,
+            tf_append,
+            tf_read,
+        )
+
+        paths = [str(tmp_path / k) for k in ("t0", "t1", "t2")]
+        frames = [
+            spark.range(i * 100, i * 100 + 50).select(
+                F.col("id").alias("k")
+            )
+            for i in range(3)
+        ]
+        overlap(
+            *[
+                (lambda d=d, p=p: tf_append(d, p))
+                for d, p in zip(frames, paths)
+            ]
+        )
+        for i, p in enumerate(paths):
+            assert latest_version(p) == 0
+            got = sorted(r["k"] for r in tf_read(spark, p).collect())
+            assert got == list(range(i * 100, i * 100 + 50))
