@@ -3226,8 +3226,11 @@ def sim_ann_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n_now"))
     )
-    t0 = occ0.agg(F.sum("n_created")).collect()[0][0]
-    t1 = occ1.agg(F.sum("n_now")).collect()[0][0]
+    # two independent one-row totals — overlapped (guide §2.6)
+    t0, t1 = overlap(
+        lambda: occ0.agg(F.sum("n_created")).collect()[0][0],
+        lambda: occ1.agg(F.sum("n_now")).collect()[0][0],
+    )
     return (
         occ1.join(occ0, "cell", "left")
         .select(
@@ -3682,8 +3685,6 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"),
                 F.col("embedding").alias("cemb"))
     )
-    tf_append(cent.coalesce(1), cent_path)
-    pcent = tf_read(spark, cent_path)
     seeds = emb.filter(F.col("vec_id") < PQ_K)
     cb_long = None
     for m in range(PQ_M):
@@ -3696,7 +3697,13 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sub"),
         )
         cb_long = part if cb_long is None else cb_long.unionAll(part)
-    cb_v0 = tf_overwrite(cb_long.coalesce(1), cb_path)
+    # centroids and v0 codebooks land on two DISTINCT tables from two
+    # independent frames — overlapped (guide §2.6)
+    _, cb_v0 = overlap(
+        lambda: tf_append(cent.coalesce(1), cent_path),
+        lambda: tf_overwrite(cb_long.coalesce(1), cb_path),
+    )
+    pcent = tf_read(spark, cent_path)
 
     def _cb_row(version: int):
         pcb = tf_read(spark, cb_path, version)
@@ -3820,57 +3827,71 @@ def sim_ann_retrain_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    h_old = agreement(m0).localCheckpoint(eager=True)
-
-    # ---- RETRAIN: new codebooks from the POSTINGS' stored vectors,
-    # codes renumbered 0..PQ_K-1 (the positional decode contract) ----
-    posts_pre = tf_read(spark, post_path)
-    hr = hash60(
-        F.concat(F.lit(_ANNRPQ_SALT), F.col("vec_id").cast("string"))
-    )
-    # distributed TakeOrdered first (never a global-window pass over
-    # the postings), then the renumbering window runs on PQ_K rows
-    w_seed = Window.orderBy("hseed", "vec_id")
-    nseed = (
-        posts_pre.select("vec_id", "embedding", hr.alias("hseed"))
-        .orderBy("hseed", "vec_id")
-        .limit(PQ_K)
-        .withColumn("code", F.row_number().over(w_seed) - 1)
-    )
-    cb_new = None
-    for m in range(PQ_M):
-        part = nseed.select(
-            F.lit(m).alias("m"),
-            "code",
-            F.transform(
-                _pq_sub(F.col("embedding"), m),
-                lambda x: x.cast("double"),
-            ).alias("sub"),
-        )
-        cb_new = part if cb_new is None else cb_new.unionAll(part)
-    cb_v1 = tf_overwrite(cb_new.coalesce(1), cb_path)
-    reenc = _pq_encode(
-        posts_pre.select("cell", "vec_id", "embedding").crossJoin(
-            F.broadcast(_cb_row(cb_v1))
-        )
-    )
-    post_v1 = tf_overwrite(
-        _ranged_once(
-            reenc.select(
-                "cell",
-                "vec_id",
-                *(f"code{m}" for m in range(PQ_M)),
-                "embedding",
+    def _retrain() -> None:
+        # ---- RETRAIN: new codebooks from the POSTINGS' stored
+        # vectors, codes renumbered 0..PQ_K-1 (the positional decode
+        # contract). Internally strictly sequential: codebooks →
+        # re-encode → postings → the one-manifest atomic swap. ----
+        posts_pre = tf_read(spark, post_path)
+        hr = hash60(
+            F.concat(
+                F.lit(_ANNRPQ_SALT), F.col("vec_id").cast("string")
             )
-        ),
-        post_path,
-    )
-    # the swap: ONE manifest commit publishes the new pair atomically
-    tf_overwrite(
-        spark.createDataFrame(
-            [(cb_v1, post_v1)], "cb_v long, post_v long"
-        ),
-        man_path,
+        )
+        # distributed TakeOrdered first (never a global-window pass
+        # over the postings), then the renumbering window runs on
+        # PQ_K rows
+        w_seed = Window.orderBy("hseed", "vec_id")
+        nseed = (
+            posts_pre.select("vec_id", "embedding", hr.alias("hseed"))
+            .orderBy("hseed", "vec_id")
+            .limit(PQ_K)
+            .withColumn("code", F.row_number().over(w_seed) - 1)
+        )
+        cb_new = None
+        for m in range(PQ_M):
+            part = nseed.select(
+                F.lit(m).alias("m"),
+                "code",
+                F.transform(
+                    _pq_sub(F.col("embedding"), m),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            cb_new = part if cb_new is None else cb_new.unionAll(part)
+        cb_v1 = tf_overwrite(cb_new.coalesce(1), cb_path)
+        reenc = _pq_encode(
+            posts_pre.select("cell", "vec_id", "embedding").crossJoin(
+                F.broadcast(_cb_row(cb_v1))
+            )
+        )
+        post_v1 = tf_overwrite(
+            _ranged_once(
+                reenc.select(
+                    "cell",
+                    "vec_id",
+                    *(f"code{m}" for m in range(PQ_M)),
+                    "embedding",
+                )
+            ),
+            post_path,
+        )
+        # the swap: ONE manifest commit publishes the new pair
+        # atomically
+        tf_overwrite(
+            spark.createDataFrame(
+                [(cb_v1, post_v1)], "cb_v long, post_v long"
+            ),
+            man_path,
+        )
+
+    # the pre-retrain agreement pass reads ONLY the m0-pinned pair
+    # (tf_read resolves its file list at call time and nothing here
+    # vacuums), so it overlaps with the retrain's writes (guide §2.6);
+    # the manifest-bump pin runs after both settle
+    h_old, _ = overlap(
+        lambda: agreement(m0).localCheckpoint(eager=True),
+        _retrain,
     )
     if latest_version(man_path) != m0 + 1:
         raise RuntimeError(
