@@ -1502,6 +1502,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     component's minimum node id. Nodes absent from `edges` are their own
     roots (callers left-join and coalesce).
     """
+    from fluent_bit_filter_math_spark.ckpt import release_local_checkpoint
+
     e = edges.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(e)).localCheckpoint()
@@ -1510,9 +1512,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         # ONE Spark action (isEmpty short-circuits at the first row)
         # instead of the former count+count+subtract-count triple, which
         # re-read both checkpointed edge sets three times per round.
-        if nxt.subtract(e).union(e.subtract(nxt)).isEmpty():
-            return nxt
+        converged = nxt.subtract(e).union(e.subtract(nxt)).isEmpty()
+        # the symmetric-difference check was the superseded snapshot's
+        # LAST reader: free its blocks now instead of pinning every
+        # round's edge set in executor storage for the frame's lifetime
+        # (the graph-family r16 discipline; at 100 TB a round snapshot
+        # is data-sized, so reclaim must be deterministic)
+        release_local_checkpoint(e)
         e = nxt
+        if converged:
+            return nxt
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
