@@ -873,6 +873,14 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_id,
             ),
         )
+        # the epoch's commits were the snapshots' last readers — free
+        # their blocks before the next epoch (ADVICE r12 discipline)
+        from fluent_bit_filter_math_spark.ckpt import (
+            release_local_checkpoint,
+        )
+
+        release_local_checkpoint(bands)
+        release_local_checkpoint(arrays)
         epoch_ids.append(int(batch_id))
 
     (
@@ -1096,6 +1104,14 @@ def stream_dedup_ingest_xepoch(
                 batch_id,
             ),
         )
+        # the epoch's commits were the snapshots' last readers — free
+        # their blocks before the next epoch (ADVICE r12 discipline)
+        from fluent_bit_filter_math_spark.ckpt import (
+            release_local_checkpoint,
+        )
+
+        release_local_checkpoint(bands)
+        release_local_checkpoint(arrays)
         epoch_ids.append(int(batch_id))
 
     (
@@ -1115,10 +1131,15 @@ def stream_dedup_ingest_xepoch(
     # be flagged exactly once — as an exact dup of its earlier twin —
     # which the creation-snapshot-only variant can NEVER produce when
     # its text is absent from the corpus
-    n_odd = out.filter(F.col("doc_id") % 2 == 1).count()
-    n_odd_caught = out.filter(
-        (F.col("doc_id") % 2 == 1) & (F.col("is_exact_dup") == 1)
-    ).count()
+    odd = F.col("doc_id") % 2 == 1
+    pin = out.agg(
+        F.sum(odd.cast("long")).alias("n_odd"),
+        F.sum((odd & (F.col("is_exact_dup") == 1)).cast("long")).alias(
+            "n_odd_caught"
+        ),
+    ).collect()[0]
+    n_odd = int(pin["n_odd"] or 0)
+    n_odd_caught = int(pin["n_odd_caught"] or 0)
     if n_odd == 0 or n_odd_caught != n_odd:
         raise RuntimeError(
             f"cross-epoch duplicates not caught: {n_odd_caught}/{n_odd}"
@@ -1273,6 +1294,14 @@ def dedup_index_maintenance(
             "post-compact maintenance not batch-bounded: "
             f"{head['n_added']} added, {head['n_removed']} removed"
         )
+    # the returned frame (`after`) is its own eager checkpoint; the
+    # walk's other snapshots have no readers left — free their blocks
+    # now instead of pinning them for the session (ADVICE r12
+    # discipline; a bench pass runs 375 other queries in this session)
+    from fluent_bit_filter_math_spark.ckpt import release_local_checkpoint
+
+    for df in (before, batch_bands, batch_arrays):
+        release_local_checkpoint(df)
     return after
 
 

@@ -2684,6 +2684,13 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "ANN probe output changed across compact+vacuum"
         )
+    # the pin was `before`'s last reader; the returned `after` is its
+    # own eager checkpoint — free the superseded snapshot's blocks
+    from fluent_bit_filter_math_spark.ckpt import (
+        release_local_checkpoint,
+    )
+
+    release_local_checkpoint(before)
     return after
 
 
