@@ -46,7 +46,7 @@ def overlap(*thunks: Callable[[], Any], max_workers: int | None = None) -> list:
     if len(thunks) == 1:
         return [thunks[0]()]
     results: list[Any] = [None] * len(thunks)
-    first_err: BaseException | None = None
+    errs: list[BaseException] = []
     with ThreadPoolExecutor(
         max_workers=max_workers or min(8, len(thunks))
     ) as pool:
@@ -55,8 +55,25 @@ def overlap(*thunks: Callable[[], Any], max_workers: int | None = None) -> list:
             try:
                 results[i] = fut.result()
             except BaseException as exc:  # noqa: BLE001 — re-raised below
-                if first_err is None:
-                    first_err = exc
-    if first_err is not None:
-        raise first_err
+                errs.append(exc)
+    if errs:
+        # An exiting signal (KeyboardInterrupt/SystemExit) takes
+        # precedence over an ordinary sibling failure; otherwise the
+        # FIRST failure in call order is raised, with every later
+        # failure attached as a note so multi-failure overlaps keep
+        # their diagnostics (ADVICE r16).
+        primary = next(
+            (
+                e
+                for e in errs
+                if isinstance(e, (KeyboardInterrupt, SystemExit))
+            ),
+            errs[0],
+        )
+        for e in errs:
+            if e is not primary:
+                primary.add_note(
+                    f"overlap sibling also failed: {type(e).__name__}: {e}"
+                )
+        raise primary
     return results

@@ -112,24 +112,77 @@ def tokens(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def dot(a: Column, b: Column) -> Column:
+# Building one higher-order-function Column costs ~10 py4j round trips
+# (~20-60 ms per dot/norm/cosine on this box — the r17 driver profile
+# charged 0.77 s of sim_ann_retrain's 7.8 s wall to HOF construction
+# alone). The UNRESOLVED expression tree is immutable and name-scoped,
+# so identical (helper, operand-text) builds are interchangeable across
+# plans — cache them. Lambda variables created by earlier builds carry
+# session-unique names (x_0, x_1, ...), so an operand that embeds one
+# (a helper called inside another lambda) produces a unique key and
+# simply never shares — safe by construction. Keys come from the JVM
+# expression text (one cheap py4j call) or the bare string for str
+# operands.
+_VEC_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _vec_key(kind: str, *cols) -> tuple | None:
+    parts = []
+    for c in cols:
+        if isinstance(c, str):
+            parts.append(c)
+        else:
+            try:
+                parts.append(c._jc.toString())
+            except Exception:  # noqa: BLE001 — cache is optional
+                return None
+    return (kind, *parts)
+
+
+def _as_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product in double precision."""
-    return F.aggregate(
+    key = _vec_key("dot", a, b)
+    cached = _VEC_EXPR_CACHE.get(key) if key else None
+    if cached is not None:
+        return cached
+    a, b = _as_col(a), _as_col(b)
+    col = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if key:
+        _VEC_EXPR_CACHE[key] = col
+    return col
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
+def norm(a: Column | str) -> Column:
+    key = _vec_key("norm", a)
+    cached = _VEC_EXPR_CACHE.get(key) if key else None
+    if cached is not None:
+        return cached
+    col = F.sqrt(
         F.aggregate(
-            a,
+            _as_col(a),
             F.lit(0.0),
             lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
     )
+    if key:
+        _VEC_EXPR_CACHE[key] = col
+    return col
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column | str, b: Column | str) -> Column:
+    key = _vec_key("cosine", a, b)
+    cached = _VEC_EXPR_CACHE.get(key) if key else None
+    if cached is not None:
+        return cached
+    col = dot(a, b) / (norm(a) * norm(b))
+    if key:
+        _VEC_EXPR_CACHE[key] = col
+    return col

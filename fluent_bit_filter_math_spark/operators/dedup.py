@@ -762,7 +762,11 @@ def dedup_incremental_persisted(
     # commit per table, cost ∝ batch, never a corpus rewrite. The
     # three appends land on three DISTINCT tables (guide §2.6), so
     # they overlap; the batch-bounded pin reads the bands head after
-    # all three have settled (each table still gets one commit) ----
+    # all three have settled (each table still gets one commit). A
+    # guard failure after the overlap leaves hashes/arrays commits the
+    # old serial order withheld (ADVICE r16) — deliberate: the guard
+    # raising IS fatal corruption of this query's scratch index, which
+    # is torn down whole, never probed again. ----
     overlap(
         lambda: tf_append(
             batch_bands.repartitionByRange(_LSH_N_BANDS, "band", "key"),
@@ -1190,7 +1194,7 @@ def dedup_index_maintenance(
         latest_version,
         tf_compact,
         tf_history,
-        tf_pruned_files,
+        tf_pruned_counts,
         tf_vacuum,
     )
 
@@ -1252,14 +1256,17 @@ def dedup_index_maintenance(
     # ---- probe pruning survives the rewrite: every probed band keeps
     # a strict subset of the compacted files ----
     vnow = {k: latest_version(p) for k, p in paths.items()}
-    for band in range(_LSH_N_BANDS):
-        kept, total = tf_pruned_files(
-            paths["bands"], [("band", "=", band)], version=vnow["bands"]
-        )
-        if total > 1 and len(kept) >= total:
+    # one metadata resolve for all bands (r17; the per-band
+    # tf_pruned_files loop replayed the snapshot log once per band)
+    counts, total = tf_pruned_counts(
+        paths["bands"], "band", range(_LSH_N_BANDS),
+        version=vnow["bands"],
+    )
+    for band, n_kept in counts.items():
+        if total > 1 and n_kept >= total:
             raise RuntimeError(
                 f"band {band} probe does not file-prune after "
-                f"compaction ({len(kept)}/{total} files kept)"
+                f"compaction ({n_kept}/{total} files kept)"
             )
 
     after = _lsh_probe(

@@ -2604,7 +2604,7 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest_version,
         tf_append,
         tf_compact,
-        tf_pruned_files,
+        tf_pruned_counts,
         tf_read,
         tf_vacuum,
     )
@@ -2659,14 +2659,15 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vacuum after postings compaction reclaimed nothing"
         )
 
-    # pruning survives the rewrite for EVERY cell
+    # pruning survives the rewrite for EVERY cell — one metadata
+    # resolve for the whole cell set (r17)
     cids = sorted(r["cid"] for r in pcent.select("cid").collect())
-    for cid in cids:
-        kept, total = tf_pruned_files(post_path, [("cell", "=", cid)])
-        if total > 1 and len(kept) >= total:
+    counts, total = tf_pruned_counts(post_path, "cell", cids)
+    for cid, n_kept in counts.items():
+        if total > 1 and n_kept >= total:
             raise RuntimeError(
                 f"cell {cid} probe does not file-prune after "
-                f"compaction ({len(kept)}/{total} files kept)"
+                f"compaction ({n_kept}/{total} files kept)"
             )
 
     after = _annp_probe(spark, cent_path, post_path).localCheckpoint(
@@ -2736,17 +2737,16 @@ def _probe_cell_scans(
     import warnings
 
     from fluent_bit_filter_math_spark.sources.table_format import (
-        tf_pruned_files,
+        tf_pruned_counts,
         tf_scan_any,
     )
 
-    any_pruned = False
-    for cell in cells:
-        kept, total = tf_pruned_files(
-            post_path, [(col, "=", cell)], version=version
-        )
-        if len(kept) < total:
-            any_pruned = True
+    # one metadata resolve for the whole probed set (r17; the per-cell
+    # tf_pruned_files loop replayed the snapshot log once per value)
+    counts, total = tf_pruned_counts(
+        post_path, col, cells, version=version
+    )
+    any_pruned = any(n < total for n in counts.values())
     if not any_pruned:
         warnings.warn(
             f"ANN probe over {post_path}: no probed cell pruned any "
@@ -2773,7 +2773,19 @@ def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
     cosine()'s exact IEEE expression, so assignments are bit-identical
     at a third of the per-pair fold work (guide §2.3). Partitioning is
     deliberately untouched — the output feeds _ranged_once, whose
-    range-sampled file layout must stay stable."""
+    range-sampled file layout must stay stable.
+
+    Measured-and-rejected (r17, twice): (a) a MAP-ONLY rewrite — collect
+    the K centroids and fold them into one greatest() expression over
+    per-centroid structs, removing the groupBy exchange entirely (plan
+    verified 4 Exchange → 0, plans/r17/assign_cells_{before,after}.txt)
+    — was 1.6-2x SLOWER per forced assignment at sf0.1 (0.66 s → 1.05 s
+    solo; every lifecycle walk 20-60% worse) even with the norm
+    projected once and the batch pre-spread across cores: the giant
+    interpreted greatest-over-structs expression costs more per row
+    than the exchange it saves. (b) replacing max_by with max(struct)
+    to coax a hash aggregate: identical runtime (0.49 vs 0.48 solo
+    min), identical output. The crossJoin+max_by shape stays."""
     return (
         batch.select(
             "vec_id", "embedding", norm(F.col("embedding")).alias("_en")

@@ -79,6 +79,26 @@ def _log_path(table_path: str, version: int) -> str:
     )
 
 
+def _create_exclusive(path: str, payload: str) -> None:
+    """Publish *payload* at *path* atomically against BOTH writers and
+    readers. ``open(path, "x")`` alone is writer-atomic only: a reader
+    scanning the log can open the just-created, not-yet-flushed file
+    and see empty/partial JSON (ADVICE r16). Writing to a unique temp
+    file first, fsyncing, then ``os.link``-ing into place keeps the
+    exclusive-create semantics (link raises FileExistsError when the
+    name is taken) while guaranteeing any reader that can open *path*
+    sees the complete payload."""
+    tmp = f"{path}.{uuid.uuid4().hex[:12]}.inprogress"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
+
+
 def latest_version(table_path: str) -> int:
     """Highest committed version, or -1 for a not-yet-created table."""
     log = os.path.join(table_path, _LOG_DIR)
@@ -138,8 +158,15 @@ def _commit_min_reader(commit: dict) -> int:
 
 
 # prefix-max of per-commit requirements, incrementally extended — the
-# committed_batch_ids cache discipline (commits are immutable)
-_PROTO_CACHE: dict[str, list[int]] = {}
+# committed_batch_ids cache discipline (commits are immutable). Values
+# are IMMUTABLE tuples swapped whole (never mutated in place): the
+# cache is reachable from several driver threads at once under
+# overlap() (ADVICE r16), and two threads extending a shared list can
+# interleave reads of its length with appends, misaligning entries.
+# Each thread extends a private copy and publishes it with one atomic
+# assignment; racing publishes are prefix-consistent (commits are
+# immutable), so either winner is correct.
+_PROTO_CACHE: dict[str, tuple[int, ...]] = {}
 
 
 def required_reader_version(
@@ -154,18 +181,25 @@ def required_reader_version(
     if v < 0:
         return _FEATURE_BASE
     key = os.path.abspath(table_path)
-    pm = _PROTO_CACHE.setdefault(key, [])
-    for w in range(len(pm), head + 1):
-        try:
-            with open(_log_path(table_path, w)) as f:
-                r = _commit_min_reader(json.load(f))
-        except FileNotFoundError:
-            # a head ahead of the visible files (racing writer /
-            # eventually-consistent listing): judge what is readable;
-            # the replay itself will surface the missing commit where
-            # it matters
-            break
-        pm.append(max(r, pm[-1] if pm else _FEATURE_BASE))
+    pm = _PROTO_CACHE.get(key, ())
+    if len(pm) <= head:
+        ext = list(pm)
+        for w in range(len(ext), head + 1):
+            try:
+                with open(_log_path(table_path, w)) as f:
+                    r = _commit_min_reader(json.load(f))
+            except (FileNotFoundError, json.JSONDecodeError):
+                # a head ahead of the readable files (racing writer /
+                # eventually-consistent listing): judge what is cleanly
+                # readable; the replay itself will surface the missing
+                # commit where it matters. JSONDecodeError is belt and
+                # braces — _create_exclusive makes commits
+                # reader-atomic, so a torn read should no longer occur.
+                break
+            ext.append(max(r, ext[-1] if ext else _FEATURE_BASE))
+        if len(ext) > len(_PROTO_CACHE.get(key, ())):
+            _PROTO_CACHE[key] = tuple(ext)
+        pm = tuple(ext)
     if not pm:
         return _FEATURE_BASE
     return pm[min(v, len(pm) - 1)]
@@ -248,10 +282,7 @@ def write_checkpoint(table_path: str, version: int | None = None) -> int:
         sort_keys=True,
     )
     try:
-        with open(_ckpt_path(table_path, v), "x") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(_ckpt_path(table_path, v), payload)
     except FileExistsError:
         pass  # same prefix => same content; first writer wins
     return v
@@ -585,12 +616,9 @@ def _publish(
     os.makedirs(os.path.join(table_path, _LOG_DIR), exist_ok=True)
     path = _log_path(table_path, version)
     try:
-        # "x": the atomic publish — exactly one writer can create this
-        # version file; a loser sees FileExistsError, never a torn log.
-        with open(path, "x") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        # exclusive create: exactly one writer can publish this version
+        # file; a loser sees FileExistsError, never a torn log.
+        _create_exclusive(path, payload)
     except FileExistsError as exc:
         raise CommitConflict(
             f"version {version} already committed at {path}"
@@ -949,10 +977,7 @@ def tf_restore(table_path: str, version: int) -> int:
     )
     path = _log_path(table_path, head + 1)
     try:
-        with open(path, "x") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(path, payload)
     except FileExistsError as exc:
         raise ConcurrentOverwrite(
             f"version {head + 1} already committed"
@@ -1074,10 +1099,7 @@ def _publish_constraint_commit(
     )
     path = _log_path(table_path, head + 1)
     try:
-        with open(path, "x") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(path, body)
     except FileExistsError as exc:
         raise ConcurrentOverwrite(
             f"version {head + 1} already committed"
@@ -1295,10 +1317,7 @@ def tf_rename_column(table_path: str, old: str, new: str) -> int:
     )
     path = _log_path(table_path, head + 1)
     try:
-        with open(path, "x") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(path, body)
     except FileExistsError as exc:
         raise ConcurrentOverwrite(
             f"version {head + 1} already committed"
@@ -1690,10 +1709,7 @@ def _publish_schema_commit(
     body = json.dumps(payload, sort_keys=True)
     path = _log_path(table_path, head + 1)
     try:
-        with open(path, "x") as f:
-            f.write(body)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(path, body)
     except FileExistsError as exc:
         raise ConcurrentOverwrite(
             f"version {head + 1} already committed"
@@ -1976,10 +1992,7 @@ def tf_delete(
     )
     path = _log_path(table_path, read_version + 1)
     try:
-        with open(path, "x") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(path, payload)
     except FileExistsError as exc:
         raise ConcurrentOverwrite(
             f"version {read_version + 1} already committed"
@@ -2171,10 +2184,7 @@ def tf_update(
     )
     path = _log_path(table_path, read_version + 1)
     try:
-        with open(path, "x") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
+        _create_exclusive(path, payload)
     except FileExistsError as exc:
         raise ConcurrentOverwrite(
             f"version {read_version + 1} already committed"
@@ -2327,6 +2337,39 @@ def tf_pruned_files(
         if _file_survives(_eff(stats), predicates)
     ]
     return kept, len(files)
+
+
+def tf_pruned_counts(
+    table_path: str,
+    col: str,
+    values,
+    version: int | None = None,
+) -> tuple[dict, int]:
+    """({value: n files kept by (col = value)}, total live files) in
+    ONE log resolve — the batched form of :func:`tf_pruned_files` for
+    per-value pin loops (VERDICT r16 #8): a loop calling
+    tf_pruned_files once per probed value re-replays the snapshot's
+    metadata once per value; the skipping decision itself only needs
+    the live stats list once."""
+    head = latest_version(table_path)
+    v = head if version is None else version
+    values = list(values)
+    if not values:
+        files, _, _ = _resolve(table_path, v)
+        return {}, len(files)
+    pcol = _phys_predicates(
+        [(col, "=", values[0])], tf_column_mapping(table_path, version=v)
+    )[0][0]
+    files, _, _ = _resolve(table_path, v)
+    counts = {
+        val: sum(
+            1
+            for _, stats, _ in files
+            if _file_survives(stats, [(pcol, "=", val)])
+        )
+        for val in values
+    }
+    return counts, len(files)
 
 
 def tf_scan(
@@ -3893,15 +3936,21 @@ def _committed_txn_ids(
     key = (os.path.abspath(table_path), id_key, action)
     start, seen = _BATCH_ID_CACHE.get(key, (0, set()))
     head = latest_version(table_path)
-    for v in range(start, head + 1):
-        with open(_log_path(table_path, v)) as f:
-            commit = json.load(f)
-        if action is not None and commit.get("action") != action:
-            continue
-        b = commit.get(id_key)
-        if b is not None:
-            seen.add(int(b))
-    _BATCH_ID_CACHE[key] = (head + 1, seen)
+    if start <= head:
+        # extend a PRIVATE copy and swap it in whole — the cached set
+        # is reachable from several driver threads under overlap()
+        # (the _PROTO_CACHE discipline); in-place adds could race a
+        # sibling's copy-out iteration
+        seen = set(seen)
+        for v in range(start, head + 1):
+            with open(_log_path(table_path, v)) as f:
+                commit = json.load(f)
+            if action is not None and commit.get("action") != action:
+                continue
+            b = commit.get(id_key)
+            if b is not None:
+                seen.add(int(b))
+        _BATCH_ID_CACHE[key] = (head + 1, seen)
     return set(seen)
 
 
@@ -4508,10 +4557,10 @@ def tf_pin_snapshot(table_path: str, version: int | None = None) -> str:
     pin_dir = os.path.join(table_path, _PIN_DIR)
     os.makedirs(pin_dir, exist_ok=True)
     pin_id = f"pin-{uuid.uuid4().hex[:12]}"
-    with open(os.path.join(pin_dir, f"{pin_id}.json"), "x") as f:
-        f.write(json.dumps({"version": v}))
-        f.flush()
-        os.fsync(f.fileno())
+    _create_exclusive(
+        os.path.join(pin_dir, f"{pin_id}.json"),
+        json.dumps({"version": v}),
+    )
     return pin_id
 
 
