@@ -2556,17 +2556,15 @@ def sim_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_append(cent.coalesce(1), cent_path)
 
     pcent = tf_read(spark, cent_path)  # the PERSISTED centroids
-    tf_append(
-        _ranged_once(_assign_cells(initial, pcent)),
-        post_path,
-    )
-
     # ---- INCREMENTAL maintenance: one batch, one commit, cost ∝ batch
+    # (both assignments depend only on pcent — checkpoints overlap,
+    # commits stay ordered: _ranged_pair)
     increment = emb.filter(F.col("vec_id") % 4 == 0)
-    tf_append(
-        _ranged_once(_assign_cells(increment, pcent)),
-        post_path,
+    r_init, r_inc = _ranged_pair(
+        _assign_cells(initial, pcent), _assign_cells(increment, pcent)
     )
+    tf_append(r_init, post_path)
+    tf_append(r_inc, post_path)
     head = tf_history(post_path)[0]
     if head["n_removed"] != 0 or head["n_added"] > IVF_K:
         raise RuntimeError(
@@ -2627,15 +2625,12 @@ def sim_ann_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf_append(cent.coalesce(1), cent_path)
     pcent = tf_read(spark, cent_path)
-    tf_append(
-        _ranged_once(_assign_cells(initial, pcent)),
-        post_path,
-    )
     increment = emb.filter(F.col("vec_id") % 4 == 0)
-    tf_append(
-        _ranged_once(_assign_cells(increment, pcent)),
-        post_path,
+    r_init, r_inc = _ranged_pair(
+        _assign_cells(initial, pcent), _assign_cells(increment, pcent)
     )
+    tf_append(r_init, post_path)
+    tf_append(r_inc, post_path)
 
     before = _annp_probe(spark, cent_path, post_path).localCheckpoint(
         eager=True
@@ -2813,6 +2808,19 @@ def _assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
         )
         .select("cell", "vec_id", "embedding")
     )
+
+
+def _ranged_pair(
+    a: DataFrame, b: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize two INDEPENDENT assign/encode frames concurrently
+    (guide §2.6 — both depend only on the already-persisted centroids/
+    codebooks, never on each other), returning their range-partitioned
+    forms in call order. Only the eager checkpoints overlap; the caller
+    still commits the two appends strictly in order, so same-table log
+    versions — and the batch-bounded head pins — stay deterministic."""
+    ra, rb = overlap(lambda: _ranged_once(a), lambda: _ranged_once(b))
+    return ra, rb
 
 
 def _ranged_once(df: DataFrame) -> DataFrame:
@@ -2996,25 +3004,25 @@ def sim_ann_persisted_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def _ingest(batch: DataFrame) -> None:
+    def _enc(batch: DataFrame) -> DataFrame:
         enc = _pq_encode(
             _assign_cells(batch, pcent).crossJoin(F.broadcast(cb_row))
         )
-        tf_append(
-            _ranged_once(
-                enc.select(
-                    "cell",
-                    "vec_id",
-                    *(f"code{m}" for m in range(PQ_M)),
-                    "embedding",
-                )
-            ),
-            post_path,
+        return enc.select(
+            "cell",
+            "vec_id",
+            *(f"code{m}" for m in range(PQ_M)),
+            "embedding",
         )
 
-    _ingest(initial)
     # ---- incremental maintenance: one batch, one commit, cost ∝ batch
-    _ingest(emb.filter(F.col("vec_id") % 4 == 0))
+    # (both encodes read only the persisted centroids/codebooks —
+    # checkpoints overlap, commits stay ordered: _ranged_pair)
+    r_init, r_inc = _ranged_pair(
+        _enc(initial), _enc(emb.filter(F.col("vec_id") % 4 == 0))
+    )
+    tf_append(r_init, post_path)
+    tf_append(r_inc, post_path)
     head = tf_history(post_path)[0]
     if head["n_removed"] != 0 or head["n_added"] > IVF_K:
         raise RuntimeError(
@@ -3163,15 +3171,12 @@ def _annr_build(spark: SparkSession, sf_dir: str, tag: str):
     )
     tf_append(cent.coalesce(1), cent_path)
     pcent = tf_read(spark, cent_path)
-    tf_append(
-        _ranged_once(_assign_cells(initial, pcent)),
-        post_path,
-    )
     increment = emb.filter(F.col("vec_id") % 4 == 0)
-    tf_append(
-        _ranged_once(_assign_cells(increment, pcent)),
-        post_path,
+    r_init, r_inc = _ranged_pair(
+        _assign_cells(initial, pcent), _assign_cells(increment, pcent)
     )
+    tf_append(r_init, post_path)
+    tf_append(r_inc, post_path)
     return cent_path, post_path, base
 
 
@@ -3491,14 +3496,18 @@ def sim_ann_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
+    # res_old/res_new are ≤ N_QUERIES·TOP_K rows (25): broadcast them
+    # so the truth side joins without the SortMergeJoin exchanges the
+    # planner picks off its post-window size estimate (guide §3.1),
+    # and the window's query_id partitioning carries into the groupBy.
     return (
         truth.join(
-            res_old.withColumn("h_old", F.lit(1)),
+            F.broadcast(res_old.withColumn("h_old", F.lit(1))),
             ["query_id", "neighbor_id"],
             "left",
         )
         .join(
-            res_new.withColumn("h_new", F.lit(1)),
+            F.broadcast(res_new.withColumn("h_new", F.lit(1))),
             ["query_id", "neighbor_id"],
             "left",
         )
