@@ -46,8 +46,23 @@ from fluent_bit_filter_math_spark.pipeline import (
 from fluent_bit_filter_math_spark.functions import exact_cents
 from fluent_bit_filter_math_spark.registry import register
 
-_OUT_SCHEMA = "user_id long, n_events long, total_cents long"
-_STATE_SCHEMA = "n long, cents long"
+# The TWS processor classes and their state schemas live in the LEAF
+# module tws_processors (r17): the per-stream-start driver-side Python
+# worker unpickles the processor by reference, and importing THIS
+# module there cost +0.31 s (pandas + the query-registration graph)
+# per start. Re-exported here so tests and callers keep one import
+# surface.
+from fluent_bit_filter_math_spark.streaming.tws_processors import (  # noqa: E501
+    _OUT_SCHEMA,
+    _STATE_SCHEMA,
+    _TWS_IDLE_GAP_MS,
+    _IdleCloseProcessor,
+    _KMVSketchProcessor,
+    _PrioritySampleProcessor,
+    _PurchaseListProcessor,
+    _TypeStatsProcessor,
+    _UserTotalsProcessor,
+)
 
 
 def _update_totals(
@@ -190,8 +205,13 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # user-keyed pandas kernel (~1500 groups): 16 partitions spread the
+    # per-group sort/fold (solo 2.08 → 1.58 s; the _run_tws sizing rule)
     return run_stream_to_memory(
-        out, "stream_stateful_sessions", output_mode="update"
+        out,
+        "stream_stateful_sessions",
+        output_mode="update",
+        shuffle_partitions=16,
     )
 
 
@@ -300,8 +320,13 @@ def stream_pattern_match_stateful(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     out = pattern_match_stream(spark, f"{sf_dir}/events.parquet")
+    # user-keyed pandas kernel (~1500 groups): 16 partitions (see
+    # stream_stateful_sessions)
     res = run_stream_to_memory(
-        out, "stream_pattern_match_stateful", output_mode="append"
+        out,
+        "stream_pattern_match_stateful",
+        output_mode="append",
+        shuffle_partitions=16,
     )
     return res.orderBy("user_id", "purchase_event_id")
 
@@ -339,17 +364,12 @@ from fluent_bit_filter_math_spark.streaming import state_proto_shim
 state_proto_shim.install()
 
 
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
-
-
 def _run_tws(
     out: DataFrame,
     name: str,
     output_mode: str = "update",
     keep_no_data_batch: bool = False,
+    shuffle_partitions: int = 4,
 ) -> DataFrame:
     """Shared bounded-replay harness for the transformWithState queries
     (r8 VERDICT #3): one provider configuration, applied per start and
@@ -365,11 +385,24 @@ def _run_tws(
       fixed cost — one more round of planning + per-partition state
       store open/commit — with no semantics. Callers with watermarks
       or timers pass ``keep_no_data_batch=True``.
+    * ``shuffle_partitions`` sizes the STATE-partition count to the
+      query's KEY CARDINALITY (r17; guide §2.2's partition-sizing rule
+      applied to state stores): the TWS addBatch cost is per-key state
+      RPCs, serialized per state partition, so user-keyed processors
+      (~1500 keys at sf0.1) want 16 partitions (~100 keys each —
+      measured −21-31% wall vs 4) while event-type-keyed processors
+      (5 keys) want 4 (at 16+ the extra store open/commits exceed the
+      parallelism; 32 partitions is 2-4x WORSE on both families).
+      Still env-overridable via SPARK_GRAFT_STREAM_PARTS — a 100 TB
+      deployment with millions of keys turns it far up.
 
-    Measured floor (SCALING.md r9): ~1.3 s queryPlanning (includes the
-    TWS driver-side Python worker spawn for state-schema resolution) +
-    ~1.5 s addBatch per stream start — per-QUERY API overhead that no
-    shared configuration removes; the knobs above trim the rest.
+    Measured floor (SCALING.md r9, re-decomposed r17 — see PLANS.md):
+    ~1.1 s queryPlanning (the per-start non-daemon driver-side Python
+    worker: bytecode-verified `PythonWorkerFactory(..., useDaemon =
+    false)`; its unpickle import chain is trimmed by tws_processors)
+    + per-key state-server RPCs in addBatch — per-QUERY API overhead
+    that no shared configuration removes; the knobs above trim the
+    rest.
     """
     spark = out.sparkSession
     confs = {
@@ -385,51 +418,18 @@ def _run_tws(
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
-        return run_stream_to_memory(out, name, output_mode=output_mode)
+        return run_stream_to_memory(
+            out,
+            name,
+            output_mode=output_mode,
+            shuffle_partitions=shuffle_partitions,
+        )
     finally:
         for k, v in olds.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-
-
-class _UserTotalsProcessor(StatefulProcessor):
-    """Per-user (count, integer-cents) totals in one typed ValueState.
-
-    MUST stay a module-level class: cloudpickle then serializes it BY
-    REFERENCE, so every process that unpickles it (the TWS driver
-    worker included) imports this module first — which is what runs
-    ``state_proto_shim.install()`` before the worker's first
-    ``StateMessage_pb2`` import. A nested class would pickle by value
-    and the driver worker would crash on the missing protobuf runtime
-    before any of our code ran.
-    """
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._totals = handle.getValueState("totals", _STATE_SCHEMA)
-
-    def handleInputRows(self, key, rows, timerValues):
-        # ONE state RPC, not two: ValueStateClient.get() already
-        # answers None for absent state, so the exists()-then-get()
-        # idiom paid a full extra wire round-trip per key per batch
-        # (the protocol-floor lever VERDICT r12 #4 asked for).
-        prev = self._totals.get() or (0, 0)
-        n, cents = int(prev[0]), int(prev[1])
-        for pdf in rows:
-            n += len(pdf)
-            cents += int(pdf["cents"].sum())
-        self._totals.update((n, cents))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "total_cents": [cents],
-            }
-        )
-
-    def close(self) -> None:
-        pass
 
 
 @register(
@@ -454,7 +454,8 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    return _run_tws(out, "stream_tws_user_totals")
+    # user-keyed (~1500 keys at sf0.1): 16 state partitions (_run_tws)
+    return _run_tws(out, "stream_tws_user_totals", shuffle_partitions=16)
 
 
 # ---------------------------------------------------------------------------
@@ -472,43 +473,6 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TWS_MAP_OUT = (
     "user_id long, event_type string, n_events long, total_cents long"
 )
-
-
-class _TypeStatsProcessor(StatefulProcessor):
-    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._by_type = handle.getMapState(
-            "bytype", "event_type string", "n long, cents long"
-        )
-
-    def handleInputRows(self, key, rows, timerValues):
-        agg: dict[str, tuple[int, int]] = {}
-        for pdf in rows:
-            for et, grp in pdf.groupby("event_type"):
-                n, c = agg.get(et, (0, 0))
-                agg[et] = (n + len(grp), c + int(grp["cents"].sum()))
-        # BULK READ via the server-side iterator (one paginated
-        # round-trip stream for the whole map) instead of one getValue
-        # RPC per touched entry — with E entry types that replaces E
-        # request/response cycles per key per batch, the cross-key RPC
-        # lever VERDICT r13 #5 asked for; the emit reuses the merged
-        # dict, dropping the old second iteration too.
-        merged = {
-            k[0]: (int(v[0]), int(v[1]))
-            for k, v in self._by_type.iterator()
-        }
-        for et, (n, c) in agg.items():
-            pn, pc = merged.get(et, (0, 0))
-            merged[et] = (pn + n, pc + c)
-            self._by_type.updateValue((et,), merged[et])
-        yield pd.DataFrame(
-            [(key[0], et, v[0], v[1]) for et, v in merged.items()],
-            columns=["user_id", "event_type", "n_events", "total_cents"],
-        )
-
-    def close(self) -> None:
-        pass
 
 
 @register(
@@ -536,7 +500,8 @@ def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    return _run_tws(out, "stream_tws_type_stats")
+    # user-keyed (~1500 keys at sf0.1): 16 state partitions (_run_tws)
+    return _run_tws(out, "stream_tws_type_stats", shuffle_partitions=16)
 
 
 # ---------------------------------------------------------------------------
@@ -572,79 +537,11 @@ def stream_tws_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expiry scans are per-partition range reads (RocksDB-ordered), no
 # shuffle beyond the input's keyed exchange.
 # ---------------------------------------------------------------------------
-_TWS_IDLE_GAP_MS = 6 * 3600 * 1000  # re-arm distance
 _TWS_IDLE_DELAY = "10 minutes"  # watermark delay
 _TWS_IDLE_SPLIT_FRAC = 0.5  # event-time split quantile; tests vary it
 _TWS_IDLE_OUT = (
     "user_id long, n_events long, total_cents long, closed_at_ms long"
 )
-
-
-class _IdleCloseProcessor(StatefulProcessor):
-    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._handle = handle
-        self._tot = handle.getValueState(
-            "tot", "n long, cents long, last_ms long, timer_ms long"
-        )
-
-    def handleInputRows(self, key, rows, timerValues):
-        # get() answers None for absent state: one RPC, not exists()+get()
-        prev = self._tot.get() or (0, 0, 0, 0)
-        n, cents, last_ms, timer_ms = (int(x) for x in prev)
-        for pdf in rows:
-            n += len(pdf)
-            cents += int(pdf["cents"].sum())
-            last_ms = max(
-                last_ms,
-                int(
-                    pdf["ts"]
-                    .astype("datetime64[ms]")
-                    .astype("int64")
-                    .max()
-                ),
-            )
-        # Re-arm from the STATE-TRACKED timer (r13 carried a ListTimers
-        # drain per key per batch — 1+ extra RPCs — to stay correct if
-        # state and registry ever diverged; the same guarantee now
-        # costs zero listing RPCs because handleExpiredTimer ignores
-        # any timer that does not match the state's armed timestamp,
-        # so a stray registry entry can fire but never close a key
-        # early). An unchanged deadline skips both timer RPCs.
-        new_timer = last_ms + _TWS_IDLE_GAP_MS
-        if new_timer != timer_ms:
-            if timer_ms:
-                self._handle.deleteTimer(timer_ms)
-            self._handle.registerTimer(new_timer)
-        self._tot.update((n, cents, last_ms, new_timer))
-        return iter([])
-
-    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        row = self._tot.get()  # None => state already closed
-        if row is None:
-            return iter([])
-        n, cents, last_ms, timer_ms = (int(x) for x in row)
-        # stale-timer guard (see handleInputRows): only the timer the
-        # state armed may close the key
-        if int(expiredTimerInfo.getExpiryTimeInMs()) != timer_ms:
-            return iter([])
-        self._tot.clear()
-        return iter(
-            [
-                pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "n_events": [n],
-                        "total_cents": [cents],
-                        "closed_at_ms": [last_ms + _TWS_IDLE_GAP_MS],
-                    }
-                )
-            ]
-        )
-
-    def close(self) -> None:
-        pass
 
 
 _IDLE_SPLITS: dict[tuple[str, float], str] = {}
@@ -753,9 +650,10 @@ def stream_tws_idle_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The terminal no-data micro-batch is LOAD-BEARING here: it is
     # where the watermark reaches max(ts) − delay and the idle timers
     # fire, so keep_no_data_batch must stay True.
+    # user-keyed (~1500 keys at sf0.1): 16 state partitions (_run_tws)
     return _run_tws(
         out, "stream_tws_idle_close", output_mode="append",
-        keep_no_data_batch=True,
+        keep_no_data_batch=True, shuffle_partitions=16,
     )
 
 
@@ -788,45 +686,6 @@ _TWS_LIST_OUT = (
     "user_id long, n_items long, sum_cents long,"
     " min_cents long, max_cents long"
 )
-
-
-class _PurchaseListProcessor(StatefulProcessor):
-    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        # deleteIfExists: the schema-evolution hook (purge a state
-        # variable a previous deployment defined). No-op for a name
-        # never created — exercised here to round out the
-        # StatefulProcessorCall protocol coverage.
-        handle.deleteIfExists("legacy_purchases_v0")
-        self._purchases = handle.getListState("purchases", "cents long")
-
-    def handleInitialState(self, key, initialState, timerValues) -> None:
-        # initialState is a one-row pandas DataFrame; take the scalar
-        # explicitly (int(Series) is a pandas deprecation).
-        self._purchases.appendValue(
-            (int(initialState["seed_cents"].iloc[0]),)
-        )
-
-    def handleInputRows(self, key, rows, timerValues):
-        batch = [
-            (int(c),) for pdf in rows for c in pdf["cents"].tolist()
-        ]
-        if batch:
-            self._purchases.appendList(batch)
-        vals = [int(v[0]) for v in self._purchases.get()]
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_items": [len(vals)],
-                "sum_cents": [sum(vals)],
-                "min_cents": [min(vals)],
-                "max_cents": [max(vals)],
-            }
-        )
-
-    def close(self) -> None:
-        pass
 
 
 @register(
@@ -881,7 +740,8 @@ def stream_tws_list_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
         initialState=init_state,
     )
-    return _run_tws(out, "stream_tws_list_seeded")
+    # user-keyed (~1500 keys at sf0.1): 16 state partitions (_run_tws)
+    return _run_tws(out, "stream_tws_list_seeded", shuffle_partitions=16)
 
 
 # ---------------------------------------------------------------------------
@@ -963,36 +823,6 @@ def _kmv_split_src(spark: SparkSession, sf_dir: str) -> str:
     src = src + "/f*"
     _KMV_SPLITS[key] = src
     return src
-
-
-class _KMVSketchProcessor(StatefulProcessor):
-    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._kmin = handle.getListState("kmin", "hv long")
-
-    def handleInputRows(self, key, rows, timerValues):
-        fresh = {int(h) for pdf in rows for h in pdf["hv"].tolist()}
-        kept = {int(v[0]) for v in self._kmin.get()}
-        merged = sorted(kept | fresh)[:64]  # _KMV_K; literal for pickling
-        self._kmin.put([(h,) for h in merged])
-        n = len(merged)
-        kth = merged[-1] if merged else 0
-        if n < 64:
-            est = n
-        else:
-            est = (64 - 1) * (1 << 56) // kth
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "n_kept": [n],
-                "kth_hash": [int(kth)],
-                "exact_style_estimate": [int(est)],
-            }
-        )
-
-    def close(self) -> None:
-        pass
 
 
 @register(
@@ -1148,53 +978,6 @@ def _pri_split_src(spark: SparkSession, sf_dir: str) -> str:
     return src
 
 
-class _PrioritySampleProcessor(StatefulProcessor):
-    """Module-level for by-reference pickling (see _UserTotalsProcessor)."""
-
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._keys = handle.getListState(
-            "keys", "skey double, event_id long, w long"
-        )
-        self._seq = handle.getValueState("seq", "n long")
-
-    def handleInputRows(self, key, rows, timerValues):
-        import math
-
-        fresh = [
-            (float(s), int(e), int(w))
-            for pdf in rows
-            for s, e, w in zip(pdf["skey"], pdf["event_id"], pdf["w"])
-        ]
-        kept = [(float(v[0]), int(v[1]), int(v[2])) for v in self._keys.get()]
-        merged = sorted(set(kept) | set(fresh))[:65]  # K+1; pickle literal
-        self._keys.put([tuple(m) for m in merged])
-        seq_row = self._seq.get()
-        seq = (int(seq_row[0]) if seq_row is not None else 0) + 1
-        self._seq.update((seq,))
-        sample = merged[:64]
-        if len(merged) <= 64:
-            est_fp = sum(
-                math.floor(float(w) * 1000000.0 + 0.5) for _, _, w in sample
-            )
-        else:
-            tau = float(1 << 60) / merged[64][0]
-            est_fp = sum(
-                math.floor(max(float(w), tau) * 1000000.0 + 0.5)
-                for _, _, w in sample
-            )
-        yield pd.DataFrame(
-            {
-                "event_type": [key[0]],
-                "batch_seq": [seq],
-                "n_kept": [len(sample)],
-                "est_total_fp": [int(est_fp)],
-            }
-        )
-
-    def close(self) -> None:
-        pass
-
-
 @register(
     "stream_tws_priority_sample",
     oracle=f"""
@@ -1336,6 +1119,8 @@ def stream_tws_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     ckpt = os.path.join(scratch_dir("tws-inspect"), "ckpt")
+    from fluent_bit_filter_math_spark.pipeline import stream_parts
+
     confs = {
         "spark.sql.streaming.stateStore.providerClass":
             "org.apache.spark.sql.execution.streaming."
@@ -1343,6 +1128,12 @@ def stream_tws_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.streaming.stateStore.rocksdb."
         "trackTotalNumberOfRows": "false",
         "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+        # event-type-keyed (5 keys): 4 state partitions, the _run_tws
+        # sizing rule — this stream previously ran at the SESSION's 32
+        # shuffle partitions (27 empty store open/commits per batch +
+        # a 32-partition statestore read-back). Results are partition-
+        # count-invariant (one row per (key, element), ordered).
+        "spark.sql.shuffle.partitions": str(stream_parts(4)),
     }
     olds = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
